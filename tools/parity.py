@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching oracle_sql.json query in DuckDB over the sf parquet tables,
+and compares: row count, column names (sorted), and a hash of all
+values (rows sorted, columns sorted by name).
+
+NOT part of the shipped library — dev-only harness mirroring the
+driver, using the driver-side python stack.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize datetimes to ns, strip tz
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
+            want = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}"); n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        ok = True
+        for c in got.columns:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                same = np.array_equal(a.astype('float64'), b.astype('float64'), equal_nan=True)
+            else:
+                same = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
+            if not same:
+                mism = np.where(~(pd.Series(a).astype(str) == pd.Series(b).astype(str)))[0][:3]
+                print(f"FAIL {name}: col {c} differs at rows {mism.tolist()}"
+                      f" got={a[mism][:3]} want={b[mism][:3]}")
+                ok = False; break
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
