@@ -12,11 +12,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ EventQueries.defs
+    RelationalQueries.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ EventQueries.oracles
+    RelationalQueries.oracles ++ EventQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -1,0 +1,218 @@
+package graft.functions.catalyst
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd Catalyst expressions for the hot scalar kernels
+  * (SURVEY.md §2.8). All hashing is plain 64-bit integer arithmetic so
+  * the DuckDB oracle can reproduce it bit-for-bit with SQL lambdas:
+  *   poly(s, B, M) = fold over UTF-16 units: h = (h*B + c) mod M
+  * (equal to codepoint folding for the ASCII corpus).
+  */
+object GraftHash {
+  final val P1 = 1073741789L // < 2^30
+  final val P2 = 536870909L  // < 2^29
+  final val FP = 1000000007L
+
+  def poly(s: String, base: Long, mod: Long): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = (h * base + s.charAt(i)) % mod; i += 1 }
+    h
+  }
+  /** ~59-bit word hash from two independent polynomial hashes. */
+  def word64(s: String): Long = (poly(s, 31, P1) << 30) | poly(s, 37, P2)
+}
+
+/** Polynomial rolling hash of a string: fold (h*base + char) mod `mod`. */
+case class PolyHash(child: Expression, base: Int, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    GraftHash.poly(v.asInstanceOf[UTF8String].toString, base, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      String gs = $c.toString();
+      long gh = 0L;
+      for (int gi = 0; gi < gs.length(); gi++) {
+        gh = (gh * ${base}L + gs.charAt(gi)) % ${mod}L;
+      }
+      ${ev.value} = gh;""")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+}
+
+/** 60-bit SimHash over an array of tokens: per token a 59-bit word hash;
+  * bit b of the result is 1 iff sum over tokens of (+1/-1 by hash bit b)
+  * is >= 0.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val acc = new Array[Int](60)
+    var t = 0
+    while (t < arr.numElements()) {
+      val h = GraftHash.word64(arr.getUTF8String(t).toString)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 60) { if (acc(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      int[] gacc = new int[60];
+      for (int gt = 0; gt < $c.numElements(); gt++) {
+        String gw = $c.getUTF8String(gt).toString();
+        long gh1 = 0L; long gh2 = 0L;
+        for (int gi = 0; gi < gw.length(); gi++) {
+          gh1 = (gh1 * 31L + gw.charAt(gi)) % ${GraftHash.P1}L;
+          gh2 = (gh2 * 37L + gw.charAt(gi)) % ${GraftHash.P2}L;
+        }
+        long gh = (gh1 << 30) | gh2;
+        for (int gb = 0; gb < 60; gb++) {
+          if (((gh >> gb) & 1L) == 1L) gacc[gb]++; else gacc[gb]--;
+        }
+      }
+      long gout = 0L;
+      for (int gb = 0; gb < 60; gb++) { if (gacc[gb] >= 0) gout |= (1L << gb); }
+      ${ev.value} = gout;""")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+}
+
+/** MinHash signature of a string set: sig[j] = min over elements x of
+  * ((2j+1) * h(x) + (j*j + 7)) mod 1e9+7, with h = poly(x, 31, P1).
+  * Empty input yields sig[j] = 1e9+7 (an impossible hash) so empty sets
+  * never collide with real ones.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(GraftHash.FP)
+    var t = 0
+    while (t < arr.numElements()) {
+      val h = GraftHash.poly(arr.getUTF8String(t).toString, 31, GraftHash.P1)
+      var j = 0
+      while (j < numHashes) {
+        val hj = ((2L * j + 1L) * h + (j.toLong * j + 7L)) % GraftHash.FP
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long[] gsig = new long[$numHashes];
+      java.util.Arrays.fill(gsig, ${GraftHash.FP}L);
+      for (int gt = 0; gt < $c.numElements(); gt++) {
+        String gw = $c.getUTF8String(gt).toString();
+        long gh = 0L;
+        for (int gi = 0; gi < gw.length(); gi++) {
+          gh = (gh * 31L + gw.charAt(gi)) % ${GraftHash.P1}L;
+        }
+        for (int gj = 0; gj < $numHashes; gj++) {
+          long ghj = ((2L * gj + 1L) * gh + ((long) gj * gj + 7L)) % ${GraftHash.FP}L;
+          if (ghj < gsig[gj]) gsig[gj] = ghj;
+        }
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsig);""")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Cosine similarity of two float vectors, computed in double with a
+  * strict left-to-right fold (so SQL `list_reduce` reproduces it
+  * bit-for-bit): dot/(sqrt(na)*sqrt(nb)).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      int gn = java.lang.Math.min($a.numElements(), $b.numElements());
+      double gdot = 0.0, gna = 0.0, gnb = 0.0;
+      for (int gi = 0; gi < gn; gi++) {
+        double gx = (double) $a.getFloat(gi);
+        double gy = (double) $b.getFloat(gi);
+        gdot += gx * gy; gna += gx * gx; gnb += gy * gy;
+      }
+      ${ev.value} = gdot / (java.lang.Math.sqrt(gna) * java.lang.Math.sqrt(gnb));""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Sign-LSH bucket keys for a float vector: `bands` bands of `rowsPerBand`
+  * deterministic integer hyperplanes. Plane p, component i (0-based) is
+  * ((1000003*p + 7919*i) mod 97) - 48; bit = (sum_i plane*vec[i]) >= 0.
+  * Band b's key is b * 2^rowsPerBand + its bit pattern — globally unique
+  * per band, so keys can be joined on directly after explode.
+  */
+case class SignLshBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val p = b * rowsPerBand + j
+        var dot = 0.0; var i = 0
+        while (i < n) {
+          dot += (((1000003L * p + 7919L * i) % 97L) - 48L).toDouble * x.getFloat(i).toDouble
+          i += 1
+        }
+        key = key * 2 + (if (dot >= 0) 1L else 0L)
+        j += 1
+      }
+      out(b) = b.toLong * (1L << rowsPerBand) + key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long[] gout = new long[$bands];
+      int gn = $c.numElements();
+      for (int gb = 0; gb < $bands; gb++) {
+        long gkey = 0L;
+        for (int gj = 0; gj < $rowsPerBand; gj++) {
+          int gp = gb * $rowsPerBand + gj;
+          double gdot = 0.0;
+          for (int gi = 0; gi < gn; gi++) {
+            gdot += (double)(((1000003L * gp + 7919L * gi) % 97L) - 48L)
+              * (double) $c.getFloat(gi);
+          }
+          gkey = gkey * 2 + (gdot >= 0 ? 1L : 0L);
+        }
+        gout[gb] = (long) gb * (1L << $rowsPerBand) + gkey;
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gout);""")
+  override protected def withNewChildInternal(c: Expression): SignLshBuckets = copy(child = c)
+}

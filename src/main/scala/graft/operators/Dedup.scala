@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deduplication family (SURVEY.md §2.3), designed for 100 TB:
+  * every variant turns O(n²) pairwise comparison into a bucket groupBy
+  * (hash, LSH band, or simhash band), so shuffle volume is O(n·bands)
+  * and pairwise work only happens inside candidate buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest id.
+    * Grouping key is md5(text) — constant-width rows through the shuffle
+    * instead of full documents.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min(length(col(textCol))).as("n_chars"))
+
+  /** MinHash+LSH near-dup pairs over a set column (word shingles or char
+    * n-grams), verified by exact Jaccard >= tauNum/tauDen.
+    *
+    * Flow: signature (numHashes minhashes, native expression) -> split
+    * into bands -> explode -> bucket self-join on (band, bandSig) with
+    * id < id -> distinct candidate pairs -> join sets back -> exact
+    * verify. The verify compare `tauDen*|A∩B| >= tauNum*|A∪B|` is pure
+    * integer arithmetic — no floating-point boundary anywhere.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, setCol: String,
+      numHashes: Int = 128, bands: Int = 32,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("__id"), col(setCol).as("__set"))
+      .withColumn("__sig", minhash_sig(col("__set"), numHashes))
+    val banded = sigs.select(col("__id"), explode(
+      expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"concat_ws('_', b, array_join(transform(slice(__sig, b*$r + 1, $r), " +
+        "h -> cast(h as string)), '_')))")).as("__band"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sigs.select(col("__id"), col("__set")), tauNum, tauDen)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against their sets. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame =
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__u", size(col("__sa")) + size(col("__sb")) - col("__i"))
+      .filter(col("__i") * tauDen >= col("__u") * tauNum && col("__u") > 0)
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") / col("__u")).as("jaccard"))
+
+  /** SimHash near-dup pairs: 60-bit simhash, 4 bands of 15 bits. Any pair
+    * with hamming distance <= 3 matches in at least one band (pigeonhole)
+    * — recall is exactly 100%, not probabilistic.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, tokensCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding guarantees recall only to hamming 3")
+    val hashed = df.select(col(idCol).as("__id"),
+      simhash60(col(tokensCol)).as("__sh"))
+    // band b key = b*2^15 + bits [15b, 15b+15) of the simhash
+    val banded = hashed.select(col("__id"), col("__sh"), explode(
+      expr("transform(sequence(0, 3), b -> cast(b as bigint) * 32768 + " +
+        "(shiftright(__sh, 15 * b) & 32767))")).as("__band"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("x.__sh").as("__ha"),
+        col("y.__id").as("id_b"), col("y.__sh").as("__hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", hamming64(col("__ha"), col("__hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: sign-LSH banding (bands x rowsPerBand
+    * hyperplanes) for candidates, exact cosine >= tau to verify.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, bands: Int = 32, rowsPerBand: Int = 3): DataFrame = {
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val banded = vecs.select(col("__id"),
+      explode(sign_lsh_buckets(col("__v"), bands, rowsPerBand)).as("__bucket"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.__bucket") === col("y.__bucket") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

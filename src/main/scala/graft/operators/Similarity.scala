@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.4). Brute force is the correctness baseline; sign-LSH
+  * and IVF cut the candidate set so a 1000-executor top-k is per-bucket
+  * local work plus a tiny global merge.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against a single query vector (one row of
+    * `queryDf` with columns (qid, qv)). The query side is broadcast; the
+    * scan stays a single pass with a per-partition top-k then a global
+    * merge (TakeOrderedAndProject).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryDf: DataFrame, k: Int): DataFrame =
+    df.crossJoin(broadcast(queryDf))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** LSH-bucketed top-k: candidates share at least one sign-LSH band
+    * bucket with the query; exact cosine ranks them. At scale the band
+    * join prunes ~the whole corpus; recall is tunable via (bands, rows).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryDf: DataFrame, k: Int,
+      bands: Int = 32, rowsPerBand: Int = 3): DataFrame = {
+    val banded = df.withColumn("__bucket",
+      explode(sign_lsh_buckets(col(vecCol), bands, rowsPerBand)))
+    val qb = queryDf.select(col("qid"), col("qv"),
+      explode(sign_lsh_buckets(col("qv"), bands, rowsPerBand)).as("__bucket"))
+    banded.join(broadcast(qb), "__bucket")
+      .filter(col(idCol) =!= col("qid"))
+      .select(df.columns.map(col) :+ col("qv"): _*).distinct()
+      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style search: assign every vector to its nearest centroid
+    * (`centroidDf`: (cid, cv)), probe the `nprobe` centroids nearest the
+    * query, exact-rank only vectors in probed cells. Ties in assignment
+    * break toward the smallest cid — deterministically.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, queryDf: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assignW = Window.partitionBy(col(idCol))
+      .orderBy(cosine_sim(col(vecCol), col("cv")).desc, col("cid").asc)
+    val assigned = df.crossJoin(broadcast(centroidDf))
+      .withColumn("__rn", row_number().over(assignW))
+      .filter(col("__rn") === 1)
+      .select(df.columns.map(col) :+ col("cid"): _*)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(cosine_sim(col("qv"), col("cv")).desc, col("cid").asc)
+    val probed = queryDf.crossJoin(broadcast(centroidDf))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    assigned.join(broadcast(probed), "cid")
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.operators.Dedup
+
+/** Deduplication over `documents`/`embeddings` (SURVEY.md §2.3).
+  * The Spark side runs the scale path (LSH banding / simhash banding);
+  * the oracle brute-forces all pairs. Equality of the two is exact
+  * because (a) verification uses integer Jaccard (`2I >= U`) or
+  * bit-identical cosine, and (b) candidate recall is exact for simhash
+  * (pigeonhole over bands) and empirically total for MinHash/sign-LSH at
+  * the corpus' planted similarity levels (verified in CI by DedupSpec).
+  */
+object DedupQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+
+    "dedup_minhash" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__sh3", word_shingles(col("text"), 3))
+      Dedup.minhashPairs(docs, "doc_id", "__sh3",
+        numHashes = 128, bands = 32, tauNum = 1, tauDen = 2)
+    },
+
+    "dedup_ngram" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__ng5", char_ngrams(col("text"), 5))
+      Dedup.minhashPairs(docs, "doc_id", "__ng5",
+        numHashes = 128, bands = 32, tauNum = 1, tauDen = 2)
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__ws", words(col("text")))
+      Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+    },
+
+    "dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.5, bands = 32, rowsPerBand = 3)
+    }
+  )
+
+  /** DuckDB SQL fragments shared by the brute-force oracles. */
+  private val shingles3 =
+    """list_distinct(list_transform(range(0, len(string_split(text, ' ')) - 2),
+      | gi -> string_split(text, ' ')[CAST(gi + 1 AS INT)] || ' ' ||
+      |   string_split(text, ' ')[CAST(gi + 2 AS INT)] || ' ' ||
+      |   string_split(text, ' ')[CAST(gi + 3 AS INT)]))""".stripMargin
+  private val ngrams5 =
+    """list_distinct(list_transform(range(1, length(text) - 3),
+      | gi -> substr(text, CAST(gi AS INT), 5)))""".stripMargin
+
+  private def jaccardPairSql(setExpr: String): String =
+    s"""WITH s AS (SELECT doc_id, $setExpr AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(a.sh, b.sh)) AS i,
+       |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard
+       |FROM p WHERE 2 * i >= u AND u > 0""".stripMargin
+
+  /** cosine(a,b) as a strict left fold — bit-identical to CosineSim. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         | gi -> CAST($x[CAST(gi AS INT)] AS DOUBLE) * CAST($y[CAST(gi AS INT)] AS DOUBLE)),
+         | (gx, gy) -> gx + gy)""".stripMargin
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  private val simhashSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |h AS (SELECT doc_id, list_transform(ws, gw ->
+      |  list_reduce(list_transform(range(1, len(gw) + 1),
+      |    gi -> CAST(ord(substr(gw, CAST(gi AS INT), 1)) AS BIGINT)),
+      |    (ga, gc) -> (ga * 31 + gc) % 1073741789) * 1073741824
+      |  + list_reduce(list_transform(range(1, len(gw) + 1),
+      |    gi -> CAST(ord(substr(gw, CAST(gi AS INT), 1)) AS BIGINT)),
+      |    (ga, gc) -> (ga * 37 + gc) % 536870909)) AS hs FROM w),
+      |sh AS (SELECT doc_id, list_reduce(list_transform(range(0, 60), gb ->
+      |  CASE WHEN 2 * len(list_filter(hs, gx -> ((gx >> gb) & 1) = 1)) >= len(hs)
+      |    THEN (CAST(1 AS BIGINT) << CAST(gb AS INT)) ELSE CAST(0 AS BIGINT) END),
+      |  (gx, gy) -> gx + gy) AS sh FROM h)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies, min(length(text)) AS n_chars
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash" -> jaccardPairSql(shingles3),
+    "dedup_ngram" -> jaccardPairSql(ngrams5),
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_embedding" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup groups identical texts and keeps min id") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("keep_id") == 3L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("minhash LSH candidates have full recall vs brute-force at tau=0.5") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("__sh3", word_shingles(col("text"), 3))
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "__sh3")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same sets
+    val sets = docs.select(col("doc_id"), col("__sh3"))
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.__sh3"), col("b.__sh3"))))
+      .withColumn("u", size(col("a.__sh3")) + size(col("b.__sh3")) - col("i"))
+      .filter(col("i") * 2 >= col("u") && col("u") > 0)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == brute, s"LSH missed ${brute.diff(lsh)} extra ${lsh.diff(brute)}")
+  }
+
+  test("simhash banding finds every pair within hamming 3 (pigeonhole)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("__ws", words(col("text")))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = docs.select(col("doc_id"), simhash60(col("__ws")).as("sh"))
+    val brute = hashes.as("a").join(hashes.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute)
+  }
+
+  test("embedding LSH finds the planted cosine pair") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.5)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+  }
+}

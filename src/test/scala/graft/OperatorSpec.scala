@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.operators.{AsOfJoin, RangeJoin, Similarity}
+import graft.functions.GraftFunctions._
+import graft.functions.catalyst.GraftHash
+
+class OperatorSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks latest right row at or before left ts") {
+    import spark.implicits._
+    val right = Seq( // clicks: (user, ts, id)
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 12:00:00"), 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val left = Seq( // purchases
+      (1L, ts("2024-01-01 10:30:00"), 500L), // after click 100
+      (1L, ts("2024-01-01 11:00:00"), 501L), // ties click 101 -> included
+      (2L, ts("2024-01-01 11:59:59"), 502L), // before any right row
+      (3L, ts("2024-01-01 12:00:00"), 503L)  // no right partition
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsOfJoin.lastEventAsOf(left, right, "user_id", "ts", "event_id")
+      .select("event_id", "asof_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(500L -> 100L, 501L -> 101L, 502L -> -1L, 503L -> -1L))
+  }
+
+  test("range join counts right rows in preceding window only") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L),
+      (1L, ts("2024-01-01 08:00:00"), 3L) // outside 1h window
+    ).toDF("user_id", "ts", "event_id")
+    val left = Seq((1L, ts("2024-01-01 10:45:00"), 9L),
+      (2L, ts("2024-01-01 10:45:00"), 10L)).toDF("user_id", "ts", "event_id")
+    val out = RangeJoin.countInPrecedingWindow(left, right, "user_id", "ts",
+        3600L * 1000000L)
+      .select("event_id", "n_in_window").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(9L -> 2L, 10L -> 0L))
+  }
+
+  test("poly hash matches reference fold") {
+    import spark.implicits._
+    val got = Seq("hello").toDF("t")
+      .select(poly_hash(col("t"), 31, GraftHash.P1)).head().getLong(0)
+    assert(got == GraftHash.poly("hello", 31, GraftHash.P1))
+    assert(got == 99162322L) // "hello" base-31 fold, known value
+  }
+
+  test("cosine_sim is exact on unit vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val out = df.select(cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(out(0) == 0.0 && out(1) == 1.0)
+  }
+
+  test("brute-force top-k excludes query and is sorted") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val rows = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id", "cos").collect()
+    assert(rows.length == 5)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val cs = rows.map(_.getDouble(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lsh top-k returns a subset ranked identically to brute force") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+      .select("vec_id").collect().map(_.getLong(0))
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(lsh.nonEmpty)
+    // every LSH hit must appear in the brute-force ranking prefix order
+    val pos = brute.zipWithIndex.toMap
+    val ranks = lsh.flatMap(pos.get)
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a < b })
+  }
+
+  test("word shingles and char ngrams are distinct and sized right") {
+    import spark.implicits._
+    val df = Seq("a b c d").toDF("text")
+    val sh = df.select(word_shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val ng = df.select(char_ngrams(col("text"), 5)).head().getSeq[String](0)
+    assert(ng.contains("a b c") && ng.length == 3)
+  }
+}
