@@ -13,12 +13,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      PipelineQueries.defs ++ MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      PipelineQueries.oracles ++ MultimodalQueries.oracles
 }

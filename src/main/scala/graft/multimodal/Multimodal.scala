@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+    width: Int, height: Int)
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+    dom_bin: Int, nonzero_bins: Int)
+
+/** Multimodal column pipeline (SURVEY.md §2.6): media as opaque binary
+  * columns + typed metadata, feature extraction as a partition-wise
+  * batch pass. The real codec step is stubbed (`realDecode` below) —
+  * image/audio libraries are absent in this environment — but the
+  * Spark-side plumbing (schema, encoders, partition batching) is real:
+  * swap `decodeStub` for a codec and nothing else changes.
+  */
+object Multimodal {
+
+  /** Derive a media table from `documents`: payload = UTF-8 bytes of the
+    * text (a deterministic opaque blob), kind round-robins image/audio/
+    * video, metadata columns are typed.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+      (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height"))
+
+  /** The real decoder would decompress/resize/sample here. Deliberately
+    * unimplemented: codecs are not available in this container.
+    */
+  def realDecode(payload: Array[Byte]): Array[Float] = ???
+
+  /** Deterministic stand-in: 16-bin byte histogram, normalized. Keeps
+    * the dataflow (binary -> fixed-length feature vector) identical to a
+    * real embedding/decode step.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Int](16)
+    payload.foreach(b => hist((b & 0xFF) >> 4) += 1)
+    val n = math.max(payload.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Partition-wise feature extraction: one pass per partition, no
+    * per-row task overhead — the shape a GPU/codec batch call needs.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.selectExpr("media_id", "kind", "payload",
+        "cast(width as int) width", "cast(height as int) height")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val hist = new Array[Int](16)
+          m.payload.foreach(b => hist((b & 0xFF) >> 4) += 1)
+          val dom = hist.indexOf(hist.max)
+          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+            dom, hist.count(_ > 0))
+        }
+      }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size
+    * chunk — the partition/batch shape of real frame extraction.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0), $stride), " +
+          s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+          .as(Seq("frame_no", "frame")))
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.TransformSpec
+
+/** Pipeline transformations (SURVEY.md §2.1) — the reference's
+  * filter/map (pipeline/PipelineBuilder.java:36-127) plus the
+  * projection ops its columnMapping implies. All are Column
+  * expressions, so they stay inside whole-stage codegen and Catalyst
+  * pushes filters into the scan.
+  */
+object Transforms {
+
+  def apply(df: DataFrame, specs: Seq[TransformSpec]): DataFrame =
+    specs.foldLeft(df)(applyOne)
+
+  def applyOne(df: DataFrame, t: TransformSpec): DataFrame = t.kind match {
+    case "filter" =>
+      val props = t.properties
+      props.get("expression") match {
+        // full SQL predicate, e.g. "o_totalprice > 1000 AND o_orderstatus = 'F'"
+        case Some(e) => df.filter(expr(e.toString))
+        case None =>
+          // reference semantics: substring match of `condition` in `column`
+          val cond = props.getOrElse("condition", "").toString
+          props.get("column") match {
+            case Some(c) => df.filter(col(c.toString).contains(cond))
+            case None => // raw-text contains on the single value column
+              df.filter(col(df.columns.head).contains(cond))
+          }
+      }
+
+    case "map" =>
+      val props = t.properties
+      val mapped = props.get("expression") match {
+        case Some(e) =>
+          df.withColumn(props.getOrElse("as", "value").toString, expr(e.toString))
+        case None =>
+          val prefix = props.getOrElse("prefix", "").toString
+          val suffix = props.getOrElse("suffix", "").toString
+          val target = props.getOrElse("column", df.columns.head).toString
+          if (prefix.isEmpty && suffix.isEmpty) df
+          else df.withColumn(target, concat(lit(prefix), col(target), lit(suffix)))
+      }
+      // reference's columnMapping: rename old -> new
+      props.get("columnMapping") match {
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, String]].foldLeft(mapped) {
+            case (d, (from, to)) => d.withColumnRenamed(from, to)
+          }
+        case _ => mapped
+      }
+
+    case "select" =>
+      t.properties.get("columns") match {
+        case Some(cols: Seq[_]) => df.select(cols.map(c => col(c.toString)): _*)
+        case _ => df
+      }
+
+    case "identity" => df
+    case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.sources.Sources
+import graft.sinks.Sinks
+import graft.operators.Transforms
+import scala.collection.concurrent.TrieMap
+
+/** Executes PipelineSpecs: source -> transformations -> sink, batch or
+  * streaming — the Spark-native form of the reference's
+  * PipelineBuilder.build() + PipelineService submit/cancel/status
+  * lifecycle.
+  */
+object PipelineRunner {
+
+  /** The pipeline's dataflow (source + transforms, no sink) — lets the
+    * same spec be inspected, tested, or embedded in a larger plan.
+    */
+  def buildBatch(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    Transforms(Sources.read(spark, spec.source), spec.transformations)
+
+  def buildStream(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    Transforms(Sources.readStream(spark, spec.source), spec.transformations)
+
+  def runBatch(spark: SparkSession, spec: PipelineSpec): Unit =
+    Sinks.write(buildBatch(spark, spec), spec.sink)
+
+  def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery =
+    Sinks.writeStream(buildStream(spark, spec), spec.sink, spec.name)
+}
+
+/** Named-job manager mirroring the reference's REST surface
+  * (controller/PipelineController.java: submit/status/cancel/list) minus
+  * the HTTP shell.
+  */
+class PipelineManager(spark: SparkSession) {
+  sealed trait Status
+  case object Completed extends Status
+  case class Running(query: StreamingQuery) extends Status
+  case class Failed(error: Throwable) extends Status
+
+  private val jobs = TrieMap.empty[String, Status]
+
+  def submit(spec: PipelineSpec): Status = {
+    val st =
+      try {
+        if (spec.streaming) Running(PipelineRunner.runStream(spark, spec))
+        else { PipelineRunner.runBatch(spark, spec); Completed }
+      } catch { case e: Throwable => Failed(e) }
+    jobs.put(spec.name, st)
+    st
+  }
+
+  def submitAll(config: PipelineConfig): Map[String, Status] =
+    config.pipelines.map(p => p.name -> submit(p)).toMap
+
+  def status(name: String): Option[String] = jobs.get(name).map {
+    case Completed => "COMPLETED"
+    case Running(q) => if (q.isActive) "RUNNING" else "STOPPED"
+    case Failed(e) => s"FAILED: ${e.getMessage}"
+  }
+
+  def stop(name: String): Boolean = jobs.get(name) match {
+    case Some(Running(q)) if q.isActive => q.stop(); true
+    case _ => false
+  }
+
+  def list: Map[String, String] =
+    jobs.keySet.flatMap(n => status(n).map(n -> _)).toMap
+}

@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal pipeline query (SURVEY.md §2.6): documents -> binary media
+  * table -> partition-wise feature extraction (stub decoder). The oracle
+  * replays the byte histogram in SQL (ASCII corpus: byte == codepoint).
+  */
+object MultimodalQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_extract" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  length(text) AS n_bytes,
+        |  list_transform(range(0, 16), gk ->
+        |    len(list_filter(range(1, length(text) + 1),
+        |      gi -> (ord(substr(text, CAST(gi AS INT), 1)) // 16) = gk))) AS hist
+        |  FROM documents)
+        |SELECT doc_id AS media_id, kind, n_bytes,
+        |  CAST(list_position(hist, list_max(hist)) - 1 AS INT) AS dom_bin,
+        |  CAST(len(list_filter(hist, gx -> gx > 0)) AS INT) AS nonzero_bins
+        |FROM h""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.SinkSpec
+import graft.sources.Sources
+
+/** Sink connectors (SURVEY.md §2.1) — the reference's sinks
+  * (factory/SinkFactory.java: file/CSV, parquet, jdbc, kafka, s3) on
+  * DataFrameWriter / writeStream. Parquet replaces the reference's
+  * Avro-schema path: Spark derives the schema from the DataFrame.
+  */
+object Sinks {
+
+  def write(df: DataFrame, spec: SinkSpec): Unit = spec.kind match {
+    case "file" | "parquet" | "s3" =>
+      val props = spec.properties
+      val path = if (spec.kind == "s3") Sources.s3aPath(props("path")) else props("path")
+      val fmt = if (spec.kind == "parquet") "parquet"
+        else props.getOrElse("format", "text")
+      var w = df.write.format(fmt).mode(props.getOrElse("mode", "overwrite"))
+      if (fmt == "csv" && props.getOrElse("includeHeaders", "true") == "true")
+        w = w.option("header", "true")
+      props.get("partitionBy").foreach(cols => w = w.partitionBy(cols.split(","): _*))
+      props.get("compression").foreach(c => w = w.option("compression", c))
+      w.save(path)
+    case "jdbc" =>
+      df.write.format("jdbc")
+        .options(Sources.jdbcOptions(spec.properties))
+        .mode(spec.properties.getOrElse("mode", "append"))
+        .save()
+    case "kafka" =>
+      df.write.format("kafka")
+        .options(Sources.kafkaOptions(spec.properties) - "subscribe" +
+          ("topic" -> spec.properties.getOrElse("topic", "")))
+        .save()
+    case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
+  }
+
+  /** Streaming write with checkpointing — at-least-once like the
+    * reference's Jet sinks, exactly-once for file sinks.
+    */
+  def writeStream(df: DataFrame, spec: SinkSpec, name: String): StreamingQuery = {
+    val props = spec.properties
+    // pipeline names like "csv-to-parquet" must become valid identifiers
+    val queryName = name.replaceAll("\\W", "_")
+    val trigger = props.get("triggerMs")
+      .map(ms => Trigger.ProcessingTime(ms.toLong))
+      .getOrElse(Trigger.ProcessingTime(0L))
+    spec.kind match {
+      case "memory" =>
+        df.writeStream.format("memory").queryName(queryName)
+          .outputMode(props.getOrElse("outputMode", "append")).trigger(trigger).start()
+      case "file" | "parquet" | "s3" =>
+        val path = if (spec.kind == "s3") Sources.s3aPath(props("path")) else props("path")
+        val fmt = if (spec.kind == "parquet") "parquet" else props.getOrElse("format", "parquet")
+        df.writeStream.format(fmt)
+          .option("path", path)
+          .option("checkpointLocation",
+            props.getOrElse("checkpointLocation", s"$path/_checkpoint"))
+          .outputMode(props.getOrElse("outputMode", "append")).trigger(trigger).start()
+      case "kafka" =>
+        df.writeStream.format("kafka")
+          .options(Sources.kafkaOptions(props) - "subscribe" +
+            ("topic" -> props.getOrElse("topic", "")))
+          .option("checkpointLocation", props("checkpointLocation"))
+          .trigger(trigger).start()
+      case other => throw new IllegalArgumentException(s"Sink $other is not streamable")
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+case class SessionState(startUs: Long, endUs: Long, n: Long)
+case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** Structured Streaming operators (SURVEY.md §2.7) — the engine's
+  * streaming surface over the same event schema the batch queries use.
+  * The reference's whole pipeline model is streaming (Jet StreamStage);
+  * here batch and stream share the Transforms/Sources/Sinks layers and
+  * these ops add event-time semantics Jet's surface lacked.
+  */
+object StreamingOps {
+
+  /** Streaming read of the events table (ns timestamps handled as in
+    * Tables.events). maxFilesPerTrigger limits batch size for steady
+    * flow; schema comes from a batch probe.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // the table is a single file; a streaming file source needs a
+    // directory, so stream the parent with a glob on the table file
+    spark.readStream.schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window aggregation with a watermark — late data
+    * beyond the watermark is dropped, state is bounded.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: per-user state
+    * holds the open session; a gap > `gapMinutes` closes and emits it.
+    * Emits only *closed* sessions (append mode); the final open session
+    * per user stays in state — at 100 TB this is the only formulation
+    * whose state is O(users), not O(events).
+    */
+  def sessionize(events: Dataset[EventRow], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) => {
+          val sorted = rows.map(e => micros(e.ts)).toArray.sorted
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { us =>
+            cur match {
+              case Some(s) if us - s.endUs <= gapUs =>
+                cur = Some(s.copy(endUs = us, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(user, s.startUs, s.endUs, s.n)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+        })
+  }
+}

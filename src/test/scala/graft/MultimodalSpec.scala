@@ -1,0 +1,37 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table has binary payload and typed metadata") {
+    val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
+    val sch = media.schema
+    assert(sch("payload").dataType.typeName == "binary")
+    assert(sch("width").dataType.typeName == "integer")
+    assert(media.select("kind").distinct().count() == 3)
+  }
+
+  test("stub decoder is deterministic and batch-shaped") {
+    val f = Multimodal.decodeStub("aaab".getBytes("UTF-8"))
+    assert(f.length == 16)
+    assert(f(6) == 1.0f) // 'a','b' are 0x61,0x62 -> bin 6
+    val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == media.count())
+    assert(feats.filter(col("dom_bin") === 6).count() > 0) // lowercase text
+  }
+
+  test("frame sampling strides over video payload chunks") {
+    val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    assert(frames.count() > 0)
+    val one = frames.filter(col("frame_no") === 0).head()
+    assert(one.getAs[Array[Byte]]("frame").length == 16)
+  }
+
+  test("realDecode is an explicit stub") {
+    intercept[NotImplementedError] { Multimodal.realDecode(Array[Byte](1)) }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.sources.Sources
+
+class PipelineSpecTest extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("YAML config parses the reference's schema") {
+    val cfg = ConfigParser.parse(
+      """pipelines:
+        |  - name: "csv-to-parquet"
+        |    source:
+        |      type: file
+        |      properties:
+        |        path: "data/input"
+        |        pattern: "*.csv"
+        |        format: csv
+        |        header: "true"
+        |    transformations:
+        |      - type: filter
+        |        properties:
+        |          column: "status"
+        |          condition: "important"
+        |      - type: map
+        |        properties:
+        |          columnMapping:
+        |            id: record_id
+        |    sink:
+        |      type: file
+        |      properties:
+        |        path: "data/output"
+        |        format: "parquet"
+        |""".stripMargin)
+    assert(cfg.pipelines.length == 1)
+    val p = cfg.pipelines.head
+    assert(p.name == "csv-to-parquet")
+    assert(p.source.kind == "file" && p.source.properties("pattern") == "*.csv")
+    assert(p.transformations.map(_.kind) == Seq("filter", "map"))
+    assert(p.transformations(1).properties("columnMapping")
+      .asInstanceOf[Map[String, String]] == Map("id" -> "record_id"))
+    assert(p.sink.properties("format") == "parquet")
+  }
+
+  test("csv -> filter -> parquet pipeline end to end (reference pipeline 3)") {
+    val in = tmp(); val out = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$in/test.csv"),
+      "id,project,status,assignee\n1,Project A,important,John\n2,Project B,normal,Jane\n")
+    val mgr = new PipelineManager(spark)
+    val st = mgr.submit(PipelineSpec(
+      name = "csv-to-parquet",
+      source = SourceSpec("file", Map("path" -> in, "format" -> "csv",
+        "pattern" -> "*.csv", "header" -> "true")),
+      transformations = Seq(TransformSpec("filter",
+        Map("column" -> "status", "condition" -> "important"))),
+      sink = SinkSpec("file", Map("path" -> out, "format" -> "parquet"))))
+    assert(st == mgr.Completed)
+    assert(mgr.status("csv-to-parquet").contains("COMPLETED"))
+    val back = spark.read.parquet(out).collect()
+    assert(back.length == 1 && back.head.getAs[String]("project") == "Project A")
+  }
+
+  test("text map pipeline preserves reference prefix/suffix semantics") {
+    val in = tmp(); val out = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$in/a.txt"), "hello\nworld\n")
+    PipelineRunner.runBatch(spark, PipelineSpec(
+      name = "text-to-text",
+      source = SourceSpec("file", Map("path" -> in, "format" -> "text")),
+      transformations = Seq(TransformSpec("map",
+        Map("prefix" -> ">> ", "suffix" -> " <<"))),
+      sink = SinkSpec("file", Map("path" -> out, "format" -> "text"))))
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq(">> hello <<", ">> world <<"))
+  }
+
+  test("csv sink keeps headers; json sink round-trips") {
+    val out1 = tmp(); val out2 = tmp()
+    val df = Tables.load(spark, sf, "region")
+    graft.sinks.Sinks.write(df, SinkSpec("file",
+      Map("path" -> out1, "format" -> "csv", "includeHeaders" -> "true")))
+    val csv = spark.read.option("header", "true").csv(out1)
+    assert(csv.columns.toSeq == df.columns.toSeq)
+    assert(csv.count() == df.count())
+    graft.sinks.Sinks.write(df, SinkSpec("file", Map("path" -> out2, "format" -> "json")))
+    assert(spark.read.json(out2).count() == df.count())
+  }
+
+  test("jdbc and kafka option mapping matches reference properties") {
+    val j = Sources.jdbcOptions(Map(
+      "jdbcUrl" -> "jdbc:postgresql://localhost:5432/udc",
+      "user" -> "u", "password" -> "p",
+      "query" -> "SELECT * FROM employee", "batchSize" -> "1000"))
+    assert(j("url") == "jdbc:postgresql://localhost:5432/udc")
+    assert(j("query") == "SELECT * FROM employee")
+    assert(j("fetchsize") == "1000")
+    val k = Sources.kafkaOptions(Map(
+      "bootstrap.servers" -> "b:9092", "topic" -> "events"))
+    assert(k("kafka.bootstrap.servers") == "b:9092" && k("subscribe") == "events")
+    assert(Sources.s3aPath("s3://bucket/key") == "s3a://bucket/key")
+  }
+
+  test("streaming pipeline: directory source -> memory sink") {
+    val in = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$in/x.txt"), "alpha\nbeta\nimportant gamma\n")
+    val q = PipelineRunner.runStream(spark, PipelineSpec(
+      name = "stream-pipe",
+      source = SourceSpec("directory", Map("path" -> in, "format" -> "text")),
+      transformations = Seq(TransformSpec("filter", Map("condition" -> "important"))),
+      sink = SinkSpec("memory", Map.empty),
+      streaming = true))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM stream_pipe").collect()
+    q.stop()
+    assert(rows.map(_.getString(0)).toSeq == Seq("important gamma"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventRow, StreamingOps}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed counts match the batch q19 aggregation") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val q = StreamingOps.windowedCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT unix_timestamp(window.start) ws, event_type, n FROM win_counts")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization emits closed sessions consistent with batch") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val stream = StreamingOps.eventsStream(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow]
+    val q = StreamingOps.sessionize(stream, 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT user_id, start_us, n_events FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    // batch truth from the q20 definition
+    val batch = SparkEntry.queries("q20_sessionize")(spark, sf)
+      .select("user_id", "start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    // every emitted (closed) session must match the batch session exactly
+    streamed.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"session $k: stream=$n batch=${batch.get(k)}")
+    }
+  }
+}
