@@ -19,6 +19,10 @@ object GraftFunctions {
     Shim.column(SimHash60(Shim.expression(tokens)))
   def minhash_sig(set: Column, numHashes: Int): Column =
     Shim.column(MinHashSig(Shim.expression(set), numHashes))
+  def minhash_sig_text(text: Column, mode: String, n: Int, numHashes: Int): Column =
+    Shim.column(MinHashSigText(Shim.expression(text), mode, n, numHashes))
+  def minhash_bands(sig: Column, bands: Int): Column =
+    Shim.column(MinHashBands(Shim.expression(sig), bands))
   def cosine_sim(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
   def sign_lsh_buckets(vec: Column, bands: Int, rowsPerBand: Int): Column =

