@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.catalyst._
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions in every session built with
+  *   .withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.GraftExtensions — making them usable
+  * from pure SQL (including inside lambda HOFs) cluster-wide without
+  * touching the session's function registry by hand.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash", "graft_poly_hash(str) - rolling polynomial hash"),
+      (es: Seq[Expression]) => PolyHash(es.head, 31, GraftHash.FP)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "graft_simhash60(tokens) - 60-bit simhash"),
+      (es: Seq[Expression]) => SimHash60(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of float vectors"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(set, k) - k-minhash signature"),
+      (es: Seq[Expression]) => MinHashSig(es.head,
+        es(1).eval().asInstanceOf[Int])))
+  }
+}

@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ EventQueries.defs ++
+    RelationalQueries.defs ++ RelationalQueries2.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs
 
@@ -20,7 +20,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ EventQueries.oracles ++
+    RelationalQueries.oracles ++ RelationalQueries2.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects SQL functions into a fresh session") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val h = spark.sql("SELECT graft_poly_hash('hello') AS h").head().getLong(0)
+      assert(h == 99162322L)
+      val c = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      c.createOrReplaceTempView("vecs")
+      assert(spark.sql("SELECT graft_cosine(a, b) FROM vecs").head().getDouble(0) == 1.0)
+      // usable inside lambda HOFs (the registry path that matters at scale)
+      val m = spark.sql(
+        "SELECT array_min(transform(array('x', 'y'), s -> graft_poly_hash(s))) AS m")
+        .head().getLong(0)
+      assert(m == math.min("x".charAt(0).toLong, "y".charAt(0).toLong))
+    } finally spark.stop()
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
