@@ -34,11 +34,14 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32,
       tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
     val df = Parallelism.ensure(rawDf)
-    val base = df.select(col(idCol).as("__id"), col(setCol).as("__set"))
-    val sigs = base
-      .select(col("__id"), minhash_sig(col("__set"), numHashes).as("__sig"))
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        minhash_sig(col(setCol), numHashes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairsFromSigs(sigs, base, numHashes, bands, tauNum, tauDen)
+    val setsFor = (ids: DataFrame) =>
+      df.join(ids, col(idCol) === ids("__id"), "left_semi")
+        .select(col(idCol).as("__id"), col(setCol).as("__set"))
+    pairsFromSigs(sigs, setsFor, numHashes, bands, tauNum, tauDen)
   }
 
   /** Text-direct variant: signatures come from the one-pass codegen'd
@@ -54,11 +57,15 @@ object Dedup {
       case "char" => char_ngrams(col(textCol), n)
       case "word" => word_shingles(col(textCol), n)
     }
-    val base = df.select(col(idCol).as("__id"), setExpr.as("__set"))
     val sigs = df.select(col(idCol).as("__id"),
         minhash_sig_text(col(textCol), mode, n, numHashes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairsFromSigs(sigs, base, numHashes, bands, tauNum, tauDen)
+    // tokenize AFTER the candidate-id prune: set building is the most
+    // expensive step per row and candidates are a vanishing fraction
+    val setsFor = (ids: DataFrame) =>
+      df.join(ids, col(idCol) === ids("__id"), "left_semi")
+        .select(col(idCol).as("__id"), setExpr.as("__set"))
+    pairsFromSigs(sigs, setsFor, numHashes, bands, tauNum, tauDen)
   }
 
   /** Shared LSH pipeline: band self-join -> signature-agreement
@@ -66,7 +73,7 @@ object Dedup {
     * ever cached — ~1KB/row regardless of document size; caching token
     * arrays costs more than recomputing them for the candidate set.
     */
-  private def pairsFromSigs(sigs: DataFrame, base: DataFrame,
+  private def pairsFromSigs(sigs: DataFrame, setsFor: DataFrame => DataFrame,
       numHashes: Int, bands: Int, tauNum: Int, tauDen: Int): DataFrame = {
     val banded = sigs.select(col("__id"),
       explode(minhash_bands(col("__sig"), bands)).as("__band"))
@@ -92,7 +99,7 @@ object Dedup {
       // two join branches + id-prune broadcast from re-running the whole
       // LSH chain
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(prefiltered, base, tauNum, tauDen)
+    verifyJaccard(prefiltered, setsFor, tauNum, tauDen)
   }
 
   /** Exact-Jaccard verification of candidate pairs against their sets.
@@ -100,11 +107,11 @@ object Dedup {
     * a semi-join prune restricts it to rows that actually appear in a
     * candidate pair — usually a vanishing fraction of the corpus.
     */
-  private def verifyJaccard(cands: DataFrame, allSets: DataFrame,
+  private def verifyJaccard(cands: DataFrame, setsFor: DataFrame => DataFrame,
       tauNum: Int, tauDen: Int): DataFrame = {
-    val ids = cands.select(col("id_a").as("__id"))
-      .union(cands.select(col("id_b").as("__id"))).distinct()
-    val sets = allSets.join(broadcast(ids), Seq("__id"), "left_semi")
+    val ids = broadcast(cands.select(col("id_a").as("__id"))
+      .union(cands.select(col("id_b").as("__id"))).distinct())
+    val sets = setsFor(ids)
     cands
       .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")), "id_b")
