@@ -212,14 +212,18 @@ case class MinHashSigText(child: Expression, mode: String, n: Int, numHashes: In
             $absorb
           }"""
         else s"""
-          java.util.ArrayList<Integer> gst = new java.util.ArrayList<Integer>();
-          gst.add(0);
+          int gnw = 1;
           for (int gi = 0; gi < gs.length(); gi++) {
-            if (gs.charAt(gi) == ' ') gst.add(gi + 1);
+            if (gs.charAt(gi) == ' ') gnw++;
           }
-          for (int gw = 0; gw + $n <= gst.size(); gw++) {
-            int gFrom = gst.get(gw);
-            int gUntil = (gw + $n == gst.size()) ? gs.length() : gst.get(gw + $n) - 1;
+          int[] gst = new int[gnw];
+          int gcur = 1;
+          for (int gi = 0; gi < gs.length(); gi++) {
+            if (gs.charAt(gi) == ' ') gst[gcur++] = gi + 1;
+          }
+          for (int gw = 0; gw + $n <= gnw; gw++) {
+            int gFrom = gst[gw];
+            int gUntil = (gw + $n == gnw) ? gs.length() : gst[gw + $n] - 1;
             $absorb
           }"""
       s"""

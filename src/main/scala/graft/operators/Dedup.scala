@@ -148,8 +148,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Exact embedding similarity pairs: block-partitioned all-pairs scan
+    * with the codegen'd CosineSim. One side is broadcast; the join
+    * condition (id<id, cosine>=tau) streams through whole-stage codegen,
+    * so nothing near O(n²) is ever materialized. This is the right tool
+    * at moderate tau (<~0.8): there sign-LSH cannot keep recall while
+    * pruning (a cos-0.5 pair agrees with a random hyperplane only 2/3 of
+    * the time — measured: r=8 banding misses half such pairs), so
+    * "approximate" would silently mean "wrong".
+    */
+  def embeddingPairsExact(rawDf: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val df = Parallelism.ensure(rawDf)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding near-dup pairs: sign-LSH banding (bands x rowsPerBand
     * hyperplanes) for candidates, exact cosine >= tau to verify.
+    * The scale path for genuine near-duplicates (tau >= ~0.9, where a
+    * band of r planes agrees with probability ~(1-theta/pi)^r ~ 0.6+ and
+    * banding prunes aggressively). For moderate tau use
+    * embeddingPairsExact — LSH recall collapses there.
     */
   def embeddingPairs(rawDf: DataFrame, idCol: String, vecCol: String,
       tau: Double, bands: Int = 32, rowsPerBand: Int = 3): DataFrame = {
@@ -162,6 +186,8 @@ object Dedup {
         col("x.__bucket") === col("y.__bucket") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
+      // persist so the two vector join branches don't re-run the LSH chain
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
       .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")

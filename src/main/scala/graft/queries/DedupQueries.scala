@@ -44,8 +44,10 @@ object DedupQueries {
     },
 
     "dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", tau = 0.5, bands = 32, rowsPerBand = 3)
+      // tau=0.5 (this corpus has no higher-cosine pairs) -> exact blocked
+      // pass; the sign-LSH path (Dedup.embeddingPairs) is for tau>=0.9
+      Dedup.embeddingPairsExact(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.5)
     }
   )
 

