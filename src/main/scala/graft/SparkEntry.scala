@@ -14,7 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ RelationalQueries2.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      PipelineQueries.defs ++ MultimodalQueries.defs
+      PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -22,5 +22,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      PipelineQueries.oracles ++ MultimodalQueries.oracles
+      PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles
 }

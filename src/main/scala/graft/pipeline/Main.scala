@@ -1,0 +1,32 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — the reference's run.sh + REST shell collapsed into
+  * one command:  runMain graft.pipeline.Main <pipeline-config.yaml>
+  * Parses the reference-schema YAML, submits every pipeline, reports
+  * status, and blocks while streaming pipelines run.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.pipeline.Main <pipeline-config.yaml>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-pipelines")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mgr = new PipelineManager(spark)
+    val statuses = mgr.submitAll(ConfigParser.parseFile(args(0)))
+    statuses.foreach { case (name, _) =>
+      println(s"[graft] $name: ${mgr.status(name).getOrElse("UNKNOWN")}")
+    }
+    // block while any streaming pipeline is active (Ctrl-C to stop)
+    if (statuses.values.exists(_.isInstanceOf[mgr.Running]))
+      spark.streams.awaitAnyTermination()
+    spark.stop()
+  }
+}

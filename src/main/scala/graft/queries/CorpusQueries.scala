@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Composite corpus-curation queries (SURVEY.md §2.5): the end-to-end
+  * shapes an LLM data pipeline actually runs — quality-gate filtering
+  * and per-source corpus statistics — built from the same portable
+  * primitives as the text_* queries.
+  */
+object CorpusQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // keep documents that pass the quality gate: enough tokens, sane
+    // mean word length, some stopword signal
+    "corpus_clean" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", token_count(col("text")))
+        .withColumn("stop_cnt", stopword_count(col("text")))
+        .withColumn("mean_word_len",
+          (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+        .filter(col("n_tokens") >= 20 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 12.0 &&
+          col("stop_cnt") * 100 >= col("n_tokens") * 2) // stop ratio >= 2%
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("stop_cnt"))
+    },
+
+    "corpus_stats" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", token_count(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "corpus_clean" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |  (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    gw -> gw IN ('the','a','an','of','and','or','to','in','is','it'))) AS stop_cnt
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_tokens, stop_cnt
+        |FROM t
+        |WHERE n_tokens >= 20
+        |  AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens >= 3.0
+        |  AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0
+        |  AND stop_cnt * 100 >= n_tokens * 2""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
+        |  min(length(text) - length(replace(text, ' ', '')) + 1) AS min_tokens,
+        |  max(length(text) - length(replace(text, ' ', '')) + 1) AS max_tokens,
+        |  sum(n_chars) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin
+  )
+}

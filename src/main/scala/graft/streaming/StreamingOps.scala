@@ -44,6 +44,15 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("min_val"), max(col("value")).as("max_val"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen, with
+    * a watermark bounding the dedup state — the streaming form of
+    * Dedup.exact. State is O(distinct keys within the watermark).
+    */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Stateful sessionization via flatMapGroupsWithState: per-user state
     * holds the open session; a gap > `gapMinutes` closes and emits it.
     * Emits only *closed* sessions (append mode); the final open session
