@@ -60,7 +60,7 @@ object RelationalQueries {
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(cust, $"o_custkey" === $"c_custkey")
         .filter($"c_mktsegment" === "BUILDING")
-        .groupBy($"l_orderkey", $"o_orderdate")
+        .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("o_orderdate"))
         .agg(sum(money($"l_extendedprice") * (lit(1).cast(DecimalType(8, 4)) - rate($"l_discount")))
           .cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey".asc)
@@ -78,7 +78,7 @@ object RelationalQueries {
       import s.implicits._
       Tables.load(s, dir, "orders")
         .filter($"o_totalprice" > 100000.0)
-        .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderdate".cast("date").as("o_orderdate"))
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
         .limit(100)
     },
@@ -201,7 +201,7 @@ object RelationalQueries {
          |GROUP BY n_name""".stripMargin,
 
     "q3_topk" ->
-      s"""SELECT l_orderkey, o_orderdate,
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
          |  CAST(sum($rev) AS DOUBLE) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -217,7 +217,7 @@ object RelationalQueries {
         |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
 
     "q5_sort" ->
-      """SELECT o_orderkey, o_totalprice, o_orderdate
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders
         |WHERE o_totalprice > 100000.0
         |ORDER BY o_totalprice DESC, o_orderkey ASC
