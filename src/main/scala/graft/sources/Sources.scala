@@ -79,7 +79,7 @@ object Sources {
       props.get("user").map("user" -> _) ++
       props.get("password").map("password" -> _) ++
       props.get("batchSize").map("fetchsize" -> _) ++
-      Seq("partitionColumn", "lowerBound", "upperBound", "numPartitions")
+      Seq("driver", "partitionColumn", "lowerBound", "upperBound", "numPartitions")
         .flatMap(k => props.get(k).map(k -> _))
   }
 
