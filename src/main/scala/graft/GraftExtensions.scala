@@ -29,7 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => CosineSim(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(set, k) - k-minhash signature"),
-      (es: Seq[Expression]) => MinHashSig(es.head,
-        es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+            v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: k must be an integer literal, got $other")
+        }
+        MinHashSig(es.head, k)
+      }))
   }
 }

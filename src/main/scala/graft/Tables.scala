@@ -20,14 +20,20 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** ns-epoch long (from nanosAsLong) -> native microsecond timestamp;
+    * leaves real timestamp columns untouched. Shared by batch and
+    * streaming event readers.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
-  }
 
   /** Register every table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =

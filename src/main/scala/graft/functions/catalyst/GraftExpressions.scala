@@ -246,7 +246,10 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -258,7 +261,11 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int gn = java.lang.Math.min($a.numElements(), $b.numElements());
+      int gn = $a.numElements();
+      if ($b.numElements() != gn) {
+        throw new IllegalArgumentException("cosine_sim: dimension mismatch ("
+          + gn + " vs " + $b.numElements() + ")");
+      }
       double gdot = 0.0, gna = 0.0, gnb = 0.0;
       for (int gi = 0; gi < gn; gi++) {
         double gx = (double) $a.getFloat(gi);

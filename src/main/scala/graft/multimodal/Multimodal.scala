@@ -56,11 +56,9 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.map { m =>
-          val hist = new Array[Int](16)
-          m.payload.foreach(b => hist((b & 0xFF) >> 4) += 1)
-          val dom = hist.indexOf(hist.max)
+          val feat = decodeStub(m.payload)
           MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-            dom, hist.count(_ > 0))
+            feat.indexOf(feat.max), feat.count(_ > 0))
         }
       }
   }

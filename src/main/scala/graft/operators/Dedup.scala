@@ -8,6 +8,11 @@ import graft.functions.GraftFunctions._
   * every variant turns O(n²) pairwise comparison into a bucket groupBy
   * (hash, LSH band, or simhash band), so shuffle volume is O(n·bands)
   * and pairwise work only happens inside candidate buckets.
+  *
+  * Operators persist small internal frames (signatures ~1KB/row,
+  * candidate pairs) and cannot unpersist them before the caller
+  * consumes the result; long-lived sessions running many dedup jobs
+  * should call spark.catalog.clearCache() between jobs (Bench does).
   */
 object Dedup {
 
@@ -75,6 +80,9 @@ object Dedup {
     */
   private def pairsFromSigs(sigs: DataFrame, setsFor: DataFrame => DataFrame,
       numHashes: Int, bands: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
+        "signature values would be silently ignored otherwise")
     val banded = sigs.select(col("__id"),
       explode(minhash_bands(col("__sig"), bands)).as("__band"))
     val cands = banded.as("x").join(banded.as("y"),

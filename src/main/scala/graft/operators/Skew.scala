@@ -20,6 +20,11 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       saltParts: Int = 8, joinType: String = "inner"): DataFrame = {
+    // right-preserving joins would emit each unmatched right row once per
+    // salt copy — row-identity to the plain join only holds for these:
+    require(Set("inner", "left", "left_outer", "leftouter").contains(
+      joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     // deterministic spread: hash the whole left row modulo saltParts
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(left.columns.map(col): _*), lit(saltParts)))

@@ -24,9 +24,12 @@ object Main {
     statuses.foreach { case (name, _) =>
       println(s"[graft] $name: ${mgr.status(name).getOrElse("UNKNOWN")}")
     }
-    // block while any streaming pipeline is active (Ctrl-C to stop)
-    if (statuses.values.exists(_.isInstanceOf[mgr.Running]))
+    // block until EVERY streaming pipeline terminates (Ctrl-C to stop);
+    // awaitAnyTermination alone returns on the first one
+    while (spark.streams.active.nonEmpty) {
       spark.streams.awaitAnyTermination()
+      spark.streams.resetTerminated()
+    }
     spark.stop()
   }
 }

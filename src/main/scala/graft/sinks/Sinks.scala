@@ -25,9 +25,19 @@ object Sinks {
       props.get("compression").foreach(c => w = w.option("compression", c))
       w.save(path)
     case "jdbc" =>
+      // write-side options differ from the read side: dbtable is
+      // mandatory (a query target is meaningless for a sink) and the
+      // batch knob is `batchsize`, not `fetchsize`
+      val props = spec.properties
+      val table = props.getOrElse("table",
+        throw new IllegalArgumentException("JDBC sink requires table"))
       df.write.format("jdbc")
-        .options(Sources.jdbcOptions(spec.properties))
-        .mode(spec.properties.getOrElse("mode", "append"))
+        .option("url", props.getOrElse("jdbcUrl", props.getOrElse("url", "")))
+        .option("dbtable", table)
+        .options(Seq("user", "password", "driver")
+          .flatMap(k => props.get(k).map(k -> _)).toMap)
+        .options(props.get("batchSize").map("batchsize" -> _).toMap)
+        .mode(props.getOrElse("mode", "append"))
         .save()
     case "kafka" =>
       df.write.format("kafka")

@@ -27,10 +27,10 @@ object StreamingOps {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     // the table is a single file; a streaming file source needs a
     // directory, so stream the parent with a glob on the table file
-    spark.readStream.schema(batch.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling event-time window aggregation with a watermark — late data
@@ -73,8 +73,12 @@ object StreamingOps {
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { us =>
             cur match {
+              // max/min guards: a late event from a previous micro-batch
+              // may land inside the open session; it must never regress
+              // the session bounds
               case Some(s) if us - s.endUs <= gapUs =>
-                cur = Some(s.copy(endUs = us, n = s.n + 1))
+                cur = Some(s.copy(startUs = math.min(s.startUs, us),
+                  endUs = math.max(s.endUs, us), n = s.n + 1))
               case Some(s) =>
                 closed += SessionOut(user, s.startUs, s.endUs, s.n)
                 cur = Some(SessionState(us, us, 1))
