@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ RelationalQueries2.defs ++ EventQueries.defs ++
+    RelationalQueries.defs ++ RelationalQueries2.defs ++
+      RelationalQueries3.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs
 
@@ -20,7 +21,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ RelationalQueries2.oracles ++ EventQueries.oracles ++
+    RelationalQueries.oracles ++ RelationalQueries2.oracles ++
+      RelationalQueries3.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles
 }

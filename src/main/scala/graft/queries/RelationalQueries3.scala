@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Third relational wave (SURVEY.md §2.2): RANGE window frames,
+  * GROUPING SETS, ordered array aggregation, JSON extraction.
+  */
+object RelationalQueries3 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // value-range window frame: orders within a 10k price band below
+    // each order, per customer (peers included -> tie-order independent)
+    "q27_range_frame" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+        .rangeBetween(-10000L, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .withColumn("n_in_band", count(lit(1)).over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"n_in_band")
+    },
+
+    "q28_grouping_sets" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS gf,
+          |  CAST(grouping(l_linestatus) AS INT) AS gs,
+          |  sum(l_quantity) AS sum_qty, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          |  (l_returnflag, l_linestatus))""".stripMargin)
+    },
+
+    "q29_array_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          array_join(sort_array(collect_set($"o_orderpriority")), ",")
+            .as("priorities"),
+          count(lit(1)).as("n"))
+    },
+
+    "q30_json" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), min($"k").as("min_k"),
+          max($"k").as("max_k"), count($"k").as("n_k"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+        |FROM orders""".stripMargin,
+
+    "q28_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS gf,
+        |  CAST(grouping(l_linestatus) AS INT) AS gs,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus))""".stripMargin,
+
+    "q29_array_agg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS priorities,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q30_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -44,6 +44,25 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("min_val"), max(col("value")).as("max_val"))
 
+  /** Stream-stream inner join: pair each left event with right events of
+    * the same key whose timestamp falls in the preceding `windowSpec`
+    * (e.g. "1 hour"). Watermarks on both sides bound the join state —
+    * the streaming twin of operators.RangeJoin, and the op Jet's surface
+    * expressed as a plain keyed stream join without event-time bounds.
+    */
+  def streamStreamWindowJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, windowSpec: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL $windowSpec AND l_ts"))
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen, with
     * a watermark bounding the dedup state — the streaming form of
     * Dedup.exact. State is O(distinct keys within the watermark).

@@ -23,6 +23,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream window join pairs match the batch range join") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val purchases = stream.filter(col("event_type") === "purchase")
+    val clicks = stream.filter(col("event_type") === "click")
+    val q = StreamingOps.streamStreamWindowJoin(
+        purchases, clicks, "user_id", "ts", "1 HOUR")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT count(*) FROM ss_join").head().getLong(0)
+    q.stop()
+    // batch truth: total matched pairs = sum of per-purchase counts
+    val ev = Tables.events(spark, sf)
+    val batchPairs = graft.operators.RangeJoin.countInPrecedingWindow(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", 3600L * 1000000L)
+      .agg(sum("n_in_window")).head().getLong(0)
+    assert(streamed == batchPairs, s"stream=$streamed batch=$batchPairs")
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
