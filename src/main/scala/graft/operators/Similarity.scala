@@ -43,6 +43,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Train an IVF coarse quantizer with Spark MLlib's distributed
+    * k-means (k-means|| init, fixed seed -> deterministic). Returns a
+    * (cid, cv) centroid frame directly usable by ivfTopK. At 100 TB the
+    * fit runs on a sample; assignment stays a broadcast of k centroids.
+    */
+  def ivfFit(df: DataFrame, vecCol: String, k: Int,
+      maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+      array_to_vector(col(vecCol).cast("array<float>")).as("features"))
+    val model = new KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(prepared)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c: Vector, i: Int) =>
+        (i, c.toArray.map(_.toFloat)) }
+      .toDF("cid", "cv")
+  }
+
   /** IVF-style search: assign every vector to its nearest centroid
     * (`centroidDf`: (cid, cv)), probe the `nprobe` centroids nearest the
     * query, exact-rank only vectors in probed cells. Ties in assignment

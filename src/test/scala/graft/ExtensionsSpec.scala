@@ -8,12 +8,16 @@ import graft.operators.Skew
 class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions injects SQL functions into a fresh session") {
+    // another suite may already own the default session (without the
+    // extensions); clear the references so getOrCreate builds a new
+    // SparkSession — reusing the shared SparkContext — with them applied
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    try {
       import spark.implicits._
       val h = spark.sql("SELECT graft_poly_hash('hello') AS h").head().getLong(0)
       assert(h == 99162322L)
@@ -25,7 +29,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT array_min(transform(array('x', 'y'), s -> graft_poly_hash(s))) AS m")
         .head().getLong(0)
       assert(m == math.min("x".charAt(0).toLong, "y".charAt(0).toLong))
-    } finally spark.stop()
+    // do NOT stop this session: that would kill the SparkContext shared
+    // with the other suites' sessions
   }
 }
 

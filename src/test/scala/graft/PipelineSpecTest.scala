@@ -89,6 +89,18 @@ class PipelineSpecTest extends SparkSpec {
     assert(spark.read.json(out2).count() == df.count())
   }
 
+  test("parquet sink honors partitionBy and compression") {
+    val out = tmp()
+    graft.sinks.Sinks.write(Tables.load(spark, sf, "orders"),
+      SinkSpec("file", Map("path" -> out, "format" -> "parquet",
+        "partitionBy" -> "o_orderstatus", "compression" -> "snappy")))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("o_orderstatus=")))
+    assert(spark.read.parquet(out).count() ==
+      Tables.load(spark, sf, "orders").count())
+  }
+
   test("jdbc and kafka option mapping matches reference properties") {
     val j = Sources.jdbcOptions(Map(
       "jdbcUrl" -> "jdbc:postgresql://localhost:5432/udc",
