@@ -51,6 +51,30 @@ object RelationalQueries3 {
         .groupBy($"event_type")
         .agg(sum($"k").as("sum_k"), min($"k").as("min_k"),
           max($"k").as("max_k"), count($"k").as("n_k"))
+    },
+
+    // correlated per-group threshold (TPC-H Q17 pattern): lineitems with
+    // quantity below 50% of their part's average — expressed as a window
+    // (one shuffle) instead of a correlated subquery per row
+    "q31_correlated" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+      Tables.load(s, dir, "lineitem")
+        .withColumn("part_avg",
+          sum($"l_quantity").over(w) / count(lit(1)).over(w))
+        .filter($"l_quantity" < $"part_avg" * 0.5)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_small"), sum($"l_quantity").as("qty_small"))
+    },
+
+    "q32_having" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(15, 2)))
+            .cast("double").as("total_spent"))
+        .filter($"n_orders" >= 15)
     }
   )
 
@@ -83,6 +107,21 @@ object RelationalQueries3 {
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q31_correlated" ->
+      """WITH a AS (SELECT l_returnflag, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_partkey)
+        |    / count(*) OVER (PARTITION BY l_partkey) AS part_avg
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_small,
+        |  sum(l_quantity) AS qty_small
+        |FROM a WHERE l_quantity < part_avg * 0.5
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q32_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin
   )
 }
