@@ -75,6 +75,41 @@ object RelationalQueries3 {
           sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(15, 2)))
             .cast("double").as("total_spent"))
         .filter($"n_orders" >= 15)
+    },
+
+    // fixed-width histogram: integer bucket arithmetic, engine-portable
+    "q33_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .withColumn("bucket", floor($"o_totalprice" / 50000.0).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+    },
+
+    // correlation from exact decimal moments: sums are exact and
+    // order-independent; they are rounded to integers BEFORE the double
+    // cast because a 20-digit decimal exceeds double precision and the
+    // two engines round that cast differently in the last ulp. Integer
+    // moments < 2^53 cast exactly, so the final formula is bit-identical.
+    "q34_corr" -> { (s, dir) =>
+      import s.implicits._
+      val d = org.apache.spark.sql.types.DecimalType(18, 4)
+      def m(c: org.apache.spark.sql.Column) = round(sum(c), 0).cast("double")
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          m($"l_quantity".cast(d)).as("sx"),
+          m($"l_extendedprice".cast(d)).as("sy"),
+          m($"l_quantity".cast(d) * $"l_quantity".cast(d)).as("sxx"),
+          m($"l_extendedprice".cast(d) * $"l_extendedprice".cast(d)).as("syy"),
+          m($"l_quantity".cast(d) * $"l_extendedprice".cast(d)).as("sxy"))
+        .withColumn("corr_qty_price",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .select($"l_returnflag", $"n", $"corr_qty_price")
     }
   )
 
@@ -122,6 +157,28 @@ object RelationalQueries3 {
     "q32_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_spent
-        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
+
+    "q33_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q34_corr" ->
+      // oracle uses DECIMAL(19,4): >18 digits forces DuckDB onto int128
+      // storage for the products (int64 sums overflow); both engines stay
+      // exact, so the derived doubles are identical
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(19,4))), 0) AS DOUBLE) AS sx,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE) AS sy,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))), 0) AS DOUBLE) AS sxx,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE) AS syy,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM m""".stripMargin
   )
 }

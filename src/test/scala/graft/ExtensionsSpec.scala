@@ -34,6 +34,24 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  test("seeded sampling is reproducible and stratified fractions hold") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = graft.operators.Sampling.uniform(docs, 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.operators.Sampling.uniform(docs, 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < docs.count())
+    val strat = graft.operators.Sampling.stratified(docs, "lang",
+      Map("en" -> 0.1, "fr" -> 1.0))
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("en", "fr")) // unlisted strata dropped
+    val frTotal = docs.filter(org.apache.spark.sql.functions.col("lang") === "fr").count()
+    assert(byLang("fr") == frTotal) // fraction 1.0 keeps everything
+  }
+}
+
 class SkewSpec extends SparkSpec {
   test("salted join is row-identical to the plain join") {
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
