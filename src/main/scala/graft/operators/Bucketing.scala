@@ -29,6 +29,9 @@ object Bucketing {
       joinType: String = "inner"): DataFrame = {
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
-    l.join(r, l(leftKey) === r(rightKey), joinType)
+    // merge hint: without it a sub-broadcast-threshold side degrades to
+    // BroadcastHashJoin and throws away the bucket layout the caller
+    // paid a full bucketed write for
+    l.join(r.hint("merge"), l(leftKey) === r(rightKey), joinType)
   }
 }

@@ -23,7 +23,7 @@ object RelationalQueries3 {
     },
 
     "q28_grouping_sets" -> { (s, dir) =>
-      Tables.registerAll(s, dir)
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(
         """SELECT l_returnflag, l_linestatus,
           |  CAST(grouping(l_returnflag) AS INT) AS gf,
@@ -81,7 +81,7 @@ object RelationalQueries3 {
     "q33_histogram" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "orders")
-        .withColumn("bucket", floor($"o_totalprice" / 50000.0).cast("long"))
+        .withColumn("bucket", floor($"o_totalprice" / 50000.0))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"),
           min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
@@ -92,6 +92,8 @@ object RelationalQueries3 {
     // cast because a 20-digit decimal exceeds double precision and the
     // two engines round that cast differently in the last ulp. Integer
     // moments < 2^53 cast exactly, so the final formula is bit-identical.
+    // Valid while sum(price^2) < 9e15, i.e. up to ~sf1 of this corpus;
+    // beyond that, shift the scale down (divide rows by a constant).
     "q34_corr" -> { (s, dir) =>
       import s.implicits._
       val d = org.apache.spark.sql.types.DecimalType(18, 4)

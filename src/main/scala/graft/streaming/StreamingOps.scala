@@ -19,8 +19,8 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Lon
 object StreamingOps {
 
   /** Streaming read of the events table (ns timestamps handled as in
-    * Tables.events). maxFilesPerTrigger limits batch size for steady
-    * flow; schema comes from a batch probe.
+    * Tables.events); schema comes from a batch probe. Note: the table is
+    * a single file, so local tests see exactly one micro-batch.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,25 +52,26 @@ object StreamingOps {
     */
   def streamStreamWindowJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, windowSpec: String,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", idCol: String = "event_id"): DataFrame = {
     val l = left.select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
-        col("event_id").as("l_id"))
+        col(idCol).as("l_id"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
-        col("event_id").as("r_id"))
+        col(idCol).as("r_id"))
       .withWatermark("r_ts", watermark)
     l.join(r, expr(
       s"l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL $windowSpec AND l_ts"))
   }
 
-  /** Streaming exact dedup: drop rows whose key was already seen, with
-    * a watermark bounding the dedup state — the streaming form of
-    * Dedup.exact. State is O(distinct keys within the watermark).
+  /** Streaming exact KEY dedup: keep the first row per key, with the
+    * watermark bounding how long a key is remembered — the streaming
+    * form of Dedup.exact. State is O(distinct keys within the
+    * watermark).
     */
   def streamingDedup(stream: DataFrame, keyCols: Seq[String],
       tsCol: String, watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stateful sessionization via flatMapGroupsWithState: per-user state
     * holds the open session; a gap > `gapMinutes` closes and emits it.
@@ -92,9 +93,12 @@ object StreamingOps {
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { us =>
             cur match {
-              // max/min guards: a late event from a previous micro-batch
-              // may land inside the open session; it must never regress
-              // the session bounds
+              // late events: inside [start-gap, end+gap] extend the open
+              // session without regressing its bounds; older than that
+              // they cannot belong to it (or to an already-emitted one —
+              // append mode cannot revise history) -> emit as a singleton
+              case Some(s) if us < s.startUs - gapUs =>
+                closed += SessionOut(user, us, us, 1)
               case Some(s) if us - s.endUs <= gapUs =>
                 cur = Some(s.copy(startUs = math.min(s.startUs, us),
                   endUs = math.max(s.endUs, us), n = s.n + 1))

@@ -47,8 +47,9 @@ class MainSpec extends SparkSpec {
     q.processAllAvailable()
     val n = spark.sql("SELECT count(*) FROM dedup_stream").head().getLong(0)
     q.stop()
-    val batchDistinct = Tables.events(spark, sf)
-      .select("user_id", "event_type", "ts").distinct().count()
-    assert(n == batchDistinct)
+    // true KEY dedup: one row per (user, event_type)
+    val batchKeys = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(n == batchKeys)
   }
 }
