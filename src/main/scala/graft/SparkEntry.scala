@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ RelationalQueries2.defs ++
-      RelationalQueries3.defs ++ EventQueries.defs ++
+      RelationalQueries3.defs ++ RelationalQueries4.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs
 
@@ -22,7 +22,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
-      RelationalQueries3.oracles ++ EventQueries.oracles ++
+      RelationalQueries3.oracles ++ RelationalQueries4.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles
 }
