@@ -156,21 +156,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact embedding similarity pairs: block-partitioned all-pairs scan
-    * with the codegen'd CosineSim. One side is broadcast; the join
-    * condition (id<id, cosine>=tau) streams through whole-stage codegen,
-    * so nothing near O(n²) is ever materialized. This is the right tool
-    * at moderate tau (<~0.8): there sign-LSH cannot keep recall while
+  /** Exact embedding similarity pairs via a block-pair all-pairs join —
+    * no broadcast of the table, so it cannot OOM driver or executors at
+    * any row count. Rows hash into `blocks` blocks; each row is
+    * replicated to the `blocks` unordered block-pair keys it belongs to,
+    * and a self-join on the key compares (a) cross-block rows under
+    * their single shared key and (b) same-block rows only under the
+    * diagonal key — every pair compared exactly once. Compute is the
+    * honest O(n²) of an exact scan; memory per task is O(2n/blocks)
+    * vectors, so `blocks` scales with n. This is the right tool at
+    * moderate tau (<~0.8): there sign-LSH cannot keep recall while
     * pruning (a cos-0.5 pair agrees with a random hyperplane only 2/3 of
     * the time — measured: r=8 banding misses half such pairs), so
-    * "approximate" would silently mean "wrong".
+    * "approximate" would silently mean "wrong". For tau >= ~0.9 use
+    * [[embeddingPairs]], which prunes candidates ~100x.
     */
   def embeddingPairsExact(rawDf: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, blocks: Int = 16): DataFrame = {
     val df = Parallelism.ensure(rawDf)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val keyed = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        pmod(xxhash64(col(idCol)), lit(blocks)).as("__blk"))
+      .withColumn("__bp", explode(expr(
+        s"transform(sequence(0, ${blocks - 1}), c -> " +
+          s"least(__blk, c) * $blocks + greatest(__blk, c))")))
+    val x = keyed.select(col("__bp"), col("__blk").as("__ba"),
+      col("__id").as("id_a"), col("__v").as("__va"))
+    val y = keyed.select(col("__bp").as("__bq"), col("__blk").as("__bb"),
+      col("__id").as("id_b"), col("__v").as("__vb"))
+    x.join(y, col("__bp") === col("__bq") && col("id_a") < col("id_b") &&
+        (col("__ba") =!= col("__bb") ||
+          col("__bp") === col("__ba") * blocks + col("__ba")))
       .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -57,10 +57,10 @@ object CorpusQueries {
 
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
         |  min(length(text) - length(replace(text, ' ', '')) + 1) AS min_tokens,
         |  max(length(text) - length(replace(text, ' ', '')) + 1) AS max_tokens,
-        |  sum(n_chars) AS total_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source""".stripMargin
   )
 }

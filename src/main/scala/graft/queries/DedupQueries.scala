@@ -21,6 +21,13 @@ object DedupQueries {
       Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
     },
 
+    // CORPUS ASSUMPTION (recall): MinHash LSH capture is probabilistic at
+    // the tau boundary — with 32 bands of r=4, a pair at exactly J=0.5 is
+    // banded with only ~87% probability (1-(1-0.5^4)^32). Parity with the
+    // brute-force oracle holds because this corpus' planted near-dups sit
+    // at J~0.9+ (capture prob 1-(1-0.9^4)^32 ~ 1-1e-15) and the baseline
+    // pair floor is far below tau; a corpus with borderline-J pairs would
+    // need more bands (or the exact path) to keep oracle-exact recall.
     "dedup_minhash" -> { (s, dir) =>
       Dedup.minhashPairsText(Tables.load(s, dir, "documents"),
         "doc_id", "text", mode = "word", n = 3,

@@ -127,7 +127,7 @@ object RelationalQueries2 {
       """SELECT l_linestatus,
         |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END) AS qty_returned,
         |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
-        |  sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
+        |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 

@@ -140,7 +140,7 @@ object RelationalQueries3 {
 
     "q30_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k

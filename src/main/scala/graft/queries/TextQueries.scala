@@ -104,7 +104,7 @@ object TextQueries {
         |    gi -> CAST(ord(substr(text, CAST(gi AS INT), 1)) AS BIGINT)),
         |    (ga, gc) -> (ga * 31 + gc) % 1000000007) AS fp,
         |  list_min(list_transform(range(1, greatest(length(text) - 14, 2)),
-        |    gi -> list_reduce(list_transform(range(0, 16),
+        |    gi -> list_reduce(list_transform(range(0, least(16, length(text) - gi + 1)),
         |      gj -> CAST(ord(substr(text, CAST(gi + gj AS INT), 1)) AS BIGINT)),
         |      (ga, gc) -> (ga * 31 + gc) % 1000000007))) AS win_fp
         |FROM documents""".stripMargin

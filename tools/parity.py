@@ -53,6 +53,14 @@ def main():
         ok = True
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
+            # The driver hashes canonical per-dtype string renderings, so an
+            # int column on one engine vs float on the other (DuckDB HUGEINT
+            # sums -> pandas float64) is a hard FAIL there — mirror that.
+            if (a.dtype.kind in 'iu') != (b.dtype.kind in 'iu') and \
+               (a.dtype.kind in 'iuf' and b.dtype.kind in 'iuf'):
+                print(f"FAIL {name}: col {c} dtype mismatch "
+                      f"spark={a.dtype} oracle={b.dtype} (int-vs-float hashes differ)")
+                ok = False; break
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 same = np.array_equal(a.astype('float64'), b.astype('float64'), equal_nan=True)
             else:
