@@ -13,8 +13,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ RelationalQueries2.defs ++
-      RelationalQueries3.defs ++ RelationalQueries4.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      RelationalQueries3.defs ++ RelationalQueries4.defs ++
+      RelationalQueries5.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ TextQueries2.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,7 +24,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
-      RelationalQueries3.oracles ++ RelationalQueries4.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
+      RelationalQueries5.oracles ++ EventQueries.oracles ++
+      TextQueries.oracles ++ TextQueries2.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles
 }

@@ -43,6 +43,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: exact top-k neighbors for EVERY row of `queryDf`
+    * ((qid, qv), broadcast). Ranking is two-stage so it scales: a first
+    * row_number over (qid, salt) keeps k rows per salt group — computed
+    * where the scan runs, so the full n×Q cross product never shuffles —
+    * then a global per-qid window ranks only salts×k survivors. At 100 TB
+    * swap the cross join for an LSH/IVF candidate join (same ranking
+    * tail); this exact form is the oracle/baseline.
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+      queryDf: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("qid"), col("__salt"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    df.crossJoin(broadcast(queryDf))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts)))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("cos"), col("rnk"))
+  }
+
   /** Train an IVF coarse quantizer with Spark MLlib's distributed
     * k-means (k-means|| init, fixed seed -> deterministic). Returns a
     * (cid, cv) centroid frame directly usable by ivfTopK. At 100 TB the

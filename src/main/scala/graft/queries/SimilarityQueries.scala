@@ -32,6 +32,14 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"), col("cos"))
     },
 
+    // batch k-NN join: every 50th vector is a query; exact top-5 each
+    "knn_join" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.knnJoin(emb, "vec_id", "embedding", q, k = 5)
+    },
+
     "ann_ivf" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val w = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
@@ -74,6 +82,15 @@ object SimilarityQueries {
          |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |WHERE e.vec_id != 0
          |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.qid, e.vec_id, ${cos("e.embedding", "q.qv")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+         |r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rnk FROM p)
+         |SELECT qid, vec_id, cos, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH bk AS (SELECT vec_id, label, embedding,
