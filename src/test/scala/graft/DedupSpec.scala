@@ -46,10 +46,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == brute)
   }
 
+  test("block-pair all-pairs join compares every pair exactly once") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(60)
+    val n = emb.count()
+    // tau below -1 keeps every compared pair -> row count == C(n,2) iff
+    // the block-pair replication neither misses nor duplicates a pair
+    val rows = Dedup.embeddingPairsExact(emb, "vec_id", "embedding",
+        tau = -1.1, blocks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == n * (n - 1) / 2)
+    assert(rows.toSet.size == rows.length)
+    assert(rows.forall { case (a, b) => a < b })
+  }
+
   test("exact embedding pairs match brute force at moderate tau") {
     val emb = Tables.load(spark, sf, "embeddings")
-    val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", tau = 0.5)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactRows = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // block-pair replication must compare every pair exactly once
+    assert(exactRows.length == exactRows.toSet.size, "duplicate pairs emitted")
+    val exact = exactRows.toSet
     val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= 0.5)
