@@ -44,27 +44,24 @@ object Similarity {
   }
 
   /** Batch k-NN join: exact top-k neighbors for EVERY row of `queryDf`
-    * ((qid, qv), broadcast). Ranking is two-stage so it scales: a first
-    * row_number over (qid, salt) keeps k rows per salt group — computed
-    * where the scan runs, so the full n×Q cross product never shuffles —
-    * then a global per-qid window ranks only salts×k survivors. At 100 TB
-    * swap the cross join for an LSH/IVF candidate join (same ranking
-    * tail); this exact form is the oracle/baseline.
+    * ((qid, qv), broadcast). A single per-qid row_number window is
+    * already scale-safe on Spark 4: the optimizer inserts a *partial*
+    * WindowGroupLimit below the exchange, so each input partition keeps
+    * only k rows per query before anything shuffles — shuffle volume is
+    * O(partitions × |Q| × k), never the n×Q cross product (verified in
+    * PlanAuditSpec). At 100 TB swap the cross join for an LSH/IVF
+    * candidate join (same ranking tail); this exact form is the
+    * oracle/baseline.
     */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
-      queryDf: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+      queryDf: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w1 = Window.partitionBy(col("qid"), col("__salt"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-    val w2 = Window.partitionBy(col("qid"))
+    val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col(idCol).asc)
     df.crossJoin(broadcast(queryDf))
       .filter(col(idCol) =!= col("qid"))
       .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
-      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts)))
-      .withColumn("__rn", row_number().over(w1))
-      .filter(col("__rn") <= k)
-      .withColumn("rnk", row_number().over(w2))
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col(idCol), col("cos"), col("rnk"))
   }

@@ -45,9 +45,10 @@ object ScaleProbe {
     replicate("events", Seq("event_id", "user_id"), perturbText = false)
 
     val heavy = Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
-      "dedup_embedding", "dedup_exact", "ann_lsh", "q2_join_agg",
-      "q21_skew_join", "q19_time_window", "q20_sessionize",
-      "q15_asof_join", "q16_range_join")
+      "dedup_embedding", "dedup_exact", "ann_lsh", "knn_join",
+      "q2_join_agg", "q21_skew_join", "q19_time_window", "q20_sessionize",
+      "q15_asof_join", "q16_range_join", "q42_explode",
+      "text_repetition", "text_pii")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, out).count()

@@ -88,20 +88,23 @@ class OperatorSpec extends SparkSpec {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a < b })
   }
 
-  test("knn join two-stage ranking equals the naive per-query window") {
-    import org.apache.spark.sql.expressions.Window
+  test("knn join per-query results equal single-query brute force") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val got = Similarity.knnJoin(emb, "vec_id", "embedding", q, k = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    val naive = emb.crossJoin(q).filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine_sim(col("embedding"), col("qv")))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-      .select("qid", "vec_id", "rnk")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(got.nonEmpty && got == naive)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val qids = q.select("qid").collect().map(_.getLong(0))
+    assert(qids.length > 1 && got.length == qids.length * 5)
+    // per-query slice must equal the single-query top-k operator
+    qids.foreach { qid =>
+      val single = emb.filter(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val expect = Similarity.bruteForceTopK(emb, "vec_id", "embedding", single, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val slice = got.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(slice == expect, s"qid=$qid")
+    }
   }
 
   test("word shingles and char ngrams are distinct and sized right") {

@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan audit (SURVEY.md §5/§6): locks in the plan shapes that
+  * make the headline queries survive a 100× scale-up. A regression that
+  * silently drops a pushdown, a partial aggregate, a broadcast, or a
+  * map-side window group limit fails here long before it shows up as a
+  * cluster bill.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q4 pushes predicate and projection into the parquet scan") {
+    val p = plan("q4_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull") && p.contains("GreaterThan"),
+      "predicate must reach the scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_quantity:double,l_returnflag:string>"),
+      "scan must read only referenced columns")
+  }
+
+  test("window rank queries prune to k per partition before the shuffle") {
+    for (q <- Seq("q8_window_rank", "knn_join")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$q must carry a map-side (Partial) WindowGroupLimit")
+    }
+  }
+
+  test("explode aggregation combines map-side before the exchange") {
+    val p = plan("q42_explode")
+    assert(p.contains("partial_count"),
+      "token counting must partial-aggregate below the exchange")
+  }
+
+  test("multiway join broadcasts every dimension side") {
+    val p = plan("q2_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "orders/customer/nation must all broadcast against lineitem")
+    assert(!p.contains("SortMergeJoin"),
+      "no fact-fact shuffle join should appear in this query")
+  }
+
+  test("top-k ordering uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
