@@ -73,4 +73,39 @@ object Multimodal {
           s"transform(sequence(0, greatest(int(length(payload) / $frameBytes) - 1, 0), $stride), " +
           s"i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
           .as(Seq("frame_no", "frame")))
+
+  case class MediaResized(media_id: Long, kind: String,
+      payload: Array[Byte], width: Int, height: Int)
+
+  /** Nearest-neighbor "resize" of the opaque byte grid to (w2, h2).
+    * Stub arithmetic (a real codec would interpolate pixels), but the
+    * partition-wise dataflow, metadata rewrite, and clamped grid
+    * addressing are exactly what a real resize kernel needs — swap the
+    * inner loop for a codec call and nothing else changes.
+    */
+  def resize(media: DataFrame, w2: Int, h2: Int): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.selectExpr("media_id", "kind", "payload",
+        "cast(width as int) width", "cast(height as int) height")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val out = new Array[Byte](w2 * h2)
+          val len = m.payload.length
+          var y = 0
+          while (y < h2) {
+            val sy = y.toLong * m.height / h2
+            var x = 0
+            while (x < w2) {
+              val sx = x.toLong * m.width / w2
+              val src = math.min(len - 1, sy * m.width + sx).toInt
+              out(y * w2 + x) = if (len == 0) 0 else m.payload(math.max(src, 0))
+              x += 1
+            }
+            y += 1
+          }
+          MediaResized(m.media_id, m.kind, out, w2, h2)
+        }
+      }
+  }
 }

@@ -14,6 +14,17 @@ object MultimodalQueries {
     "mm_extract" -> { (s, dir) =>
       val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
+    },
+
+    // frame sampling over video payloads: every 2nd 64-byte chunk; the
+    // oracle replays the strided substring arithmetic on the text the
+    // payload was derived from (ASCII: byte == char)
+    "mm_frames" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, length}
+      val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame")).as("n_bytes"))
     }
   )
 
@@ -30,6 +41,17 @@ object MultimodalQueries {
         |SELECT doc_id AS media_id, kind, n_bytes,
         |  CAST(list_position(hist, list_max(hist)) - 1 AS INT) AS dom_bin,
         |  CAST(len(list_filter(hist, gx -> gx > 0)) AS INT) AS nonzero_bins
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS L
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, text,
+        |  unnest(range(0, greatest(CAST(floor(L / 64.0) AS INT) - 1, 0) + 1, 2))
+        |    AS gi
+        |  FROM m)
+        |SELECT media_id, CAST(gi // 2 AS INT) AS frame_no,
+        |  length(substr(text, CAST(gi * 64 + 1 AS INT), 64)) AS n_bytes
+        |FROM f""".stripMargin
   )
 }

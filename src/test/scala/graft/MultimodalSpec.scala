@@ -31,6 +31,22 @@ class MultimodalSpec extends SparkSpec {
     assert(one.getAs[Array[Byte]]("frame").length == 16)
   }
 
+  test("resize emits a w2*h2 grid with clamped nearest-neighbor sampling") {
+    val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
+    val resized = Multimodal.resize(media, w2 = 8, h2 = 4)
+    val rows = resized.collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(r => r.payload.length == 32 && r.width == 8 && r.height == 4))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resize(media, 8, 4).collect()
+    assert(rows.sortBy(_.media_id).map(_.payload.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.payload.toSeq).toSeq)
+    // top-left sample is the first payload byte (sx=sy=0)
+    val doc = media.orderBy(col("media_id")).head()
+    val out = rows.minBy(_.media_id)
+    assert(out.payload(0) == doc.getAs[Array[Byte]]("payload")(0))
+  }
+
   test("realDecode is an explicit stub") {
     intercept[NotImplementedError] { Multimodal.realDecode(Array[Byte](1)) }
   }
