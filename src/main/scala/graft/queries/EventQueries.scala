@@ -51,6 +51,37 @@ object EventQueries {
           $"event_type", $"n", $"min_val", $"max_val")
     },
 
+    // strict ordered funnel view -> click -> purchase: each stage's
+    // timestamp is the first qualifying event strictly after the
+    // previous stage. Three small per-user aggregates chained by joins —
+    // each shuffles O(users), never O(events) twice.
+    "q46_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t_view"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"us" > $"t_view")
+        .groupBy($"user_id").agg(min($"us").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"us" > $"t_click")
+        .groupBy($"user_id").agg(min($"us").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+    },
+
+    // retention cohorts: users grouped by first-active date; distinct
+    // active users per (cohort, day offset)
+    "q47_retention" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).withColumn("d", $"ts".cast("date"))
+      val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_date"))
+      ev.join(first, "user_id")
+        .withColumn("day_offset", datediff($"d", $"cohort_date"))
+        .groupBy($"cohort_date", $"day_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+    },
+
     "q20_sessionize" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir)
@@ -98,6 +129,26 @@ object EventQueries {
         |  event_type, count(*) AS n,
         |  min(value) AS min_val, max(value) AS max_val
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q46_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t_click GROUP BY e.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q47_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_date FROM e GROUP BY user_id)
+        |SELECT cohort_date, datediff('day', cohort_date, d) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY cohort_date, day_offset""".stripMargin,
 
     "q20_sessionize" ->
       """WITH e AS (

@@ -63,6 +63,16 @@ object StreamingOps {
       s"l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL $windowSpec AND l_ts"))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * batch dimension table. The static side is broadcast per batch —
+    * at 100 TB/day of stream this is the only join shape that needs no
+    * stream-side shuffle or state at all (vs stream-stream joins, whose
+    * state grows with the watermark).
+    */
+  def streamStaticJoin(stream: DataFrame, dim: DataFrame,
+      keyCol: String): DataFrame =
+    stream.join(broadcast(dim), keyCol)
+
   /** Streaming exact KEY dedup: keep the first row per key, with the
     * watermark bounding how long a key is remembered — the streaming
     * form of Dedup.exact. State is O(distinct keys within the

@@ -46,4 +46,22 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q3_topk")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("partitionBy sink layout enables partition pruning on read") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.{SinkSpec, SourceSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.sinks.Sinks.write(Tables.load(spark, sf, "documents"),
+      SinkSpec("file", Map("path" -> dir, "format" -> "parquet",
+        "partitionBy" -> "lang")))
+    val back = graft.sources.Sources.read(spark,
+      SourceSpec("file", Map("path" -> dir, "format" -> "parquet")))
+    val filtered = back.filter(col("lang") === "en")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang") ||
+      p.contains("PartitionFilters: [(lang"),
+      s"partition filter must prune directories, got: ${p.take(500)}")
+    assert(filtered.count() ==
+      Tables.load(spark, sf, "documents").filter(col("lang") === "en").count())
+  }
 }

@@ -44,6 +44,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchPairs, s"stream=$streamed batch=$batchPairs")
   }
 
+  test("stream-static join enriches every event with broadcast dim rows") {
+    import spark.implicits._
+    val stream = StreamingOps.eventsStream(spark, sf)
+    // derive a small per-user dim (deterministic tier from the id)
+    val dim = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int"))
+    val q = StreamingOps.streamStaticJoin(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT count(*) n, count(tier) nt FROM enriched").head()
+    q.stop()
+    val total = Tables.events(spark, sf).count()
+    assert(streamed.getLong(0) == total, "inner join must keep every event")
+    assert(streamed.getLong(1) == total, "every event must carry its dim row")
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
