@@ -156,6 +156,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over an undirected near-dup pair graph:
+    * iterative min-label propagation (label(v) := min over v and its
+    * neighbors), the distributed union-find every dedup pipeline needs
+    * to turn pairwise matches into keep/drop clusters. Each round is one
+    * shuffle join + one groupBy; convergence takes O(component diameter)
+    * rounds — near-dup clusters are shallow (planted dup groups: 1-2
+    * rounds). Labels persist per round and the previous round is
+    * unpersisted, so lineage and storage stay O(1). At extreme scale the
+    * large-star/small-star variant halves round count; the loop
+    * structure is identical.
+    *
+    * @param vertices one column `id` — every vertex, including
+    *                 singletons (they emit component == id)
+    * @param pairs    columns `id_a`, `id_b` — undirected edges
+    * @return (id, component) with component = min id in the component
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    // localCheckpoint (eager) after every round: truncates lineage so the
+    // plan stays O(1) across iterations and the edges/labels self-join
+    // never becomes ambiguous (labels would otherwise contain edges in
+    // its lineage from round 2 on)
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.as("e").join(labels.as("l"), col("e.v") === col("l.id"))
+        .select(col("e.u").as("id"), col("l.component").as("component"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") < col("p.component")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact embedding similarity pairs via a block-pair all-pairs join —
     * no broadcast of the table, so it cannot OOM driver or executors at
     * any row count. Rows hash into `blocks` blocks; each row is

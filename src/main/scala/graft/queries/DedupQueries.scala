@@ -55,6 +55,17 @@ object DedupQueries {
       // pass; the sign-LSH path (Dedup.embeddingPairs) is for tau>=0.9
       Dedup.embeddingPairsExact(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", tau = 0.5)
+    },
+
+    // pairwise matches -> keep/drop clusters: connected components over
+    // the simhash pair graph (min doc_id labels the component)
+    "dedup_clusters" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__ws", words(col("text")))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component"))
     }
   )
 
@@ -86,8 +97,11 @@ object DedupQueries {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
-  private val simhashSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** simhash CTE chain (w -> h -> sh), shared by the pair and cluster
+    * oracles so the hash family is defined once.
+    */
+  private val simhashCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |h AS (SELECT doc_id, list_transform(ws, gw ->
       |  list_reduce(list_transform(range(1, len(gw) + 1),
       |    gi -> CAST(ord(substr(gw, CAST(gi AS INT), 1)) AS BIGINT)),
@@ -98,11 +112,30 @@ object DedupQueries {
       |sh AS (SELECT doc_id, list_reduce(list_transform(range(0, 60), gb ->
       |  CASE WHEN 2 * len(list_filter(hs, gx -> ((gx >> gb) & 1) = 1)) >= len(hs)
       |    THEN (CAST(1 AS BIGINT) << CAST(gb AS INT)) ELSE CAST(0 AS BIGINT) END),
-      |  (gx, gy) -> gx + gy) AS sh FROM h)
+      |  (gx, gy) -> gx + gy) AS sh FROM h)""".stripMargin
+
+  private val simhashSql =
+    s"""WITH $simhashCtes
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+
+  /** Transitive closure of the simhash pair graph — the brute-force
+    * truth for the distributed connected-components operator.
+    */
+  private val clustersSql =
+    s"""WITH RECURSIVE $simhashCtes,
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(u, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u)
+      |SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -113,6 +146,7 @@ object DedupQueries {
     "dedup_minhash" -> jaccardPairSql(shingles3),
     "dedup_ngram" -> jaccardPairSql(ngrams5),
     "dedup_simhash" -> simhashSql,
+    "dedup_clusters" -> clustersSql,
 
     "dedup_embedding" ->
       s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
