@@ -14,7 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ RelationalQueries2.defs ++
       RelationalQueries3.defs ++ RelationalQueries4.defs ++
-      RelationalQueries5.defs ++ EventQueries.defs ++
+      RelationalQueries5.defs ++ RelationalQueries6.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs
@@ -25,7 +25,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
-      RelationalQueries5.oracles ++ EventQueries.oracles ++
+      RelationalQueries5.oracles ++ RelationalQueries6.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles

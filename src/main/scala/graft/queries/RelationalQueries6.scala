@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Sixth relational wave (SURVEY.md §2.2): sliding ROWS frames,
+  * UNPIVOT, null-handling surface, LATERAL subqueries. Exact decimal
+  * arithmetic wherever money is averaged so parity is bit-exact.
+  */
+object RelationalQueries6 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sliding window: 4-row trailing sum per customer (exact decimal,
+    // cast to double at the end) + row count actually in the frame
+    "q48_moving_avg" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .rowsBetween(-3, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .filter($"o_custkey" <= 200)
+        .withColumn("trail_sum",
+          sum($"o_totalprice".cast("decimal(15,2)")).over(w).cast("double"))
+        .withColumn("n_in_frame", count(lit(1)).over(w))
+        .select($"o_custkey", $"o_orderkey", $"trail_sum", $"n_in_frame")
+    },
+
+    // UNPIVOT (stack): customer balance/key columns to (attr, val) rows
+    "q49_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .filter($"c_custkey" <= 100)
+        .select($"c_custkey", expr(
+          "stack(2, 'acctbal', c_acctbal, 'nationkey', cast(c_nationkey as double))"
+        ).as(Seq("attr", "val")))
+    },
+
+    // null-handling surface: coalesce / nullif / full-outer nulls
+    "q50_null_funcs" -> { (s, dir) =>
+      import s.implicits._
+      val n = Tables.load(s, dir, "nation")
+      val agg = Tables.load(s, dir, "supplier")
+        .filter($"s_acctbal" > 8000.0)
+        .groupBy($"s_nationkey").agg(count(lit(1)).as("n_rich"))
+      n.join(agg, $"n_nationkey" === $"s_nationkey", "left")
+        .select($"n_nationkey", $"n_name",
+          coalesce($"n_rich", lit(0L)).as("rich_or_zero"),
+          nullif($"n_regionkey", lit(2)).as("region_not2"),
+          when($"n_rich".isNull, lit("none")).otherwise(lit("some")).as("has_rich"))
+    },
+
+    // LATERAL correlated subquery: each nation's single highest-balance
+    // supplier (SQL surface; Catalyst plans the same window/join shapes)
+    "q51_lateral" -> { (s, dir) =>
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(
+        """SELECT n_nationkey, n_name, t.s_suppkey AS top_suppkey,
+          |  t.s_acctbal AS top_acctbal
+          |FROM nation,
+          |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier
+          |         WHERE s_nationkey = n_nationkey
+          |         ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 1) t""".stripMargin)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q48_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE)
+        |    AS trail_sum,
+        |  count(*) OVER w AS n_in_frame
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q49_unpivot" ->
+      """SELECT c_custkey, attr, val FROM (
+        |  SELECT c_custkey, c_acctbal AS acctbal,
+        |    CAST(c_nationkey AS DOUBLE) AS nationkey
+        |  FROM customer WHERE c_custkey <= 100)
+        |UNPIVOT (val FOR attr IN (acctbal, nationkey))""".stripMargin,
+
+    "q50_null_funcs" ->
+      """SELECT n_nationkey, n_name,
+        |  coalesce(n_rich, 0) AS rich_or_zero,
+        |  nullif(n_regionkey, 2) AS region_not2,
+        |  CASE WHEN n_rich IS NULL THEN 'none' ELSE 'some' END AS has_rich
+        |FROM nation LEFT JOIN (
+        |  SELECT s_nationkey, count(*) AS n_rich FROM supplier
+        |  WHERE s_acctbal > 8000.0 GROUP BY s_nationkey) a
+        |ON n_nationkey = s_nationkey""".stripMargin,
+
+    "q51_lateral" ->
+      """SELECT n_nationkey, n_name, t.s_suppkey AS top_suppkey,
+        |  t.s_acctbal AS top_acctbal
+        |FROM nation,
+        |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n_nationkey
+        |         ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 1) t""".stripMargin
+  )
+}
