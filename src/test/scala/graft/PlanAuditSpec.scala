@@ -47,6 +47,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("row-local text/multimodal kernels are entirely shuffle-free") {
+    for (q <- Seq("text_repetition", "text_pii", "text_quality",
+        "text_tokens", "text_langid", "text_fingerprint", "mm_extract")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q must not shuffle — per-document kernels scale linearly only " +
+          "if they stay inside the scan stage")
+    }
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
