@@ -41,6 +41,7 @@ class PipelineManager(spark: SparkSession) {
   case class Failed(error: Throwable) extends Status
 
   private val jobs = TrieMap.empty[String, Status]
+  private val specs = TrieMap.empty[String, PipelineSpec]
 
   def submit(spec: PipelineSpec): Status = {
     val st =
@@ -49,6 +50,7 @@ class PipelineManager(spark: SparkSession) {
         else { PipelineRunner.runBatch(spark, spec); Completed }
       } catch { case e: Throwable => Failed(e) }
     jobs.put(spec.name, st)
+    specs.put(spec.name, spec)
     st
   }
 
@@ -65,6 +67,12 @@ class PipelineManager(spark: SparkSession) {
     case Some(Running(q)) if q.isActive => q.stop(); true
     case _ => false
   }
+
+  /** Stop (if running) and resubmit the job's retained spec — the
+    * reference's PipelineService.restartPipeline.
+    */
+  def restart(name: String): Option[Status] =
+    specs.get(name).map { spec => stop(name); submit(spec) }
 
   def list: Map[String, String] =
     jobs.keySet.flatMap(n => status(n).map(n -> _)).toMap

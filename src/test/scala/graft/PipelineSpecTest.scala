@@ -62,6 +62,10 @@ class PipelineSpecTest extends SparkSpec {
     assert(mgr.status("csv-to-parquet").contains("COMPLETED"))
     val back = spark.read.parquet(out).collect()
     assert(back.length == 1 && back.head.getAs[String]("project") == "Project A")
+    // restart replays the retained spec (reference restartPipeline)
+    assert(mgr.restart("csv-to-parquet").contains(mgr.Completed))
+    assert(spark.read.parquet(out).count() == 1)
+    assert(mgr.restart("no-such-job").isEmpty)
   }
 
   test("text map pipeline preserves reference prefix/suffix semantics") {
