@@ -28,6 +28,21 @@ object CorpusQueries {
           col("n_tokens"), col("stop_cnt"))
     },
 
+    // deterministic train/val/test split (hash-bucket pattern; the
+    // bucket expression is doc_id % 10 so the oracle replays it
+    // exactly) with per-split per-language doc/token accounting
+    "corpus_split" -> { (s, dir) =>
+      val bucket = pmod(col("doc_id"), lit(10))
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(bucket <= 7, lit("train"))
+            .when(bucket === 8, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(token_count(col("text"))).as("n_tokens"))
+    },
+
     "corpus_stats" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
         .withColumn("n_tokens", token_count(col("text")))
@@ -54,6 +69,17 @@ object CorpusQueries {
         |  AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens >= 3.0
         |  AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0
         |  AND stop_cnt * 100 >= n_tokens * 2""".stripMargin,
+
+    "corpus_split" ->
+      """WITH t AS (SELECT lang,
+        |  (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+        |  CASE WHEN doc_id % 10 <= 7 THEN 'train'
+        |       WHEN doc_id % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY split, lang""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
