@@ -38,5 +38,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(es.head, k)
       }))
+    // sketch aggregates: bare AggregateFunctions — the analyzer wraps
+    // them in AggregateExpression(Complete) on resolution
+    ext.injectFunction((FunctionIdentifier("graft_freq_sketch"),
+      info("graft_freq_sketch", "graft_freq_sketch(col, maxMapSize) - frequent-items sketch"),
+      (es: Seq[Expression]) => FreqSketchAgg(es.head, intLit(es(1), "maxMapSize"))))
+    ext.injectFunction((FunctionIdentifier("graft_freq_merge"),
+      info("graft_freq_merge", "graft_freq_merge(sketch, maxMapSize) - union freq sketches"),
+      (es: Seq[Expression]) => FreqSketchMerge(es.head, intLit(es(1), "maxMapSize"))))
+    ext.injectFunction((FunctionIdentifier("graft_freq_topk"),
+      info("graft_freq_topk", "graft_freq_topk(sketch, k) - top-k (item, est) from a freq sketch"),
+      (es: Seq[Expression]) => FreqSketchTopK(es.head, intLit(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_kll_sketch"),
+      info("graft_kll_sketch", "graft_kll_sketch(col, k) - KLL quantile sketch"),
+      (es: Seq[Expression]) => KllSketchAgg(es.head, intLit(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_kll_merge"),
+      info("graft_kll_merge", "graft_kll_merge(sketch, k) - union KLL sketches"),
+      (es: Seq[Expression]) => KllSketchMerge(es.head, intLit(es(1), "k"))))
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

@@ -17,7 +17,8 @@ object SparkEntry {
       RelationalQueries5.defs ++ RelationalQueries6.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++
-      PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs
+      PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
+      SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++
-      PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles
+      PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
+      SketchQueries.oracles
 }

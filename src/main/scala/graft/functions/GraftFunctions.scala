@@ -30,6 +30,26 @@ object GraftFunctions {
   /** Hamming distance of two 64-bit hashes (built-in composition). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---- mergeable sketch aggregates (DataSketches) ------------------------
+  /** Frequent-items sketch of a string column (binary, mergeable). */
+  def freq_sketch_agg(c: Column, maxMapSize: Int = 1024): Column =
+    Shim.column(FreqSketchAgg(Shim.expression(c), maxMapSize).toAggregateExpression())
+  /** Union pre-built frequent-items sketches (re-aggregation path). */
+  def freq_sketch_merge(c: Column, maxMapSize: Int = 1024): Column =
+    Shim.column(FreqSketchMerge(Shim.expression(c), maxMapSize).toAggregateExpression())
+  /** Top-k (item, est) rows from a serialized frequent-items sketch. */
+  def freq_sketch_topk(c: Column, k: Int): Column =
+    Shim.column(FreqSketchTopK(Shim.expression(c), k))
+  /** KLL quantile sketch of a double column (binary, mergeable). */
+  def kll_sketch_agg(c: Column, k: Int = 200): Column =
+    Shim.column(KllSketchAgg(Shim.expression(c), k).toAggregateExpression())
+  /** Union pre-built KLL sketches (re-aggregation path). */
+  def kll_sketch_merge(c: Column, k: Int = 200): Column =
+    Shim.column(KllSketchMerge(Shim.expression(c), k).toAggregateExpression())
+  /** Quantiles at the given ranks from a serialized KLL sketch. */
+  def kll_quantiles(c: Column, ranks: Seq[Double]): Column =
+    Shim.column(KllQuantiles(Shim.expression(c), ranks))
+
   /** Register SQL-callable names (usable inside lambda HOFs too). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

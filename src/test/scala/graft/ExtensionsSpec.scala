@@ -29,6 +29,14 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT array_min(transform(array('x', 'y'), s -> graft_poly_hash(s))) AS m")
         .head().getLong(0)
       assert(m == math.min("x".charAt(0).toLong, "y".charAt(0).toLong))
+      // sketch aggregates resolve from pure SQL (analyzer wraps the bare
+      // AggregateFunction) — exact mode, so counts are exact
+      Seq("a", "b", "a", "c", "a").toDF("v").createOrReplaceTempView("items")
+      val top = spark.sql(
+        """SELECT t.item, t.est FROM (
+          |  SELECT explode(graft_freq_topk(graft_freq_sketch(v, 64), 1)) AS t
+          |  FROM items) x""".stripMargin).head()
+      assert(top.getString(0) == "a" && top.getLong(1) == 3L)
     // do NOT stop this session: that would kill the SparkContext shared
     // with the other suites' sessions
   }
