@@ -178,33 +178,73 @@ object Dedup {
     // plan stays O(1) across iterations and the edges/labels self-join
     // never becomes ambiguous (labels would otherwise contain edges in
     // its lineage from round 2 on)
+    // Constraint propagation must be off for the loop: checkpointed
+    // LogicalRDDs snapshot constraints whose attribute ids go stale once
+    // they feed the next round's union, crashing the analyzer
+    // (UnionBase.rewriteConstraints: "key not found: id#N"). Constraints
+    // only power optional filter inference — correctness is unaffected.
+    val sparkSession = vertices.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = sparkSession.conf.get(cpKey)
+    sparkSession.conf.set(cpKey, "false")
+    try {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component"))
+    // Iterate ONLY over edge-incident vertices: in a dedup graph the
+    // overwhelming majority of documents are singletons — at corpus
+    // scale this shrinks the label frame by orders of magnitude.
+    // Singletons re-attach at the end via one left join (component=id).
+    // Seed label = min(v, min(neighbors)) — the first propagation round
+    // folded into the same single shuffle that dedups incident vertices.
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+      .select(col("u").as("id"), least(col("u"), col("__mv")).as("component"))
       .localCheckpoint()
+    // Convergence via the label sum: labels are monotone non-increasing
+    // (min-fold includes the old label; the jump maps c -> label(c) <= c
+    // by the label(v) <= v invariant), so the sum strictly decreases iff
+    // any vertex changed — one tiny agg instead of a per-round join+count.
+    // decimal(38,0) so 1e12 vertices with 64-bit ids cannot overflow.
+    // Null sum = empty edge set: nothing to iterate.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    var changed = !labels.isEmpty
+    while (changed && iter < maxIters) {
       val prop = edges.as("e").join(labels.as("l"), col("e.v") === col("l.id"))
         .select(col("e.u").as("id"), col("l.component").as("component"))
+      // folded feeds both sides of the jump self-join un-cached: the
+      // groupBy's shuffle is an identical subplan on both, so Spark's
+      // ReuseExchange computes it once (safe only with constraint
+      // propagation off, see above)
       val folded = labels.union(prop)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      // pointer jump: component := component's component. Every label is
-      // a vertex id, so the inner self-join keeps all rows; labels only
-      // decrease, so the jump never regresses.
-      val next = folded.as("x")
+      // pointer jump ×2: component := label(label(component)) — path
+      // lengths quarter each round instead of halving. Every label is a
+      // vertex id, so the inner self-joins keep all rows; labels only
+      // decrease, so the jumps never regress. Lazy checkpoint: the
+      // labelSum action below is the job that materializes it, so fold +
+      // jumps + convergence check share one job per round.
+      val jumped = folded.as("x")
         .join(folded.as("y"), col("x.component") === col("y.id"))
         .select(col("x.id").as("id"), col("y.component").as("component"))
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.component") < col("p.component")).count()
+      val next = jumped.as("p")
+        .join(folded.as("q"), col("p.component") === col("q.id"))
+        .select(col("p.id").as("id"), col("q.component").as("component"))
+        .localCheckpoint(eager = false)
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) < 0
+      prevSum = s
       labels = next
       iter += 1
     }
-    labels
+    vertices.select(col("id"))
+      .join(labels.withColumnRenamed("id", "__lid"),
+        col("id") === col("__lid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    } finally sparkSession.conf.set(cpKey, cpPrev)
   }
 
   /** Exact embedding similarity pairs via a block-pair all-pairs join —

@@ -6,6 +6,23 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  test("connected components: chain, star, and singletons converge to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-...-12 (diameter forces multiple propagation rounds),
+    // star 100-(101..105), singletons 200, 201
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val star = (101L to 105L).map(i => (100L, i))
+    val pairs = (chain ++ star).toDF("id_a", "id_b")
+    val vertices = ((1L to 12L) ++ (100L to 105L) ++ Seq(200L, 201L))
+      .toDF("id")
+    val got = graft.operators.Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = ((1L to 12L).map(_ -> 1L) ++
+      (100L to 105L).map(_ -> 100L) ++
+      Seq(200L -> 200L, 201L -> 201L)).toMap
+    assert(got == expect)
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     import spark.implicits._
     val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd")).toDF("doc_id", "text")
