@@ -49,6 +49,9 @@ object GraftFunctions {
   /** Quantiles at the given ranks from a serialized KLL sketch. */
   def kll_quantiles(c: Column, ranks: Seq[Double]): Column =
     Shim.column(KllQuantiles(Shim.expression(c), ranks))
+  // Theta sketches (distinct-count set algebra: union/intersect/a-not-b)
+  // are Spark 4.1 built-ins — use org.apache.spark.sql.functions.theta_*
+  // directly (theta_sketch_agg/theta_union_agg take lg(nominalEntries)).
 
   /** Register SQL-callable names (usable inside lambda HOFs too). */
   def register(spark: SparkSession): Unit = {

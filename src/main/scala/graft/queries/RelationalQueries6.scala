@@ -51,6 +51,23 @@ object RelationalQueries6 {
           when($"n_rich".isNull, lit("none")).otherwise(lit("some")).as("has_rich"))
     },
 
+    // explicit Bloom-filter semi-join pruning: filter of the selective
+    // build side's keys kills non-matching lineitem rows at the scan,
+    // before the join shuffle; trailing exact join makes false
+    // positives irrelevant — row-identical to the plain join
+    "q52_bloom_join" -> { (s, dir) =>
+      import s.implicits._
+      val bigOrders = Tables.load(s, dir, "orders")
+        .filter($"o_totalprice" > 450000.0)
+        .select($"o_orderkey", $"o_orderstatus")
+      graft.operators.BloomPrune.prunedEquiJoin(
+          Tables.load(s, dir, "lineitem"), bigOrders,
+          "l_orderkey", "o_orderkey", expectedItems = 4096L)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity".cast("decimal(15,2)")).cast("double").as("sum_qty"))
+    },
+
     // LATERAL correlated subquery: each nation's single highest-balance
     // supplier (SQL surface; Catalyst plans the same window/join shapes)
     "q51_lateral" -> { (s, dir) =>
@@ -93,6 +110,14 @@ object RelationalQueries6 {
         |  SELECT s_nationkey, count(*) AS n_rich FROM supplier
         |  WHERE s_acctbal > 8000.0 GROUP BY s_nationkey) a
         |ON n_nationkey = s_nationkey""".stripMargin,
+
+    "q52_bloom_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q51_lateral" ->
       """SELECT n_nationkey, n_name, t.s_suppkey AS top_suppkey,

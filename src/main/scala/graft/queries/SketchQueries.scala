@@ -37,6 +37,34 @@ object SketchQueries {
         .select(col("t.item").as("brand"), col("t.est").as("n_parts"))
     },
 
+    // distinct-count set algebra: per-day theta sketches of user_id per
+    // event segment (Spark 4.1 built-in theta_* — lg nominal entries 16
+    // = 65536, exact well past this corpus), unioned, then intersect /
+    // difference / union ON THE SKETCHES — "users who viewed but never
+    // purchased" without ever shuffling raw user ids, and persisted
+    // per-day partials answer any boolean combination later rescan-free.
+    "sketch_theta_setops" -> { (s, dir) =>
+      val lgK = 16
+      val ev = Tables.events(s, dir).withColumn("d", col("ts").cast("date"))
+      def seg(t: String) =
+        theta_sketch_agg(when(col("event_type") === t, col("user_id")), lgK)
+      val daily = ev.groupBy(col("d")).agg(
+        seg("view").as("v"), seg("click").as("c"), seg("purchase").as("p"))
+      daily.agg(
+        theta_union_agg(col("v"), lgK).as("v"),
+        theta_union_agg(col("c"), lgK).as("c"),
+        theta_union_agg(col("p"), lgK).as("p"))
+        .select(
+          theta_sketch_estimate(col("v")).cast("long").as("n_view"),
+          theta_sketch_estimate(col("p")).cast("long").as("n_purchase"),
+          theta_sketch_estimate(theta_intersection(col("v"), col("p")))
+            .cast("long").as("n_view_and_purchase"),
+          theta_sketch_estimate(theta_difference(col("v"), col("p")))
+            .cast("long").as("n_view_not_purchase"),
+          theta_sketch_estimate(theta_union(col("c"), col("p"), lgK))
+            .cast("long").as("n_click_or_purchase"))
+    },
+
     // global quantiles without a global sort: per-priority partial KLL
     // sketches of o_totalprice, merged once. k=32768 ≥ n at sf0.01 so
     // the sketch never compacts → INCLUSIVE quantiles == quantile_disc.
@@ -57,6 +85,24 @@ object SketchQueries {
       """SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts
         |FROM part GROUP BY 1
         |ORDER BY n_parts DESC, brand ASC LIMIT 10""".stripMargin,
+
+    "sketch_theta_setops" ->
+      """SELECT
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS n_view,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_purchase,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT user_id FROM events WHERE event_type = 'view'
+        |     INTERSECT
+        |     SELECT user_id FROM events WHERE event_type = 'purchase') t)
+        |    AS n_view_and_purchase,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT user_id FROM events WHERE event_type = 'view'
+        |     EXCEPT
+        |     SELECT user_id FROM events WHERE event_type = 'purchase') t)
+        |    AS n_view_not_purchase,
+        |  CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+        |    THEN user_id END) AS BIGINT) AS n_click_or_purchase
+        |FROM events""".stripMargin,
 
     "sketch_kll_quantiles" -> kllRanks.map(r =>
       s"SELECT CAST($r AS DOUBLE) AS rank, " +

@@ -10,6 +10,25 @@ class OperatorSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("bloom-pruned join is row-identical to the plain join and actually prunes") {
+    import graft.operators.BloomPrune
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val bigOrders = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val pruned = BloomPrune.prunedEquiJoin(
+        lineitem, bigOrders, "l_orderkey", "o_orderkey", 1024L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+    val plain = lineitem.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // the filter itself must kill the vast majority of probe rows
+    val bf = BloomPrune.buildFilter(bigOrders, "o_orderkey", 1024L)
+    val kept = BloomPrune.prune(lineitem, "l_orderkey", bf).count()
+    val total = lineitem.count()
+    assert(kept < total / 2, s"kept=$kept of $total — filter not selective")
+  }
+
   test("as-of join picks latest right row at or before left ts") {
     import spark.implicits._
     val right = Seq( // clicks: (user, ts, id)
