@@ -76,4 +76,22 @@ class PipelineManager(spark: SparkSession) {
 
   def list: Map[String, String] =
     jobs.keySet.flatMap(n => status(n).map(n -> _)).toMap
+
+  /** Number of currently-running jobs (controller's GET /count). */
+  def runningCount: Int =
+    jobs.values.count { case Running(q) => q.isActive; case _ => false }
+
+  /** Whether a named job is actively running (GET /jobs/{name}/status
+    * boolean form).
+    */
+  def isRunning(name: String): Boolean = jobs.get(name) match {
+    case Some(Running(q)) => q.isActive
+    case _ => false
+  }
+
+  /** Stop every running job (controller's POST /stop-all); returns the
+    * names that were actually stopped.
+    */
+  def stopAll(): Seq[String] =
+    jobs.keySet.toSeq.sorted.filter(stop)
 }

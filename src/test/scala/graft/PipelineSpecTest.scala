@@ -133,4 +133,24 @@ class PipelineSpecTest extends SparkSpec {
     q.stop()
     assert(rows.map(_.getString(0)).toSeq == Seq("important gamma"))
   }
+
+  test("manager count/isRunning/stopAll mirror the controller surface") {
+    val in = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$in/x.txt"), "a\nb\n")
+    val mgr = new PipelineManager(spark)
+    def streamSpec(name: String) = PipelineSpec(
+      name = name,
+      source = SourceSpec("directory", Map("path" -> in, "format" -> "text")),
+      transformations = Seq.empty,
+      sink = SinkSpec("memory", Map.empty),
+      streaming = true)
+    mgr.submit(streamSpec("mgr-a"))
+    mgr.submit(streamSpec("mgr-b"))
+    assert(mgr.runningCount == 2)
+    assert(mgr.isRunning("mgr-a") && mgr.isRunning("mgr-b"))
+    assert(!mgr.isRunning("mgr-missing"))
+    assert(mgr.stopAll().sorted == Seq("mgr-a", "mgr-b"))
+    assert(mgr.runningCount == 0 && !mgr.isRunning("mgr-a"))
+    assert(mgr.stopAll().isEmpty)
+  }
 }

@@ -57,6 +57,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sketch aggregates partial-aggregate below the exchange (sketches move, rows don't)") {
+    for (q <- Seq("sketch_freq_topk", "sketch_kll_quantiles", "sketch_theta_setops")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q must aggregate sketch buffers via ObjectHashAggregate")
+      assert(p.contains("partial_"),
+        s"$q must build per-task partial sketches before the exchange — " +
+          "shipping raw rows to one reducer would not survive scale")
+    }
+  }
+
+  test("bloom-pruned join probes the filter below the join") {
+    val p = plan("q52_bloom_join")
+    assert(p.contains("might_contain"),
+      "probe-side scan stage must carry the bloom might_contain predicate")
+    val joinPos = p.indexOf("Join")
+    val probePos = p.indexOf("might_contain")
+    assert(joinPos >= 0 && probePos > joinPos,
+      "might_contain must sit below the join in the plan tree")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
