@@ -43,12 +43,15 @@ object ScaleProbe {
     replicate("customer", Seq("c_custkey"), perturbText = false)
     replicate("nation", Seq.empty, perturbText = false)
     replicate("events", Seq("event_id", "user_id"), perturbText = false)
+    replicate("part", Seq("p_partkey"), perturbText = false)
 
     val heavy = Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
-      "dedup_embedding", "dedup_exact", "ann_lsh", "knn_join",
+      "dedup_embedding", "dedup_exact", "dedup_clusters", "ann_lsh", "knn_join",
       "q2_join_agg", "q21_skew_join", "q19_time_window", "q20_sessionize",
       "q15_asof_join", "q16_range_join", "q42_explode",
-      "text_repetition", "text_pii")
+      "text_repetition", "text_pii",
+      "sketch_freq_topk", "sketch_kll_quantiles", "sketch_theta_setops",
+      "q52_bloom_join")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, out).count()
