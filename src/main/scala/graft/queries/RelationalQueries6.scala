@@ -68,6 +68,18 @@ object RelationalQueries6 {
           sum($"l_quantity".cast("decimal(15,2)")).cast("double").as("sum_qty"))
     },
 
+    // global row numbering WITHOUT the single-task no-partition window:
+    // range repartition + per-partition offsets (operators.GlobalIndex)
+    // — identical numbering to row_number() OVER (ORDER BY ...)
+    "q53_global_index" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.GlobalIndex.withRowNumber(
+          Tables.load(s, dir, "orders")
+            .select($"o_orderkey", $"o_totalprice"),
+          "rn", $"o_totalprice", $"o_orderkey")
+        .select($"o_orderkey", $"rn")
+    },
+
     // LATERAL correlated subquery: each nation's single highest-balance
     // supplier (SQL surface; Catalyst plans the same window/join shapes)
     "q51_lateral" -> { (s, dir) =>
@@ -110,6 +122,11 @@ object RelationalQueries6 {
         |  SELECT s_nationkey, count(*) AS n_rich FROM supplier
         |  WHERE s_acctbal > 8000.0 GROUP BY s_nationkey) a
         |ON n_nationkey = s_nationkey""".stripMargin,
+
+    "q53_global_index" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        |FROM orders""".stripMargin,
 
     "q52_bloom_join" ->
       """SELECT o_orderstatus,

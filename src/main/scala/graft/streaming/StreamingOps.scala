@@ -44,6 +44,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("min_val"), max(col("value")).as("max_val"))
 
+  /** Tumbling-window DISTINCT counting in a stream via mergeable HLL
+    * sketch state: the state store holds a few-KB sketch buffer per
+    * window — bounded regardless of key cardinality, where a
+    * distinct-set state would grow with the data. In the sketch's exact
+    * (coupon) range the emitted estimate equals the true distinct count;
+    * the emitted sketch column re-merges with batch partials
+    * (`operators.Sketches`) for lambda-free backfills.
+    */
+  def windowedDistinct(events: DataFrame, keyCol: String, windowLen: String,
+      watermark: String = "1 hour", lgK: Int = 14): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("hll_sketch"))
+      .select(col("window"),
+        hll_sketch_estimate(col("hll_sketch")).as("distinct_est"),
+        col("hll_sketch"))
+
   /** Stream-stream inner join: pair each left event with right events of
     * the same key whose timestamp falls in the preceding `windowSpec`
     * (e.g. "1 hour"). Watermarks on both sides bound the join state —

@@ -36,4 +36,34 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("z-order keeps BOTH columns' per-file ranges tight; single-sort does not") {
+    val out = Files.createTempDirectory("graft_zorder").toString
+    val outSorted = Files.createTempDirectory("graft_zsorted").toString
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val nFiles = 16
+    Layout.writeZOrderedParquet(li, out, Seq("l_orderkey", "l_partkey"), nFiles)
+    Layout.writeSortedParquet(li, outSorted, "l_orderkey", nFiles)
+    assert(spark.read.parquet(out).count() == li.count())
+
+    // fraction of files whose [min,max] straddles the column median —
+    // the stats a reader consults for skipping
+    def straddle(dir: String, c: String): Double = {
+      val med = li.stat.approxQuantile(c, Array(0.5), 0.0).head
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min(col(c)).cast("double").as("lo"),
+          max(col(c)).cast("double").as("hi"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      spans.count { case (lo, hi) => lo <= med && med <= hi }.toDouble / spans.length
+    }
+    // single-column sort: every file spans all of l_partkey
+    assert(straddle(outSorted, "l_partkey") == 1.0)
+    // z-order: most files skippable for a point/range predicate on
+    // EITHER column
+    assert(straddle(out, "l_orderkey") <= 0.5,
+      s"l_orderkey straddle ${straddle(out, "l_orderkey")}")
+    assert(straddle(out, "l_partkey") <= 0.5,
+      s"l_partkey straddle ${straddle(out, "l_partkey")}")
+  }
 }

@@ -29,6 +29,19 @@ class OperatorSpec extends SparkSpec {
     assert(kept < total / 2, s"kept=$kept of $total — filter not selective")
   }
 
+  test("global index equals the window idiom and stays multi-partition") {
+    import graft.operators.GlobalIndex
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).repartition(8)
+    val got = GlobalIndex.withRowNumber(orders, "rn",
+      col("o_totalprice"), col("o_orderkey"))
+    assert(got.rdd.getNumPartitions > 1, "numbering must stay parallel")
+    val idiom = orders.withColumn("rn", row_number().over(
+      Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    assert(got.exceptAll(idiom).isEmpty && idiom.exceptAll(got).isEmpty)
+  }
+
   test("as-of join picks latest right row at or before left ts") {
     import spark.implicits._
     val right = Seq( // clicks: (user, ts, id)

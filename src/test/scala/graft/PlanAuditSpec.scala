@@ -78,6 +78,16 @@ class PlanAuditSpec extends SparkSpec {
       "might_contain must sit below the join in the plan tree")
   }
 
+  test("global row numbering avoids the single-task no-partition window") {
+    val p = plan("q53_global_index")
+    assert(!p.contains("Window"),
+      "q53 must not plan a Window — row_number() OVER (ORDER BY) with no " +
+        "partition keys funnels 100 TB through one task")
+    // the range exchange lives in the operator's internal pass; the
+    // final plan is a parallel ExistingRDD scan, not a window
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}

@@ -23,6 +23,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed HLL distinct equals batch exact per window") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val q = StreamingOps.windowedDistinct(stream, "user_id", "1 hour")
+      .writeStream.format("memory").queryName("win_distinct")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT unix_timestamp(window.start) ws, distinct_est FROM win_distinct")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(unix_timestamp(col("window.start")), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // emitted sketches re-merge with batch partials to the global count
+    val merged = graft.operators.Sketches.hllMergeEstimate(
+      spark.sql("SELECT hll_sketch FROM win_distinct"), Seq.empty, "n")
+      .head().getLong(0)
+    val exact = Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(merged == exact, s"merged=$merged exact=$exact")
+  }
+
   test("stream-stream window join pairs match the batch range join") {
     val stream = StreamingOps.eventsStream(spark, sf)
     val purchases = stream.filter(col("event_type") === "purchase")
