@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Seeded sampling for pipeline-scale data curation. At 100 TB most
   * jobs (k-means fit, quality calibration, eval-set carving) run on a
@@ -19,4 +20,34 @@ object Sampling {
   def stratified(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic priority for weighted top-k sampling: the minimum of
+    * `weight` independent integer hash draws of the id. Each draw is
+    * equally likely to be the global minimum, so an item wins the top
+    * spot with probability weight/totalWeight — exactly — and top-k
+    * approximates weighted sampling without replacement. Pure 64-bit
+    * integer arithmetic (LCG-style mix, no floats, no RNG state), so
+    * the selection is reproducible on ANY engine that can multiply
+    * longs — the DuckDB oracle replays it bit-for-bit.
+    */
+  def weightedPriority(idCol: Column, weightCol: Column,
+      seed: Long = 42L): Column =
+    array_min(transform(
+      sequence(lit(0L), weightCol.cast("long") - 1L),
+      j => pmod(
+        (idCol.cast("long") + lit(1L + seed)) * lit(2654435761L)
+          + j * lit(1013904223L),
+        lit(2147483647L))))
+
+  /** Weighted top-k sample: the k rows with the smallest
+    * [[weightedPriority]] (ties broken by id — fully deterministic).
+    * Scan-local priority + TakeOrdered: no shuffle of the table.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame =
+    df.withColumn("__prio",
+        weightedPriority(col(idCol), col(weightCol), seed))
+      .orderBy(col("__prio").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__prio")
 }

@@ -43,6 +43,17 @@ object CorpusQueries {
           sum(token_count(col("text"))).as("n_tokens"))
     },
 
+    // weighted top-k sample (integer min-of-w-draws priorities — no
+    // floats, no RNG state): en docs carry 3 draws, others 1, so en
+    // wins slots at 3x the rate; fully deterministic and replayed
+    // bit-for-bit by the oracle
+    "corpus_weighted_sample" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("wt", when(col("lang") === "en", 3).otherwise(1))
+      graft.operators.Sampling.weightedTopK(docs, "doc_id", "wt", 100)
+        .select(col("doc_id"), col("lang"))
+    },
+
     "corpus_stats" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
         .withColumn("n_tokens", token_count(col("text")))
@@ -69,6 +80,15 @@ object CorpusQueries {
         |  AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens >= 3.0
         |  AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0
         |  AND stop_cnt * 100 >= n_tokens * 2""".stripMargin,
+
+    "corpus_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS wt FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |  list_min(list_transform(range(0, CAST(wt AS BIGINT)),
+        |    j -> ((doc_id + 43) * 2654435761 + j * 1013904223) % 2147483647))
+        |    AS prio FROM w)
+        |SELECT doc_id, lang FROM p ORDER BY prio, doc_id LIMIT 100""".stripMargin,
 
     "corpus_split" ->
       """WITH t AS (SELECT lang,

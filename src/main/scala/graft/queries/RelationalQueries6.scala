@@ -80,6 +80,29 @@ object RelationalQueries6 {
         .select($"o_orderkey", $"rn")
     },
 
+    // quantile bucketing (feature binning) at scale: cutpoints from a
+    // mergeable KLL sketch (exact regime == quantile_disc), broadcast
+    // as literals into a codegen'd CASE — the scale-safe alternative to
+    // ntile() OVER (ORDER BY ...), which funnels all rows into one task
+    "q54_quantile_bucket" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions._
+      val orders = Tables.load(s, dir, "orders")
+      val cuts = orders
+        .agg(kll_sketch_agg($"o_totalprice", 32768).as("sk"))
+        .select(kll_quantiles($"sk", Seq(0.25, 0.5, 0.75)).as("q"))
+        .head().getSeq[Double](0)
+      orders
+        .withColumn("bucket",
+          when($"o_totalprice" <= cuts(0), 1)
+            .when($"o_totalprice" <= cuts(1), 2)
+            .when($"o_totalprice" <= cuts(2), 3)
+            .otherwise(4))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+    },
+
     // LATERAL correlated subquery: each nation's single highest-balance
     // supplier (SQL surface; Catalyst plans the same window/join shapes)
     "q51_lateral" -> { (s, dir) =>
@@ -122,6 +145,19 @@ object RelationalQueries6 {
         |  SELECT s_nationkey, count(*) AS n_rich FROM supplier
         |  WHERE s_acctbal > 8000.0 GROUP BY s_nationkey) a
         |ON n_nationkey = s_nationkey""".stripMargin,
+
+    "q54_quantile_bucket" ->
+      """WITH c AS (SELECT
+        |  quantile_disc(o_totalprice, 0.25) AS q1,
+        |  quantile_disc(o_totalprice, 0.50) AS q2,
+        |  quantile_disc(o_totalprice, 0.75) AS q3 FROM orders)
+        |SELECT CASE WHEN o_totalprice <= q1 THEN 1
+        |            WHEN o_totalprice <= q2 THEN 2
+        |            WHEN o_totalprice <= q3 THEN 3
+        |            ELSE 4 END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders, c GROUP BY 1""".stripMargin,
 
     "q53_global_index" ->
       """SELECT o_orderkey,

@@ -58,6 +58,28 @@ class SamplingSpec extends SparkSpec {
     val frTotal = docs.filter(org.apache.spark.sql.functions.col("lang") === "fr").count()
     assert(byLang("fr") == frTotal) // fraction 1.0 keeps everything
   }
+
+  test("weighted top-k sample is deterministic and favors weight") {
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    // 1000 heavy ids (weight 5) among 10000: expected heavy share of the
+    // top-k is 5000/14000 ~ 36%, vs 10% population share
+    val df = (0L until 10000L).toDF("id")
+      .withColumn("wt", when($"id" < 1000, 5).otherwise(1))
+    val s1 = graft.operators.Sampling.weightedTopK(df, "id", "wt", 500)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val s2 = graft.operators.Sampling.weightedTopK(df, "id", "wt", 500)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "same seed must reproduce the same sample")
+    val heavy = s1.count(_ < 1000)
+    assert(heavy > 100 && heavy < 350,
+      s"heavy=$heavy of 500 — expected ~180 (36%), far above the 10% share")
+    // different seed -> different (but still deterministic) sample
+    val s3 = graft.operators.Sampling.weightedTopK(df, "id", "wt", 500, seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(s3 != s1)
+  }
 }
 
 class SkewSpec extends SparkSpec {
