@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the contract check every ingest
+  * runs before data is allowed downstream. All rules evaluate in ONE
+  * aggregation pass over the table (violation counts are plain agg
+  * columns, partial-aggregated map-side), so auditing 100 TB costs one
+  * scan regardless of how many rules are attached.
+  */
+object Quality {
+
+  sealed trait Rule {
+    def name: String
+    /** Aggregate column counting this rule's violations (0 = clean). */
+    def agg: Column
+  }
+
+  /** Column must not contain nulls. */
+  case class NotNull(column: String) extends Rule {
+    val name = s"null_$column"
+    def agg: Column = count(when(col(column).isNull, 1))
+  }
+
+  /** String column must not contain empty values. */
+  case class NonEmpty(column: String) extends Rule {
+    val name = s"empty_$column"
+    def agg: Column = count(when(length(col(column)) === 0, 1))
+  }
+
+  /** Column values must come from the allowed set (null is a violation). */
+  case class InSet(column: String, allowed: Seq[String]) extends Rule {
+    val name = s"domain_$column"
+    def agg: Column = count(when(
+      col(column).isNull || !col(column).isin(allowed.map(lit): _*), 1))
+  }
+
+  /** Numeric column must lie in [lo, hi] (null is a violation). */
+  case class Bounds(column: String, lo: Double, hi: Double) extends Rule {
+    val name = s"bounds_$column"
+    def agg: Column = count(when(
+      col(column).isNull || col(column) < lo || col(column) > hi, 1))
+  }
+
+  /** Column must be unique across the table (violations = extra rows). */
+  case class Unique(column: String) extends Rule {
+    val name = s"dup_$column"
+    def agg: Column = count(col(column)) - count_distinct(col(column))
+  }
+
+  /** One row: total row count + one violation-count column per rule. */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => r.agg.as(r.name))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pass/fail per rule (true = zero violations), from one audit pass. */
+  def check(df: DataFrame, rules: Seq[Rule]): Map[String, Boolean] = {
+    val row = audit(df, rules).head()
+    rules.map(r => r.name -> (row.getAs[Long](r.name) == 0L)).toMap
+  }
+}

@@ -54,6 +54,17 @@ object CorpusQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // declarative one-pass quality audit: every ingest contract check
+    // (nulls, emptiness, id uniqueness, lang domain, char bounds) as a
+    // single aggregation over the corpus
+    "corpus_audit" -> { (s, dir) =>
+      import graft.operators.Quality._
+      audit(Tables.load(s, dir, "documents"), Seq(
+        NotNull("text"), NonEmpty("text"), Unique("doc_id"),
+        InSet("lang", Seq("en", "de", "es", "fr", "zh")),
+        Bounds("n_chars", 1, 1000000)))
+    },
+
     "corpus_stats" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
         .withColumn("n_tokens", token_count(col("text")))
@@ -89,6 +100,18 @@ object CorpusQueries {
         |    j -> ((doc_id + 43) * 2654435761 + j * 1013904223) % 2147483647))
         |    AS prio FROM w)
         |SELECT doc_id, lang FROM p ORDER BY prio, doc_id LIMIT 100""".stripMargin,
+
+    "corpus_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS null_text,
+        |  CAST(count(CASE WHEN length(text) = 0 THEN 1 END) AS BIGINT) AS empty_text,
+        |  CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS dup_doc_id,
+        |  CAST(count(CASE WHEN lang IS NULL
+        |    OR lang NOT IN ('en','de','es','fr','zh') THEN 1 END) AS BIGINT)
+        |    AS domain_lang,
+        |  CAST(count(CASE WHEN n_chars IS NULL OR n_chars < 1
+        |    OR n_chars > 1000000 THEN 1 END) AS BIGINT) AS bounds_n_chars
+        |FROM documents""".stripMargin,
 
     "corpus_split" ->
       """WITH t AS (SELECT lang,

@@ -103,6 +103,25 @@ object RelationalQueries6 {
           min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
     },
 
+    // snapshot diff (CDC without a transaction log): one full-outer join
+    // classifies every key as insert/delete/update/unchanged. The "new"
+    // snapshot derives deterministically from orders (delete %97 keys,
+    // bump price on %13, re-insert %89 under offset keys) so the oracle
+    // replays the exact same diff
+    "q55_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val old = Tables.load(s, dir, "orders")
+      val updated = old.filter(pmod($"o_orderkey", lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod($"o_orderkey", lit(13)) === 0, $"o_totalprice" + 1000.0)
+            .otherwise($"o_totalprice"))
+      val inserts = old.filter(pmod($"o_orderkey", lit(89)) === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+      val neu = updated.unionByName(inserts)
+      graft.operators.SnapshotDiff.diff(old, neu, Seq("o_orderkey"))
+        .filter($"change" =!= "unchanged")
+    },
+
     // LATERAL correlated subquery: each nation's single highest-balance
     // supplier (SQL surface; Catalyst plans the same window/join shapes)
     "q51_lateral" -> { (s, dir) =>
@@ -145,6 +164,25 @@ object RelationalQueries6 {
         |  SELECT s_nationkey, count(*) AS n_rich FROM supplier
         |  WHERE s_acctbal > 8000.0 GROUP BY s_nationkey) a
         |ON n_nationkey = s_nationkey""".stripMargin,
+
+    "q55_snapshot_diff" ->
+      """WITH newsnap AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN o.o_totalprice = n.o_totalprice THEN 'unchanged'
+        |         ELSE 'update' END AS change
+        |  FROM orders o FULL OUTER JOIN newsnap n
+        |    ON o.o_orderkey = n.o_orderkey) t
+        |WHERE change <> 'unchanged'""".stripMargin,
 
     "q54_quantile_bucket" ->
       """WITH c AS (SELECT

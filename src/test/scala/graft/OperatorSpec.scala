@@ -29,6 +29,45 @@ class OperatorSpec extends SparkSpec {
     assert(kept < total / 2, s"kept=$kept of $total — filter not selective")
   }
 
+  test("quality rules flag exactly the planted violations in one pass") {
+    import graft.operators.Quality._
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "ok", "en", 10L),
+      (2L, null, "en", 10L),      // null text
+      (3L, "", "fr", 10L),        // empty text
+      (3L, "dup id", "de", 10L),  // duplicate id
+      (4L, "bad lang", "xx", 10L),
+      (5L, "bad bounds", "es", -1L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val rules = Seq(NotNull("text"), NonEmpty("text"), Unique("doc_id"),
+      InSet("lang", Seq("en", "de", "es", "fr", "zh")),
+      Bounds("n_chars", 1, 1000000))
+    val row = audit(dirty, rules).head()
+    assert(row.getAs[Long]("n_rows") == 6L)
+    assert(row.getAs[Long]("null_text") == 1L)
+    assert(row.getAs[Long]("empty_text") == 1L)
+    assert(row.getAs[Long]("dup_doc_id") == 1L)
+    assert(row.getAs[Long]("domain_lang") == 1L)
+    assert(row.getAs[Long]("bounds_n_chars") == 1L)
+    assert(check(dirty, rules).values.forall(_ == false))
+    val clean = Seq((1L, "ok", "en", 10L)).toDF("doc_id", "text", "lang", "n_chars")
+    assert(check(clean, rules).values.forall(_ == true))
+  }
+
+  test("snapshot diff classifies insert/delete/update/unchanged") {
+    import graft.operators.SnapshotDiff
+    import spark.implicits._
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((2L, "b", 2.0), (3L, "c", 9.0), (4L, "d", 4.0))
+      .toDF("k", "s", "v")
+    val got = SnapshotDiff.diff(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "delete", 2L -> "unchanged",
+      3L -> "update", 4L -> "insert"))
+  }
+
   test("global index equals the window idiom and stays multi-partition") {
     import graft.operators.GlobalIndex
     import org.apache.spark.sql.expressions.Window
