@@ -37,6 +37,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("backfill processes only missing partitions, idempotently, with pruned scans") {
+    import graft.operators.Backfill
+    val src = Files.createTempDirectory("graft_bf_src").toString
+    val dst = Files.createTempDirectory("graft_bf_dst").toString + "/out"
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("day", (col("doc_id") % 3).cast("string"))
+    docs.filter(col("day") =!= "2")
+      .write.mode("overwrite").partitionBy("day").parquet(src)
+    // first run: both existing partitions
+    val r1 = Backfill.run(spark, src, dst, "day")(df =>
+      df.withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(split(col("text"), " "))))
+    assert(r1 == Seq("0", "1"))
+    // nothing new -> no-op
+    assert(Backfill.run(spark, src, dst, "day")(identity).isEmpty)
+    // a new partition lands -> only it is processed
+    docs.filter(col("day") === "2")
+      .write.mode("append").partitionBy("day").parquet(src)
+    // the pruned read must carry the partition filter
+    val pruned = spark.read.parquet(src).filter(col("day").isin("2"))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val r3 = Backfill.run(spark, src, dst, "day")(df =>
+      df.withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(split(col("text"), " "))))
+    assert(r3 == Seq("2"))
+    assert(spark.read.parquet(dst).count() == docs.count())
+  }
+
   test("z-order keeps BOTH columns' per-file ranges tight; single-sort does not") {
     val out = Files.createTempDirectory("graft_zorder").toString
     val outSorted = Files.createTempDirectory("graft_zsorted").toString
