@@ -14,20 +14,29 @@ import org.apache.spark.sql.functions._
 object Backfill {
 
   /** Partition values present under `dir` for hive-layout `partCol=v`
-    * directories (empty if the path does not exist yet).
+    * directories (empty if the path does not exist yet). Uses the
+    * Hadoop FileSystem API, so hdfs:// and s3a:// lakes list the same
+    * as local paths; directory names are hive-unescaped back to the
+    * actual values. Null partitions (__HIVE_DEFAULT_PARTITION__) are
+    * excluded — backfill them explicitly if the layout has them.
     */
-  def partitionValues(dir: String, partCol: String): Set[String] = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) Set.empty
-    else d.listFiles().filter(_.isDirectory).map(_.getName)
+  def partitionValues(spark: SparkSession, dir: String,
+      partCol: String): Set[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(s"$partCol="))
-      .map(_.stripPrefix(s"$partCol=")).toSet
+      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix(s"$partCol=")))
+      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").toSet
   }
 
   /** Source partitions not yet materialized in the sink. */
-  def missing(srcDir: String, dstDir: String, partCol: String): Seq[String] =
-    (partitionValues(srcDir, partCol) -- partitionValues(dstDir, partCol))
-      .toSeq.sorted
+  def missing(spark: SparkSession, srcDir: String, dstDir: String,
+      partCol: String): Seq[String] =
+    (partitionValues(spark, srcDir, partCol) --
+      partitionValues(spark, dstDir, partCol)).toSeq.sorted
 
   /** Backfill the missing partitions through `transform` (which must
     * preserve `partCol`); returns the partition values processed.
@@ -37,7 +46,7 @@ object Backfill {
     */
   def run(spark: SparkSession, srcDir: String, dstDir: String,
       partCol: String)(transform: DataFrame => DataFrame): Seq[String] = {
-    val todo = missing(srcDir, dstDir, partCol)
+    val todo = missing(spark, srcDir, dstDir, partCol)
     if (todo.nonEmpty) {
       val src = spark.read.parquet(srcDir)
         .filter(col(partCol).isin(todo: _*))

@@ -3,9 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Explicit Bloom-filter semi-join pruning — the "pre-shuffle filter"
   * for selective fact⋈dim joins at scale. Spark 4's own runtime filter
@@ -31,27 +32,50 @@ object BloomPrune {
   /** Serialized Bloom filter of `keyCol`, sized for `expectedItems`.
     * One compact binary — persist it to re-prune future scans without
     * recomputing (e.g. nightly fact loads against a stable dim).
+    * `hashType`: the type keys are cast to before hashing — build and
+    * probe MUST use the same one or differently-typed-but-equal keys
+    * (int 5 vs bigint 5) hash apart and matches are silently dropped.
     */
   def buildFilter(build: DataFrame, keyCol: String,
-      expectedItems: Long): Array[Byte] =
+      expectedItems: Long, hashType: Option[DataType] = None): Array[Byte] =
     build.select(Shim.column(
         new BloomFilterAggregate(
-          new XxHash64(Seq(Shim.expression(col(keyCol)))), expectedItems)
+          new XxHash64(Seq(Shim.expression(castTo(col(keyCol), hashType)))),
+          expectedItems)
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
 
-  /** Probe-side predicate: true iff `keyCol` may be present. */
-  def mightContain(filter: Array[Byte], keyCol: Column): Column =
+  /** Probe-side predicate: true iff `keyCol` may be present. Pass the
+    * same `hashType` the filter was built with.
+    */
+  def mightContain(filter: Array[Byte], keyCol: Column,
+      hashType: Option[DataType] = None): Column =
     Shim.column(BloomFilterMightContain(
       Literal(filter, BinaryType),
-      new XxHash64(Seq(Shim.expression(keyCol)))))
+      new XxHash64(Seq(Shim.expression(castTo(keyCol, hashType))))))
+
+  private def castTo(c: Column, t: Option[DataType]): Column =
+    t.fold(c)(c.cast)
+
+  /** The type the equi-join itself would compare under — both sides are
+    * cast to it before hashing, so the filter agrees with the join on
+    * which keys are equal. Refuses pairs with no common type.
+    */
+  private[operators] def commonKeyType(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String): Option[DataType] = {
+    val (pt, bt) = (probe.schema(probeKey).dataType, build.schema(buildKey).dataType)
+    if (pt == bt) None
+    else Some(TypeCoercion.findTightestCommonType(pt, bt).getOrElse(
+      throw new IllegalArgumentException(
+        s"no common key type for $probeKey: $pt vs $buildKey: $bt")))
+  }
 
   /** `probe` rows whose `probeKey` passes the build side's filter —
     * a superset of the semi-join, cheap enough to sit under the scan.
     */
-  def prune(probe: DataFrame, probeKey: String,
-      filter: Array[Byte]): DataFrame =
-    probe.filter(mightContain(filter, col(probeKey)))
+  def prune(probe: DataFrame, probeKey: String, filter: Array[Byte],
+      hashType: Option[DataType] = None): DataFrame =
+    probe.filter(mightContain(filter, col(probeKey), hashType))
 
   /** Equi-join with Bloom pre-pruning of the probe side: identical rows
     * to `probe.join(build, keys)`, but non-matching probe rows are
@@ -63,8 +87,9 @@ object BloomPrune {
   def prunedEquiJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedItems: Long): DataFrame = {
-    val bf = buildFilter(build, buildKey, expectedItems)
-    prune(probe, probeKey, bf)
-      .join(build, col(probeKey) === build(buildKey))
+    val t = commonKeyType(probe, probeKey, build, buildKey)
+    val bf = buildFilter(build, buildKey, expectedItems, t)
+    val pruned = prune(probe, probeKey, bf, t)
+    pruned.join(build, pruned(probeKey) === build(buildKey))
   }
 }

@@ -169,7 +169,12 @@ object Dedup {
     *
     * @param vertices one column `id` — every vertex, including
     *                 singletons (they emit component == id)
-    * @param pairs    columns `id_a`, `id_b` — undirected edges
+    * @param pairs    columns `id_a`, `id_b` — undirected edges. Every
+    *                 endpoint MUST appear in `vertices`: the label loop
+    *                 seeds from edge endpoints, so an endpoint outside
+    *                 the vertex set would propagate connectivity through
+    *                 (and could label components by) an id that no
+    *                 vertex row carries
     * @return (id, component) with component = min id in the component
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,

@@ -22,26 +22,30 @@ object GlobalIndex {
     * Equivalent to `row_number() OVER (ORDER BY keys)` without the
     * single-task window.
     */
-  def withRowNumber(df: DataFrame, outCol: String, keys: Column*): DataFrame = {
+  def withRowNumber(rawDf: DataFrame, outCol: String, keys: Column*): DataFrame = {
+    // single-file parquet tables arrive as ONE partition — spread first
+    // or the range exchange itself degenerates to a single task
+    val df = Parallelism.ensure(rawDf)
     val parts = math.max(df.rdd.getNumPartitions, 1)
     val ranged = df.repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
-    // one lightweight pass: rows per range partition (count only — no
-    // data movement beyond the range exchange itself, which the main
-    // pass reuses via the persisted frame)
-    val persisted = ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = persisted.rdd
+    // ONE captured RDD feeds both the counts job and the final result:
+    // the DAG scheduler skips the completed range-exchange stages on the
+    // second materialization (shuffle files are reused), so nothing is
+    // persisted and nothing leaks cache for the session
+    val rrdd = ranged.rdd
+    val counts = rrdd
       .mapPartitionsWithIndex { case (pid, it) =>
         Iterator.single(pid -> it.size.toLong)
       }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
     val schema = org.apache.spark.sql.types.StructType(
-      persisted.schema :+ org.apache.spark.sql.types.StructField(
+      ranged.schema :+ org.apache.spark.sql.types.StructField(
         outCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = persisted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+    val indexed = rrdd.mapPartitionsWithIndex { case (pid, it) =>
       var i = offsets(pid)
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
     }
-    persisted.sparkSession.createDataFrame(indexed, schema)
+    ranged.sparkSession.createDataFrame(indexed, schema)
   }
 }

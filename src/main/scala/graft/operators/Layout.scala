@@ -57,11 +57,18 @@ object Layout {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
-      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(lit((1 << bits) - 1), greatest(lit(0),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << bits))))
-        .cast("long")
+      // null min/max (empty input or all-null column) → degenerate
+      // bucket 0: the write still succeeds, just without a curve on
+      // that column. Null VALUES likewise land in bucket 0 (coalesce).
+      if (bounds.isNullAt(2 * i)) lit(0L)
+      else {
+        val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        least(lit((1 << bits) - 1), greatest(lit(0),
+          floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo))
+            / lit(span) * lit(1 << bits))))
+          .cast("long")
+      }
     }
     // bit i of bucket j lands at position i*nCols + j — a fold over
     // built-in shifts/ors, fully codegen'd

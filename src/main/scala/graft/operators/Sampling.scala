@@ -45,7 +45,11 @@ object Sampling {
     */
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long = 42L): DataFrame =
-    df.withColumn("__prio",
+    // weight < 1 means "never sample" — filtered, NOT passed to the
+    // priority (sequence(0, w-1) with w=0 would yield [0,-1]: two draws,
+    // making excluded rows MORE likely than weight-1 rows)
+    df.filter(col(weightCol) >= 1)
+      .withColumn("__prio",
         weightedPriority(col(idCol), col(weightCol), seed))
       .orderBy(col("__prio").asc, col(idCol).asc)
       .limit(k)

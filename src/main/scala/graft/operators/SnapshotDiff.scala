@@ -25,12 +25,16 @@ object SnapshotDiff {
       .intersect(newDf.columns).toSeq
     val o = oldDf.select((keys ++ valueCols).map(col): _*)
       .withColumnsRenamed((keys ++ valueCols).map(c => c -> s"__o_$c").toMap)
+      .withColumn("__o_present", lit(true))
     val n = newDf.select((keys ++ valueCols).map(col): _*)
       .withColumnsRenamed((keys ++ valueCols).map(c => c -> s"__n_$c").toMap)
+      .withColumn("__n_present", lit(true))
     val joinCond = keys.map(k => col(s"__o_$k") <=> col(s"__n_$k"))
       .reduce(_ && _)
-    val inOld = col(s"__o_${keys.head}").isNotNull
-    val inNew = col(s"__n_${keys.head}").isNotNull
+    // presence via explicit markers, not key-null-ness — the null-safe
+    // join matches null keys, and those rows must still classify right
+    val inOld = col("__o_present").isNotNull
+    val inNew = col("__n_present").isNotNull
     val allEqual = valueCols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     o.join(n, joinCond, "full_outer")

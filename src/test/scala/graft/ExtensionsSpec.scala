@@ -79,6 +79,12 @@ class SamplingSpec extends SparkSpec {
     val s3 = graft.operators.Sampling.weightedTopK(df, "id", "wt", 500, seed = 7L)
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(s3 != s1)
+    // weight 0 = never sample (a naive sequence(0,-1) would give such
+    // rows TWO draws and over-sample them)
+    val withZeros = df.withColumn("wt", when($"id" >= 9000, 0).otherwise($"wt"))
+    val s4 = graft.operators.Sampling.weightedTopK(withZeros, "id", "wt", 500)
+      .select("id").collect().map(_.getLong(0))
+    assert(s4.forall(_ < 9000), "zero-weight rows must never be sampled")
   }
 }
 

@@ -93,5 +93,10 @@ class LayoutSpec extends SparkSpec {
       s"l_orderkey straddle ${straddle(out, "l_orderkey")}")
     assert(straddle(out, "l_partkey") <= 0.5,
       s"l_partkey straddle ${straddle(out, "l_partkey")}")
+    // empty input must write (degenerate curve), not NPE on null bounds
+    val empty = Files.createTempDirectory("graft_zempty").toString
+    Layout.writeZOrderedParquet(li.filter(lit(false)), empty,
+      Seq("l_orderkey", "l_partkey"), 2)
+    assert(spark.read.parquet(empty).count() == 0)
   }
 }

@@ -27,6 +27,13 @@ class OperatorSpec extends SparkSpec {
     val kept = BloomPrune.prune(lineitem, "l_orderkey", bf).count()
     val total = lineitem.count()
     assert(kept < total / 2, s"kept=$kept of $total — filter not selective")
+    // mixed key types (int probe vs bigint build) must not drop matches:
+    // both sides hash under the join's common type
+    val probeInt = lineitem.withColumn("l_orderkey", col("l_orderkey").cast("int"))
+    val mixed = BloomPrune.prunedEquiJoin(
+        probeInt, bigOrders, "l_orderkey", "o_orderkey", 1024L)
+      .select(col("o_orderkey"), col("l_linenumber"))
+    assert(mixed.count() == plain.count(), "int-vs-bigint keys lost rows")
   }
 
   test("quality rules flag exactly the planted violations in one pass") {
@@ -66,13 +73,21 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "delete", 2L -> "unchanged",
       3L -> "update", 4L -> "insert"))
+    // a null key present in both snapshots pairs via the null-safe join
+    // and must classify by value, not by key-null-ness
+    val oldN = Seq((Option(1L), "a"), (None, "x")).toDF("k", "s")
+    val neuN = Seq((Option(1L), "a"), (None, "y")).toDF("k", "s")
+    val gotN = SnapshotDiff.diff(oldN, neuN, Seq("k"))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(gotN == Map(Some(1L) -> "unchanged", None -> "update"))
   }
 
   test("global index equals the window idiom and stays multi-partition") {
     import graft.operators.GlobalIndex
     import org.apache.spark.sql.expressions.Window
+    // deliberately single-file input: the operator itself must spread it
     val orders = Tables.load(spark, sf, "orders")
-      .select(col("o_orderkey"), col("o_totalprice")).repartition(8)
+      .select(col("o_orderkey"), col("o_totalprice"))
     val got = GlobalIndex.withRowNumber(orders, "rn",
       col("o_totalprice"), col("o_orderkey"))
     assert(got.rdd.getNumPartitions > 1, "numbering must stay parallel")
