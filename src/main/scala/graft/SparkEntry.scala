@@ -14,11 +14,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ RelationalQueries2.defs ++
       RelationalQueries3.defs ++ RelationalQueries4.defs ++
-      RelationalQueries5.defs ++ RelationalQueries6.defs ++ EventQueries.defs ++
+      RelationalQueries5.defs ++ RelationalQueries6.defs ++
+      RelationalQueries7.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
-      SketchQueries.defs
+      CorpusQueries2.defs ++ SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,9 +27,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
-      RelationalQueries5.oracles ++ RelationalQueries6.oracles ++ EventQueries.oracles ++
+      RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
+      RelationalQueries7.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
-      SketchQueries.oracles
+      CorpusQueries2.oracles ++ SketchQueries.oracles
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents whose token
+  * n-grams overlap a held-out evaluation set (the standard GPT-3/PaLM
+  * style 13-gram screen, window length configurable). A document's
+  * contamination evidence is the count of its distinct n-grams that
+  * appear anywhere in the benchmark corpus.
+  *
+  * Scale: both sides explode to (ngram, id) rows — O(tokens) each, not
+  * O(docs²). The overlap is an equi-join on the n-gram key; the
+  * benchmark side (eval sets are tiny next to a 100 TB corpus) is
+  * deduplicated then broadcast, so the training corpus never shuffles.
+  * For exact-parity gating the join key is the n-gram STRING; at
+  * production scale swap `key = xxhash64(ngram)` to shrink the
+  * broadcast — the operator takes the keying function as a parameter.
+  */
+object Contamination {
+
+  /** Distinct `n`-token shingles of a single-spaced text column, with
+    * their 0-based token position dropped (presence screening only).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngram length must be >= 1: $n")
+    val toks = split(text, " ")
+    // sequence(0, stop) DESCENDS when stop < 0 — short texts must yield
+    // an empty array, not [0, -1, ...]
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** For each training doc (not itself in the benchmark), the number of
+    * distinct n-grams shared with the benchmark (`n_hit`) out of its
+    * distinct n-gram count (`n_grams`). Docs with no overlap are kept
+    * (n_hit = 0) so the caller can threshold on the hit share.
+    *
+    * @param key optional projection of the n-gram string to a join key
+    *            (identity for exact gating; xxhash64 at scale)
+    */
+  def screen(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int,
+      key: Column => Column = identity): DataFrame = {
+    val trainGrams = train
+      .select(col(idCol).as("__id"),
+        explode(ngrams(col(textCol), n)).as("__g"))
+      .select(col("__id"), key(col("__g")).as("__k"))
+    val benchGrams = bench
+      .select(explode(ngrams(col(textCol), n)).as("__g"))
+      .select(key(col("__g")).as("__bk")).distinct()
+    trainGrams
+      .join(broadcast(benchGrams), col("__k") === col("__bk"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(col("__bk")).as("n_hit"),
+        count(lit(1)).as("n_grams"))
+  }
+}

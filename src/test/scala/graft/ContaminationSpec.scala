@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Contamination
+
+class ContaminationSpec extends SparkSpec {
+
+  test("ngrams yields ordered shingles, empty below n tokens") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "").toDF("t")
+      .select(Contamination.ngrams($"t", 3).as("g"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("screen counts shared distinct n-grams against the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // one 5-gram lifted verbatim -> 1 hit out of 3 distinct grams
+      (1L, "xx quick brown fox jumps over yy"),
+      // no overlap
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      // fully contained -> every gram hits
+      (3L, "quick brown fox jumps over the lazy"),
+      // too short for any 5-gram -> absent from the output
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Contamination.screen(train, bench, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 0L, 2L), (3L, 3L, 3L)))
+  }
+
+  test("hashed keying preserves hit counts (scale path)") {
+    import spark.implicits._
+    val bench = Seq((9L, "one two three four five six")).toDF("doc_id", "text")
+    val train = Seq((1L, "zero one two three four five seven")).toDF("doc_id", "text")
+    val exact = Contamination.screen(train, bench, "doc_id", "text", 5)
+      .select("n_hit", "n_grams").as[(Long, Long)].head()
+    val hashed = Contamination.screen(train, bench, "doc_id", "text", 5,
+        key = g => xxhash64(g))
+      .select("n_hit", "n_grams").as[(Long, Long)].head()
+    assert(exact == hashed)
+  }
+}
