@@ -19,7 +19,8 @@ object SparkEntry {
       TextQueries.defs ++ TextQueries2.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
-      CorpusQueries2.defs ++ SketchQueries.defs
+      CorpusQueries2.defs ++ CorpusQueries3.defs ++ FeatureQueries.defs ++
+      SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       TextQueries.oracles ++ TextQueries2.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
-      CorpusQueries2.oracles ++ SketchQueries.oracles
+      CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ FeatureQueries.oracles ++
+      SketchQueries.oracles
 }

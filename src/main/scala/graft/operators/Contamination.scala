@@ -35,8 +35,11 @@ object Contamination {
 
   /** For each training doc (not itself in the benchmark), the number of
     * distinct n-grams shared with the benchmark (`n_hit`) out of its
-    * distinct n-gram count (`n_grams`). Docs with no overlap are kept
-    * (n_hit = 0) so the caller can threshold on the hit share.
+    * distinct n-gram count (`n_grams`). EVERY training doc appears in
+    * the output: docs with no overlap keep n_hit = 0, and docs shorter
+    * than `n` tokens (zero n-grams — explode_outer, not explode) come
+    * back as (n_hit = 0, n_grams = 0), so a caller thresholding on hit
+    * share sees short docs instead of silently losing them.
     *
     * @param key optional projection of the n-gram string to a join key
     *            (identity for exact gating; xxhash64 at scale)
@@ -46,8 +49,12 @@ object Contamination {
       key: Column => Column = identity): DataFrame = {
     val trainGrams = train
       .select(col(idCol).as("__id"),
-        explode(ngrams(col(textCol), n)).as("__g"))
-      .select(col("__id"), key(col("__g")).as("__k"))
+        explode_outer(ngrams(col(textCol), n)).as("__g"))
+      // explode_outer's null gram must stay null through keying —
+      // xxhash64(null) is the (non-null) seed, which would count as a
+      // phantom gram for sub-n-token docs on the hashed scale path
+      .select(col("__id"),
+        when(col("__g").isNotNull, key(col("__g"))).as("__k"))
     val benchGrams = bench
       .select(explode(ngrams(col(textCol), n)).as("__g"))
       .select(key(col("__g")).as("__bk")).distinct()
@@ -55,6 +62,6 @@ object Contamination {
       .join(broadcast(benchGrams), col("__k") === col("__bk"), "left")
       .groupBy(col("__id").as(idCol))
       .agg(count(col("__bk")).as("n_hit"),
-        count(lit(1)).as("n_grams"))
+        count(col("__k")).as("n_grams"))
   }
 }

@@ -94,9 +94,12 @@ object CorpusQueries2 {
         |  FROM d)
         |SELECT doc_id, start_tok,
         |  CAST(start_tok // 2048 AS BIGINT) AS chunk_first,
-        |  CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS chunk_last,
-        |  CAST((start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1
-        |    AS BIGINT) AS n_chunks
+        |  CAST(CASE WHEN n_tokens = 0 THEN start_tok // 2048
+        |    ELSE (start_tok + n_tokens - 1) // 2048 END AS BIGINT)
+        |    AS chunk_last,
+        |  CAST(CASE WHEN n_tokens = 0 THEN start_tok // 2048
+        |    ELSE (start_tok + n_tokens - 1) // 2048 END
+        |    - start_tok // 2048 + 1 AS BIGINT) AS n_chunks
         |FROM p""".stripMargin,
 
     "corpus_bigrams" ->

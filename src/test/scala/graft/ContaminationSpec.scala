@@ -26,13 +26,24 @@ class ContaminationSpec extends SparkSpec {
       (2L, "alpha beta gamma delta epsilon zeta"),
       // fully contained -> every gram hits
       (3L, "quick brown fox jumps over the lazy"),
-      // too short for any 5-gram -> absent from the output
+      // too short for any 5-gram -> present with zero grams
       (4L, "tiny doc")
     ).toDF("doc_id", "text")
     val got = Contamination.screen(train, bench, "doc_id", "text", n = 5)
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 0L, 2L), (3L, 3L, 3L)))
+    assert(got.toSeq ==
+      Seq((1L, 1L, 3L), (2L, 0L, 2L), (3L, 3L, 3L), (4L, 0L, 0L)))
+  }
+
+  test("hashed keying keeps sub-n-token docs at zero grams") {
+    import spark.implicits._
+    val bench = Seq((9L, "one two three four five six")).toDF("doc_id", "text")
+    val train = Seq((1L, "short")).toDF("doc_id", "text")
+    val got = Contamination.screen(train, bench, "doc_id", "text", 5,
+        key = g => xxhash64(g))
+      .select("n_hit", "n_grams").as[(Long, Long)].head()
+    assert(got == ((0L, 0L)))
   }
 
   test("hashed keying preserves hit counts (scale path)") {
