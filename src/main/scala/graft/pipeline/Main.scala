@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.pipeline.Main <pipeline-config.yaml>")
+    require(args.nonEmpty,
+      "usage: graft.pipeline.Main <pipeline-config.yaml> | --serve [port]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-pipelines")
@@ -20,16 +21,25 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mgr = new PipelineManager(spark)
-    val statuses = mgr.submitAll(ConfigParser.parseFile(args(0)))
-    statuses.foreach { case (name, _) =>
-      println(s"[graft] $name: ${mgr.status(name).getOrElse("UNKNOWN")}")
+    if (args(0) == "--serve") {
+      // the reference's application mode: REST management API up front,
+      // pipelines submitted via POST /api/pipelines/start
+      val port = args.lift(1).map(_.toInt).getOrElse(8080)
+      val srv = new RestServer(mgr, port).start()
+      println(s"[graft] REST API listening on :${srv.boundPort} (/api/pipelines)")
+      Thread.currentThread().join() // serve until killed
+    } else {
+      val statuses = mgr.submitAll(ConfigParser.parseFile(args(0)))
+      statuses.foreach { case (name, _) =>
+        println(s"[graft] $name: ${mgr.status(name).getOrElse("UNKNOWN")}")
+      }
+      // block until EVERY streaming pipeline terminates (Ctrl-C to stop);
+      // awaitAnyTermination alone returns on the first one
+      while (spark.streams.active.nonEmpty) {
+        spark.streams.awaitAnyTermination()
+        spark.streams.resetTerminated()
+      }
+      spark.stop()
     }
-    // block until EVERY streaming pipeline terminates (Ctrl-C to stop);
-    // awaitAnyTermination alone returns on the first one
-    while (spark.streams.active.nonEmpty) {
-      spark.streams.awaitAnyTermination()
-      spark.streams.resetTerminated()
-    }
-    spark.stop()
   }
 }

@@ -40,10 +40,15 @@ class PipelineManager(spark: SparkSession) {
   case class Running(query: StreamingQuery) extends Status
   case class Failed(error: Throwable) extends Status
 
+  /** Reference dto/JobInfo.java: name + status + submission time. */
+  case class JobInfo(name: String, status: String, submissionTime: Long)
+
   private val jobs = TrieMap.empty[String, Status]
   private val specs = TrieMap.empty[String, PipelineSpec]
+  private val submittedAt = TrieMap.empty[String, Long]
 
   def submit(spec: PipelineSpec): Status = {
+    submittedAt.put(spec.name, System.currentTimeMillis())
     val st =
       try {
         if (spec.streaming) Running(PipelineRunner.runStream(spark, spec))
@@ -94,4 +99,17 @@ class PipelineManager(spark: SparkSession) {
     */
   def stopAll(): Seq[String] =
     jobs.keySet.toSeq.sorted.filter(stop)
+
+  /** All currently-RUNNING jobs as JobInfo records — the controller's
+    * GET /jobs payload (the reference only lists running jobs there).
+    */
+  def runningJobs: Map[String, JobInfo] =
+    jobs.keySet.toSeq.sorted.iterator.flatMap { n =>
+      jobs.get(n) match {
+        case Some(Running(q)) if q.isActive =>
+          Iterator.single(n ->
+            JobInfo(n, "RUNNING", submittedAt.getOrElse(n, 0L)))
+        case _ => Iterator.empty
+      }
+    }.toMap
 }

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The reference's REST management shell
+  * (controller/PipelineController.java, base path /api/pipelines),
+  * re-expressed over [[PipelineManager]] with the JDK's built-in
+  * HttpServer — no web framework, no extra dependency.
+  *
+  * Routes (verbatim from the reference controller):
+  *   GET  /api/pipelines/status              -> {"runningCount":N,"hasRunningPipelines":B}
+  *   GET  /api/pipelines/jobs                -> {name:{"name":..,"status":..,"submissionTime":..}}
+  *   GET  /api/pipelines/jobs/{name}/status  -> true|false
+  *   GET  /api/pipelines/count               -> N
+  *   POST /api/pipelines/start?configFilePath=PATH
+  *   POST /api/pipelines/stop/{name}         -> 200, 404 if not running
+  *   POST /api/pipelines/stop-all
+  *
+  * The server is a thin stateless adapter: every route delegates to
+  * the manager, so behavior (and tests) concentrate there. Driver-side
+  * only — on a cluster this runs on the Spark driver next to the
+  * SparkSession, exactly as the reference's controller runs inside the
+  * Hazelcast member JVM.
+  */
+class RestServer(manager: PipelineManager, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Bound port (useful when constructed with port 0 for tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    ex.close()
+  }
+
+  private def queryParam(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == key =>
+        java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }
+
+  server.createContext("/api/pipelines", (ex: HttpExchange) => {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    try {
+      (method, path) match {
+        case ("GET", "/api/pipelines/status") =>
+          val n = manager.runningCount
+          respond(ex, 200,
+            s"""{"runningCount":$n,"hasRunningPipelines":${n > 0}}""")
+        case ("GET", "/api/pipelines/jobs") =>
+          val body = manager.runningJobs.toSeq.sortBy(_._1).map {
+            case (name, ji) =>
+              s"${jstr(name)}:{" +
+                s""""name":${jstr(ji.name)},"status":${jstr(ji.status)},""" +
+                s""""submissionTime":${ji.submissionTime}}"""
+          }.mkString("{", ",", "}")
+          respond(ex, 200, body)
+        case ("GET", "/api/pipelines/count") =>
+          respond(ex, 200, manager.runningCount.toString)
+        case ("GET", JobStatusPath(name)) =>
+          respond(ex, 200, manager.isRunning(name).toString)
+        case ("POST", "/api/pipelines/start") =>
+          queryParam(ex, "configFilePath").map(_.trim).filter(_.nonEmpty) match {
+            case None =>
+              respond(ex, 400,
+                """{"error":"Configuration file path cannot be empty"}""")
+            case Some(cfgPath) =>
+              manager.submitAll(ConfigParser.parseFile(cfgPath))
+              respond(ex, 200, "")
+          }
+        case ("POST", "/api/pipelines/stop-all") =>
+          manager.stopAll()
+          respond(ex, 200, "")
+        case ("POST", StopPath(name)) =>
+          if (manager.stop(name)) respond(ex, 200, "")
+          else respond(ex, 404,
+            s"""{"error":"Pipeline not found or not running: ${name}"}""")
+        case _ =>
+          respond(ex, 404, """{"error":"no such route"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+    }
+  })
+
+  private val JobStatusPath = "/api/pipelines/jobs/([^/]+)/status".r
+  private val StopPath = "/api/pipelines/stop/([^/]+)".r
+
+  def start(): RestServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

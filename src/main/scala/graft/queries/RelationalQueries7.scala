@@ -55,25 +55,25 @@ object RelationalQueries7 {
     // medians (percentile_disc semantics: the value at rank
     // ceil(n/2) = (n+1) div 2) — value selection by integer rank, abs
     // deviation in exact decimals, doubles only on output
+    // MAD from DISCRETE medians (value at integer rank (n+1) div 2 —
+    // percentile_disc semantics; exact decimals until the final double
+    // cast). o_orderpriority has 5 values, so the window idiom the
+    // oracle uses would serialize everything through 5 tasks;
+    // operators.RankSelect computes the IDENTICAL rank selection from a
+    // range repartition at full parallelism (see its scaladoc).
     "q58_mad" -> { (s, dir) =>
       import s.implicits._
+      import graft.operators.RankSelect
       val v = Tables.load(s, dir, "orders")
         .select($"o_orderpriority", $"o_orderkey",
           $"o_totalprice".cast("decimal(15,2)").as("v"))
-      val byP = Window.partitionBy($"o_orderpriority")
-      val ranked = v
-        .withColumn("rn", row_number().over(byP.orderBy($"v", $"o_orderkey")))
-        .withColumn("n", count(lit(1)).over(byP))
-      // (n + 1) div 2 = ceil(n/2): Column./ is DOUBLE division in Spark,
-      // integer `div` keeps the rank arithmetic exact on both engines
-      val med = ranked.filter($"rn" === expr("(n + 1) div 2"))
+      val med = RankSelect
+        .discreteMedian(v, Seq("o_orderpriority"), "n", $"v", $"o_orderkey")
         .select($"o_orderpriority".as("__p"), $"v".as("median"))
-      val dev = ranked.join(med, $"o_orderpriority" === $"__p")
+      val dev = v.join(broadcast(med), $"o_orderpriority" === $"__p")
         .withColumn("d", abs($"v" - $"median"))
-      val ranked2 = dev
-        .withColumn("rn2", row_number().over(byP.orderBy($"d", $"o_orderkey")))
-        .withColumn("n2", count(lit(1)).over(byP))
-      ranked2.filter($"rn2" === expr("(n2 + 1) div 2"))
+      RankSelect
+        .discreteMedian(dev, Seq("o_orderpriority"), "n2", $"d", $"o_orderkey")
         .select($"o_orderpriority", $"median".cast("double").as("median"),
           $"d".cast("double").as("mad"))
     },

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.RankSelect
+
+class RankSelectSpec extends SparkSpec {
+
+  // deterministic multi-group data with duplicate values (tie-break
+  // must decide) and deliberately unequal group sizes incl. size 1
+  private def data = {
+    import spark.implicits._
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to (g match { case "a" => 17; case "b" => 8; case _ => 1 })
+    } yield (g, (i * 37 % 11).toLong, i.toLong)
+    rows.toDF("g", "v", "id").repartition(5)
+  }
+
+  test("selectRank matches the window row_number idiom exactly") {
+    import spark.implicits._
+    val byG = Window.partitionBy($"g")
+    val want = data
+      .withColumn("rn", row_number().over(byG.orderBy($"v", $"id")))
+      .withColumn("n", count(lit(1)).over(byG))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"g", $"v", $"id", $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = RankSelect
+      .discreteMedian(data, Seq("g"), "n", $"v", $"id")
+      .select($"g", $"v", $"id", $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 3) // one median row per group
+  }
+
+  test("arbitrary rank functions: min and max of each group") {
+    import spark.implicits._
+    val first = RankSelect.selectRank(data, Seq("g"), _ => 1L, "n", $"v", $"id")
+      .select($"g", $"v").as[(String, Long)].collect().toMap
+    val last = RankSelect.selectRank(data, Seq("g"), n => n, "n", $"v", $"id")
+      .select($"g", $"v").as[(String, Long)].collect().toMap
+    val mn = data.groupBy($"g").agg(min(struct($"v", $"id")).as("s"))
+      .select($"g", $"s.v").as[(String, Long)].collect().toMap
+    val mx = data.groupBy($"g").agg(max(struct($"v", $"id")).as("s"))
+      .select($"g", $"s.v").as[(String, Long)].collect().toMap
+    assert(first == mn)
+    assert(last == mx)
+  }
+
+  test("group sizes are reported and out-of-range ranks emit nothing") {
+    import spark.implicits._
+    val ns = RankSelect.discreteMedian(data, Seq("g"), "n", $"v", $"id")
+      .select($"g", $"n").as[(String, Long)].collect().toMap
+    assert(ns == Map("a" -> 17L, "b" -> 8L, "c" -> 1L))
+    val none = RankSelect.selectRank(data, Seq("g"), n => n + 1, "n", $"v", $"id")
+    assert(none.count() == 0)
+  }
+}

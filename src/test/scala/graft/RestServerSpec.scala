@@ -1,0 +1,101 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import graft.pipeline._
+
+/** Drives the reference's REST routes end to end over real HTTP:
+  * an ephemeral-port RestServer wrapping a live PipelineManager, hit
+  * with the JDK HttpClient. Mirrors controller/PipelineController.java.
+  */
+class RestServerSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-rest").toString
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(port: Int, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("REST surface mirrors the reference controller") {
+    val mgr = new PipelineManager(spark)
+    val srv = new RestServer(mgr).start()
+    val port = srv.boundPort
+    try {
+      // empty manager: status/count/jobs
+      assert(get(port, "/api/pipelines/status") ==
+        ((200, """{"runningCount":0,"hasRunningPipelines":false}""")))
+      assert(get(port, "/api/pipelines/count") == ((200, "0")))
+      assert(get(port, "/api/pipelines/jobs") == ((200, "{}")))
+
+      // POST /start with a real batch config file (csv -> filter -> parquet)
+      val in = tmp(); val out = tmp(); val cfgDir = tmp()
+      Files.writeString(java.nio.file.Paths.get(s"$in/r.csv"),
+        "id,status\n1,important\n2,normal\n")
+      val cfg = s"""pipelines:
+                   |  - name: "rest-batch"
+                   |    source:
+                   |      type: file
+                   |      properties: { path: "$in", format: csv, header: "true" }
+                   |    transformations:
+                   |      - type: filter
+                   |        properties: { column: "status", condition: "important" }
+                   |    sink:
+                   |      type: file
+                   |      properties: { path: "$out/p", format: parquet }
+                   |""".stripMargin
+      val cfgPath = s"$cfgDir/cfg.yaml"
+      Files.writeString(java.nio.file.Paths.get(cfgPath), cfg)
+      assert(post(port, s"/api/pipelines/start?configFilePath=$cfgPath")._1 == 200)
+      assert(spark.read.parquet(s"$out/p").count() == 1)
+      // batch job completed -> reported by manager, not "running"
+      assert(mgr.status("rest-batch").contains("COMPLETED"))
+      assert(get(port, "/api/pipelines/jobs/rest-batch/status") == ((200, "false")))
+
+      // missing configFilePath -> 400 (reference throws IllegalArgument)
+      assert(post(port, "/api/pipelines/start")._1 == 400)
+      assert(post(port, "/api/pipelines/start?configFilePath=%20")._1 == 400)
+
+      // a live streaming job: jobs payload carries name/status/submissionTime
+      val sin = tmp()
+      Files.writeString(java.nio.file.Paths.get(s"$sin/x.txt"), "a\nb\n")
+      mgr.submit(PipelineSpec(
+        name = "rest-stream",
+        source = SourceSpec("directory", Map("path" -> sin, "format" -> "text")),
+        transformations = Seq.empty,
+        sink = SinkSpec("memory", Map.empty),
+        streaming = true))
+      assert(get(port, "/api/pipelines/count") == ((200, "1")))
+      assert(get(port, "/api/pipelines/status") ==
+        ((200, """{"runningCount":1,"hasRunningPipelines":true}""")))
+      assert(get(port, "/api/pipelines/jobs/rest-stream/status") == ((200, "true")))
+      val (jc, jbody) = get(port, "/api/pipelines/jobs")
+      assert(jc == 200)
+      assert(jbody.contains(""""rest-stream":{"name":"rest-stream","status":"RUNNING","submissionTime":"""))
+
+      // stop/{name}: 200 for the running job, 404 for unknown
+      assert(post(port, "/api/pipelines/stop/rest-stream")._1 == 200)
+      assert(get(port, "/api/pipelines/jobs/rest-stream/status") == ((200, "false")))
+      assert(post(port, "/api/pipelines/stop/rest-stream")._1 == 404)
+      assert(post(port, "/api/pipelines/stop/ghost")._1 == 404)
+
+      // stop-all is idempotent and unknown routes 404
+      assert(post(port, "/api/pipelines/stop-all")._1 == 200)
+      assert(get(port, "/api/pipelines/nope")._1 == 404)
+    } finally srv.stop()
+  }
+}
