@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.defs ++ RelationalQueries2.defs ++
       RelationalQueries3.defs ++ RelationalQueries4.defs ++
       RelationalQueries5.defs ++ RelationalQueries6.defs ++
-      RelationalQueries7.defs ++ EventQueries.defs ++
+      RelationalQueries7.defs ++ RelationalQueries8.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
@@ -29,7 +29,7 @@ object SparkEntry {
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
-      RelationalQueries7.oracles ++ EventQueries.oracles ++
+      RelationalQueries7.oracles ++ RelationalQueries8.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Eighth relational wave (SURVEY.md §2.2): the semi-structured VARIANT
+  * ingestion path and blocking-based entity resolution.
+  */
+object RelationalQueries8 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // semi-structured ingestion via Spark 4's VARIANT type: parse the
+    // JSON props column ONCE into the binary variant encoding, then do
+    // typed path extraction on the variant — at 100 TB this is the
+    // scale path for ragged JSON (single parse, cheap repeated access,
+    // shredding-friendly) vs re-parsing strings per extraction
+    // (q30_json's get_json_object). Output: distribution of the
+    // extracted metric per event type over value deciles.
+    "q64_variant" -> { (s, dir) =>
+      import s.implicits._
+      val v = parse_json($"props")
+      Tables.events(s, dir)
+        .select($"event_type",
+          variant_get(v, "$.k", "long").as("k"))
+        .filter($"k".isNotNull)
+        // integer `div`, not Column./ (double division) — keeps the
+        // bucket arithmetic exact on both engines
+        .withColumn("decile", expr("k div 10"))
+        .groupBy($"event_type", $"decile")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+    },
+
+    // blocking-based entity resolution over part names: canonicalize to
+    // DISTINCT name strings first (a massive reduction — dedup before
+    // comparison is what makes ER feasible at 100 TB), block on the
+    // leading token so only same-block names are compared, verify each
+    // candidate with exact edit distance (1..3 — identical strings are
+    // not a "match", they are the same entity), then weight each
+    // surviving pair by its member counts. The quadratic step runs on
+    // distinct names per block, never on the raw table.
+    "q65_entity_match" -> { (s, dir) =>
+      import s.implicits._
+      val names = Tables.load(s, dir, "part")
+        .groupBy($"p_name").agg(count(lit(1)).as("members"))
+        .withColumn("block", split($"p_name", " ").getItem(0))
+      val a = names.select($"block", $"p_name".as("name_a"),
+        $"members".as("n_a"))
+      val b = names.select($"block", $"p_name".as("name_b"),
+        $"members".as("n_b"))
+      a.join(b, Seq("block"))
+        .filter($"name_a" < $"name_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b"))
+        .filter($"dist".between(1, 3))
+        .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b",
+          ($"n_a" * $"n_b").as("pair_weight"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q64_variant" ->
+      """SELECT event_type,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+        |    AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY event_type, decile""".stripMargin,
+
+    "q65_entity_match" ->
+      """WITH names AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS members,
+        |    string_split(p_name, ' ')[1] AS block
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+        |  a.members AS n_a, b.members AS n_b,
+        |  a.members * b.members AS pair_weight
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3""".stripMargin
+  )
+}

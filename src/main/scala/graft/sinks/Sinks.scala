@@ -44,6 +44,16 @@ object Sinks {
         .options(Sources.kafkaOptions(spec.properties) - "subscribe" +
           ("topic" -> spec.properties.getOrElse("topic", "")))
         .save()
+    case "table" | "hive" =>
+      // catalog table sink (saveAsTable): managed table in the session
+      // catalog / Hive metastore; format + partitioning as for files
+      val props = spec.properties
+      val table = props.getOrElse("table",
+        throw new IllegalArgumentException("Table sink requires table"))
+      var w = df.write.format(props.getOrElse("format", "parquet"))
+        .mode(props.getOrElse("mode", "overwrite"))
+      props.get("partitionBy").foreach(cols => w = w.partitionBy(cols.split(","): _*))
+      w.saveAsTable(table)
     case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
   }
 
@@ -75,6 +85,15 @@ object Sinks {
             ("topic" -> props.getOrElse("topic", "")))
           .option("checkpointLocation", props("checkpointLocation"))
           .trigger(trigger).start()
+      case "table" | "hive" =>
+        // streaming catalog-table sink (toTable) — exactly-once via the
+        // table's checkpointed file sink underneath
+        df.writeStream
+          .option("checkpointLocation", props("checkpointLocation"))
+          .outputMode(props.getOrElse("outputMode", "append"))
+          .trigger(trigger)
+          .toTable(props.getOrElse("table",
+            throw new IllegalArgumentException("Table sink requires table")))
       case other => throw new IllegalArgumentException(s"Sink $other is not streamable")
     }
   }

@@ -22,6 +22,12 @@ object Sources {
       spark.read.format("jdbc").options(jdbcOptions(spec.properties)).load()
     case "kafka" =>
       spark.read.format("kafka").options(kafkaOptions(spec.properties)).load()
+    case "table" | "hive" =>
+      // catalog table source (session catalog, or Hive metastore when
+      // the session was built with enableHiveSupport) — managed tables
+      // carry their own schema + statistics, so pruning/pushdown apply
+      spark.table(spec.properties.getOrElse("table",
+        throw new IllegalArgumentException("Table source requires table")))
     case other => throw new IllegalArgumentException(s"Unknown source type: $other")
   }
 
