@@ -25,6 +25,16 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_no"),
           length(col("frame")).as("n_bytes"))
+    },
+
+    // audio framing: 256-byte windows, 128-byte hop (the STFT shape),
+    // per-window integer energy; the oracle replays the framing + ord()
+    // sums on the source text (ASCII: byte == codepoint). The kernel is
+    // per-row compute — spread the single-file scan first.
+    "mm_audio" -> { (s, dir) =>
+      val media = graft.operators.Parallelism.ensure(
+        Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
+      Multimodal.audioWindows(media, winBytes = 256, hopBytes = 128).toDF()
     }
   )
 
@@ -52,6 +62,21 @@ object MultimodalQueries {
         |  FROM m)
         |SELECT media_id, CAST(gi // 2 AS INT) AS frame_no,
         |  length(substr(text, CAST(gi * 64 + 1 AS INT), 64)) AS n_bytes
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "mm_audio" ->
+      """WITH a AS (SELECT doc_id AS media_id, text, length(text) AS L
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT media_id, text,
+        |  -- guard L < 256 explicitly: DuckDB's // truncates toward
+        |  -- zero, so (L-256)//128 on a negative numerator is NOT floor
+        |  unnest(range(0, CASE WHEN L >= 256
+        |    THEN (L - 256) // 128 + 1 ELSE 0 END)) AS wi
+        |  FROM a)
+        |SELECT media_id, CAST(wi AS INT) AS window_no,
+        |  CAST(list_sum(list_transform(range(1, 257),
+        |    gi -> ord(substr(text, CAST(wi * 128 + gi AS INT), 1))))
+        |    AS BIGINT) AS energy
+        |FROM w""".stripMargin
   )
 }

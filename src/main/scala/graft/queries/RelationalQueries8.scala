@@ -55,6 +55,36 @@ object RelationalQueries8 {
         .filter($"dist".between(1, 3))
         .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b",
           ($"n_a" * $"n_b").as("pair_weight"))
+    },
+
+    // incremental aggregation maintenance: the first half of the month
+    // is aggregated into a partial state, the second half arrives as a
+    // delta, and operators.IncrementalAgg folds the two — the result
+    // must be bit-identical to the oracle's one-shot full-table
+    // aggregate. Exact decimals through the merge; doubles derived at
+    // the end only (avg = sum/count at read time).
+    "q66_incremental_agg" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      import graft.operators.IncrementalAgg.Agg
+      val ev = Tables.events(s, dir)
+        .select($"event_type", to_date($"ts").as("day"),
+          $"value".cast("decimal(18,6)").as("v"))
+      val aggs = Seq(
+        Agg("n", "count", lit(1)),
+        Agg("sum_v", "sum", $"v"),
+        Agg("min_v", "min", $"v"),
+        Agg("max_v", "max", $"v"))
+      val cutoff = lit("2024-01-16").cast("date")
+      val keys = Seq("event_type")
+      val state = IncrementalAgg.partial(ev.filter($"day" < cutoff), keys, aggs)
+      val delta = IncrementalAgg.partial(ev.filter($"day" >= cutoff), keys, aggs)
+      IncrementalAgg.merge(state, delta, keys, aggs)
+        .select($"event_type", $"n",
+          $"sum_v".cast("double").as("sum_v"),
+          $"min_v".cast("double").as("min_v"),
+          $"max_v".cast("double").as("max_v"),
+          ($"sum_v".cast("double") / $"n".cast("double")).as("avg_v"))
     }
   )
 
@@ -83,6 +113,17 @@ object RelationalQueries8 {
         |  a.members * b.members AS pair_weight
         |FROM names a JOIN names b
         |  ON a.block = b.block AND a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3""".stripMargin
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3""".stripMargin,
+
+    // one-shot full-table aggregate: the merged incremental state must
+    // hash-match this exactly
+    "q66_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        |  CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_v
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -88,6 +88,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"))
   }
 
+  test("q58 MAD computes both medians without a per-group window") {
+    val p = plan("q58_mad")
+    assert(!p.contains("Window"),
+      "q58 must not plan a Window — PARTITION BY a 5-value key " +
+        "serializes each group through one task; RankSelect's range " +
+        "repartition is the scale path")
+    // the broadcast of the 5-row median table and the range exchanges
+    // live inside RankSelect's internal passes; the returned plan is a
+    // parallel ExistingRDD scan, same contract as q53
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
+  test("q65 entity match joins on the block key, never cross-joins") {
+    val p = plan("q65_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on the blocking key")
+    assert(p.contains("partial_count"),
+      "distinct-name canonicalization must partial-aggregate before its exchange")
+  }
+
+  test("variant extraction stays inside whole-stage codegen with partial aggs") {
+    val p = plan("q64_variant")
+    assert(p.contains("variant_get"), "typed path extraction must appear in the plan")
+    assert(p.contains("partial_count"),
+      "the decile rollup must partial-aggregate below the exchange")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
