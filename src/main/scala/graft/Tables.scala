@@ -35,7 +35,13 @@ object Tables {
       case _ => raw
     }
 
-  /** Register every table as a temp view (for spark.sql paths). */
+  /** Register every table as a temp view (for spark.sql paths); the
+    * events view goes through the nanos-timestamp normalization so SQL
+    * over `ts` behaves like the DataFrame path.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -5,9 +5,31 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Eighth relational wave (SURVEY.md §2.2): the semi-structured VARIANT
-  * ingestion path and blocking-based entity resolution.
+  * ingestion path, blocking-based entity resolution, incremental
+  * aggregation maintenance, and the portable-SQL entry point.
   */
 object RelationalQueries8 {
+
+  /** ONE ANSI-portable SQL string that is simultaneously the Spark
+    * query (via spark.sql over registered views) and the DuckDB oracle
+    * — the strongest possible statement that the engine's SQL surface
+    * matches: identical text, identical result hash. Exercises CTEs,
+    * grouped HAVING, an equi-join, and a ranked window with full
+    * tie-breaking (no floating aggregation, so exactness is free).
+    */
+  private val portableSql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    max(o_totalprice) AS max_price
+      |  FROM orders GROUP BY o_custkey HAVING count(*) >= 2),
+      |r AS (
+      |  SELECT c_nationkey, c_custkey, n_orders, max_price,
+      |    CAST(row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY n_orders DESC, max_price DESC, c_custkey)
+      |      AS INT) AS rk
+      |  FROM big JOIN customer ON c_custkey = o_custkey)
+      |SELECT c_nationkey, c_custkey, n_orders, max_price, rk
+      |FROM r WHERE rk <= 3""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // semi-structured ingestion via Spark 4's VARIANT type: parse the
@@ -85,6 +107,15 @@ object RelationalQueries8 {
           $"min_v".cast("double").as("min_v"),
           $"max_v".cast("double").as("max_v"),
           ($"sum_v".cast("double") / $"n".cast("double")).as("avg_v"))
+    },
+
+    // portable-SQL entry point: the exact oracle string runs through
+    // spark.sql over the registered views — SQL-surface parity by
+    // construction (Catalyst still plans it: broadcast join + partial
+    // aggs + WindowGroupLimit, see PlanAuditSpec)
+    "q67_sql" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(portableSql)
     }
   )
 
@@ -124,6 +155,8 @@ object RelationalQueries8 {
         |  CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_v
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q67_sql" -> portableSql
   )
 }
