@@ -174,4 +174,47 @@ object StreamingOps {
           closed.iterator
         })
   }
+
+  /** Streaming materialized aggregate: maintains an
+    * [[graft.operators.IncrementalAgg]] partial-state table under
+    * `stateDir`, folding each micro-batch's delta into the previous
+    * state. State versions are keyed by BATCH ID (`v=<id>`), which
+    * makes replay exactly-once: a restarted query re-delivers a batch
+    * with the same id, the version directory already exists, and the
+    * fold is skipped — the same recipe as the upsert sink above, but
+    * for aggregation state. Readers always see a complete version
+    * (a version directory only becomes `latest` after its write
+    * finishes). State size is O(keys) however much data streamed by.
+    */
+  def materializedAggregate(stream: DataFrame, keys: Seq[String],
+      aggs: Seq[graft.operators.IncrementalAgg.Agg], stateDir: String,
+      name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.IncrementalAgg
+    stream.writeStream.queryName(name.replaceAll("\\W", "_"))
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val vdir = new java.io.File(s"$stateDir/v=$id")
+        if (!vdir.exists()) { // replayed batch -> already folded, skip
+          val delta = IncrementalAgg.partial(batch, keys, aggs)
+          val merged = latestState(spark, stateDir, below = id)
+            .fold(delta)(prev => IncrementalAgg.merge(prev, delta, keys, aggs))
+          merged.write.mode("overwrite").parquet(vdir.toString)
+        }
+        ()
+      }.start()
+  }
+
+  /** The newest complete state version (optionally only versions below
+    * a batch id, for in-flight folds).
+    */
+  def latestState(spark: SparkSession, stateDir: String,
+      below: Long = Long.MaxValue): Option[DataFrame] = {
+    val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < below)
+    versions.sorted.lastOption
+      .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+  }
 }
