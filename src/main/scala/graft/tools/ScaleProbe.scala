@@ -51,7 +51,10 @@ object ScaleProbe {
       "q15_asof_join", "q16_range_join", "q42_explode",
       "text_repetition", "text_pii",
       "sketch_freq_topk", "sketch_kll_quantiles", "sketch_theta_setops",
-      "q52_bloom_join")
+      "q52_bloom_join",
+      "q58_mad", "q63_triangles", "q64_variant", "q65_entity_match",
+      "q66_incremental_agg", "mm_audio", "corpus_contamination",
+      "corpus_tfidf", "corpus_pack")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, out).count()
