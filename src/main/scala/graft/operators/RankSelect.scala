@@ -39,7 +39,20 @@ object RankSelect {
     * but with no per-group window.
     */
   def selectRank(rawDf: DataFrame, groupCols: Seq[String],
-      rankOf: Long => Long, nCol: String, orderKeys: Column*): DataFrame = {
+      rankOf: Long => Long, nCol: String, orderKeys: Column*): DataFrame =
+    selectRanks(rawDf, groupCols, n => Seq("" -> rankOf(n)), null, nCol,
+      orderKeys: _*)
+
+  /** Multi-rank generalization: ONE range-partitioned pass emits, per
+    * group, the row at every labeled rank `ranksOf(n)` returns — e.g.
+    * all three quartiles of every group in a single shuffle instead of
+    * one pass per quantile. Two labels may map to the same rank (tiny
+    * groups); the row is emitted once per label. Output = input schema
+    * + `labelCol` (omitted when null) + `nCol`.
+    */
+  def selectRanks(rawDf: DataFrame, groupCols: Seq[String],
+      ranksOf: Long => Seq[(String, Long)], labelCol: String, nCol: String,
+      orderKeys: Column*): DataFrame = {
     // single-file parquet arrives as ONE partition — spread first or
     // the range exchange itself degenerates to a single task
     val df = Parallelism.ensure(rawDf)
@@ -79,17 +92,28 @@ object RankSelect {
       starts((pid, k)) = before
       totals(k) = before + n
     }
-    val targets: Map[Seq[Any], Long] = totals.map { case (k, n) => k -> rankOf(n) }.toMap
+    // per group: rank -> labels wanting that rank (labels may collide
+    // on tiny groups; each emits its own row)
+    val targets: Map[Seq[Any], Map[Long, Seq[String]]] =
+      totals.map { case (k, n) =>
+        k -> ranksOf(n).groupBy(_._2).map { case (r, ls) => r -> ls.map(_._1) }
+      }.toMap
     val startsB = ranged.sparkSession.sparkContext.broadcast(starts.toMap)
     val targetsB = ranged.sparkSession.sparkContext.broadcast(targets)
     val totalsB = ranged.sparkSession.sparkContext.broadcast(totals.toMap)
-    val schema = org.apache.spark.sql.types.StructType(
-      ranged.schema :+ org.apache.spark.sql.types.StructField(
-        nCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val withLabel = labelCol != null
+    val extra =
+      (if (withLabel)
+        Seq(org.apache.spark.sql.types.StructField(labelCol,
+          org.apache.spark.sql.types.StringType, nullable = false))
+      else Nil) :+
+        org.apache.spark.sql.types.StructField(
+          nCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val schema = org.apache.spark.sql.types.StructType(ranged.schema ++ extra)
     val picked = rrdd.mapPartitionsWithIndex { case (pid, it) =>
       var cur: Seq[Any] = null
       var rank = 0L
-      var want = -1L
+      var want: Map[Long, Seq[String]] = Map.empty
       it.flatMap { r =>
         val k = key(r)
         if (cur == null || k != cur) {
@@ -98,9 +122,11 @@ object RankSelect {
           want = targetsB.value(k)
         }
         rank += 1L
-        if (rank == want)
-          Iterator.single(Row.fromSeq(r.toSeq :+ totalsB.value(k)))
-        else Iterator.empty
+        want.getOrElse(rank, Nil).iterator.map { label =>
+          val tail = if (withLabel) Seq(label, totalsB.value(k))
+            else Seq(totalsB.value(k))
+          Row.fromSeq(r.toSeq ++ tail)
+        }
       }
     }
     ranged.sparkSession.createDataFrame(picked, schema)
@@ -113,4 +139,19 @@ object RankSelect {
   def discreteMedian(df: DataFrame, groupCols: Seq[String], nCol: String,
       orderKeys: Column*): DataFrame =
     selectRank(df, groupCols, n => (n + 1L) / 2L, nCol, orderKeys: _*)
+
+  /** Per-group discrete quantile VECTOR in one pass: each requested
+    * quantile `label -> num/den` selects the row at rank
+    * `ceil(n * num / den)` (exact integer arithmetic — DuckDB's
+    * `quantile_disc` / SQL `percentile_disc` rank rule). One range
+    * shuffle total, vs one full window sort per quantile in the SQL
+    * idiom. Output = input schema + `labelCol` + `nCol`.
+    */
+  def discreteQuantiles(df: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[(String, Long, Long)], labelCol: String, nCol: String,
+      orderKeys: Column*): DataFrame =
+    selectRanks(df, groupCols,
+      n => quantiles.map { case (label, num, den) =>
+        label -> math.max(1L, (n * num + den - 1L) / den)
+      }, labelCol, nCol, orderKeys: _*)
 }

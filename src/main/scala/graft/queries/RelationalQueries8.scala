@@ -116,6 +116,24 @@ object RelationalQueries8 {
     "q67_sql" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(portableSql)
+    },
+
+    // per-group discrete quartile vector in ONE pass: RankSelect's
+    // multi-rank selection emits p25/p50/p75 per order priority from a
+    // single range shuffle — the SQL idiom costs a full per-group
+    // window sort (5-task cliff) and quantile_disc re-scans; exact
+    // ceil(n*q) integer rank rule matches DuckDB's quantile_disc
+    "q68_group_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.RankSelect
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey",
+          $"o_totalprice".cast("decimal(15,2)").as("v"))
+      RankSelect.discreteQuantiles(o, Seq("o_orderpriority"),
+          Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L)),
+          "q", "n", $"v", $"o_orderkey")
+        .select($"o_orderpriority", $"q", $"v".cast("double").as("price"),
+          $"n")
     }
   )
 
@@ -157,6 +175,15 @@ object RelationalQueries8 {
         |    / CAST(count(*) AS DOUBLE) AS avg_v
         |FROM events GROUP BY event_type""".stripMargin,
 
-    "q67_sql" -> portableSql
+    "q67_sql" -> portableSql,
+
+    "q68_group_quantiles" -> Seq("p25" -> "0.25", "p50" -> "0.5", "p75" -> "0.75")
+      .map { case (l, f) =>
+        s"""SELECT o_orderpriority, '$l' AS q,
+           |  CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(15,2)), $f)
+           |    AS DOUBLE) AS price,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM orders GROUP BY o_orderpriority""".stripMargin
+      }.mkString("\nUNION ALL\n")
   )
 }

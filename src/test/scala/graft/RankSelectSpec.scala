@@ -50,6 +50,30 @@ class RankSelectSpec extends SparkSpec {
     assert(last == mx)
   }
 
+  test("multi-rank selection matches per-rank window selections, colliding labels both emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy($"g")
+    def windowAt(num: Long, den: Long) = data
+      .withColumn("rn", row_number().over(byG.orderBy($"v", $"id")))
+      .withColumn("n", count(lit(1)).over(byG))
+      .filter($"rn" === greatest(lit(1L),
+        expr(s"(n * $num + $den - 1) div $den")))
+      .select($"g", $"v", $"id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = RankSelect.discreteQuantiles(data, Seq("g"),
+        Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L)), "q", "n",
+        $"v", $"id")
+      .collect().map(r => (r.getString(3),
+        (r.getString(0), r.getLong(1), r.getLong(2)))).toSet
+    val want = Set("p25" -> (1L, 4L), "p50" -> (1L, 2L), "p75" -> (3L, 4L))
+      .flatMap { case (l, (nu, de)) => windowAt(nu, de).map(l -> _) }
+    assert(got == want)
+    // group c has n=1: all three quantile ranks collide on rank 1 and
+    // each label must still emit its own row
+    assert(got.count(_._2._1 == "c") == 3)
+  }
+
   test("group sizes are reported and out-of-range ranks emit nothing") {
     import spark.implicits._
     val ns = RankSelect.discreteMedian(data, Seq("g"), "n", $"v", $"id")
