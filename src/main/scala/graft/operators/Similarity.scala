@@ -90,6 +90,96 @@ object Similarity {
       .toDF("cid", "cv")
   }
 
+  /** Product-quantization search (ADC): split the D-dim space into `m`
+    * subspaces, quantize each subvector to its nearest codebook entry
+    * (`codebookDf`: (c, cv) full-width vectors whose slices are the
+    * per-subspace codebooks — deterministic seed rows or a trained
+    * codebook, caller's choice), then rank by the EXACT cosine between
+    * each vector's reconstruction and the query, computed purely from
+    * per-(subspace, code) lookup tables. This is the memory-bound
+    * billion-vector path: a vector costs m bytes instead of 4·D, the
+    * scan never touches the original floats, and the whole pass is
+    * shuffle-free (per-partition top-k + global TakeOrdered merge).
+    *
+    * Determinism contract (mirrors the DuckDB oracle): distances,
+    * dots, and norms are strict left folds in ascending dimension /
+    * subspace order over exact float→double promotions; argmin ties
+    * break to the LOWEST code index. Every double op is a single
+    * correctly-rounded IEEE op with an identical expression tree on
+    * both engines — bit-identical scores, not merely close.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      codebookDf: DataFrame, queryDf: DataFrame, k: Int, m: Int): DataFrame = {
+    val spark = df.sparkSession
+    val codeRows = codebookDf.select(col("c"), col("cv"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+    val q = queryDf.select(col("qv")).head().getSeq[Float](0).toArray
+    val dim = q.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    // cb(j)(c)(d): per-subspace codebooks sliced from the seed vectors
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      codeRows.map(v => v.slice(j * sub, (j + 1) * sub).map(_.toDouble))
+    }
+    val qd = q.map(_.toDouble)
+    def foldDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // per-(subspace, code) LUTs: dot with the query slice + own norm²
+    val dotLut = Array.tabulate(m) { j =>
+      val qs = qd.slice(j * sub, (j + 1) * sub)
+      cb(j).map(c => foldDot(c, qs))
+    }
+    val nrmLut = Array.tabulate(m)(j => cb(j).map(c => foldDot(c, c)))
+    val qn = math.sqrt(foldDot(qd, qd))
+    val cbB = spark.sparkContext.broadcast(cb)
+    val dotB = spark.sparkContext.broadcast(dotLut)
+    val nrmB = spark.sparkContext.broadcast(nrmLut)
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val schema = org.apache.spark.sql.types.StructType(df.schema :+
+      org.apache.spark.sql.types.StructField("pq_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false))
+    val scored = df.rdd.mapPartitions { it =>
+      val cbv = cbB.value; val dl = dotB.value; val nl = nrmB.value
+      it.map { r =>
+        val v = r.getSeq[Float](vecIdx)
+        var dotSum = 0.0
+        var nrmSum = 0.0
+        var j = 0
+        while (j < cbv.length) {
+          val codes = cbv(j)
+          // subspace distance: strict left fold over dims, ties -> low c
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < codes.length) {
+            val cc = codes(c)
+            var d = 0.0
+            var i = 0
+            while (i < cc.length) {
+              val diff = v(j * cc.length + i).toDouble - cc(i)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          dotSum += dl(j)(best)
+          nrmSum += nl(j)(best)
+          j += 1
+        }
+        val score = dotSum / (math.sqrt(nrmSum) * qn)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ score)
+      }
+    }
+    spark.createDataFrame(scored, schema)
+      .orderBy(col("pq_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-style search: assign every vector to its nearest centroid
     * (`centroidDf`: (cid, cv)), probe the `nprobe` centroids nearest the
     * query, exact-rank only vectors in probed cells. Ties in assignment

@@ -49,6 +49,22 @@ object SimilarityQueries {
       Similarity.ivfTopK(emb, "vec_id", "embedding",
         centroids, queryDf(s, dir), k = 10, nprobe = 3)
         .select(col("vec_id"), col("label"), col("cid"), col("cos"))
+    },
+
+    // product-quantization ADC: 8 subspaces × 64 codes, codebooks =
+    // deterministic seed rows (vec_id 1..64); ranking by the exact
+    // cosine of each vector's reconstruction against the query — the
+    // oracle replays codebook slicing, per-subspace argmin (ties to
+    // the lowest code), LUT sums and the final normalization with the
+    // identical fold order, so scores are bit-equal
+    "ann_pq" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val codebook = emb.filter(col("vec_id").between(1, 64))
+        .select((col("vec_id") - 1).cast("int").as("c"),
+          col("embedding").as("cv"))
+      Similarity.pqTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", codebook, queryDf(s, dir), k = 10, m = 8)
+        .select(col("vec_id"), col("label"), col("pq_score"))
     }
   )
 
@@ -119,6 +135,60 @@ object SimilarityQueries {
          |SELECT x.vec_id, x.label, x.cid, ${cos("x.embedding", "q.qv")} AS cos
          |FROM cells x, probe p, q
          |WHERE x.cid = p.cid AND x.vec_id != 0
-         |ORDER BY cos DESC, x.vec_id ASC LIMIT 10""".stripMargin
+         |ORDER BY cos DESC, x.vec_id ASC LIMIT 10""".stripMargin,
+
+    // replays pqTopK: codebook slices (vec_id 1..64, 8 dims per
+    // subspace), per-subspace squared-distance argmin with first-min
+    // tie-break, LUT dot/norm sums in subspace order, one final
+    // normalization — every fold strictly left-to-right, as in Scala
+    "ann_pq" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cb AS (SELECT CAST(vec_id - 1 AS INT) AS c, embedding AS cv
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 64),
+        |percode AS (
+        |  SELECT j.j, cb.c,
+        |    list_slice(cb.cv, j.j * 8 + 1, j.j * 8 + 8) AS cs,
+        |    list_slice(q.qv, j.j * 8 + 1, j.j * 8 + 8) AS qs
+        |  FROM cb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+        |  CROSS JOIN q),
+        |luts AS (
+        |  SELECT j, list(cs ORDER BY c) AS codes,
+        |    list(list_reduce(list_transform(range(1, 9), gi ->
+        |      CAST(cs[CAST(gi AS INT)] AS DOUBLE)
+        |        * CAST(qs[CAST(gi AS INT)] AS DOUBLE)),
+        |      (gx, gy) -> gx + gy) ORDER BY c) AS dots,
+        |    list(list_reduce(list_transform(range(1, 9), gi ->
+        |      CAST(cs[CAST(gi AS INT)] AS DOUBLE)
+        |        * CAST(cs[CAST(gi AS INT)] AS DOUBLE)),
+        |      (gx, gy) -> gx + gy) ORDER BY c) AS nrms
+        |  FROM percode GROUP BY j),
+        |enc AS (
+        |  SELECT e.vec_id, e.label, l.j, l.dots, l.nrms,
+        |    list_transform(l.codes, cc ->
+        |      list_reduce(list_transform(range(1, 9), gi ->
+        |        (CAST(e.embedding[CAST(l.j * 8 + gi AS INT)] AS DOUBLE)
+        |          - CAST(cc[CAST(gi AS INT)] AS DOUBLE))
+        |        * (CAST(e.embedding[CAST(l.j * 8 + gi AS INT)] AS DOUBLE)
+        |          - CAST(cc[CAST(gi AS INT)] AS DOUBLE))),
+        |        (gx, gy) -> gx + gy)) AS dists
+        |  FROM embeddings e CROSS JOIN luts l WHERE e.vec_id <> 0),
+        |coded AS (
+        |  SELECT vec_id, label, j,
+        |    dots[list_position(dists, list_min(dists))] AS dj,
+        |    nrms[list_position(dists, list_min(dists))] AS nj
+        |  FROM enc),
+        |agg AS (
+        |  SELECT vec_id, label,
+        |    list_reduce(list(dj ORDER BY j), (gx, gy) -> gx + gy) AS dot_sum,
+        |    list_reduce(list(nj ORDER BY j), (gx, gy) -> gx + gy) AS nrm_sum
+        |  FROM coded GROUP BY vec_id, label),
+        |qn AS (SELECT list_reduce(list_transform(range(1, len(qv) + 1), gi ->
+        |    CAST(qv[CAST(gi AS INT)] AS DOUBLE)
+        |      * CAST(qv[CAST(gi AS INT)] AS DOUBLE)),
+        |    (gx, gy) -> gx + gy) AS qq FROM q)
+        |SELECT vec_id, label,
+        |  dot_sum / (sqrt(nrm_sum) * sqrt(qq)) AS pq_score
+        |FROM agg CROSS JOIN qn
+        |ORDER BY pq_score DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 }
