@@ -6,6 +6,33 @@ import graft.operators.RankSelect
 
 class RankSelectSpec extends SparkSpec {
 
+  test("property: selectRank equals the window idiom on random grouped data") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val rowsGen = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 4)
+      v <- Gen.choose(0L, 6L) // narrow range forces heavy ties
+    } yield (g, v)).map(_.take(60))
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(rowsGen) { rows =>
+        val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id").repartition(4)
+        val byG = Window.partitionBy($"g")
+        val want = df
+          .withColumn("rn", row_number().over(byG.orderBy($"v", $"id")))
+          .withColumn("n", count(lit(1)).over(byG))
+          .filter($"rn" === expr("(n + 1) div 2"))
+          .select($"g", $"v", $"id").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        val got = RankSelect.discreteMedian(df, Seq("g"), "n", $"v", $"id")
+          .select($"g", $"v", $"id").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   // deterministic multi-group data with duplicate values (tie-break
   // must decide) and deliberately unequal group sizes incl. size 1
   private def data = {
