@@ -40,9 +40,15 @@ object ConfigParser {
     val transforms = m.get("transformations").map {
       _.asInstanceOf[java.util.List[Object]].asScala.toSeq.map { t =>
         val tm = asMap(t)
+        // the reference's TransformationConfig carries `condition` and
+        // `expression` as TOP-LEVEL fields alongside `properties`
+        // (config/TransformationConfig.java) — fold them in, with any
+        // same-named nested property winning
+        val topLevel = Seq("condition", "expression")
+          .flatMap(k => tm.get(k).map(k -> String.valueOf(_))).toMap
         TransformSpec(
           tm.getOrElse("type", "identity").toString.toLowerCase,
-          asMap(tm.getOrElse("properties", null))
+          topLevel ++ asMap(tm.getOrElse("properties", null))
             .map { case (k, v) => k -> anyToScala(v) })
       }
     }.getOrElse(Seq.empty)

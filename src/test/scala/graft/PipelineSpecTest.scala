@@ -46,6 +46,30 @@ class PipelineSpecTest extends SparkSpec {
     assert(p.sink.properties("format") == "parquet")
   }
 
+  test("top-level condition/expression fields parse like the reference's TransformationConfig") {
+    val cfg = ConfigParser.parse(
+      """pipelines:
+        |  - name: "top-level-fields"
+        |    source:
+        |      type: file
+        |      properties: { path: "in", format: csv }
+        |    transformations:
+        |      - type: filter
+        |        condition: "important"
+        |        properties:
+        |          column: "status"
+        |      - type: map
+        |        expression: "upper(name) AS name_uc"
+        |    sink:
+        |      type: file
+        |      properties: { path: "out" }
+        |""".stripMargin)
+    val ts = cfg.pipelines.head.transformations
+    assert(ts(0).properties("condition") == "important")
+    assert(ts(0).properties("column") == "status")
+    assert(ts(1).properties("expression") == "upper(name) AS name_uc")
+  }
+
   test("csv -> filter -> parquet pipeline end to end (reference pipeline 3)") {
     val in = tmp(); val out = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$in/test.csv"),

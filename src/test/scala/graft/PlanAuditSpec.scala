@@ -115,6 +115,16 @@ class PlanAuditSpec extends SparkSpec {
       "the decile rollup must partial-aggregate below the exchange")
   }
 
+  test("the portable-SQL entry point plans like the DataFrame path") {
+    val p = plan("q67_sql")
+    assert(p.contains("BroadcastHashJoin"),
+      "the aggregated per-customer side must broadcast against customer")
+    assert(p.contains("partial_count"),
+      "the per-customer rollup must partial-aggregate below its exchange")
+    assert(p.contains("WindowGroupLimit"),
+      "the rk <= 3 filter must push a map-side window group limit")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
