@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.pipeline.SinkSpec
 import graft.sources.Sources
@@ -12,7 +13,46 @@ import graft.sources.Sources
   */
 object Sinks {
 
-  def write(df: DataFrame, spec: SinkSpec): Unit = spec.kind match {
+  /** The reference declares sink record shapes as Avro schemas
+    * (pipeline-config-example.yaml `schema: |` blocks, consumed by its
+    * ParquetSinkContext). Honor the same property: project + cast the
+    * outgoing frame to the declared fields IN DECLARED ORDER. Avro
+    * primitives and [null, T] unions map onto Spark types; nested
+    * records are out of scope (the reference's examples are flat).
+    */
+  def applyAvroSchema(df: DataFrame, schemaJson: String): DataFrame = {
+    import org.apache.avro.Schema
+    def sparkType(s: Schema): String = s.getType match {
+      case Schema.Type.STRING => "string"
+      case Schema.Type.INT => "int"
+      case Schema.Type.LONG => "bigint"
+      case Schema.Type.FLOAT => "float"
+      case Schema.Type.DOUBLE => "double"
+      case Schema.Type.BOOLEAN => "boolean"
+      case Schema.Type.BYTES => "binary"
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        require(nonNull.size == 1,
+          s"only [null, T] unions are supported: $s")
+        sparkType(nonNull.head)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro type: $other")
+    }
+    val record = new Schema.Parser().parse(schemaJson)
+    require(record.getType == Schema.Type.RECORD,
+      s"sink schema must be an avro record, got ${record.getType}")
+    df.select(record.getFields.asScala.toSeq.map { f =>
+      org.apache.spark.sql.functions.col(f.name)
+        .cast(sparkType(f.schema())).as(f.name)
+    }: _*)
+  }
+
+  private def withDeclaredSchema(df: DataFrame, props: Map[String, String]): DataFrame =
+    props.get("schema").map(applyAvroSchema(df, _)).getOrElse(df)
+
+  def write(rawDf: DataFrame, spec: SinkSpec): Unit = {
+   val df = withDeclaredSchema(rawDf, spec.properties)
+   spec.kind match {
     case "file" | "parquet" | "s3" =>
       val props = spec.properties
       val path = if (spec.kind == "s3") Sources.s3aPath(props("path")) else props("path")
@@ -55,12 +95,14 @@ object Sinks {
       props.get("partitionBy").foreach(cols => w = w.partitionBy(cols.split(","): _*))
       w.saveAsTable(table)
     case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
+   }
   }
 
   /** Streaming write with checkpointing — at-least-once like the
     * reference's Jet sinks, exactly-once for file sinks.
     */
-  def writeStream(df: DataFrame, spec: SinkSpec, name: String): StreamingQuery = {
+  def writeStream(rawDf: DataFrame, spec: SinkSpec, name: String): StreamingQuery = {
+    val df = withDeclaredSchema(rawDf, spec.properties)
     val props = spec.properties
     // pipeline names like "csv-to-parquet" must become valid identifiers
     val queryName = name.replaceAll("\\W", "_")

@@ -70,6 +70,33 @@ class PipelineSpecTest extends SparkSpec {
     assert(ts(1).properties("expression") == "upper(name) AS name_uc")
   }
 
+  test("sink avro schema casts and orders the written columns (reference schema blocks)") {
+    import org.apache.spark.sql.types.{IntegerType, StringType, DoubleType}
+    val in = tmp(); val out = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$in/e.csv"),
+      "id,name,salary\n7,ada,100.5\n8,bob,90.25\n")
+    val mgr = new PipelineManager(spark)
+    val st = mgr.submit(PipelineSpec(
+      name = "schema-sink",
+      source = SourceSpec("file", Map("path" -> in, "format" -> "csv",
+        "header" -> "true")),
+      transformations = Seq.empty,
+      sink = SinkSpec("file", Map("path" -> s"$out/p", "format" -> "parquet",
+        "schema" ->
+          """{"type":"record","name":"Employee","fields":[
+            |  {"name":"salary","type":"double"},
+            |  {"name":"id","type":"int"},
+            |  {"name":"name","type":["null","string"]}
+            |]}""".stripMargin))))
+    assert(mgr.status("schema-sink").contains("COMPLETED"), s"got $st")
+    val back = spark.read.parquet(s"$out/p")
+    // declared order + declared (cast) types, not the CSV string schema
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("salary", DoubleType), ("id", IntegerType), ("name", StringType)))
+    assert(back.collect().map(r => (r.getDouble(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._2).toSeq == Seq((100.5, 7, "ada"), (90.25, 8, "bob")))
+  }
+
   test("csv -> filter -> parquet pipeline end to end (reference pipeline 3)") {
     val in = tmp(); val out = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$in/test.csv"),
