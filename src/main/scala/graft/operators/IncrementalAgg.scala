@@ -48,18 +48,38 @@ object IncrementalAgg {
     case "max" => max(col(a.out))
   }).as(a.out)
 
+  /** Cast a partial's agg columns to the types a merge would produce
+    * (decimal sums widen: sum(decimal(p,s)) -> decimal(min(38,p+10),s));
+    * the widened types are a FIX-POINT (p+10 caps at 38), so aligned
+    * partials and merged states share one schema — "a merged state IS
+    * a valid state" holds by schema, not just by value, and persisted
+    * state versions never drift.
+    */
+  private def align(p: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    val mergedSchema = p.limit(0).unionByName(p.limit(0))
+      .groupBy(keys.map(col): _*)
+      .agg(remerge(aggs.head), aggs.tail.map(remerge): _*)
+      .schema
+    p.select(p.schema.map(f =>
+      col(f.name).cast(mergedSchema(f.name).dataType).as(f.name)): _*)
+  }
+
   /** Aggregate a batch of raw rows into partial-state form. */
-  def partial(df: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(firstAgg(aggs.head), aggs.tail.map(firstAgg): _*)
+  def partial(df: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate column is required")
+    align(df.groupBy(keys.map(col): _*)
+      .agg(firstAgg(aggs.head), aggs.tail.map(firstAgg): _*), keys, aggs)
+  }
 
   /** Fold a new partial into the state: group sizes are O(keys), so
     * this is a tiny shuffle regardless of how much raw data the state
     * summarizes.
     */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
-      aggs: Seq[Agg]): DataFrame =
-    state.unionByName(delta)
+      aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate column is required")
+    align(state.unionByName(delta)
       .groupBy(keys.map(col): _*)
-      .agg(remerge(aggs.head), aggs.tail.map(remerge): _*)
+      .agg(remerge(aggs.head), aggs.tail.map(remerge): _*), keys, aggs)
+  }
 }

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * Determinism: same contract as the window idiom — the selection is
   * unique and reproducible iff (orderKeys) is a total order within a
   * group (pass a unique id as the last key).
+  *
+  * EAGER by construction (like [[GlobalIndex]]): the per-group counts
+  * job runs when the operator is CALLED, and the returned frame's
+  * offsets are snapshots of that moment. If the underlying source
+  * changes between construction and a later action, re-call the
+  * operator rather than re-materializing the stale frame — unlike a
+  * pure lazy plan it will not recompute its offsets.
   */
 object RankSelect {
 

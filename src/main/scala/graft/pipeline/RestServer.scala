@@ -27,6 +27,12 @@ import java.nio.charset.StandardCharsets
 class RestServer(manager: PipelineManager, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // without an executor the JDK server dispatches every request on ONE
+  // thread — a long synchronous batch submit via POST /start would
+  // freeze /status, /jobs and even /stop until it finished. A cached
+  // pool keeps the management surface responsive while a submit runs.
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    r => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
 
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
@@ -94,7 +100,7 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
         case ("POST", StopPath(name)) =>
           if (manager.stop(name)) respond(ex, 200, "")
           else respond(ex, 404,
-            s"""{"error":"Pipeline not found or not running: ${name}"}""")
+            s"""{"error":${jstr(s"Pipeline not found or not running: $name")}}""")
         case _ =>
           respond(ex, 404, """{"error":"no such route"}""")
       }

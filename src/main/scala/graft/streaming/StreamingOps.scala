@@ -182,39 +182,65 @@ object StreamingOps {
     * makes replay exactly-once: a restarted query re-delivers a batch
     * with the same id, the version directory already exists, and the
     * fold is skipped — the same recipe as the upsert sink above, but
-    * for aggregation state. Readers always see a complete version
-    * (a version directory only becomes `latest` after its write
-    * finishes). State size is O(keys) however much data streamed by.
+    * for aggregation state. A version is written to a staging path and
+    * RENAMED into place (one atomic filesystem op), so a crash
+    * mid-write can never leave a half-version that masks its own
+    * replay — readers and the replay check only ever see complete
+    * versions. All paths go through the Hadoop FileSystem API, so
+    * hdfs:///s3a:// state dirs behave like local ones. Superseded
+    * versions beyond the last `retainVersions` are pruned after each
+    * fold — on-disk footprint is O(retainVersions × keys), however
+    * much data streamed by.
     */
   def materializedAggregate(stream: DataFrame, keys: Seq[String],
       aggs: Seq[graft.operators.IncrementalAgg.Agg], stateDir: String,
-      name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      name: String, retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.IncrementalAgg
+    import org.apache.hadoop.fs.Path
+    require(retainVersions >= 1)
     stream.writeStream.queryName(name.replaceAll("\\W", "_"))
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val vdir = new java.io.File(s"$stateDir/v=$id")
-        if (!vdir.exists()) { // replayed batch -> already folded, skip
+        val fs = new Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val vdir = new Path(s"$stateDir/v=$id")
+        if (!fs.exists(vdir)) { // replayed batch -> already folded, skip
           val delta = IncrementalAgg.partial(batch, keys, aggs)
           val merged = latestState(spark, stateDir, below = id)
             .fold(delta)(prev => IncrementalAgg.merge(prev, delta, keys, aggs))
-          merged.write.mode("overwrite").parquet(vdir.toString)
+          val staging = new Path(s"$stateDir/_staging_$id")
+          fs.delete(staging, true) // stale leftover from a crashed attempt
+          merged.write.mode("overwrite").parquet(staging.toString)
+          if (!fs.rename(staging, vdir))
+            throw new java.io.IOException(s"rename $staging -> $vdir failed")
+          // prune versions older than the newest `retainVersions`
+          stateVersions(spark, stateDir).dropRight(retainVersions)
+            .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
         }
         ()
       }.start()
+  }
+
+  /** Complete state versions, ascending (Hadoop FS — works on any
+    * scheme).
+    */
+  def stateVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
   }
 
   /** The newest complete state version (optionally only versions below
     * a batch id, for in-flight folds).
     */
   def latestState(spark: SparkSession, stateDir: String,
-      below: Long = Long.MaxValue): Option[DataFrame] = {
-    val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .filter(_ < below)
-    versions.sorted.lastOption
+      below: Long = Long.MaxValue): Option[DataFrame] =
+    stateVersions(spark, stateDir).filter(_ < below).lastOption
       .map(v => spark.read.parquet(s"$stateDir/v=$v"))
-  }
 }

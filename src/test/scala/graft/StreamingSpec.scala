@@ -160,5 +160,11 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(snapshot() == Map("x" -> ((3L, 10L, 7L)), "y" -> ((2L, 15L, 10L)),
       "z" -> ((1L, 100L, 100L))))
+    // 3 batches folded but only the newest 2 versions retained (pruning),
+    // and no staging leftovers
+    val versions = StreamingOps.stateVersions(spark, state)
+    assert(versions.length == 2, s"got $versions")
+    val names = new java.io.File(state).listFiles().map(_.getName).toSeq
+    assert(!names.exists(_.startsWith("_staging")), s"got $names")
   }
 }
