@@ -134,6 +134,43 @@ object RelationalQueries8 {
           "q", "n", $"v", $"o_orderkey")
         .select($"o_orderpriority", $"q", $"v".cast("double").as("price"),
           $"n")
+    },
+
+    // time-series similarity search: which users' daily activity series
+    // correlate most with user 0's? Pearson over the aligned daily grid
+    // from exact INTEGER moments — n is the global day count, missing
+    // days contribute 0 to every sum, and the cross term only needs a
+    // sparse join on shared active days, so no dense grid and no
+    // per-user window is ever materialized. One double conversion at
+    // the end (q34's cross-engine float discipline); zero-variance
+    // users excluded by integer compare. Reference side is tiny ->
+    // broadcast; the scan over users is one aggregation.
+    "q69_ts_similarity" -> { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val n = daily.select(countDistinct($"day")).head().getLong(0)
+      val ref = daily.filter($"user_id" === 0)
+        .select($"day", $"c".as("y"))
+      val refStats = ref.agg(sum($"y").as("sy"),
+        sum($"y" * $"y").as("sy2")).head()
+      val (sy, sy2) = (refStats.getLong(0), refStats.getLong(1))
+      val joined = daily.filter($"user_id" =!= 0)
+        .join(broadcast(ref), Seq("day"), "left")
+        .groupBy($"user_id")
+        .agg(sum($"c").as("sx"), sum($"c" * $"c").as("sx2"),
+          sum($"c" * coalesce($"y", lit(0L))).as("sxy"))
+      val varX = lit(n) * $"sx2" - $"sx" * $"sx"
+      val varY = lit(n * sy2 - sy * sy)
+      joined
+        .filter(varX > 0 && varY > 0)
+        .withColumn("corr",
+          (lit(n) * $"sxy" - $"sx" * lit(sy)).cast("double") /
+            (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+        .orderBy($"corr".desc, $"user_id".asc)
+        .limit(5)
+        .select($"user_id", $"sx", $"corr")
     }
   )
 
@@ -184,6 +221,30 @@ object RelationalQueries8 {
            |    AS DOUBLE) AS price,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM orders GROUP BY o_orderpriority""".stripMargin
-      }.mkString("\nUNION ALL\n")
+      }.mkString("\nUNION ALL\n"),
+
+    "q69_ts_similarity" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, day),
+        |n AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n FROM daily),
+        |ref AS (SELECT day, c AS y FROM daily WHERE user_id = 0),
+        |refstats AS (
+        |  SELECT CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y * y) AS BIGINT) AS sy2 FROM ref),
+        |m AS (
+        |  SELECT d.user_id, CAST(sum(d.c) AS BIGINT) AS sx,
+        |    CAST(sum(d.c * d.c) AS BIGINT) AS sx2,
+        |    CAST(sum(d.c * coalesce(r.y, 0)) AS BIGINT) AS sxy
+        |  FROM daily d LEFT JOIN ref r ON d.day = r.day
+        |  WHERE d.user_id <> 0 GROUP BY d.user_id)
+        |SELECT user_id, sx,
+        |  CAST(n.n * sxy - sx * rs.sy AS DOUBLE) /
+        |    (sqrt(CAST(n.n * sx2 - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n.n * rs.sy2 - rs.sy * rs.sy AS DOUBLE))) AS corr
+        |FROM m CROSS JOIN n CROSS JOIN refstats rs
+        |WHERE n.n * sx2 - sx * sx > 0 AND n.n * rs.sy2 - rs.sy * rs.sy > 0
+        |ORDER BY corr DESC, user_id ASC LIMIT 5""".stripMargin
   )
 }
