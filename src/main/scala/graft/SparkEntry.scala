@@ -16,7 +16,8 @@ object SparkEntry {
       RelationalQueries3.defs ++ RelationalQueries4.defs ++
       RelationalQueries5.defs ++ RelationalQueries6.defs ++
       RelationalQueries7.defs ++ RelationalQueries8.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ TextQueries2.defs ++ DedupQueries.defs ++
+      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
+      DedupQueries.defs ++
       SimilarityQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ FeatureQueries.defs ++
@@ -30,7 +31,8 @@ object SparkEntry {
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ TextQueries2.oracles ++ DedupQueries.oracles ++
+      TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
+      DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ FeatureQueries.oracles ++

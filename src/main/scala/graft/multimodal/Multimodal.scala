@@ -106,6 +106,56 @@ object Multimodal {
       }
   }
 
+  case class PHash(media_id: Long, phash: String)
+
+  /** Average-hash perceptual fingerprint for image payloads: downsample
+    * the byte grid to 8×8 with the SAME clamped nearest-neighbor
+    * addressing as [[resize]], then set bit (y,x) iff that cell's value
+    * strictly exceeds the 64-cell mean — compared as an integer cross
+    * product (p·64 > Σ), so no division ever happens. Emitted as a
+    * 16-hex-char string (two digits per row byte, MSB = x 0) — string
+    * keys dodge 64-bit sign traps and group/join cleanly. Identical
+    * images (and near-identical ones after real decode) collide, which
+    * makes exact-dedup-by-phash the cheap first pass of visual dedup.
+    */
+  def perceptualHash(media: DataFrame): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image")
+      .selectExpr("media_id", "payload", "cast(width as int) width",
+        "cast(height as int) height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, p, w, h) =>
+          val len = p.length
+          val px = new Array[Int](64)
+          var i = 0
+          while (i < 64) {
+            val y = i / 8; val x = i % 8
+            val src = (y.toLong * h / 8) * w + (x.toLong * w / 8)
+            val clamped = math.max(math.min(len - 1L, src), 0L).toInt
+            px(i) = if (len == 0) 0 else p(clamped) & 0xFF
+            i += 1
+          }
+          var s = 0
+          i = 0
+          while (i < 64) { s += px(i); i += 1 }
+          val sb = new StringBuilder(16)
+          var r = 0
+          while (r < 8) {
+            var b = 0
+            var x = 0
+            while (x < 8) {
+              if (px(r * 8 + x) * 64 > s) b |= 1 << (7 - x)
+              x += 1
+            }
+            sb.append(f"$b%02x")
+            r += 1
+          }
+          PHash(id, sb.toString)
+        }
+      }
+  }
+
   case class MediaResized(media_id: Long, kind: String,
       payload: Array[Byte], width: Int, height: Int)
 

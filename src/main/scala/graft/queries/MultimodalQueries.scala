@@ -27,6 +27,21 @@ object MultimodalQueries {
           length(col("frame")).as("n_bytes"))
     },
 
+    // perceptual-hash visual dedup: 8x8 average-hash per image payload
+    // (integer-only mean compare), duplicate groups counted by hash —
+    // the cheap first pass of visual dedup; oracle replays the clamped
+    // nearest-neighbor downsample + bit packing in SQL
+    "mm_phash" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val media = graft.operators.Parallelism.ensure(
+        Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
+      val hashed = Multimodal.perceptualHash(media).toDF()
+      val groups = hashed.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_same"))
+      hashed.join(groups, "phash")
+        .select(col("media_id"), col("phash"), col("n_same"))
+    },
+
     // audio framing: 256-byte windows, 128-byte hop (the STFT shape),
     // per-window integer energy; the oracle replays the framing + ord()
     // sums on the source text (ASCII: byte == codepoint). The kernel is
@@ -63,6 +78,40 @@ object MultimodalQueries {
         |SELECT media_id, CAST(gi // 2 AS INT) AS frame_no,
         |  length(substr(text, CAST(gi * 64 + 1 AS INT), 64)) AS n_bytes
         |FROM f""".stripMargin,
+
+    // the clamped nearest-neighbor 8x8 downsample: src index
+    // (y*H/8)*W + (x*W/8) clamped into [0, len-1] — integer division
+    // on nonnegative values, so DuckDB // == Scala / here; bit set iff
+    // p*64 > sum (strict), rows packed MSB-first into two hex digits
+    "mm_phash" ->
+      """WITH img AS (SELECT doc_id AS media_id, text,
+        |    length(text) AS len,
+        |    n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT media_id,
+        |    list_transform(range(0, 64), i ->
+        |      ord(substr(text, CAST(greatest(least(len - 1,
+        |        ((i // 8) * h // 8) * w + ((i % 8) * w // 8)), 0) + 1
+        |        AS INT), 1))) AS ps
+        |  FROM img),
+        |sums AS (SELECT media_id, ps,
+        |    list_reduce(ps, (ga, gb) -> ga + gb) AS s FROM px),
+        |hx AS (SELECT media_id,
+        |    array_to_string(list_transform(range(0, 8), r ->
+        |      printf('%02x',
+        |        CASE WHEN ps[CAST(r * 8 + 1 AS INT)] * 64 > s THEN 128 ELSE 0 END
+        |      + CASE WHEN ps[CAST(r * 8 + 2 AS INT)] * 64 > s THEN 64 ELSE 0 END
+        |      + CASE WHEN ps[CAST(r * 8 + 3 AS INT)] * 64 > s THEN 32 ELSE 0 END
+        |      + CASE WHEN ps[CAST(r * 8 + 4 AS INT)] * 64 > s THEN 16 ELSE 0 END
+        |      + CASE WHEN ps[CAST(r * 8 + 5 AS INT)] * 64 > s THEN 8 ELSE 0 END
+        |      + CASE WHEN ps[CAST(r * 8 + 6 AS INT)] * 64 > s THEN 4 ELSE 0 END
+        |      + CASE WHEN ps[CAST(r * 8 + 7 AS INT)] * 64 > s THEN 2 ELSE 0 END
+        |      + CASE WHEN ps[CAST(r * 8 + 8 AS INT)] * 64 > s THEN 1 ELSE 0 END)),
+        |      '') AS phash
+        |  FROM sums),
+        |grp AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_same
+        |  FROM hx GROUP BY phash)
+        |SELECT media_id, phash, n_same FROM hx JOIN grp USING (phash)""".stripMargin,
 
     "mm_audio" ->
       """WITH a AS (SELECT doc_id AS media_id, text, length(text) AS L
