@@ -50,4 +50,21 @@ class MultimodalSpec extends SparkSpec {
   test("realDecode is an explicit stub") {
     intercept[NotImplementedError] { Multimodal.realDecode(Array[Byte](1)) }
   }
+
+  test("perceptual hash: identical payloads collide, hashes are 16 hex chars") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", "abcdefgh" * 16, 32, 16),
+      (2L, "image", "abcdefgh" * 16, 32, 16),  // exact duplicate of 1
+      (3L, "image", "zzzzyyyy" * 16, 32, 16),  // different content
+      (4L, "audio", "abcdefgh" * 16, 32, 16))  // wrong kind -> excluded
+      .toDF("media_id", "kind", "text", "width", "height")
+      .withColumn("payload", col("text").cast("binary"))
+    val got = Multimodal.perceptualHash(media).collect()
+      .map(p => p.media_id -> p.phash).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_.matches("[0-9a-f]{16}")))
+    assert(got(1L) == got(2L), "identical images must collide")
+    assert(got(1L) != got(3L), "different content must (here) differ")
+  }
 }
