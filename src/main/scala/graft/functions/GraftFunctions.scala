@@ -138,6 +138,17 @@ object GraftFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** ALL word `n`-grams in order, duplicates kept (the frequency-table
+    * tokenizer, vs `word_shingles`' distinct set); empty below n words.
+    * Single-space tokenization to match the corpus oracles.
+    */
+  def word_ngrams_all(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
   /** Distinct character `n`-grams; empty if text shorter than n. */
   def char_ngrams(text: Column, n: Int): Column =
     when(length(text) >= n,

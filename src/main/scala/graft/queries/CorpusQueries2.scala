@@ -48,11 +48,9 @@ object CorpusQueries2 {
     // TakeOrdered keeps the top-k selection distributed)
     "corpus_bigrams" -> { (s, dir) =>
       import s.implicits._
-      val toks = split($"text", " ")
+      import graft.functions.GraftFunctions.word_ngrams_all
       val bigrams = Tables.load(s, dir, "documents")
-        .select(explode(when(size(toks) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(toks) - 2),
-            i => concat_ws(" ", slice(toks, i + 1, lit(2)))))).as("bigram"))
+        .select(explode(word_ngrams_all($"text", 2)).as("bigram"))
       val top = bigrams.groupBy($"bigram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"bigram".asc).limit(20)
       top.withColumn("rk",

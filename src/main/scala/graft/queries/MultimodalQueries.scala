@@ -35,10 +35,12 @@ object MultimodalQueries {
       import org.apache.spark.sql.functions.{col, count, lit}
       val media = graft.operators.Parallelism.ensure(
         Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
-      val hashed = Multimodal.perceptualHash(media).toDF()
-      val groups = hashed.groupBy(col("phash"))
-        .agg(count(lit(1)).as("n_same"))
-      hashed.join(groups, "phash")
+      // group size via a window over the (high-cardinality) hash key:
+      // the hash kernel and the documents scan run ONCE — a self-join
+      // with its own groupBy would compute both twice
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+      Multimodal.perceptualHash(media).toDF()
+        .withColumn("n_same", count(lit(1)).over(w))
         .select(col("media_id"), col("phash"), col("n_same"))
     },
 

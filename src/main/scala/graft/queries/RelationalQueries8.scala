@@ -150,27 +150,41 @@ object RelationalQueries8 {
       val daily = Tables.events(s, dir)
         .groupBy($"user_id", to_date($"ts").as("day"))
         .agg(count(lit(1)).as("c"))
-      val n = daily.select(countDistinct($"day")).head().getLong(0)
-      val ref = daily.filter($"user_id" === 0)
-        .select($"day", $"c".as("y"))
-      val refStats = ref.agg(sum($"y").as("sy"),
-        sum($"y" * $"y").as("sy2")).head()
-      val (sy, sy2) = (refStats.getLong(0), refStats.getLong(1))
-      val joined = daily.filter($"user_id" =!= 0)
-        .join(broadcast(ref), Seq("day"), "left")
-        .groupBy($"user_id")
-        .agg(sum($"c").as("sx"), sum($"c" * $"c").as("sx2"),
-          sum($"c" * coalesce($"y", lit(0L))).as("sxy"))
-      val varX = lit(n) * $"sx2" - $"sx" * $"sx"
-      val varY = lit(n * sy2 - sy * sy)
-      joined
-        .filter(varX > 0 && varY > 0)
-        .withColumn("corr",
-          (lit(n) * $"sxy" - $"sx" * lit(sy)).cast("double") /
-            (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
-        .orderBy($"corr".desc, $"user_id".asc)
-        .limit(5)
-        .select($"user_id", $"sx", $"corr")
+        .persist()
+      try {
+        // one driver action for all three scalars (day count + both
+        // reference moments); a missing reference user leaves the sums
+        // NULL -> zero variance -> the varY filter yields empty, the
+        // same graceful no-rows the oracle produces
+        val stats = daily.agg(
+          countDistinct($"day").as("n"),
+          sum(when($"user_id" === 0, $"c")).as("sy"),
+          sum(when($"user_id" === 0, $"c" * $"c")).as("sy2")).head()
+        val n = stats.getLong(0)
+        val sy = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        val sy2 = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+        val ref = daily.filter($"user_id" === 0)
+          .select($"day", $"c".as("y"))
+        val joined = daily.filter($"user_id" =!= 0)
+          .join(broadcast(ref), Seq("day"), "left")
+          .groupBy($"user_id")
+          .agg(sum($"c").as("sx"), sum($"c" * $"c").as("sx2"),
+            sum($"c" * coalesce($"y", lit(0L))).as("sxy"))
+        val varX = lit(n) * $"sx2" - $"sx" * $"sx"
+        val varY = lit(n * sy2 - sy * sy)
+        val top = joined
+          .filter(varX > 0 && varY > 0)
+          .withColumn("corr",
+            (lit(n) * $"sxy" - $"sx" * lit(sy)).cast("double") /
+              (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+          .orderBy($"corr".desc, $"user_id".asc)
+          .limit(5)
+          .select($"user_id", $"sx", $"corr")
+        // materialize the 5-row result before releasing the cached
+        // daily frame (same no-leak contract as q63)
+        val rows = top.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), top.schema)
+      } finally daily.unpersist()
     }
   )
 

@@ -21,12 +21,10 @@ object TextQueries3 {
     // the end. Docs with < 2 tokens surface with n_bigrams = 0.
     "text_bigram_rarity" -> { (s, dir) =>
       import s.implicits._
-      val toks = split($"text", " ")
+      import graft.functions.GraftFunctions.word_ngrams_all
       val docBigrams = Tables.load(s, dir, "documents")
         .select($"doc_id",
-          explode_outer(when(size(toks) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(0), size(toks) - 2),
-              i => concat_ws(" ", slice(toks, i + 1, lit(2)))))).as("bigram"))
+          explode_outer(word_ngrams_all($"text", 2)).as("bigram"))
       val freq = docBigrams.filter($"bigram".isNotNull)
         .groupBy($"bigram").agg(count(lit(1)).as("f"))
       docBigrams
