@@ -54,7 +54,9 @@ object ScaleProbe {
       "q52_bloom_join",
       "q58_mad", "q63_triangles", "q64_variant", "q65_entity_match",
       "q66_incremental_agg", "mm_audio", "corpus_contamination",
-      "corpus_tfidf", "corpus_pack")
+      "corpus_tfidf", "corpus_pack",
+      "q67_sql", "q68_group_quantiles", "q69_ts_similarity",
+      "ann_pq", "mm_phash", "text_bigram_rarity")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, out).count()
