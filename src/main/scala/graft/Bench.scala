@@ -40,10 +40,24 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail goes to a file + a PRECEDING stdout line; the driver
+    // only keeps a short tail of stdout, so the LAST line must be a short
+    // (<200 char) summary or the head of the JSON gets truncated away
+    // (rounds 1-3 all recorded "parsed": null because the 114-query map
+    // pushed the line past the driver's 2000-char tail window).
+    val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench_detail.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(detail)
+    val slowest = results.sortBy(-_._2).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

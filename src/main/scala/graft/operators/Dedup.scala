@@ -197,9 +197,15 @@ object Dedup {
     // per-round frames, and at scale it re-plans each round from the
     // actual shrinking label sizes)
     try {
+    // Lazy checkpoints, fused materialization: edges checkpoint, seed
+    // checkpoint and the initial label sum all materialize in the ONE
+    // prevSum job below — each round of this loop is latency-bound on
+    // job count (the frames are tiny fractions of the corpus), so every
+    // saved job is wall-clock. (Lazy localCheckpoint is safe only with
+    // constraint propagation off — see above.)
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Iterate ONLY over edge-incident vertices: in a dedup graph the
     // overwhelming majority of documents are singletons — at corpus
     // scale this shrinks the label frame by orders of magnitude.
@@ -208,19 +214,24 @@ object Dedup {
     // folded into the same single shuffle that dedups incident vertices.
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("__mv"))
       .select(col("u").as("id"), least(col("u"), col("__mv")).as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Convergence via the label sum: labels are monotone non-increasing
     // (min-fold includes the old label; the jump maps c -> label(c) <= c
     // by the label(v) <= v invariant), so the sum strictly decreases iff
     // any vertex changed — one tiny agg instead of a per-round join+count.
     // decimal(38,0) so 1e12 vertices with 64-bit ids cannot overflow.
     // Null sum = empty edge set: nothing to iterate.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("component").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), r.getLong(1))
+    }
+    // one job: materializes the edges + seed checkpoints AND answers
+    // both "is the edge set empty" (count) and the convergence baseline
+    val (seedSum, seedCount) = labelSum(labels)
+    var prevSum = seedSum
     var iter = 0
-    var changed = !labels.isEmpty
+    var changed = seedCount > 0L
     while (changed && iter < maxIters) {
       val prop = edges.as("e").join(labels.as("l"), col("e.v") === col("l.id"))
         .select(col("e.u").as("id"), col("l.component").as("component"))
@@ -243,7 +254,7 @@ object Dedup {
         .join(folded.as("q"), col("p.component") === col("q.id"))
         .select(col("p.id").as("id"), col("q.component").as("component"))
         .localCheckpoint(eager = false)
-      val s = labelSum(next)
+      val s = labelSum(next)._1
       changed = s.compareTo(prevSum) < 0
       prevSum = s
       labels = next

@@ -59,7 +59,28 @@ object RankSelect {
     */
   def selectRanks(rawDf: DataFrame, groupCols: Seq[String],
       ranksOf: Long => Seq[(String, Long)], labelCol: String, nCol: String,
-      orderKeys: Column*): DataFrame = {
+      orderKeys: Column*): DataFrame =
+    selectRanksCapped(rawDf, groupCols, ranksOf, labelCol, nCol,
+      DefaultMaxGroups, orderKeys: _*)
+
+  /** Driver-memory contract: the counts pass collects O(partitions ×
+    * groups-per-partition) run-length rows and broadcasts per-group
+    * start/target maps, so DRIVER MEMORY IS LINEAR IN DISTINCT GROUPS.
+    * That is the whole point of the operator — it trades O(groups)
+    * driver state for full-parallelism selection on LOW-cardinality
+    * keys. Past this cap the trade inverts and the plain window idiom
+    * (which parallelizes fine when groups are plentiful) is strictly
+    * better — see [[windowRanks]].
+    */
+  val DefaultMaxGroups: Int = 250000
+
+  /** [[selectRanks]] with an explicit distinct-group cap. Exceeding the
+    * cap raises IllegalStateException with guidance rather than letting
+    * the counts collect/broadcast OOM the driver.
+    */
+  def selectRanksCapped(rawDf: DataFrame, groupCols: Seq[String],
+      ranksOf: Long => Seq[(String, Long)], labelCol: String, nCol: String,
+      maxGroups: Int, orderKeys: Column*): DataFrame = {
     // single-file parquet arrives as ONE partition — spread first or
     // the range exchange itself degenerates to a single task
     val df = Parallelism.ensure(rawDf)
@@ -73,8 +94,16 @@ object RankSelect {
     // the second materialization — nothing persisted, nothing leaked.
     val rrdd = ranged.rdd
     def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+    val capMsg = s"RankSelect: distinct group count exceeds maxGroups=$maxGroups; " +
+      "the counts collect/broadcast would be driver-memory-unsafe. For " +
+      "high-cardinality group keys use RankSelect.windowRanks (the window " +
+      "idiom parallelizes fine there) or raise the cap via selectRanksCapped."
     // run-length encode each partition's (group -> count): rows are
-    // sorted, so each group is a single contiguous run per partition
+    // sorted, so each group is a single contiguous run per partition.
+    // Ranges make groups contiguous ACROSS partitions too, so any one
+    // partition holding > maxGroups runs already proves the global
+    // distinct count exceeds the cap — abort inside the job, before
+    // anything is collected.
     val runs: Array[(Int, Seq[Any], Long)] = rrdd
       .mapPartitionsWithIndex { case (pid, it) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
@@ -84,6 +113,7 @@ object RankSelect {
           val k = key(r)
           if (cur == null || k != cur) {
             if (cur != null) out += ((pid, cur, n))
+            if (out.size > maxGroups) throw new IllegalStateException(capMsg)
             cur = k; n = 0L
           }
           n += 1L
@@ -91,6 +121,8 @@ object RankSelect {
         if (cur != null) out += ((pid, cur, n))
         out.iterator
       }.collect()
+    if (runs.iterator.map(_._2).toSet.size > maxGroups)
+      throw new IllegalStateException(capMsg)
     // per-group total + this partition's starting rank for the group
     val totals = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
     val starts = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
@@ -137,6 +169,33 @@ object RankSelect {
       }
     }
     ranged.sparkSession.createDataFrame(picked, schema)
+  }
+
+  /** The plain window idiom producing the IDENTICAL selection to
+    * [[selectRanks]] — `row_number()` + per-group count, filter on the
+    * requested ranks. O(1) driver state at any group cardinality; the
+    * high-cardinality fallback the [[selectRanksCapped]] error points
+    * to. (At LOW cardinality this is the one-task-per-group cliff that
+    * selectRanks exists to avoid — pick by group count.)
+    */
+  def windowRanks(rawDf: DataFrame, groupCols: Seq[String],
+      ranksOf: Long => Seq[(String, Long)], labelCol: String, nCol: String,
+      orderKeys: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = Parallelism.ensure(rawDf)
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(orderKeys: _*)
+    val wg = Window.partitionBy(gcols: _*)
+    val targetsOf = udf((n: Long) => ranksOf(n))
+    val withLabel = labelCol != null
+    val base = df
+      .withColumn(nCol, count(lit(1)).over(wg))
+      .withColumn("__rs_rn", row_number().over(w).cast("long"))
+      .withColumn("__rs_t", explode(targetsOf(col(nCol))))
+      .filter(col("__rs_rn") === col("__rs_t._2"))
+    val cols = df.columns.map(col).toSeq ++
+      (if (withLabel) Seq(col("__rs_t._1").as(labelCol)) else Nil) :+ col(nCol)
+    base.select(cols: _*)
   }
 
   /** The discrete per-group median row (value at rank `(n+1) div 2` —

@@ -66,6 +66,35 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cos"), col("rnk"))
   }
 
+  /** Large-|Q| k-NN join: identical selection to [[knnJoin]] but the
+    * query side is NEVER broadcast, so it works when Q itself is a big
+    * table (query-by-corpus, cross-corpus linking). Queries hash into
+    * `qBlocks` blocks and each data row is replicated to every block key
+    * (a shuffle hash join on the block id — the mirror of
+    * [[graft.operators.Dedup.embeddingPairsExact]]'s bounded-memory
+    * contract): per-task memory is O(|Q|/qBlocks) query vectors, shuffle
+    * volume O(n·qBlocks + |Q|), and the same map-side partial
+    * WindowGroupLimit prunes each partition to k rows per query before
+    * the final per-qid exchange. Size qBlocks so one query block fits
+    * comfortably in a task (~|Q|·dim·4 / qBlocks bytes).
+    */
+  def knnJoinBlocked(df: DataFrame, idCol: String, vecCol: String,
+      queryDf: DataFrame, k: Int, qBlocks: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    val q = queryDf.withColumn("__qb",
+      pmod(xxhash64(col("qid")), lit(qBlocks)).cast("int"))
+    val d = Parallelism.ensure(df).withColumn("__qb",
+      explode(expr(s"sequence(0, ${qBlocks - 1})")))
+    d.join(q, "__qb")
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("cos"), col("rnk"))
+  }
+
   /** Train an IVF coarse quantizer with Spark MLlib's distributed
     * k-means (k-means|| init, fixed seed -> deterministic). Returns a
     * (cid, cv) centroid frame directly usable by ivfTopK. At 100 TB the

@@ -84,20 +84,36 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
         case ("GET", "/api/pipelines/count") =>
           respond(ex, 200, manager.runningCount.toString)
         case ("GET", JobStatusPath(name)) =>
-          respond(ex, 200, manager.isRunning(name).toString)
+          respond(ex, 200, manager.isRunning(decodePath(name)).toString)
         case ("POST", "/api/pipelines/start") =>
           queryParam(ex, "configFilePath").map(_.trim).filter(_.nonEmpty) match {
             case None =>
               respond(ex, 400,
                 """{"error":"Configuration file path cannot be empty"}""")
             case Some(cfgPath) =>
-              manager.submitAll(ConfigParser.parseFile(cfgPath))
-              respond(ex, 200, "")
+              // surface per-pipeline outcomes: the reference's
+              // startAllPipelines rethrows execution failures (HTTP 500);
+              // without this, a submit whose every pipeline Failed is
+              // indistinguishable from success (jobs only lists RUNNING)
+              val statuses = manager.submitAll(ConfigParser.parseFile(cfgPath))
+              def label(st: manager.Status): String = st match {
+                case manager.Completed => "COMPLETED"
+                case _: manager.Running => "RUNNING"
+                case manager.Failed(e) => s"FAILED: ${e.getMessage}"
+              }
+              val anyFailed = statuses.values.exists {
+                case manager.Failed(_) => true; case _ => false
+              }
+              val body = statuses.toSeq.sortBy(_._1)
+                .map { case (n, st) => s"${jstr(n)}:${jstr(label(st))}" }
+                .mkString("{", ",", "}")
+              respond(ex, if (anyFailed) 500 else 200, body)
           }
         case ("POST", "/api/pipelines/stop-all") =>
           manager.stopAll()
           respond(ex, 200, "")
-        case ("POST", StopPath(name)) =>
+        case ("POST", StopPath(rawName)) =>
+          val name = decodePath(rawName)
           if (manager.stop(name)) respond(ex, 200, "")
           else respond(ex, 404,
             s"""{"error":${jstr(s"Pipeline not found or not running: $name")}}""")
@@ -112,6 +128,13 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
 
   private val JobStatusPath = "/api/pipelines/jobs/([^/]+)/status".r
   private val StopPath = "/api/pipelines/stop/([^/]+)".r
+
+  /** The exchange URI path keeps percent-encoding; decode captured path
+    * segments so names with spaces/special chars resolve (the reference's
+    * Spring @PathVariable decodes automatically).
+    */
+  private def decodePath(seg: String): String =
+    java.net.URLDecoder.decode(seg, StandardCharsets.UTF_8)
 
   def start(): RestServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

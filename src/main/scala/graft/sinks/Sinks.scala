@@ -21,8 +21,19 @@ object Sinks {
     * records are out of scope (the reference's examples are flat).
     */
   def applyAvroSchema(df: DataFrame, schemaJson: String): DataFrame = {
-    import org.apache.avro.Schema
-    def sparkType(s: Schema): String = s.getType match {
+    import org.apache.avro.{LogicalTypes, Schema}
+    // Logical types first: real-world Avro sink schemas carry
+    // decimal/date/timestamp annotations on their physical types, exactly
+    // as avro's own spec maps them. Time types have no Spark analog and
+    // fall through to their physical int/long.
+    def logicalSparkType(s: Schema): Option[String] = Option(s.getLogicalType).collect {
+      case d: LogicalTypes.Decimal => s"decimal(${d.getPrecision},${d.getScale})"
+      case _: LogicalTypes.Date => "date"
+      case _: LogicalTypes.TimestampMillis => "timestamp"
+      case _: LogicalTypes.TimestampMicros => "timestamp"
+      case lt if lt.getName == "uuid" => "string"
+    }
+    def sparkType(s: Schema): String = logicalSparkType(s).getOrElse(s.getType match {
       case Schema.Type.STRING => "string"
       case Schema.Type.INT => "int"
       case Schema.Type.LONG => "bigint"
@@ -30,6 +41,8 @@ object Sinks {
       case Schema.Type.DOUBLE => "double"
       case Schema.Type.BOOLEAN => "boolean"
       case Schema.Type.BYTES => "binary"
+      case Schema.Type.FIXED => "binary"
+      case Schema.Type.ENUM => "string"
       case Schema.Type.UNION =>
         val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
         require(nonNull.size == 1,
@@ -37,7 +50,7 @@ object Sinks {
         sparkType(nonNull.head)
       case other =>
         throw new IllegalArgumentException(s"unsupported avro type: $other")
-    }
+    })
     val record = new Schema.Parser().parse(schemaJson)
     require(record.getType == Schema.Type.RECORD,
       s"sink schema must be an avro record, got ${record.getType}")
@@ -50,18 +63,29 @@ object Sinks {
   private def withDeclaredSchema(df: DataFrame, props: Map[String, String]): DataFrame =
     props.get("schema").map(applyAvroSchema(df, _)).getOrElse(df)
 
+  /** `partitionBy: a, b` in YAML arrives with natural spacing — trim each
+    * name and drop empties so a trailing comma or space never mints a
+    * bogus " b" partition column.
+    */
+  private def partitionCols(spec: String): Seq[String] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   def write(rawDf: DataFrame, spec: SinkSpec): Unit = {
    val df = withDeclaredSchema(rawDf, spec.properties)
    spec.kind match {
     case "file" | "parquet" | "s3" =>
       val props = spec.properties
+      if (spec.kind == "s3") {
+        Sources.requireConnector("s3")
+        Sources.applyS3Conf(df.sparkSession, props)
+      }
       val path = if (spec.kind == "s3") Sources.s3aPath(props("path")) else props("path")
       val fmt = if (spec.kind == "parquet") "parquet"
         else props.getOrElse("format", "text")
       var w = df.write.format(fmt).mode(props.getOrElse("mode", "overwrite"))
       if (fmt == "csv" && props.getOrElse("includeHeaders", "true") == "true")
         w = w.option("header", "true")
-      props.get("partitionBy").foreach(cols => w = w.partitionBy(cols.split(","): _*))
+      props.get("partitionBy").foreach(cols => w = w.partitionBy(partitionCols(cols): _*))
       props.get("compression").foreach(c => w = w.option("compression", c))
       w.save(path)
     case "jdbc" =>
@@ -80,6 +104,7 @@ object Sinks {
         .mode(props.getOrElse("mode", "append"))
         .save()
     case "kafka" =>
+      Sources.requireConnector("kafka")
       df.write.format("kafka")
         .options(Sources.kafkaOptions(spec.properties) - "subscribe" +
           ("topic" -> spec.properties.getOrElse("topic", "")))
@@ -92,7 +117,7 @@ object Sinks {
         throw new IllegalArgumentException("Table sink requires table"))
       var w = df.write.format(props.getOrElse("format", "parquet"))
         .mode(props.getOrElse("mode", "overwrite"))
-      props.get("partitionBy").foreach(cols => w = w.partitionBy(cols.split(","): _*))
+      props.get("partitionBy").foreach(cols => w = w.partitionBy(partitionCols(cols): _*))
       w.saveAsTable(table)
     case other => throw new IllegalArgumentException(s"Unknown sink type: $other")
    }
@@ -114,6 +139,10 @@ object Sinks {
         df.writeStream.format("memory").queryName(queryName)
           .outputMode(props.getOrElse("outputMode", "append")).trigger(trigger).start()
       case "file" | "parquet" | "s3" =>
+        if (spec.kind == "s3") {
+          Sources.requireConnector("s3")
+          Sources.applyS3Conf(df.sparkSession, props)
+        }
         val path = if (spec.kind == "s3") Sources.s3aPath(props("path")) else props("path")
         val fmt = if (spec.kind == "parquet") "parquet" else props.getOrElse("format", "parquet")
         df.writeStream.format(fmt)
@@ -122,6 +151,7 @@ object Sinks {
             props.getOrElse("checkpointLocation", s"$path/_checkpoint"))
           .outputMode(props.getOrElse("outputMode", "append")).trigger(trigger).start()
       case "kafka" =>
+        Sources.requireConnector("kafka")
         df.writeStream.format("kafka")
           .options(Sources.kafkaOptions(props) - "subscribe" +
             ("topic" -> props.getOrElse("topic", "")))

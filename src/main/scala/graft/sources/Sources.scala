@@ -16,11 +16,15 @@ object Sources {
     */
   def read(spark: SparkSession, spec: SourceSpec): DataFrame = spec.kind match {
     case "file" | "directory" => fileReader(spark, spec.properties)
-    case "s3" => fileReader(spark, spec.properties ++
-      spec.properties.get("path").map(p => "path" -> s3aPath(p)))
+    case "s3" =>
+      requireConnector("s3")
+      applyS3Conf(spark, spec.properties)
+      fileReader(spark, spec.properties ++
+        spec.properties.get("path").map(p => "path" -> s3aPath(p)))
     case "jdbc" =>
       spark.read.format("jdbc").options(jdbcOptions(spec.properties)).load()
     case "kafka" =>
+      requireConnector("kafka")
       spark.read.format("kafka").options(kafkaOptions(spec.properties)).load()
     case "table" | "hive" =>
       // catalog table source (session catalog, or Hive metastore when
@@ -37,11 +41,12 @@ object Sources {
     */
   def readStream(spark: SparkSession, spec: SourceSpec): DataFrame = spec.kind match {
     case "file" | "directory" | "s3" =>
+      if (spec.kind == "s3") { requireConnector("s3"); applyS3Conf(spark, spec.properties) }
       val props = spec.properties
       val path = if (spec.kind == "s3") s3aPath(props("path")) else props("path")
       val fmt = props.getOrElse("format", "text")
       val reader = spark.readStream.format(fmt)
-        .options(fileOptions(props))
+        .options(fileOptions(props) ++ streamFileOptions(props))
       // streaming file sources need an explicit schema (except text)
       props.get("schemaDdl") match {
         case Some(ddl) => reader.schema(ddl).load(path)
@@ -51,8 +56,73 @@ object Sources {
             properties = props + ("path" -> path))).schema).load(path)
       }
     case "kafka" =>
+      requireConnector("kafka")
       spark.readStream.format("kafka").options(kafkaOptions(spec.properties)).load()
     case other => throw new IllegalArgumentException(s"Source $other is not streamable")
+  }
+
+  /** Streaming-only file-source options. The reference's FileSourceContext
+    * moves each consumed file to a `processed/` directory so a restart can
+    * never reprocess it (FileSourceContext.java:113-121); Spark's native
+    * equivalent is `cleanSource=archive` + `sourceArchiveDir`, exposed here.
+    * The short form `archiveDir: <dir>` implies cleanSource=archive;
+    * `cleanSource`/`sourceArchiveDir`/`latestFirst`/`maxFileAge` also pass
+    * through verbatim (so `cleanSource: delete` works too). Archival keeps
+    * the watched directory bounded — on a 100 TB ingest the alternative is
+    * an ever-growing file listing on every micro-batch.
+    */
+  def streamFileOptions(props: Map[String, String]): Map[String, String] = {
+    val shortForm = props.get("archiveDir").map(d =>
+      Map("cleanSource" -> "archive", "sourceArchiveDir" -> d)).getOrElse(Map.empty)
+    shortForm ++
+      Seq("cleanSource", "sourceArchiveDir", "latestFirst", "maxFileAge")
+        .flatMap(k => props.get(k).map(k -> _))
+  }
+
+  /** Fail fast when a connector's runtime classes are absent. Without
+    * this, a pipeline whose kafka/s3 jar is missing submits cleanly and
+    * dies inside the first (micro-)batch with a raw ClassNotFoundException
+    * from deep in the DataSource resolver. Checked at source/sink
+    * construction so `PipelineRunner.submit` reports a diagnosable config
+    * error instead (reference users hit this first: KafkaSourceContext /
+    * S3SourceContext are its most-deployed connectors).
+    */
+  def requireConnector(kind: String): Unit = kind match {
+    case "kafka" if !dataSourceRegistered("kafka") =>
+      throw new IllegalArgumentException(
+        "Kafka connector not on the classpath: no DataSource registered for format 'kafka'. " +
+          "Add the spark-sql-kafka-0-10 (+ kafka-clients, commons-pool2) jars to the Spark classpath.")
+    case "s3" if !classPresent("org.apache.hadoop.fs.s3a.S3AFileSystem") =>
+      throw new IllegalArgumentException(
+        "S3 connector not on the classpath: org.apache.hadoop.fs.s3a.S3AFileSystem is missing. " +
+          "Add the hadoop-aws + AWS SDK bundle jars to the Spark classpath.")
+    case _ => ()
+  }
+
+  private[graft] def dataSourceRegistered(shortName: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[org.apache.spark.sql.sources.DataSourceRegister],
+        Thread.currentThread().getContextClassLoader)
+      .iterator().asScala.exists(_.shortName() == shortName)
+  }
+
+  private[graft] def classPresent(fqcn: String): Boolean =
+    try { Class.forName(fqcn, false, Thread.currentThread().getContextClassLoader); true }
+    catch { case _: Throwable => false }
+
+  /** S3 credential/endpoint properties → hadoop s3a configuration
+    * (reference S3SourceContext config: accessKey/secretKey/region/
+    * endpoint). Unset properties leave the default s3a credential chain
+    * (env, instance profile) untouched.
+    */
+  def applyS3Conf(spark: SparkSession, props: Map[String, String]): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    props.get("accessKey").foreach(hc.set("fs.s3a.access.key", _))
+    props.get("secretKey").foreach(hc.set("fs.s3a.secret.key", _))
+    props.get("endpoint").foreach(hc.set("fs.s3a.endpoint", _))
+    props.get("region").foreach(hc.set("fs.s3a.endpoint.region", _))
+    props.get("pathStyleAccess").foreach(hc.set("fs.s3a.path.style.access", _))
   }
 
   private def fileReader(spark: SparkSession, props: Map[String, String]): DataFrame = {
@@ -89,13 +159,28 @@ object Sources {
         .flatMap(k => props.get(k).map(k -> _))
   }
 
-  /** Kafka option mapping (reference: factory/source/KafkaSourceContext). */
-  def kafkaOptions(props: Map[String, String]): Map[String, String] =
+  /** Kafka option mapping (reference: factory/source/KafkaSourceContext).
+    * Exactly one subscription mode wins: `subscribePattern`/`topicPattern`
+    * (regex), then `assign` (explicit partitions), then `topic`/
+    * `subscribe`. `kafka.*`-prefixed properties pass straight through to
+    * the consumer config, mirroring the reference's free-form kafka
+    * properties block.
+    */
+  def kafkaOptions(props: Map[String, String]): Map[String, String] = {
+    val subscription: (String, String) =
+      props.get("subscribePattern").orElse(props.get("topicPattern"))
+        .map("subscribePattern" -> _)
+        .orElse(props.get("assign").map("assign" -> _))
+        .getOrElse("subscribe" -> props.getOrElse("topic", props.getOrElse("subscribe", "")))
     Map(
       "kafka.bootstrap.servers" ->
-        props.getOrElse("bootstrap.servers", props.getOrElse("bootstrapServers", "localhost:9092")),
-      "subscribe" -> props.getOrElse("topic", props.getOrElse("subscribe", ""))) ++
-      props.get("startingOffsets").map("startingOffsets" -> _)
+        props.getOrElse("bootstrap.servers", props.getOrElse("bootstrapServers", "localhost:9092"))) +
+      subscription ++
+      Seq("startingOffsets", "endingOffsets", "failOnDataLoss",
+        "maxOffsetsPerTrigger", "minPartitions", "includeHeaders")
+        .flatMap(k => props.get(k).map(k -> _)) ++
+      props.view.filterKeys(k => k.startsWith("kafka.") && k != "kafka.bootstrap.servers").toMap
+  }
 
   /** Reference S3SourceContext reads via bucket/prefix; on Spark that is
     * just an s3a:// path (hadoop-aws handles auth via the usual chain).

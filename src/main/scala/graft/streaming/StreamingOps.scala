@@ -206,6 +206,18 @@ object StreamingOps {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val vdir = new Path(s"$stateDir/v=$id")
         if (!fs.exists(vdir)) { // replayed batch -> already folded, skip
+          // A batch id at or below the newest folded version whose own
+          // version dir is GONE means the checkpoint was reset/replaced
+          // while reusing an existing stateDir (batch ids restarted at 0).
+          // Folding would merge a fresh delta into the old state and
+          // silently double-count — refuse instead.
+          val newest = stateVersions(spark, stateDir).lastOption
+          if (newest.exists(id <= _))
+            throw new IllegalStateException(
+              s"batch $id arrived below existing state version v=${newest.get} at $stateDir " +
+                "but its own version dir is absent: the streaming checkpoint was reset while " +
+                "reusing this stateDir. Use a fresh stateDir (or restore the original checkpoint) " +
+                "to avoid double-counting.")
           val delta = IncrementalAgg.partial(batch, keys, aggs)
           val merged = latestState(spark, stateDir, below = id)
             .fold(delta)(prev => IncrementalAgg.merge(prev, delta, keys, aggs))

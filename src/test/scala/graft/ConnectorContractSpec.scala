@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{PipelineManager, PipelineSpec, SinkSpec, SourceSpec}
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** Contract tests for the connector surface that can't run end-to-end in
+  * this sandbox (no kafka broker / connector jar, no S3): option
+  * mappings are pinned exactly, and the missing-jar paths must fail fast
+  * with a diagnosable config error instead of a mid-batch
+  * ClassNotFoundException. Plus the file-source archival behavior
+  * (reference FileSourceContext.java:113-121 moves consumed files to
+  * `processed/`) and the Avro logical-type sink mapping.
+  */
+class ConnectorContractSpec extends SparkSpec {
+
+  test("kafka option mapping covers the reference config surface") {
+    val opts = Sources.kafkaOptions(Map(
+      "bootstrapServers" -> "broker:9092",
+      "topic" -> "events",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "10000",
+      "failOnDataLoss" -> "false",
+      "includeHeaders" -> "true",
+      "kafka.security.protocol" -> "SASL_SSL"))
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "events")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("maxOffsetsPerTrigger") == "10000")
+    assert(opts("failOnDataLoss") == "false")
+    assert(opts("includeHeaders") == "true")
+    // free-form kafka.* consumer properties pass through verbatim
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+  }
+
+  test("kafka subscription modes are mutually exclusive: pattern > assign > topic") {
+    val pat = Sources.kafkaOptions(Map("topicPattern" -> "ev-.*", "topic" -> "x"))
+    assert(pat("subscribePattern") == "ev-.*" && !pat.contains("subscribe")
+      && !pat.contains("assign"))
+    val asn = Sources.kafkaOptions(Map(
+      "assign" -> """{"ev":[0,1]}""", "topic" -> "x"))
+    assert(asn("assign") == """{"ev":[0,1]}""" && !asn.contains("subscribe"))
+    val sub = Sources.kafkaOptions(Map("subscribe" -> "a,b"))
+    assert(sub("subscribe") == "a,b")
+  }
+
+  test("missing kafka connector fails fast at read/readStream/write with config error") {
+    assume(!Sources.dataSourceRegistered("kafka")) // true in this sandbox
+    val spec = SourceSpec("kafka", Map("topic" -> "t"))
+    val e1 = intercept[IllegalArgumentException](Sources.read(spark, spec))
+    assert(e1.getMessage.contains("Kafka connector not on the classpath"))
+    val e2 = intercept[IllegalArgumentException](Sources.readStream(spark, spec))
+    assert(e2.getMessage.contains("Kafka connector not on the classpath"))
+    val df = spark.range(1).select(col("id").cast("string").as("value"))
+    val e3 = intercept[IllegalArgumentException](
+      Sinks.write(df, SinkSpec("kafka", Map("topic" -> "t"))))
+    assert(e3.getMessage.contains("Kafka connector not on the classpath"))
+  }
+
+  test("missing s3a filesystem fails fast with config error") {
+    assume(!Sources.classPresent("org.apache.hadoop.fs.s3a.S3AFileSystem"))
+    val e = intercept[IllegalArgumentException](
+      Sources.read(spark, SourceSpec("s3", Map("path" -> "s3://bucket/k"))))
+    assert(e.getMessage.contains("S3 connector not on the classpath"))
+  }
+
+  test("submitting a kafka pipeline in this sandbox yields a diagnosable FAILED status") {
+    assume(!Sources.dataSourceRegistered("kafka"))
+    val mgr = new PipelineManager(spark)
+    mgr.submit(PipelineSpec(
+      name = "kafka-pipe",
+      source = SourceSpec("kafka", Map("topic" -> "t")),
+      transformations = Seq.empty,
+      sink = SinkSpec("memory", Map.empty),
+      streaming = true))
+    val st = mgr.status("kafka-pipe")
+    assert(st.exists(s => s.startsWith("FAILED") &&
+      s.contains("Kafka connector not on the classpath")), s"got $st")
+  }
+
+  test("s3 credential/endpoint properties map onto hadoop s3a configuration") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    Sources.applyS3Conf(spark, Map(
+      "accessKey" -> "AK", "secretKey" -> "SK",
+      "endpoint" -> "http://minio:9000", "region" -> "us-east-1",
+      "pathStyleAccess" -> "true"))
+    assert(hc.get("fs.s3a.access.key") == "AK")
+    assert(hc.get("fs.s3a.secret.key") == "SK")
+    assert(hc.get("fs.s3a.endpoint") == "http://minio:9000")
+    assert(hc.get("fs.s3a.endpoint.region") == "us-east-1")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+  }
+
+  test("s3 paths normalize to s3a://") {
+    assert(Sources.s3aPath("s3://b/k") == "s3a://b/k")
+    assert(Sources.s3aPath("s3a://b/k") == "s3a://b/k")
+    assert(Sources.s3aPath("b/prefix") == "s3a://b/prefix")
+  }
+
+  test("archiveDir property maps to cleanSource=archive + sourceArchiveDir") {
+    assert(Sources.streamFileOptions(Map("archiveDir" -> "/arch")) ==
+      Map("cleanSource" -> "archive", "sourceArchiveDir" -> "/arch"))
+    // verbatim passthrough (incl. delete mode) wins over nothing
+    assert(Sources.streamFileOptions(Map("cleanSource" -> "delete")) ==
+      Map("cleanSource" -> "delete"))
+    assert(Sources.streamFileOptions(Map.empty) == Map.empty)
+  }
+
+  test("streaming file source archives consumed files; restart never reprocesses") {
+    val in = Files.createTempDirectory("graft-arch-in").toString
+    val arch = Files.createTempDirectory("graft-arch-dst").toString
+    val ckpt = Files.createTempDirectory("graft-arch-ck").toString
+    // synchronous cleaner so archival is deterministic within the batch
+    spark.conf.set("spark.sql.streaming.fileSource.cleaner.numThreads", "0")
+    try {
+      Files.writeString(Paths.get(s"$in/a.csv"), "k,v\nx,1\n")
+      Files.writeString(Paths.get(s"$in/b.csv"), "k,v\ny,2\n")
+      val spec = SourceSpec("directory", Map(
+        "path" -> in, "format" -> "csv", "header" -> "true",
+        "schemaDdl" -> "k string, v long",
+        "maxFilesPerTrigger" -> "1",
+        "archiveDir" -> arch))
+      val out = Files.createTempDirectory("graft-arch-out").toString
+      def run(): Unit = {
+        // file sink: the one sink kind that supports checkpoint recovery
+        val q = Sources.readStream(spark, spec).writeStream
+          .format("parquet").option("path", s"$out/p")
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      def listFiles(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) listFiles(c) else Seq(c.getName))
+      val archived = listFiles(new java.io.File(arch))
+      assert(archived.contains("a.csv"),
+        s"consumed file not moved to archive dir; archive holds $archived")
+      // restart with one new file: archival + checkpoint guarantee every
+      // row lands exactly once across both runs (no reprocessing of
+      // a.csv/b.csv whether archived or still pending)
+      Files.writeString(Paths.get(s"$in/c.csv"), "k,v\nz,3\n")
+      run()
+      val got = spark.read.parquet(s"$out/p").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq(("x", 1L), ("y", 2L), ("z", 3L)), s"restart reprocessed: $got")
+    } finally spark.conf.unset("spark.sql.streaming.fileSource.cleaner.numThreads")
+  }
+
+  test("avro sink schema logical types map to decimal/timestamp/date/string") {
+    val schema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":15,"scale":2}},
+        |{"name":"ts","type":["null",{"type":"long","logicalType":"timestamp-micros"}]},
+        |{"name":"d","type":{"type":"int","logicalType":"date"}},
+        |{"name":"u","type":{"type":"string","logicalType":"uuid"}},
+        |{"name":"tag","type":{"type":"enum","name":"e","symbols":["A","B"]}},
+        |{"name":"raw","type":{"type":"fixed","name":"f","size":4}}]}""".stripMargin
+    val df = spark.sql(
+      "select '3.14159' amount, timestamp'2024-01-02 03:04:05' ts, " +
+        "date'2024-01-02' d, 'u-1' u, 'A' tag, cast('ab' as binary) raw")
+    val out = Sinks.applyAvroSchema(df, schema)
+    assert(out.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq == Seq(
+      "amount" -> "decimal(15,2)", "ts" -> "timestamp", "d" -> "date",
+      "u" -> "string", "tag" -> "string", "raw" -> "binary"))
+    // end-to-end: declared types survive a parquet round trip
+    val dir = Files.createTempDirectory("graft-avro-lt").toString
+    out.write.mode("overwrite").parquet(s"$dir/p")
+    val back = spark.read.parquet(s"$dir/p")
+    assert(back.schema("amount").dataType.simpleString == "decimal(15,2)")
+    val r = back.collect().head
+    assert(r.getDecimal(r.fieldIndex("amount")).toPlainString == "3.14")
+  }
+
+  test("sink partitionBy tolerates natural spacing in the column list") {
+    val dir = Files.createTempDirectory("graft-pby").toString
+    val df = spark.range(4).select(
+      (col("id") % 2).as("a"), (col("id") % 3).as("b"), col("id").as("v"))
+    Sinks.write(df, SinkSpec("file", Map(
+      "path" -> s"$dir/p", "format" -> "parquet", "partitionBy" -> " a, b ")))
+    val back = spark.read.parquet(s"$dir/p")
+    assert(back.columns.toSet == Set("a", "b", "v"))
+    assert(back.count() == 4)
+    val parts = new java.io.File(s"$dir/p").listFiles().map(_.getName)
+    assert(parts.exists(_.startsWith("a=")), s"got ${parts.toSeq}")
+  }
+}

@@ -193,6 +193,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("blocked knn join (large-|Q| path) selects identically to the broadcast path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val viaBroadcast = canon(
+      Similarity.knnJoin(emb, "vec_id", "embedding", q, k = 5))
+    val viaBlocks = canon(
+      Similarity.knnJoinBlocked(emb, "vec_id", "embedding", q, k = 5, qBlocks = 4))
+    assert(viaBlocks == viaBroadcast && viaBlocks.nonEmpty)
+  }
+
   test("pq top-k recalls most true neighbors and never touches stored floats for ranking") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") === 0)

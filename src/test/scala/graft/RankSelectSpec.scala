@@ -101,6 +101,37 @@ class RankSelectSpec extends SparkSpec {
     assert(got.count(_._2._1 == "c") == 3)
   }
 
+  test("group-count cap aborts with guidance before driver-unsafe collect") {
+    import spark.implicits._
+    val many = (1 to 5000).map(i => (i, (i * 7 % 101).toLong)).toDF("g", "v")
+    val e = intercept[Exception] {
+      RankSelect.selectRanksCapped(many, Seq("g"),
+        n => Seq("med" -> (n + 1) / 2), null, "n", 50, $"v")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m =>
+      m.contains("maxGroups") && m.contains("windowRanks")), chain(e).toString)
+  }
+
+  test("windowRanks (high-cardinality fallback) selects identically to selectRanks") {
+    import spark.implicits._
+    val quantiles = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L))
+    def ranksOf(n: Long) = quantiles.map { case (l, nu, de) =>
+      l -> math.max(1L, (n * nu + de - 1L) / de)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"g", $"v", $"id", $"q", $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    val viaRange = canon(RankSelect.selectRanks(
+      data, Seq("g"), ranksOf, "q", "n", $"v", $"id"))
+    val viaWindow = canon(RankSelect.windowRanks(
+      data, Seq("g"), ranksOf, "q", "n", $"v", $"id"))
+    assert(viaWindow == viaRange)
+    assert(viaWindow.nonEmpty)
+  }
+
   test("group sizes are reported and out-of-range ranks emit nothing") {
     import spark.implicits._
     val ns = RankSelect.discreteMedian(data, Seq("g"), "n", $"v", $"id")

@@ -98,4 +98,46 @@ class RestServerSpec extends SparkSpec {
       assert(get(port, "/api/pipelines/nope")._1 == 404)
     } finally srv.stop()
   }
+
+  test("start surfaces pipeline failures as 500 with per-pipeline statuses") {
+    val mgr = new PipelineManager(spark)
+    val srv = new RestServer(mgr).start()
+    val port = srv.boundPort
+    try {
+      val cfgDir = tmp()
+      val cfg = s"""pipelines:
+                   |  - name: "bad-batch"
+                   |    source:
+                   |      type: file
+                   |      properties: { path: "$cfgDir/does-not-exist", format: csv }
+                   |    sink:
+                   |      type: file
+                   |      properties: { path: "$cfgDir/out", format: parquet }
+                   |""".stripMargin
+      val cfgPath = s"$cfgDir/cfg.yaml"
+      Files.writeString(java.nio.file.Paths.get(cfgPath), cfg)
+      val (code, body) = post(port, s"/api/pipelines/start?configFilePath=$cfgPath")
+      assert(code == 500, s"got $code: $body")
+      assert(body.contains("\"bad-batch\"") && body.contains("FAILED"), body)
+    } finally srv.stop()
+  }
+
+  test("encoded path parameters resolve to the decoded pipeline name") {
+    val mgr = new PipelineManager(spark)
+    val srv = new RestServer(mgr).start()
+    val port = srv.boundPort
+    try {
+      val sin = tmp()
+      Files.writeString(java.nio.file.Paths.get(s"$sin/x.txt"), "a\n")
+      mgr.submit(PipelineSpec(
+        name = "my stream",
+        source = SourceSpec("directory", Map("path" -> sin, "format" -> "text")),
+        transformations = Seq.empty,
+        sink = SinkSpec("memory", Map.empty),
+        streaming = true))
+      assert(get(port, "/api/pipelines/jobs/my%20stream/status") == ((200, "true")))
+      assert(post(port, "/api/pipelines/stop/my%20stream")._1 == 200)
+      assert(get(port, "/api/pipelines/jobs/my%20stream/status") == ((200, "false")))
+    } finally srv.stop()
+  }
 }

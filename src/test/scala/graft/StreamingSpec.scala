@@ -167,4 +167,42 @@ class StreamingSpec extends SparkSpec {
     val names = new java.io.File(state).listFiles().map(_.getName).toSeq
     assert(!names.exists(_.startsWith("_staging")), s"got $names")
   }
+
+  test("materialized aggregate refuses to fold when the checkpoint was reset against live state") {
+    import graft.operators.IncrementalAgg.Agg
+    val in = java.nio.file.Files.createTempDirectory("graft-mrst-in").toString
+    val state = java.nio.file.Files.createTempDirectory("graft-mrst-st").toString
+    def writeFile(name: String, rows: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/$name"), rows)
+    writeFile("a.csv", "k,v\nx,1\n")
+    writeFile("b.csv", "k,v\ny,2\n")
+    writeFile("c.csv", "k,v\nz,3\n")
+    val aggs = Seq(Agg("s", "sum", col("v")))
+    def source() = spark.readStream.schema("k string, v long")
+      .option("header", "true").option("maxFilesPerTrigger", "1").csv(in)
+    val q1 = StreamingOps.materializedAggregate(source(), Seq("k"), aggs,
+      state, "mrst")
+    q1.processAllAvailable(); q1.stop()
+    // 3 batches, retainVersions=2 -> v=0 pruned
+    assert(StreamingOps.stateVersions(spark, state) == Seq(1L, 2L))
+    // reset the checkpoint (batch ids restart at 0) but keep the state
+    // dir: batch 0's version dir is pruned, so folding it again would
+    // silently double-count x into the v=2 state — must refuse
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRec); f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$state/_checkpoint"))
+    val q2 = StreamingOps.materializedAggregate(source(), Seq("k"), aggs,
+      state, "mrst2")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("checkpoint was reset")), chain(e).toString)
+    // state unchanged — nothing was double-counted
+    assert(StreamingOps.latestState(spark, state).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 1L, "y" -> 2L, "z" -> 3L))
+  }
 }
