@@ -175,10 +175,23 @@ object Dedup {
     *                 the vertex set would propagate connectivity through
     *                 (and could label components by) an id that no
     *                 vertex row carries
+    * @param localEdgeThreshold when the (directed, deduped) edge list
+    *                 holds at most this many rows, skip the iterative
+    *                 loop and run a single-task union-find over the
+    *                 edges (executor-side, never the driver): a dedup
+    *                 pair graph is a vanishing fraction of its corpus —
+    *                 petabytes of documents typically yield only
+    *                 millions of near-dup edges — and one task walking
+    *                 them beats O(log diameter) synchronized Spark jobs
+    *                 by the whole scheduling latency. Memory contract:
+    *                 O(incident vertices) in ONE task (~100 bytes/
+    *                 vertex); above the threshold the min-label loop
+    *                 runs with per-task memory independent of edge
+    *                 count. Pass 0 to force the iterative path.
     * @return (id, component) with component = min id in the component
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, localEdgeThreshold: Long = 2000000L): DataFrame = {
     // localCheckpoint (eager) after every round: truncates lineage so the
     // plan stays O(1) across iterations and the edges/labels self-join
     // never becomes ambiguous (labels would otherwise contain edges in
@@ -197,15 +210,77 @@ object Dedup {
     // per-round frames, and at scale it re-plans each round from the
     // actual shrinking label sizes)
     try {
-    // Lazy checkpoints, fused materialization: edges checkpoint, seed
-    // checkpoint and the initial label sum all materialize in the ONE
-    // prevSum job below — each round of this loop is latency-bound on
-    // job count (the frames are tiny fractions of the corpus), so every
-    // saved job is wall-clock. (Lazy localCheckpoint is safe only with
-    // constraint propagation off — see above.)
+    // Lazy checkpoint (safe only with constraint propagation off — see
+    // above), materialized by the routing count: one tiny job answers
+    // "how big is the pair graph" and pins the edges for whichever path
+    // runs.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(eager = false)
+    val edgeCount = edges.count()
+    val labels: DataFrame =
+      if (edgeCount <= localEdgeThreshold) {
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc] local union-find over $edgeCount edges")
+        localUnionFind(edges)
+      } else iterativeMinLabel(edges, maxIters)
+    vertices.select(col("id"))
+      .join(labels.withColumnRenamed("id", "__lid"),
+        col("id") === col("__lid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    } finally sparkSession.conf.set(cpKey, cpPrev)
+  }
+
+  /** Single-task union-find over a checkpointed edge frame — the
+    * small-graph path of [[connectedComponents]]. Runs on an EXECUTOR
+    * (coalesce(1) + mapPartitions), never the driver; path-halving
+    * find, min-id roots. Emits (id, component) for every edge-incident
+    * vertex. Memory: O(incident vertices) boxed entries in one task.
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = edges.schema.head.dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType), StructField("component", idType)))
+    val rdd = edges.rdd.coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) { // path halving: point x at its grandparent
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp
+          x = gp
+          p = parent.getOrElse(x, x)
+        }
+        x
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      it.foreach { r =>
+        val u = r.get(0); val v = r.get(1)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (lt(ru, rv)) parent(rv) = ru else parent(ru) = rv }
+        // register isolated-looking endpoints so every incident vertex
+        // emits a row even when its edge was a no-op union
+        if (!parent.contains(u)) parent(u) = find(u)
+        if (!parent.contains(v)) parent(v) = find(v)
+      }
+      // snapshot keys before the emit pass: find() path-halves (writes
+      // values for existing keys) while we iterate
+      parent.keys.toArray.iterator
+        .map(x => org.apache.spark.sql.Row(x, find(x)))
+    }
+    edges.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Iterative min-label propagation + double pointer jumping — the
+    * at-scale path of [[connectedComponents]]: O(log diameter)
+    * convergence-checked jobs, per-task memory independent of edge
+    * count. Requires constraint propagation OFF (lazy localCheckpoint
+    * interplay — see [[connectedComponents]]).
+    */
+  private def iterativeMinLabel(edges: DataFrame, maxIters: Int): DataFrame = {
     // Iterate ONLY over edge-incident vertices: in a dedup graph the
     // overwhelming majority of documents are singletons — at corpus
     // scale this shrinks the label frame by orders of magnitude.
@@ -226,34 +301,45 @@ object Dedup {
         count(lit(1))).head()
       (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), r.getLong(1))
     }
-    // one job: materializes the edges + seed checkpoints AND answers
-    // both "is the edge set empty" (count) and the convergence baseline
+    // one job: materializes the seed checkpoint AND answers both "is
+    // the edge set empty" (count) and the convergence baseline
     val (seedSum, seedCount) = labelSum(labels)
     var prevSum = seedSum
     var iter = 0
     var changed = seedCount > 0L
     while (changed && iter < maxIters) {
-      val prop = edges.as("e").join(labels.as("l"), col("e.v") === col("l.id"))
-        .select(col("e.u").as("id"), col("l.component").as("component"))
-      // folded feeds both sides of the jump self-join un-cached: the
-      // groupBy's shuffle is an identical subplan on both, so Spark's
-      // ReuseExchange computes it once (safe only with constraint
-      // propagation off, see above)
-      val folded = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-      // pointer jump ×2: component := label(label(component)) — path
-      // lengths quarter each round instead of halving. Every label is a
-      // vertex id, so the inner self-joins keep all rows; labels only
-      // decrease, so the jumps never regress. Lazy checkpoint: the
-      // labelSum action below is the job that materializes it, so fold +
-      // jumps + convergence check share one job per round.
-      val jumped = folded.as("x")
-        .join(folded.as("y"), col("x.component") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.component").as("component"))
-      val next = jumped.as("p")
-        .join(folded.as("q"), col("p.component") === col("q.id"))
-        .select(col("p.id").as("id"), col("q.component").as("component"))
-        .localCheckpoint(eager = false)
+      // TWO propagate+fold+jump iterations fused into each
+      // convergence-checked job: per-round frames are a tiny fraction of
+      // the corpus, so wall-clock is dominated by sequential query-stage
+      // scheduling, not data — fusing halves the job count (and the
+      // number of convergence aggs) at the cost of a slightly deeper
+      // per-job plan, and the possible waste of one no-op iteration on
+      // the final (confirming) job is the same tiny data.
+      var cur = labels
+      for (_ <- 0 until 2) {
+        val prop = edges.as("e").join(cur.as("l"), col("e.v") === col("l.id"))
+          .select(col("e.u").as("id"), col("l.component").as("component"))
+        // folded feeds both sides of the jump self-join un-cached: the
+        // groupBy's shuffle is an identical subplan on both, so Spark's
+        // ReuseExchange computes it once (safe only with constraint
+        // propagation off, see above)
+        val folded = cur.union(prop)
+          .groupBy(col("id")).agg(min(col("component")).as("component"))
+        // pointer jump ×2: component := label(label(component)) — path
+        // lengths quarter each iteration instead of halving. Every label
+        // is a vertex id, so the inner self-joins keep all rows; labels
+        // only decrease, so the jumps never regress.
+        val jumped = folded.as("x")
+          .join(folded.as("y"), col("x.component") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.component").as("component"))
+        cur = jumped.as("p")
+          .join(folded.as("q"), col("p.component") === col("q.id"))
+          .select(col("p.id").as("id"), col("q.component").as("component"))
+      }
+      // Lazy checkpoint: the labelSum action below is the job that
+      // materializes it, so both iterations + convergence check share
+      // one job per round.
+      val next = cur.localCheckpoint(eager = false)
       val s = labelSum(next)._1
       changed = s.compareTo(prevSum) < 0
       prevSum = s
@@ -262,11 +348,7 @@ object Dedup {
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] converged after $iter rounds")
-    vertices.select(col("id"))
-      .join(labels.withColumnRenamed("id", "__lid"),
-        col("id") === col("__lid"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    } finally sparkSession.conf.set(cpKey, cpPrev)
+    labels
   }
 
   /** Exact embedding similarity pairs via a block-pair all-pairs join —

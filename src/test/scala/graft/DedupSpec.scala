@@ -15,12 +15,19 @@ class DedupSpec extends SparkSpec {
     val pairs = (chain ++ star).toDF("id_a", "id_b")
     val vertices = ((1L to 12L) ++ (100L to 105L) ++ Seq(200L, 201L))
       .toDF("id")
-    val got = graft.operators.Dedup.connectedComponents(vertices, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expect = ((1L to 12L).map(_ -> 1L) ++
       (100L to 105L).map(_ -> 100L) ++
       Seq(200L -> 200L, 201L -> 201L)).toMap
-    assert(got == expect)
+    // both paths must produce the identical labeling: the single-task
+    // union-find (small graphs route here by default) and the iterative
+    // min-label loop (forced via localEdgeThreshold = 0)
+    val local = graft.operators.Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expect)
+    val iterative = graft.operators.Dedup.connectedComponents(
+        vertices, pairs, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative == expect)
   }
 
   test("exact dedup groups identical texts and keeps min id") {
