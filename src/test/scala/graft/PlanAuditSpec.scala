@@ -47,6 +47,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("set operations plan as broadcast semi/anti joins over partial-agg distincts") {
+    // r2->r3 showed a 0.2s wobble on q39; pin the shape so a real plan
+    // regression (e.g. losing the broadcast to a shuffle join) fails
+    // loudly while timing noise stays invisible
+    for ((q, join) <- Seq("q38_intersect" -> "LeftSemi", "q39_except" -> "LeftAnti")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && p.contains(join),
+        s"$q must broadcast the supplier side of the $join join")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join the nationkey sets")
+      // keyed distinct prints as two HashAggregate levels around its
+      // exchange (map-side combine, no named functions so no partial_)
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q's distinct must map-side combine below its exchange")
+    }
+  }
+
   test("row-local text/multimodal kernels are entirely shuffle-free") {
     for (q <- Seq("text_repetition", "text_pii", "text_quality",
         "text_tokens", "text_langid", "text_fingerprint", "mm_extract")) {
