@@ -119,7 +119,11 @@ object Dedup {
       tauNum: Int, tauDen: Int): DataFrame = {
     val ids = broadcast(cands.select(col("id_a").as("__id"))
       .union(cands.select(col("id_b").as("__id"))).distinct())
+    // the sets frame feeds BOTH join branches below: persist it (it
+    // holds candidate ids only — a vanishing fraction of the corpus) or
+    // the semi-join prune + tokenization kernel runs twice end to end
     val sets = setsFor(ids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")), "id_b")
