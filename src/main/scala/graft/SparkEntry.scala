@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries.defs ++ RelationalQueries2.defs ++
       RelationalQueries3.defs ++ RelationalQueries4.defs ++
       RelationalQueries5.defs ++ RelationalQueries6.defs ++
-      RelationalQueries7.defs ++ RelationalQueries8.defs ++ EventQueries.defs ++
+      RelationalQueries7.defs ++ RelationalQueries8.defs ++
+      RelationalQueries9.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
@@ -30,7 +31,8 @@ object SparkEntry {
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
-      RelationalQueries7.oracles ++ RelationalQueries8.oracles ++ EventQueries.oracles ++
+      RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
+      RelationalQueries9.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
