@@ -19,9 +19,9 @@ object SparkEntry {
       RelationalQueries9.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       DedupQueries.defs ++
-      SimilarityQueries.defs ++
+      SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
-      CorpusQueries2.defs ++ CorpusQueries3.defs ++ FeatureQueries.defs ++
+      CorpusQueries2.defs ++ CorpusQueries3.defs ++ FeatureQueries.defs ++ FeatureQueries2.defs ++
       SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,8 +35,8 @@ object SparkEntry {
       RelationalQueries9.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       DedupQueries.oracles ++
-      SimilarityQueries.oracles ++
+      SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
-      CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ FeatureQueries.oracles ++
+      CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ FeatureQueries.oracles ++ FeatureQueries2.oracles ++
       SketchQueries.oracles
 }

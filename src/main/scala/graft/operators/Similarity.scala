@@ -24,6 +24,20 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** Cosine range search: every vector within `tau` of the (broadcast)
+    * query — the radius-query sibling of top-k. Embarrassingly
+    * parallel: one scan, a row-local codegen'd cosine, a filter — no
+    * shuffle at all, so it scales linearly with executors at any
+    * corpus size. (For repeated range queries at 100 TB, pre-bucket
+    * with sign-LSH as in lshTopK and scan matching buckets only.)
+    */
+  def rangeSearch(df: DataFrame, idCol: String, vecCol: String,
+      queryDf: DataFrame, tau: Double): DataFrame =
+    Parallelism.ensure(df).crossJoin(broadcast(queryDf))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
+      .filter(col("cos") >= tau)
+
   /** LSH-bucketed top-k: candidates share at least one sign-LSH band
     * bucket with the query; exact cosine ranks them. At scale the band
     * join prunes ~the whole corpus; recall is tunable via (bands, rows).

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second feature-engineering wave (SURVEY.md §2.5, round 4): robust
+  * (median/IQR) scaling and smoothed target encoding. Same cross-engine
+  * float discipline as [[FeatureQueries]]: exact integer/decimal
+  * statistics, identical double expression trees on both sides.
+  */
+object FeatureQueries2 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // robust scaling: (x - median) / IQR — outlier-insensitive
+    // standardization. The three discrete quantiles come from ONE
+    // RankSelect range-shuffle pass (exact ceil(qn) rule == DuckDB
+    // quantile_disc), stay exact decimals through the subtraction, and
+    // broadcast back over the fact table; one double division per row.
+    "feat_robust_scale" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.RankSelect
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_orderkey",
+          $"o_totalprice".cast("decimal(15,2)").as("p"))
+        .withColumn("g", lit(1))
+      val qs = RankSelect.discreteQuantiles(o, Seq("g"),
+          Seq(("q1", 1L, 4L), ("q2", 1L, 2L), ("q3", 3L, 4L)),
+          "q", "n", $"p", $"o_orderkey")
+        .groupBy($"g")
+        .agg(max(when($"q" === "q1", $"p")).as("q1"),
+          max(when($"q" === "q2", $"p")).as("q2"),
+          max(when($"q" === "q3", $"p")).as("q3"))
+      o.join(broadcast(qs), "g")
+        .select($"o_orderkey",
+          (($"p" - $"q2").cast("double") /
+            ($"q3" - $"q1").cast("double")).as("scaled"))
+    },
+
+    // smoothed mean target encoding of order priority against the
+    // binary "order fulfilled" target: enc = (k_pos + m*prior)/(k_n + m)
+    // with m = 10. Two tiny aggregates (per-category and global),
+    // integer sums, one identical double expression tree at the end.
+    "feat_target_encode" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_orderpriority",
+          when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+      val g = o.agg(sum($"y").as("gf"), count(lit(1)).as("gn"))
+      o.groupBy($"o_orderpriority")
+        .agg(sum($"y").as("kf"), count(lit(1)).as("kn"))
+        .crossJoin(broadcast(g))
+        .select($"o_orderpriority", $"kn".as("n"),
+          (($"kf".cast("double") +
+            lit(10.0) * ($"gf".cast("double") / $"gn".cast("double"))) /
+            ($"kn".cast("double") + lit(10.0))).as("enc"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "feat_robust_scale" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(15,2)) AS p
+        |  FROM orders),
+        |qs AS (
+        |  SELECT quantile_disc(p, 0.25) AS q1, quantile_disc(p, 0.5) AS q2,
+        |    quantile_disc(p, 0.75) AS q3
+        |  FROM o)
+        |SELECT o_orderkey,
+        |  CAST(p - q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE) AS scaled
+        |FROM o, qs""".stripMargin,
+
+    "feat_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |g AS (SELECT CAST(sum(y) AS BIGINT) AS gf,
+        |  CAST(count(*) AS BIGINT) AS gn FROM o),
+        |k AS (SELECT o_orderpriority, CAST(sum(y) AS BIGINT) AS kf,
+        |  CAST(count(*) AS BIGINT) AS kn FROM o GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, kn AS n,
+        |  (CAST(kf AS DOUBLE)
+        |    + 10.0 * (CAST(gf AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |  / (CAST(kn AS DOUBLE) + 10.0) AS enc
+        |FROM k, g""".stripMargin
+  )
+}

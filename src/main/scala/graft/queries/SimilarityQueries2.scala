@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Second similarity wave (SURVEY.md §2.4, round 4): radius (range)
+  * queries and k-NN classification — the two retrieval shapes beyond
+  * plain top-k that an embedding-indexed corpus serves. Same float
+  * discipline as [[SimilarityQueries]]: cosines are strict left folds,
+  * bit-identical across engines, so thresholds and vote rankings are
+  * exact.
+  */
+object SimilarityQueries2 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // radius query: everything within cosine >= 0.2 of vector 0 — a
+    // shuffle-free scan+filter (the dedup/near-match primitive when the
+    // neighbor count, not k, is the unknown)
+    "ann_range" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.rangeSearch(emb, "vec_id", "embedding", q, tau = 0.2)
+        .select(col("vec_id"), col("label"), col("cos"))
+    },
+
+    // k-NN classification: labels of the 25 nearest neighbors vote for
+    // each query vector (every 100th vector queries the rest); majority
+    // wins, vote ties break to the smaller label. The per-query work is
+    // the knnJoin's map-side-pruned ranking plus one tiny re-aggregation
+    // of k rows per query.
+    "knn_classify" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val nn = Similarity.knnJoin(emb, "vec_id", "embedding", q, k = 25)
+        .join(emb.select($"vec_id", $"label"), "vec_id")
+      val votes = nn.groupBy($"qid", $"label")
+        .agg(count(lit(1)).as("votes"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"qid")
+        .orderBy($"votes".desc, $"label".asc)
+      votes.withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1)
+        .select($"qid", $"label".as("pred_label"), $"votes")
+    }
+  )
+
+  /** cosine as a strict left fold — bit-identical to CosineSim. */
+  private def cos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         | gi -> CAST($x[CAST(gi AS INT)] AS DOUBLE) * CAST($y[CAST(gi AS INT)] AS DOUBLE)),
+         | (gx, gy) -> gx + gy)""".stripMargin
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_range" ->
+      s"""SELECT e.vec_id, e.label, ${cos("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e,
+         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id != 0
+         |  AND ${cos("e.embedding", "q.qv")} >= 0.2""".stripMargin,
+
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |p AS (SELECT q.qid, e.vec_id, e.label,
+         |    ${cos("e.embedding", "q.qv")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+         |r AS (SELECT qid, vec_id, label, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+         |  FROM p),
+         |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+         |  FROM r WHERE rnk <= 25 GROUP BY qid, label),
+         |w AS (SELECT qid, label, votes, row_number() OVER (
+         |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
+         |  FROM v)
+         |SELECT qid, label AS pred_label, votes FROM w WHERE rn = 1""".stripMargin
+  )
+}
