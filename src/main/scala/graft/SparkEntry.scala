@@ -21,7 +21,7 @@ object SparkEntry {
       DedupQueries.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
-      CorpusQueries2.defs ++ CorpusQueries3.defs ++ FeatureQueries.defs ++ FeatureQueries2.defs ++
+      CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++ FeatureQueries.defs ++ FeatureQueries2.defs ++
       SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +37,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
-      CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ FeatureQueries.oracles ++ FeatureQueries2.oracles ++
+      CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++ FeatureQueries.oracles ++ FeatureQueries2.oracles ++
       SketchQueries.oracles
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicate SPAN removal — the substring-level dedup of
+  * "Deduplicating Training Data Makes Language Models Better" (Lee et
+  * al., 2022), re-expressed relationally: instead of a suffix array
+  * over the concatenated corpus, every word n-gram occurrence is a row,
+  * an n-gram repeated across >= `minDocs` distinct documents marks all
+  * tokens it covers, and marked tokens are dropped from the rebuilt
+  * text. Removes boilerplate/license blocks that exact- and
+  * near-dedup (whole-document granularity) cannot touch.
+  *
+  * Scale shape — every stage is linear in total tokens:
+  *   - n-gram occurrence table: O(tokens) rows (explode, no shuffle);
+  *   - duplicated-gram set: one groupBy(gram).countDistinct(doc) —
+  *     Catalyst expands it to a two-stage (gram, doc) partial-distinct
+  *     collapse, so the exchange carries O(distinct occurrences);
+  *   - cover marks: semi-join occurrences to the duplicated set (AQE
+  *     broadcasts it when small), explode n positions per hit;
+  *   - rebuild: anti-join tokens against marks, per-doc ordered
+  *     reassembly (state bounded by document length, like Packing).
+  * No pair of documents is ever compared directly — cost tracks corpus
+  * size, not corpus-squared.
+  */
+object SpanDedup {
+
+  /** Rebuild `textCol` with every token covered by a cross-document
+    * duplicated `n`-gram removed. Returns one row per input document:
+    * (idCol, clean_text, n_total, n_kept, n_removed). Documents shorter
+    * than `n` tokens pass through unchanged; fully-duplicated documents
+    * come back with empty clean_text.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n>=1, minDocs>=2; got $n, $minDocs")
+    // the tokenized frame feeds three consumers (occurrences, token
+    // table, per-doc totals): persist it for the caller's action, same
+    // contract as the LSH signature frames in Dedup — released by
+    // spark.catalog.clearCache() between queries, not eagerly here
+    // (an eager unpersist would re-run the split for every consumer)
+    val base = Parallelism.ensure(docs)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (doc, start, gram) occurrence table; sequence() descends for
+      // negative spans, so short docs are filtered out first
+      val occ = base.filter(size(col("__ws")) >= n)
+        .select(col("__id"), explode(expr(
+          s"transform(sequence(0, size(__ws) - $n), " +
+            s"i -> struct(i AS start, array_join(slice(__ws, i + 1, $n), ' ') AS ng))"))
+          .as("g"))
+        .select(col("__id"), col("g.start").as("__start"), col("g.ng").as("__ng"))
+      val dup = occ.groupBy(col("__ng"))
+        .agg(countDistinct(col("__id")).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+        .select(col("__ng"))
+      val covered = occ.join(dup, "__ng")
+        .select(col("__id"),
+          explode(expr(s"sequence(__start, __start + ${n - 1})")).as("__pos"))
+        .distinct()
+      val toks = base.select(col("__id"),
+        posexplode(col("__ws")).as(Seq("__pos", "__tok")))
+      val kept = toks.join(covered, Seq("__id", "__pos"), "left_anti")
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr("transform(array_sort(collect_list(" +
+            "struct(__pos, __tok))), r -> r.__tok)"), " ").as("clean_text"))
+      // left join keeps fully-duplicated documents (zero kept tokens)
+      base.select(col("__id"), size(col("__ws")).cast("long").as("n_total"))
+        .join(kept, Seq("__id"), "left")
+        .select(col("__id").as(idCol),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fourth corpus wave (SURVEY.md §2.3, round 4): substring-level
+  * (span) deduplication — [[graft.operators.SpanDedup]].
+  */
+object CorpusQueries4 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // cross-document duplicate 5-gram span removal (Lee et al. 2022
+    // substring dedup, relational form): tokens covered by any 5-gram
+    // occurring in >= 2 distinct documents are dropped and the text is
+    // rebuilt in order — linear in corpus tokens, no doc-pair compare
+    "corpus_span_dedup" -> { (s, dir) =>
+      import graft.operators.SpanDedup
+      SpanDedup.removeDuplicateSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "corpus_span_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT doc_id, g.st AS st, g.ng AS ng
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      range(0, greatest(len(w) - 4, 0)),
+        |      i -> {'st': i,
+        |            'ng': array_to_string(list_slice(w, i + 1, i + 5), ' ')}))
+        |      AS g
+        |    FROM ws)),
+        |dup AS (
+        |  SELECT ng FROM occ GROUP BY ng
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT occ.doc_id, unnest(range(st, st + 5)) AS pos
+        |    FROM occ JOIN dup USING (ng))),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, w[i + 1] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM ws)),
+        |kept AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(t.tok ORDER BY t.pos), ' ') AS clean_text
+        |  FROM toks t LEFT JOIN covered c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL
+        |  GROUP BY t.doc_id)
+        |SELECT ws.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(len(ws.w) AS BIGINT) AS n_total,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  CAST(len(ws.w) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed
+        |FROM ws LEFT JOIN kept k USING (doc_id)""".stripMargin
+  )
+}
