@@ -87,6 +87,9 @@ object Sinks {
         w = w.option("header", "true")
       props.get("partitionBy").foreach(cols => w = w.partitionBy(partitionCols(cols): _*))
       props.get("compression").foreach(c => w = w.option("compression", c))
+      // XML sink: forward the element tags (defaults: row/rows)
+      Seq("rowTag", "rootTag", "declaration")
+        .foreach(k => props.get(k).foreach(v => w = w.option(k, v)))
       w.save(path)
     case "jdbc" =>
       // write-side options differ from the read side: dbtable is

@@ -137,7 +137,10 @@ object Sources {
     */
   def fileOptions(props: Map[String, String]): Map[String, String] = {
     val passthrough = Seq("header", "delimiter", "inferSchema", "multiLine",
-      "recursiveFileLookup", "maxFilesPerTrigger")
+      "recursiveFileLookup", "maxFilesPerTrigger",
+      // Spark 4 ships the XML datasource in core: `format: xml` needs
+      // only its row/root tags forwarded (rowTag required on read)
+      "rowTag", "rootTag", "attributePrefix", "valueTag", "ignoreSurroundingSpaces")
     passthrough.flatMap(k => props.get(k).map(k -> _)).toMap ++
       props.get("pattern").map("pathGlobFilter" -> _)
   }

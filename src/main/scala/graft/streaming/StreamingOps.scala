@@ -255,4 +255,58 @@ object StreamingOps {
       below: Long = Long.MaxValue): Option[DataFrame] =
     stateVersions(spark, stateDir).filter(_ < below).lastOption
       .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+
+  /** Arbitrary per-key state via Spark 4's transformWithState — the
+    * successor to [flat]mapGroupsWithState: typed state primitives
+    * (value/list/map), TTL, timers, and a RocksDB-backed store whose
+    * changelog checkpoints make state restore O(delta) instead of
+    * O(full snapshot) — the property that matters when keyed state is
+    * itself at TB scale. This op keeps a running (count, max) per user
+    * and emits the updated row each micro-batch; the processor is the
+    * template for richer per-entity accumulators.
+    *
+    * transformWithState requires the RocksDB state store provider —
+    * set here on the session (HDFS-backed state, the default, is
+    * rejected by the operator).
+    */
+  def runningUserStats(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** Running per-user (n_events, max_value) emitted on every update. */
+case class UserRunning(user_id: Long, n_events: Long, max_value: Double)
+
+/** transformWithState processor: one ValueState[UserRunning] per user
+  * key, no TTL, no timers — the minimal stateful accumulator shape.
+  */
+class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserRunning] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var st: ValueState[UserRunning] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserRunning]("running",
+      Encoders.product[UserRunning], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[UserRunning] = {
+    var cur =
+      if (st.exists()) st.get()
+      else UserRunning(key, 0L, Double.NegativeInfinity)
+    rows.foreach { r =>
+      cur = UserRunning(key, cur.n_events + 1, math.max(cur.max_value, r.value))
+    }
+    st.update(cur)
+    Iterator.single(cur)
+  }
 }

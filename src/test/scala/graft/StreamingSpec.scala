@@ -205,4 +205,34 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("x" -> 1L, "y" -> 2L, "z" -> 3L))
   }
+
+  test("transformWithState running per-user stats match batch count/max") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val stream = StreamingOps.eventsStream(spark, sf).as[EventRow]
+      val q = StreamingOps.runningUserStats(stream)
+        .writeStream.format("memory").queryName("tws_running")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws_ck").toString)
+        .start()
+      q.processAllAvailable()
+      // single source file -> one micro-batch -> one emitted row per user
+      val streamed = spark.sql(
+        "SELECT user_id, n_events, max_value FROM tws_running")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      q.stop()
+      val batch = Tables.events(spark, sf)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed == batch)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
