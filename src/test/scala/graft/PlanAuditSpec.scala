@@ -142,6 +142,42 @@ class PlanAuditSpec extends SparkSpec {
       "the rk <= 3 filter must push a map-side window group limit")
   }
 
+  test("round-4 aggregates partial-combine and broadcast their tiny sides") {
+    // bit aggs: decomposable -> map-side partial (exchange carries 3
+    // longs + count per group, never rows)
+    val bit = plan("q72_bit_agg")
+    assert(bit.contains("partial_bit_and") || bit.contains("Partial"),
+      "bit aggregates must partial-combine below the exchange")
+    // robust scaling: the 1-row quantile frame must broadcast back over
+    // the fact table, never shuffle it (the constant g=1 key folds the
+    // equi-join into a 1-row BroadcastNestedLoopJoin — still broadcast)
+    val rs = plan("feat_robust_scale")
+    assert((rs.contains("BroadcastHashJoin") ||
+        rs.contains("BroadcastNestedLoopJoin")) && !rs.contains("SortMergeJoin"),
+      "quantile scalars must broadcast against orders")
+    // target encoding: global stats join is a broadcast nested loop of
+    // ONE row — the fact table itself must not shuffle for it
+    val te = plan("feat_target_encode")
+    assert(!te.contains("SortMergeJoin"),
+      "the 1-row global-prior join must not shuffle the categories")
+  }
+
+  test("span dedup marks covered tokens via one gram exchange, no doc pairs") {
+    val p = plan("corpus_span_dedup")
+    assert(p.contains("partial_count"),
+      "duplicated-gram detection must partial-aggregate below its exchange")
+    assert(!p.contains("CartesianProduct"),
+      "no document pair may ever be compared directly")
+  }
+
+  test("range search is a scan + filter with zero exchanges before output") {
+    val p = plan("ann_range")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "radius search must not shuffle the corpus")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the single query vector must broadcast")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
