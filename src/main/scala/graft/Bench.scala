@@ -30,6 +30,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // NOTE: no System.gc() between queries — a full collection unloads
+    // the warmed codegen classes, forcing every query to re-compile
+    // (measured: +65% total). Heap pressure from prior queries can
+    // land ~1-2s in whichever query triggers the old-gen collection
+    // (dedup_clusters reads 3.4s in-suite vs 1.5s standalone); use
+    // tools/BenchOne for pressure-free single-query numbers.
     val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

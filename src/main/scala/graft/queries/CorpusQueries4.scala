@@ -19,6 +19,25 @@ object CorpusQueries4 {
       SpanDedup.removeDuplicateSpans(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         n = 5, minDocs = 2)
+    },
+
+    // stratified sampling: exactly 20 docs per language, selected by a
+    // portable multiplicative-hash priority (odd multiplier mod 2^32 is
+    // injective over doc ids, so there are never ties and both engines
+    // replay the draw bit-for-bit — no RNG state, the Sampling
+    // discipline). The rank<=k filter gets Spark 4's map-side partial
+    // WindowGroupLimit, so each input partition keeps k rows per
+    // language before the exchange — no low-cardinality window cliff.
+    "corpus_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pri = pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+      val w = Window.partitionBy($"lang").orderBy($"priority".asc)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", pri.as("priority"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20)
+        .select($"doc_id", $"lang", $"priority", $"rn")
     }
   )
 
@@ -56,6 +75,18 @@ object CorpusQueries4 {
         |  CAST(len(ws.w) AS BIGINT) AS n_total,
         |  coalesce(k.n_kept, 0) AS n_kept,
         |  CAST(len(ws.w) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed
-        |FROM ws LEFT JOIN kept k USING (doc_id)""".stripMargin
+        |FROM ws LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "corpus_stratified_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 4294967296 AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, priority,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY priority ASC)
+        |      AS INT) AS rn
+        |  FROM p)
+        |SELECT doc_id, lang, priority, rn FROM r WHERE rn <= 20""".stripMargin
   )
 }

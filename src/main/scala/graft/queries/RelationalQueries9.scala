@@ -172,6 +172,29 @@ object RelationalQueries9 {
       Skyline.pareto2D(li, "qty", "neg_price")
         .select($"l_orderkey", $"l_linenumber",
           $"price".cast("double").as("price"), $"qty")
+    },
+
+    // CONTINUOUS (interpolated) per-group median — percentile_cont
+    // semantics, vs q68's discrete vector: both bounding ranks
+    // ((n+1) div 2 and n div 2 + 1; equal when n is odd, selectRanks
+    // emits a row per label on the collision) come from ONE RankSelect
+    // range shuffle, and the midpoint is a single identical double
+    // expression on both engines
+    "q78_percentile_cont" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.RankSelect
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey",
+          $"o_totalprice".cast("decimal(15,2)").as("v"))
+      RankSelect.selectRanks(o, Seq("o_orderpriority"),
+          n => Seq("lo" -> ((n + 1L) / 2L), "hi" -> (n / 2L + 1L)),
+          "q", "n", $"v", $"o_orderkey")
+        .groupBy($"o_orderpriority", $"n")
+        .agg(max(when($"q" === "lo", $"v")).as("vlo"),
+          max(when($"q" === "hi", $"v")).as("vhi"))
+        .select($"o_orderpriority", $"n",
+          (($"vlo".cast("double") + $"vhi".cast("double")) / lit(2.0))
+            .as("median_cont"))
     }
   )
 
@@ -266,6 +289,23 @@ object RelationalQueries9 {
         |SELECT l.l_orderkey, l.l_linenumber,
         |  CAST(l.price AS DOUBLE) AS price, l.qty
         |FROM li l JOIN sl s ON l.price = s.price AND l.qty = s.qmax
-        |WHERE s.pm IS NULL OR s.qmax > s.pm""".stripMargin
+        |WHERE s.pm IS NULL OR s.qmax > s.pm""".stripMargin,
+
+    "q78_percentile_cont" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS g, o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(15,2)) AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, k)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM o)
+        |SELECT g AS o_orderpriority, n,
+        |  (CAST(max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE)
+        |   + CAST(max(CASE WHEN rn = n // 2 + 1 THEN v END) AS DOUBLE))
+        |  / 2.0 AS median_cont
+        |FROM r GROUP BY g, n""".stripMargin
   )
 }

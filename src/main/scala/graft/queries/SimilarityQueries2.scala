@@ -46,6 +46,32 @@ object SimilarityQueries2 {
       votes.withColumn("__rn", row_number().over(w))
         .filter($"__rn" === 1)
         .select($"qid", $"label".as("pred_label"), $"votes")
+    },
+
+    // late-interaction (ColBERT MaxSim) retrieval: each label group is
+    // a multi-vector "document", label 0's vectors are the query
+    // tokens; score(doc) = sum over query tokens of the max cosine to
+    // any doc vector. The per-(doc, token) max is a decomposable agg
+    // (map-side partials); the final sum folds in qid order via the
+    // same strict-left-fold discipline as the EWMA, so DuckDB
+    // list_reduce replays the IEEE sequence exactly.
+    "ann_maxsim" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions.cosine_sim
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"label" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      emb.filter($"label" =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", cosine_sim($"embedding", $"qv"))
+        .groupBy($"label", $"qid").agg(max($"cos").as("m"))
+        .groupBy($"label")
+        .agg(sort_array(collect_list(struct($"qid", $"m"))).as("ms"))
+        .select($"label",
+          expr("aggregate(slice(transform(ms, r -> r.m), 2, size(ms) - 1)," +
+            " transform(ms, r -> r.m)[0], (s, x) -> s + x)").as("maxsim"))
+        .orderBy($"maxsim".desc, $"label".asc)
+        .limit(3)
     }
   )
 
@@ -80,6 +106,19 @@ object SimilarityQueries2 {
          |w AS (SELECT qid, label, votes, row_number() OVER (
          |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
          |  FROM v)
-         |SELECT qid, label AS pred_label, votes FROM w WHERE rn = 1""".stripMargin
+         |SELECT qid, label AS pred_label, votes FROM w WHERE rn = 1""".stripMargin,
+
+    "ann_maxsim" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE label = 0),
+         |m AS (SELECT e.label, q.qid,
+         |    max(${cos("e.embedding", "q.qv")}) AS m
+         |  FROM embeddings e, q WHERE e.label <> 0
+         |  GROUP BY e.label, q.qid),
+         |sc AS (SELECT label,
+         |    list_reduce(list(m ORDER BY qid), (gs, gx) -> gs + gx) AS maxsim
+         |  FROM m GROUP BY label)
+         |SELECT label, maxsim FROM sc
+         |ORDER BY maxsim DESC, label ASC LIMIT 3""".stripMargin
   )
 }

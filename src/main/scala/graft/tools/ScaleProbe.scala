@@ -44,6 +44,10 @@ object ScaleProbe {
     replicate("nation", Seq.empty, perturbText = false)
     replicate("events", Seq("event_id", "user_id"), perturbText = false)
     replicate("part", Seq("p_partkey"), perturbText = false)
+    // registerAll-based queries (q67_sql, q70_recursive_cte) need every
+    // table present — copy the two small dims verbatim
+    replicate("region", Seq.empty, perturbText = false)
+    replicate("supplier", Seq("s_suppkey"), perturbText = false)
 
     val heavy = Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
       "dedup_embedding", "dedup_exact", "dedup_clusters", "ann_lsh", "knn_join",
@@ -56,7 +60,9 @@ object ScaleProbe {
       "q66_incremental_agg", "mm_audio", "corpus_contamination",
       "corpus_tfidf", "corpus_pack",
       "q67_sql", "q68_group_quantiles", "q69_ts_similarity",
-      "ann_pq", "mm_phash", "text_bigram_rarity")
+      "ann_pq", "mm_phash", "text_bigram_rarity",
+      "q70_recursive_cte", "q74_ewma", "q76_array_setops", "q77_pareto",
+      "ann_range", "knn_classify", "corpus_span_dedup", "feat_robust_scale")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, out).count()
