@@ -21,6 +21,32 @@ object CorpusQueries4 {
         n = 5, minDocs = 2)
     },
 
+    // cleaning-funnel attribution: every document lands in its FIRST
+    // failing quality stage (corpus_clean's cascade, same thresholds)
+    // or 'kept' — the "why was my data dropped" report every pipeline
+    // run needs. Row-local classify + one tiny partial-agg groupBy;
+    // shares derive from exact integer counts in one double division.
+    "corpus_funnel" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions.{stopword_count, token_count}
+      val t = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", token_count($"text"))
+        .withColumn("stop_cnt", stopword_count($"text"))
+        .withColumn("mwl",
+          (length($"text") - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+        .withColumn("stage",
+          when($"n_tokens" < 20, "too_short")
+            .when($"mwl" < 3.0 || $"mwl" > 12.0, "word_len_out")
+            .when($"stop_cnt" * 100 < $"n_tokens" * 2, "low_stopword")
+            .otherwise("kept"))
+      val g = t.groupBy($"stage")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("stage_tokens"))
+      val tot = g.agg(sum($"n_docs").as("td"))
+      g.crossJoin(broadcast(tot))
+        .select($"stage", $"n_docs", $"stage_tokens",
+          ($"n_docs".cast("double") / $"td".cast("double")).as("share"))
+    },
+
     // stratified sampling: exactly 20 docs per language, selected by a
     // portable multiplicative-hash priority (odd multiplier mod 2^32 is
     // injective over doc ids, so there are never ties and both engines
@@ -76,6 +102,31 @@ object CorpusQueries4 {
         |  coalesce(k.n_kept, 0) AS n_kept,
         |  CAST(len(ws.w) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed
         |FROM ws LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "corpus_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      gw -> gw IN ('the','a','an','of','and','or','to','in','is','it')))
+        |      AS stop_cnt,
+        |    length(text) AS n_chars
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE
+        |      WHEN n_tokens < 20 THEN 'too_short'
+        |      WHEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens < 3.0
+        |        OR CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens > 12.0
+        |        THEN 'word_len_out'
+        |      WHEN stop_cnt * 100 < n_tokens * 2 THEN 'low_stopword'
+        |      ELSE 'kept' END AS stage
+        |  FROM t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS td FROM documents)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS stage_tokens,
+        |  CAST(count(*) AS DOUBLE) / CAST(td AS DOUBLE) AS share
+        |FROM st CROSS JOIN tot GROUP BY stage, td""".stripMargin,
 
     "corpus_stratified_sample" ->
       """WITH p AS (

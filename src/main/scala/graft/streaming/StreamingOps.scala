@@ -62,6 +62,27 @@ object StreamingOps {
         hll_sketch_estimate(col("hll_sketch")).as("distinct_est"),
         col("hll_sketch"))
 
+  /** Native session windows (Spark's session_window): per-user sessions
+    * close after `gap` of event-time silence — the declarative twin of
+    * [[sessionize]]'s flatMapGroupsWithState (which keeps explicit
+    * control of state and emission). Works identically over batch
+    * frames, which is how SessionWindowSpec cross-checks the two
+    * formulations. State per open session only; the watermark retires
+    * closed windows.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("first_ts")).as("first_us"),
+        unix_micros(col("last_ts")).as("last_us"),
+        col("n_events"))
+
   /** Stream-stream inner join: pair each left event with right events of
     * the same key whose timestamp falls in the preceding `windowSpec`
     * (e.g. "1 hour"). Watermarks on both sides bound the join state —

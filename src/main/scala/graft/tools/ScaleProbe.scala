@@ -36,18 +36,25 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
 
+    // facts replicate with shifted ids; DIMENSIONS copy once — key
+    // duplication would turn every dim join into a 10-way multi-match
+    // (and make q70's recursion a multigraph whose frontier multiplies
+    // 100x per round: 38s -> explosion when nation was duplicated)
+    def copyOnce(name: String): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sf/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
     replicate("documents", Seq("doc_id"), perturbText = true)
     replicate("embeddings", Seq("vec_id"), perturbText = false)
     replicate("lineitem", Seq("l_orderkey"), perturbText = false)
     replicate("orders", Seq("o_orderkey"), perturbText = false)
     replicate("customer", Seq("c_custkey"), perturbText = false)
-    replicate("nation", Seq.empty, perturbText = false)
+    copyOnce("nation")
     replicate("events", Seq("event_id", "user_id"), perturbText = false)
     replicate("part", Seq("p_partkey"), perturbText = false)
-    // registerAll-based queries (q67_sql, q70_recursive_cte) need every
-    // table present — copy the two small dims verbatim
-    replicate("region", Seq.empty, perturbText = false)
-    replicate("supplier", Seq("s_suppkey"), perturbText = false)
+    copyOnce("region")
+    copyOnce("supplier")
 
     val heavy = Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
       "dedup_embedding", "dedup_exact", "dedup_clusters", "ann_lsh", "knn_join",
