@@ -21,6 +21,31 @@ object CorpusQueries4 {
         n = 5, minDocs = 2)
     },
 
+    // pairwise corpus comparison: vocabulary Jaccard between sources —
+    // distinct (source, token) table (O(vocab), partial-distinct
+    // collapse), self-joined on token for intersections, sizes joined
+    // back; exact integers to one double division. The corpus itself
+    // is never pairwise-compared — only its vocabulary is.
+    "corpus_vocab_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val vocab = Tables.load(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("nv"))
+      val inter = vocab.as("a")
+        .join(vocab.as("b"), Seq("tok"))
+        .filter($"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select($"source".as("src_a"), $"nv".as("na"))), "src_a")
+        .join(broadcast(sizes.select($"source".as("src_b"), $"nv".as("nb"))), "src_b")
+        .select($"src_a", $"src_b", $"n_common", $"na", $"nb",
+          ($"n_common".cast("double") /
+            ($"na" + $"nb" - $"n_common").cast("double")).as("jaccard"))
+    },
+
     // cleaning-funnel attribution: every document lands in its FIRST
     // failing quality stage (corpus_clean's cascade, same thresholds)
     // or 'kept' — the "why was my data dropped" report every pipeline
@@ -102,6 +127,24 @@ object CorpusQueries4 {
         |  coalesce(k.n_kept, 0) AS n_kept,
         |  CAST(len(ws.w) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed
         |FROM ws LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "corpus_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+        |  FROM v GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY src_a, src_b)
+        |SELECT i.src_a, i.src_b, i.n_common, sa.nv AS na, sb.nv AS nb,
+        |  CAST(i.n_common AS DOUBLE)
+        |    / CAST(sa.nv + sb.nv - i.n_common AS DOUBLE) AS jaccard
+        |FROM i JOIN sz sa ON i.src_a = sa.source
+        |  JOIN sz sb ON i.src_b = sb.source""".stripMargin,
 
     "corpus_funnel" ->
       """WITH t AS (

@@ -206,6 +206,30 @@ class StreamingSpec extends SparkSpec {
       Map("x" -> 1L, "y" -> 2L, "z" -> 3L))
   }
 
+  test("AvailableNow trigger drains pending files, stops, and a restart picks only new ones") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_an").toString
+    val in = s"$root/in"; val ck = s"$root/ck"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    def writeFile(n: String, rows: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, n), rows.getBytes)
+    def runOnce(): Long = {
+      val q = spark.readStream.schema("k string, v long")
+        .option("header", "true").csv(in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)  // AvailableNow terminates by itself
+      spark.read.parquet(out).count()
+    }
+    writeFile("a.csv", "k,v\nx,1\ny,2\n")
+    assert(runOnce() == 2L, "first drain sees both initial rows")
+    writeFile("b.csv", "k,v\nz,3\n")
+    // same checkpoint -> the catch-up run appends ONLY the new file
+    assert(runOnce() == 3L, "restart must not reprocess drained files")
+  }
+
   test("transformWithState running per-user stats match batch count/max") {
     import spark.implicits._
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
