@@ -33,6 +33,36 @@ object RelationalQueries10 {
           ($"n".cast("double") / $"row_total".cast("double")).as("p"))
     },
 
+    // interval-point join via GRID BUCKETING: each purchase opens a
+    // 30-minute window; count every click landing inside it. The naive
+    // formulation is a theta join (start <= t < end) — a cartesian
+    // nested loop at scale. With a grid equal to the window length,
+    // each interval covers at most 2 grid cells: explode intervals to
+    // their cells, equi-join points on the cell, then filter exact
+    // containment — a hash join whose volume is O(intervals*2 +
+    // points), never the cross product. Each point matches an interval
+    // through exactly one cell, so no dedup is needed.
+    "q81_interval_point_join" -> { (s, dir) =>
+      import s.implicits._
+      val grid = 1800L * 1000000L
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"event_type", $"user_id",
+          unix_micros($"ts").as("us"))
+      val intervals = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("iid"), $"us".as("w0"),
+          ($"us" + lit(grid)).as("w1"))
+        // integer div, and dedup cells BEFORE exploding (row-local)
+        .withColumn("cell", explode(array_distinct(array(
+          expr(s"w0 div $grid"), expr(s"(w1 - 1) div $grid")))))
+      val points = ev.filter($"event_type" === "click")
+        .select($"event_id".as("pid"), expr(s"us div $grid").as("cell"),
+          $"us".as("pt"))
+      intervals.join(points, "cell")
+        .filter($"pt" >= $"w0" && $"pt" < $"w1")
+        .groupBy($"iid")
+        .agg(count(lit(1)).as("n_clicks"), min($"pt").as("first_click_us"))
+    },
+
     // the modern conditional-aggregate family — count_if / bool_and /
     // bool_or — per order priority, decomposable so the exchange
     // carries one boolean/long per group
@@ -65,6 +95,23 @@ object RelationalQueries10 {
         |SELECT p.cur, p.nxt, p.n,
         |  CAST(p.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
         |FROM p JOIN t ON p.cur = t.cur""".stripMargin,
+
+    // declarative theta-join spec the grid equi-join must reproduce
+    // (DuckDB plans this as an IEJoin; the grid path is the Spark-scale
+    // formulation of the same semantics)
+    "q81_interval_point_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+        |iv AS (
+        |  SELECT event_id AS iid, us AS w0, us + 1800000000 AS w1
+        |  FROM ev WHERE event_type = 'purchase'),
+        |pt AS (
+        |  SELECT event_id AS pid, us AS pt FROM ev
+        |  WHERE event_type = 'click')
+        |SELECT iid, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  min(pt) AS first_click_us
+        |FROM iv JOIN pt ON pt.pt >= iv.w0 AND pt.pt < iv.w1
+        |GROUP BY iid""".stripMargin,
 
     "q80_cond_aggs" ->
       """SELECT o_orderpriority,
