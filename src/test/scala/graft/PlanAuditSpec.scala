@@ -178,6 +178,15 @@ class PlanAuditSpec extends SparkSpec {
       "the single query vector must broadcast")
   }
 
+  test("grid interval join hashes on the cell, never a theta nested loop") {
+    val p = plan("q81_interval_point_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "containment must be an equi-join on the grid cell + filter")
+    assert(p.contains("partial_count"),
+      "per-interval counts must partial-aggregate below the exchange")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}

@@ -33,6 +33,25 @@ class SkylineSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: the wide-path ladder (singleTaskLimit=0) matches the spec too") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val ptsGen = Gen.nonEmptyListOf(for {
+      x <- Gen.choose(0L, 8L); y <- Gen.choose(0L, 8L)
+    } yield (x, y)).map(_.take(40))
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(ptsGen) { raw =>
+        val pts = raw.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        val df = pts.toDF("id", "x", "y").repartition(4)
+        // singleTaskLimit=0 forces the range-ladder path on tiny data
+        val got = Skyline.pareto2D(df, "x", "y", singleTaskLimit = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        got == bruteFrontier(pts)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("duplicate frontier points all survive; dominated ties die") {
     import spark.implicits._
     val df = Seq(
