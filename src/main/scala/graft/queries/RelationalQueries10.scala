@@ -33,6 +33,19 @@ object RelationalQueries10 {
           ($"n".cast("double") / $"row_total".cast("double")).as("p"))
     },
 
+    // hopping (sliding) time windows: 1-hour windows every 15 minutes —
+    // window() explodes each event into its 4 overlapping windows
+    // row-locally, then one partial-agg shuffle on (window, type); the
+    // oracle derives the same 4 aligned starts with integer micros
+    "q82_hopping_window" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"window.start").as("win_start_us"),
+          $"event_type", $"n")
+    },
+
     // interval-point join via GRID BUCKETING: each purchase opens a
     // 30-minute window; count every click landing inside it. The naive
     // formulation is a theta join (start <= t < end) — a cartesian
@@ -95,6 +108,17 @@ object RelationalQueries10 {
         |SELECT p.cur, p.nxt, p.n,
         |  CAST(p.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
         |FROM p JOIN t ON p.cur = t.cur""".stripMargin,
+
+    "q82_hopping_window" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    (us // 900000000) * 900000000 - k * 900000000 AS ws
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) g)
+        |SELECT ws AS win_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY ws, event_type""".stripMargin,
 
     // declarative theta-join spec the grid equi-join must reproduce
     // (DuckDB plans this as an IEJoin; the grid path is the Spark-scale

@@ -127,9 +127,12 @@ object Sources {
 
   private def fileReader(spark: SparkSession, props: Map[String, String]): DataFrame = {
     val fmt = props.getOrElse("format", "text")
-    spark.read.format(fmt).options(fileOptions(props))
-      .load(props.getOrElse("path",
-        throw new IllegalArgumentException("File source requires path")))
+    val reader = spark.read.format(fmt).options(fileOptions(props))
+    // explicit schema (DDL string) — required for DROPMALFORMED/
+    // FAILFAST csv/json reads, where inference would mask bad rows
+    props.get("schemaDdl").foreach(reader.schema)
+    reader.load(props.getOrElse("path",
+      throw new IllegalArgumentException("File source requires path")))
   }
 
   /** Option mapping shared by batch+stream file reads. The reference's
@@ -138,6 +141,9 @@ object Sources {
   def fileOptions(props: Map[String, String]): Map[String, String] = {
     val passthrough = Seq("header", "delimiter", "inferSchema", "multiLine",
       "recursiveFileLookup", "maxFilesPerTrigger",
+      // malformed-record policy (csv/json/xml): PERMISSIVE (nulls +
+      // optional corrupt-record column) / DROPMALFORMED / FAILFAST
+      "mode", "columnNameOfCorruptRecord",
       // Spark 4 ships the XML datasource in core: `format: xml` needs
       // only its row/root tags forwarded (rowTag required on read)
       "rowTag", "rootTag", "attributePrefix", "valueTag", "ignoreSurroundingSpaces")
