@@ -33,6 +33,24 @@ object RelationalQueries10 {
           ($"n".cast("double") / $"row_total".cast("double")).as("p"))
     },
 
+    // exact weighted median per group (operators.WeightedMedian): the
+    // price at which half the shipped QUANTITY sits below — RankSelect's
+    // range-ladder extended to cumulative weights; no per-group window,
+    // integer weight arithmetic end to end
+    "q83_weighted_median" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.WeightedMedian
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag",
+          $"l_extendedprice".cast("decimal(15,2)").as("v"),
+          $"l_quantity".cast("long").as("w"),
+          $"l_orderkey", $"l_linenumber")
+      WeightedMedian.weightedMedian(li, Seq("l_returnflag"), "w", "total_w",
+          $"v".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .select($"l_returnflag", $"v".cast("double").as("wmedian"),
+          $"total_w")
+    },
+
     // hopping (sliding) time windows: 1-hour windows every 15 minutes —
     // window() explodes each event into its 4 overlapping windows
     // row-locally, then one partial-agg shuffle on (window, type); the
@@ -108,6 +126,25 @@ object RelationalQueries10 {
         |SELECT p.cur, p.nxt, p.n,
         |  CAST(p.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
         |FROM p JOIN t ON p.cur = t.cur""".stripMargin,
+
+    // window cumulative-weight formulation of the same lower weighted
+    // median: the crossing row has 2*cumw >= total and 2*(cumw-w) < total
+    "q83_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(15,2)) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS k,
+        |    l_linenumber AS ln
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT g, v, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v, k, ln
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(w) OVER (PARTITION BY g) AS tw
+        |  FROM li)
+        |SELECT g AS l_returnflag, CAST(v AS DOUBLE) AS wmedian,
+        |  CAST(tw AS BIGINT) AS total_w
+        |FROM c WHERE 2 * cw >= tw AND 2 * (cw - w) < tw""".stripMargin,
 
     "q82_hopping_window" ->
       """WITH e AS (

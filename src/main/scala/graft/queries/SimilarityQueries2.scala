@@ -48,6 +48,26 @@ object SimilarityQueries2 {
         .select($"qid", $"label".as("pred_label"), $"votes")
     },
 
+    // per-label centroids (the IVF/clustering training primitive) with
+    // ORACLE-EXACT arithmetic: per (label, dim) the member values fold
+    // in vec_id order (strict left fold — float sums are otherwise
+    // order-ambiguous across engines) and divide by the member count.
+    // At 100 TB the unordered tree-aggregate (ivfFit) is the throughput
+    // path; this is the bit-reproducible one.
+    "ann_centroids" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .select($"label", $"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"label", $"dim")
+        .agg(sort_array(collect_list(struct($"vec_id",
+          $"x".cast("double").as("xd")))).as("xs"),
+          count(lit(1)).as("n"))
+        .select($"label", $"dim",
+          (expr("aggregate(slice(transform(xs, r -> r.xd), 2, size(xs) - 1)," +
+            " transform(xs, r -> r.xd)[0], (s, y) -> s + y)") /
+            $"n".cast("double")).as("c"))
+    },
+
     // late-interaction (ColBERT MaxSim) retrieval: each label group is
     // a multi-vector "document", label 0's vectors are the query
     // tokens; score(doc) = sum over query tokens of the max cosine to
@@ -107,6 +127,17 @@ object SimilarityQueries2 {
          |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
          |  FROM v)
          |SELECT qid, label AS pred_label, votes FROM w WHERE rn = 1""".stripMargin,
+
+    "ann_centroids" ->
+      """WITH x AS (
+        |  SELECT label, vec_id, CAST(gi - 1 AS INT) AS dim,
+        |    CAST(embedding[CAST(gi AS INT)] AS DOUBLE) AS xd
+        |  FROM embeddings,
+        |    (SELECT unnest(range(1, 65)) AS gi) g)
+        |SELECT label, dim,
+        |  list_reduce(list(xd ORDER BY vec_id), (gs, gy) -> gs + gy)
+        |    / CAST(count(*) AS DOUBLE) AS c
+        |FROM x GROUP BY label, dim""".stripMargin,
 
     "ann_maxsim" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
