@@ -94,6 +94,42 @@ object RelationalQueries10 {
         .agg(count(lit(1)).as("n_clicks"), min($"pt").as("first_click_us"))
     },
 
+    // running-max drawdown per customer: the largest peak-to-current
+    // drop over each customer's time-ordered order totals — prefix max
+    // via a window over the HIGH-cardinality customer key, exact
+    // decimal subtraction, one double conversion at the end
+    "q84_drawdown" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+          $"o_totalprice".cast("decimal(15,2)").as("p"))
+        .withColumn("peak", max($"p").over(w))
+        .groupBy($"o_custkey")
+        .agg(max($"peak" - $"p").cast("double").as("max_drawdown"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // inverted-index AND search: documents containing BOTH query
+    // tokens, via the distinct (token, doc) posting table self-joined
+    // on doc — postings stay distributed (no materialized lists), the
+    // query is two posting-list semi-joins
+    "text_search_and" -> { (s, dir) =>
+      import s.implicits._
+      val postings = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .distinct()
+      val a = postings.filter($"tok" === "spark").select($"doc_id")
+      val b = postings.filter($"tok" === "window").select($"doc_id")
+      a.join(b, "doc_id")
+        .join(Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars"), "doc_id")
+        .select($"doc_id", $"lang", $"n_chars")
+    },
+
     // the modern conditional-aggregate family — count_if / bool_and /
     // bool_or — per order priority, decomposable so the exchange
     // carries one boolean/long per group
@@ -173,6 +209,31 @@ object RelationalQueries10 {
         |  min(pt) AS first_click_us
         |FROM iv JOIN pt ON pt.pt >= iv.w0 AND pt.pt < iv.w1
         |GROUP BY iid""".stripMargin,
+
+    "q84_drawdown" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(15,2)) AS p
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_custkey, p,
+        |    max(p) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM o)
+        |SELECT o_custkey, CAST(max(peak - p) AS DOUBLE) AS max_drawdown,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM r GROUP BY o_custkey""".stripMargin,
+
+    "text_search_and" ->
+      """WITH p AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents))
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |JOIN p a ON a.doc_id = d.doc_id AND a.tok = 'spark'
+        |JOIN p b ON b.doc_id = d.doc_id AND b.tok = 'window'""".stripMargin,
 
     "q80_cond_aggs" ->
       """SELECT o_orderpriority,
