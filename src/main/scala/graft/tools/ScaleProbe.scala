@@ -69,7 +69,10 @@ object ScaleProbe {
       "q67_sql", "q68_group_quantiles", "q69_ts_similarity",
       "ann_pq", "mm_phash", "text_bigram_rarity",
       "q70_recursive_cte", "q74_ewma", "q76_array_setops", "q77_pareto",
-      "ann_range", "knn_classify", "corpus_span_dedup", "feat_robust_scale")
+      "ann_range", "knn_classify", "corpus_span_dedup", "feat_robust_scale",
+      "q79_transition_matrix", "q81_interval_point_join", "q82_hopping_window",
+      "q83_weighted_median", "q84_drawdown", "corpus_vocab_overlap",
+      "text_search_and", "ann_maxsim", "ann_centroids", "corpus_funnel")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, out).count()
