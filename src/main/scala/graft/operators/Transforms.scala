@@ -58,6 +58,27 @@ object Transforms {
         case _ => df
       }
 
+    // grouped aggregation stage (beyond the reference's filter/map —
+    // its Jet pipeline had no declarative aggregate): `groupBy` is a
+    // comma list, `aggregations` maps output column -> SQL aggregate
+    // expression ("sum(v)", "count(*)", "max(price)"). Decomposable
+    // aggregates get Catalyst's map-side partials for free.
+    case "aggregate" =>
+      val props = t.properties
+      val keys = props.getOrElse("groupBy", "").toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        props.get("aggregations") match {
+          case Some(m: Map[_, _]) =>
+            m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1).map {
+              case (as, e) => expr(e.toString).as(as)
+            }
+          case _ => throw new IllegalArgumentException(
+            "aggregate transform requires an `aggregations` map")
+        }
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
     case "identity" => df
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }

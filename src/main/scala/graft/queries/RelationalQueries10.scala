@@ -94,6 +94,43 @@ object RelationalQueries10 {
         .agg(count(lit(1)).as("n_clicks"), min($"pt").as("first_click_us"))
     },
 
+    // NOT IN with a NULLABLE subquery column — the classic three-valued
+    // -logic trap: one NULL in the subquery empties the result, and a
+    // NULL probe value never qualifies. Spark plans the null-aware
+    // anti join; the probe side nulls come from a conditional
+    // projection so both hazards are exercised. Semantics, not just
+    // shape: the oracle is the same NOT IN text.
+    "q85_not_in_nulls" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_nationkey
+          |FROM (SELECT c_custkey,
+          |        CASE WHEN c_custkey % 7 = 0 THEN NULL
+          |             ELSE c_nationkey END AS c_nationkey
+          |      FROM customer)
+          |WHERE c_nationkey NOT IN
+          |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // dynamic pivot: the pivot columns come from a driver-collected
+    // DISTINCT scan (sorted for determinism) instead of a hard-coded
+    // list — the two-phase shape every BI layer uses; the per-cell
+    // aggregate stays decomposable
+    "q86_dynamic_pivot" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderstatus",
+          $"o_totalprice".cast("decimal(15,2)").as("p"))
+      val statuses = o.select($"o_orderstatus").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      o.groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(sum($"p").cast("double"))
+        .select($"o_orderpriority" +: statuses.map(st =>
+          col(s"`$st`").as(s"sum_$st")): _*)
+    },
+
     // running-max drawdown per customer: the largest peak-to-current
     // drop over each customer's time-ordered order totals — prefix max
     // via a window over the HIGH-cardinality customer key, exact
@@ -209,6 +246,26 @@ object RelationalQueries10 {
         |  min(pt) AS first_click_us
         |FROM iv JOIN pt ON pt.pt >= iv.w0 AND pt.pt < iv.w1
         |GROUP BY iid""".stripMargin,
+
+    "q85_not_in_nulls" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |             ELSE c_nationkey END AS c_nationkey
+        |      FROM customer)
+        |WHERE c_nationkey NOT IN
+        |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q86_dynamic_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE) AS sum_F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE) AS sum_O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE) AS sum_P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q84_drawdown" ->
       """WITH o AS (

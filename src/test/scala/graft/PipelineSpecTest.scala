@@ -207,6 +207,41 @@ class PipelineSpecTest extends SparkSpec {
       s"each input row exactly once after restart, got $rows")
   }
 
+  test("aggregate transform: YAML groupBy/aggregations run a grouped pipeline stage") {
+    import graft.operators.Transforms
+    import graft.pipeline.TransformSpec
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 4L), ("b", 2L)).toDF("k", "v")
+    val out = Transforms.apply(df, Seq(TransformSpec("aggregate", Map(
+      "groupBy" -> "k",
+      "aggregations" -> Map("total" -> "sum(v)", "n" -> "count(*)")))))
+    val got = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
+    assert(got == Map("a" -> (5L, 2L), "b" -> (2L, 1L)))
+    // global (no groupBy) aggregate
+    val g = Transforms.apply(df, Seq(TransformSpec("aggregate", Map(
+      "aggregations" -> Map("mx" -> "max(v)")))))
+    assert(g.head().getLong(0) == 4L)
+    // parses from YAML like any other stage
+    val cfg = graft.pipeline.ConfigParser.parse(
+      """pipelines:
+        |  - name: "agg-pipe"
+        |    source:
+        |      type: file
+        |      properties: { path: "/tmp/x", format: "csv" }
+        |    transformations:
+        |      - type: aggregate
+        |        properties:
+        |          groupBy: "k"
+        |          aggregations:
+        |            total: "sum(v)"
+        |    sink:
+        |      type: file
+        |      properties: { path: "/tmp/y", format: "parquet" }
+        |""".stripMargin)
+    assert(cfg.pipelines.head.transformations.head.kind == "aggregate")
+  }
+
   test("manager count/isRunning/stopAll mirror the controller surface") {
     val in = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$in/x.txt"), "a\nb\n")
