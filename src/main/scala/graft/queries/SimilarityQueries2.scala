@@ -68,6 +68,30 @@ object SimilarityQueries2 {
             $"n".cast("double")).as("c"))
     },
 
+    // binary-quantization ANN: each 64-dim vector collapses to ONE
+    // long of sign bits (8 bytes/vector — the modern BQ memory story),
+    // hamming distance shortlists 40 candidates (TakeOrdered, no
+    // global window), exact cosine reranks to top-10. Distinct bits
+    // sum without carries, so the packed representation is exact; the
+    // oracle counts sign disagreements per dimension — mathematically
+    // the same hamming distance without the packing.
+    "ann_bq" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions.{cosine_sim, hamming64}
+      val bq = expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc + CASE WHEN embedding[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)")
+      val emb = Tables.load(s, dir, "embeddings").withColumn("bq", bq)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qv"), $"bq".as("qbq"))
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("ham", hamming64($"bq", $"qbq"))
+        .orderBy($"ham".asc, $"vec_id".asc).limit(40)
+        .withColumn("cos", cosine_sim($"embedding", $"qv"))
+        .orderBy($"cos".desc, $"vec_id".asc).limit(10)
+        .select($"vec_id", $"label", $"ham", $"cos")
+    },
+
     // late-interaction (ColBERT MaxSim) retrieval: each label group is
     // a multi-vector "document", label 0's vectors are the query
     // tokens; score(doc) = sum over query tokens of the max cosine to
@@ -127,6 +151,21 @@ object SimilarityQueries2 {
          |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
          |  FROM v)
          |SELECT qid, label AS pred_label, votes FROM w WHERE rn = 1""".stripMargin,
+
+    "ann_bq" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |h AS (
+         |  SELECT e.vec_id, e.label, e.embedding, q.qv,
+         |    CAST(len(list_filter(range(1, 65), gi ->
+         |      (e.embedding[CAST(gi AS INT)] > 0)
+         |        <> (q.qv[CAST(gi AS INT)] > 0))) AS INT) AS ham
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |cand AS (
+         |  SELECT vec_id, label, embedding, qv, ham
+         |  FROM h ORDER BY ham ASC, vec_id ASC LIMIT 40)
+         |SELECT vec_id, label, ham, ${cos("embedding", "qv")} AS cos
+         |FROM cand
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_centroids" ->
       """WITH x AS (
