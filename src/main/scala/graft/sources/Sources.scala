@@ -144,6 +144,9 @@ object Sources {
       // malformed-record policy (csv/json/xml): PERMISSIVE (nulls +
       // optional corrupt-record column) / DROPMALFORMED / FAILFAST
       "mode", "columnNameOfCorruptRecord",
+      // schema evolution across parquet/orc files written at different
+      // schema versions: union-of-schemas read
+      "mergeSchema",
       // Spark 4 ships the XML datasource in core: `format: xml` needs
       // only its row/root tags forwarded (rowTag required on read)
       "rowTag", "rootTag", "attributePrefix", "valueTag", "ignoreSurroundingSpaces")

@@ -91,15 +91,20 @@ object StreamingOps {
     */
   def streamStreamWindowJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, windowSpec: String,
-      watermark: String = "2 hours", idCol: String = "event_id"): DataFrame = {
+      watermark: String = "2 hours", idCol: String = "event_id",
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
         col(idCol).as("l_id"))
       .withWatermark("l_ts", watermark)
     val r = right.select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
         col(idCol).as("r_id"))
       .withWatermark("r_ts", watermark)
+    // left_outer/full_outer emit the null-matched side once the
+    // watermark proves no future match can arrive — the join state
+    // stays bounded by the same event-time window either way
     l.join(r, expr(
-      s"l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL $windowSpec AND l_ts"))
+      s"l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL $windowSpec AND l_ts"),
+      joinType)
   }
 
   /** Stream-static enrichment join: each micro-batch joins against a

@@ -69,6 +69,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchPairs, s"stream=$streamed batch=$batchPairs")
   }
 
+  test("left-outer stream-stream join emits watermark-expired unmatched purchases") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val purchases = stream.filter(col("event_type") === "purchase")
+    val clicks = stream.filter(col("event_type") === "click")
+    // short watermark so the single micro-batch's max event time
+    // expires (almost) every join window and null rows can emit
+    val q = StreamingOps.streamStreamWindowJoin(
+        purchases, clicks, "user_id", "ts", "1 HOUR",
+        watermark = "5 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ss_left")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val matched = spark.sql(
+      "SELECT count(*) FROM ss_left WHERE r_id IS NOT NULL").head().getLong(0)
+    val unmatchedStream = spark.sql(
+      "SELECT count(*) FROM ss_left WHERE r_id IS NULL").head().getLong(0)
+    q.stop()
+    val ev = Tables.events(spark, sf)
+    val counts = graft.operators.RangeJoin.countInPrecedingWindow(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", 3600L * 1000000L)
+    val batchMatched = counts.agg(sum("n_in_window")).head().getLong(0)
+    val batchUnmatched = counts.filter(col("n_in_window") === 0).count()
+    // matched pairs equal batch exactly; null rows for zero-match
+    // purchases emit only once the watermark passes their window, so
+    // the final window's purchases may still be withheld in state
+    assert(matched == batchMatched, s"matched=$matched batch=$batchMatched")
+    assert(unmatchedStream > 0 && unmatchedStream <= batchUnmatched,
+      s"unmatched=$unmatchedStream batchUnmatched=$batchUnmatched")
+  }
+
   test("stream-static join enriches every event with broadcast dim rows") {
     import spark.implicits._
     val stream = StreamingOps.eventsStream(spark, sf)
