@@ -46,7 +46,12 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: f"" uses the default locale, and a comma decimal
+    // separator (de_DE etc.) would make the driver-parsed line invalid
+    // JSON — the exact "parsed": null failure this file exists to avoid
+    def num(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Per-query detail goes to a file + a PRECEDING stdout line; the driver
@@ -62,8 +67,8 @@ object Bench {
     } catch { case _: Throwable => () }
     println(detail)
     val slowest = results.sortBy(-_._2).take(3)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

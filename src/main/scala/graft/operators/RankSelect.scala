@@ -81,65 +81,25 @@ object RankSelect {
   def selectRanksCapped(rawDf: DataFrame, groupCols: Seq[String],
       ranksOf: Long => Seq[(String, Long)], labelCol: String, nCol: String,
       maxGroups: Int, orderKeys: Column*): DataFrame = {
-    // single-file parquet arrives as ONE partition — spread first or
-    // the range exchange itself degenerates to a single task
-    val df = Parallelism.ensure(rawDf)
-    val parts = math.max(df.rdd.getNumPartitions, 1)
-    val allKeys = groupCols.map(col) ++ orderKeys
-    val ranged = df.repartitionByRange(parts, allKeys: _*)
-      .sortWithinPartitions(allKeys: _*)
-    val gIdx = groupCols.map(ranged.schema.fieldIndex).toArray
-    // ONE captured RDD feeds the counts job and the selection pass: the
-    // DAG scheduler reuses the completed range-exchange shuffle files on
-    // the second materialization — nothing persisted, nothing leaked.
-    val rrdd = ranged.rdd
-    def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
     val capMsg = s"RankSelect: distinct group count exceeds maxGroups=$maxGroups; " +
       "the counts collect/broadcast would be driver-memory-unsafe. For " +
       "high-cardinality group keys use RankSelect.windowRanks (the window " +
       "idiom parallelizes fine there) or raise the cap via selectRanksCapped."
-    // run-length encode each partition's (group -> count): rows are
-    // sorted, so each group is a single contiguous run per partition.
-    // Ranges make groups contiguous ACROSS partitions too, so any one
-    // partition holding > maxGroups runs already proves the global
-    // distinct count exceeds the cap — abort inside the job, before
-    // anything is collected.
-    val runs: Array[(Int, Seq[Any], Long)] = rrdd
-      .mapPartitionsWithIndex { case (pid, it) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
-        var cur: Seq[Any] = null
-        var n = 0L
-        it.foreach { r =>
-          val k = key(r)
-          if (cur == null || k != cur) {
-            if (cur != null) out += ((pid, cur, n))
-            if (out.size > maxGroups) throw new IllegalStateException(capMsg)
-            cur = k; n = 0L
-          }
-          n += 1L
-        }
-        if (cur != null) out += ((pid, cur, n))
-        out.iterator
-      }.collect()
-    if (runs.iterator.map(_._2).toSet.size > maxGroups)
-      throw new IllegalStateException(capMsg)
-    // per-group total + this partition's starting rank for the group
-    val totals = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
-    val starts = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
-    runs.sortBy(_._1).foreach { case (pid, k, n) =>
-      val before = totals.getOrElse(k, 0L)
-      starts((pid, k)) = before
-      totals(k) = before + n
-    }
+    // shared range-exchange + run-length + driver-ladder scaffolding
+    // (measure = row count); see RangeLadder for the two-level cap
+    val ladder = RangeLadder.build(rawDf, groupCols, maxGroups,
+      _ => 1L, capMsg, orderKeys)
+    import ladder.{ranged, rrdd, starts, totals}
+    val key = ladder.keyOf
     // per group: rank -> labels wanting that rank (labels may collide
     // on tiny groups; each emits its own row)
     val targets: Map[Seq[Any], Map[Long, Seq[String]]] =
       totals.map { case (k, n) =>
         k -> ranksOf(n).groupBy(_._2).map { case (r, ls) => r -> ls.map(_._1) }
-      }.toMap
-    val startsB = ranged.sparkSession.sparkContext.broadcast(starts.toMap)
+      }
+    val startsB = ranged.sparkSession.sparkContext.broadcast(starts)
     val targetsB = ranged.sparkSession.sparkContext.broadcast(targets)
-    val totalsB = ranged.sparkSession.sparkContext.broadcast(totals.toMap)
+    val totalsB = ranged.sparkSession.sparkContext.broadcast(totals)
     val withLabel = labelCol != null
     val extra =
       (if (withLabel)

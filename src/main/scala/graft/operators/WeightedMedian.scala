@@ -34,51 +34,26 @@ object WeightedMedian {
   def weightedMedianCapped(rawDf: DataFrame, groupCols: Seq[String],
       weightCol: String, totalCol: String, maxGroups: Int,
       orderKeys: Column*): DataFrame = {
-    val df = Parallelism.ensure(rawDf)
-    val parts = math.max(df.rdd.getNumPartitions, 1)
-    val allKeys = groupCols.map(col) ++ orderKeys
-    val ranged = df.repartitionByRange(parts, allKeys: _*)
-      .sortWithinPartitions(allKeys: _*)
-    val gIdx = groupCols.map(ranged.schema.fieldIndex)
-    val wIdx = ranged.schema.fieldIndex(weightCol)
-    def key(r: Row): Seq[Any] = gIdx.map(r.get)
-    def wOf(r: Row): Long = r.get(wIdx) match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case other => sys.error(s"$weightCol must be integral, got $other")
-    }
     val capMsg = s"WeightedMedian: distinct group count exceeds maxGroups=$maxGroups " +
       "(driver ladder is O(groups)); use the window idiom for high-cardinality keys."
-    val rrdd = ranged.rdd
-    // run-length (partition, group, weight-sum) — groups are contiguous
-    val runs: Array[(Int, Seq[Any], Long)] = rrdd
-      .mapPartitionsWithIndex { case (pid, it) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
-        var cur: Seq[Any] = null
-        var w = 0L
-        it.foreach { r =>
-          val k = key(r)
-          if (cur == null || k != cur) {
-            if (cur != null) out += ((pid, cur, w))
-            if (out.size > maxGroups) throw new IllegalStateException(capMsg)
-            cur = k; w = 0L
-          }
-          w += wOf(r)
-        }
-        if (cur != null) out += ((pid, cur, w))
-        out.iterator
-      }.collect()
-    if (runs.iterator.map(_._2).toSet.size > maxGroups)
-      throw new IllegalStateException(capMsg)
-    val totals = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
-    val starts = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
-    runs.sortBy(_._1).foreach { case (pid, k, w) =>
-      val before = totals.getOrElse(k, 0L)
-      starts((pid, k)) = before
-      totals(k) = before + w
+    val wIdxIn = rawDf.schema.fieldIndex(weightCol)
+    def wOf(r: Row): Long = {
+      val w = RangeLadder.longAt(wIdxIn, weightCol)(r)
+      // documented contract: negative weights make the cumulative scan
+      // non-monotone and the crossing row meaningless — fail loudly
+      if (w < 0) sys.error(s"$weightCol must be non-negative, got $w")
+      w
     }
-    val startsB = ranged.sparkSession.sparkContext.broadcast(starts.toMap)
-    val totalsB = ranged.sparkSession.sparkContext.broadcast(totals.toMap)
+    // shared range-exchange + run-length + driver-ladder scaffolding
+    // (measure = weight sum); see RangeLadder for the two-level cap
+    val ladder = RangeLadder.build(rawDf, groupCols, maxGroups,
+      wOf, capMsg, orderKeys)
+    import ladder.{ranged, rrdd, starts, totals}
+    val key = ladder.keyOf
+    // schema preserved by the range exchange -> same weight index
+    val wIdx = ranged.schema.fieldIndex(weightCol)
+    val startsB = ranged.sparkSession.sparkContext.broadcast(starts)
+    val totalsB = ranged.sparkSession.sparkContext.broadcast(totals)
     val schema = StructType(ranged.schema :+
       StructField(totalCol, LongType, nullable = false))
     val picked = rrdd.mapPartitionsWithIndex { case (pid, it) =>
@@ -93,7 +68,7 @@ object WeightedMedian {
           total = totalsB.value(k)
         }
         val prev = cumw
-        cumw += wOf(r)
+        cumw += RangeLadder.longAt(wIdx, weightCol)(r)
         // the crossing row: previous cumulative below half, now at or
         // above — exactly one row per positive-weight group
         if (total > 0 && prev * 2 < total && cumw * 2 >= total)

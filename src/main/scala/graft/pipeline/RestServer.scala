@@ -65,7 +65,9 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
       }
 
   server.createContext("/api/pipelines", (ex: HttpExchange) => {
-    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    // RAW path: getPath already percent-decodes, and decoding again in
+    // decodePath would corrupt names with '%' or '+' (double-decode)
+    val path = ex.getRequestURI.getRawPath.stripSuffix("/")
     val method = ex.getRequestMethod
     try {
       (method, path) match {
@@ -129,12 +131,14 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
   private val JobStatusPath = "/api/pipelines/jobs/([^/]+)/status".r
   private val StopPath = "/api/pipelines/stop/([^/]+)".r
 
-  /** The exchange URI path keeps percent-encoding; decode captured path
-    * segments so names with spaces/special chars resolve (the reference's
-    * Spring @PathVariable decodes automatically).
+  /** Decode a RAW (still percent-encoded — the routes match getRawPath)
+    * path segment so names with spaces/special chars resolve (the
+    * reference's Spring @PathVariable decodes automatically). '+' is a
+    * literal in URI paths, so shield it from URLDecoder's
+    * form-encoding rule before decoding the percent escapes.
     */
   private def decodePath(seg: String): String =
-    java.net.URLDecoder.decode(seg, StandardCharsets.UTF_8)
+    java.net.URLDecoder.decode(seg.replace("+", "%2B"), StandardCharsets.UTF_8)
 
   def start(): RestServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

@@ -108,8 +108,12 @@ object Sinks {
         .save()
     case "kafka" =>
       Sources.requireConnector("kafka")
+      // strip EVERY source-subscription strategy kafkaOptions may have
+      // emitted (subscribe / subscribePattern / assign) — a sink only
+      // takes `topic`, and a copy-pasted source block must normalize
       df.write.format("kafka")
-        .options(Sources.kafkaOptions(spec.properties) - "subscribe" +
+        .options(Sources.kafkaOptions(spec.properties)
+          -- Seq("subscribe", "subscribePattern", "assign") +
           ("topic" -> spec.properties.getOrElse("topic", "")))
         .save()
     case "table" | "hive" =>
@@ -156,7 +160,8 @@ object Sinks {
       case "kafka" =>
         Sources.requireConnector("kafka")
         df.writeStream.format("kafka")
-          .options(Sources.kafkaOptions(props) - "subscribe" +
+          .options(Sources.kafkaOptions(props)
+            -- Seq("subscribe", "subscribePattern", "assign") +
             ("topic" -> props.getOrElse("topic", "")))
           .option("checkpointLocation", props("checkpointLocation"))
           .trigger(trigger).start()

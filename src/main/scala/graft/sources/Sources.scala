@@ -115,14 +115,32 @@ object Sources {
     * (reference S3SourceContext config: accessKey/secretKey/region/
     * endpoint). Unset properties leave the default s3a credential chain
     * (env, instance profile) untouched.
+    *
+    * Scoped PER BUCKET when the spec's path names one
+    * (`fs.s3a.bucket.<name>.*` — hadoop-aws's own mechanism): the
+    * hadoopConfiguration is session-global, so two concurrently
+    * submitted pipelines with different credentials/endpoints would
+    * otherwise clobber each other before their lazy frames run.
+    * Bucket-less specs fall back to the global keys.
     */
   def applyS3Conf(spark: SparkSession, props: Map[String, String]): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    props.get("accessKey").foreach(hc.set("fs.s3a.access.key", _))
-    props.get("secretKey").foreach(hc.set("fs.s3a.secret.key", _))
-    props.get("endpoint").foreach(hc.set("fs.s3a.endpoint", _))
-    props.get("region").foreach(hc.set("fs.s3a.endpoint.region", _))
-    props.get("pathStyleAccess").foreach(hc.set("fs.s3a.path.style.access", _))
+    val prefix = props.get("path").flatMap(bucketOf) match {
+      case Some(b) => s"fs.s3a.bucket.$b."
+      case None => "fs.s3a."
+    }
+    props.get("accessKey").foreach(hc.set(prefix + "access.key", _))
+    props.get("secretKey").foreach(hc.set(prefix + "secret.key", _))
+    props.get("endpoint").foreach(hc.set(prefix + "endpoint", _))
+    props.get("region").foreach(hc.set(prefix + "endpoint.region", _))
+    props.get("pathStyleAccess").foreach(hc.set(prefix + "path.style.access", _))
+  }
+
+  /** Bucket name of an s3/s3a path (or a bare `bucket/prefix` spec). */
+  private[graft] def bucketOf(p: String): Option[String] = {
+    val noScheme =
+      if (p.contains("://")) p.substring(p.indexOf("://") + 3) else p
+    noScheme.split("/", 2).headOption.filter(_.nonEmpty)
   }
 
   private def fileReader(spark: SparkSession, props: Map[String, String]): DataFrame = {

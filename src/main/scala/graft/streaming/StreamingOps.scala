@@ -230,6 +230,29 @@ object StreamingOps {
         val spark = batch.sparkSession
         val fs = new Path(stateDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Bind the state to its checkpoint's identity: the checkpoint
+        // metadata carries a stable query id that survives legitimate
+        // restarts but CHANGES when the checkpoint is deleted/replaced.
+        // Without this, a reset whose restarted batch id collides with
+        // a still-retained version dir would be indistinguishable from
+        // a replay and silently swallowed (data never folded).
+        val ckId = checkpointQueryId(fs, s"$stateDir/_checkpoint")
+        val marker = new Path(s"$stateDir/_query_id")
+        if (!fs.exists(marker)) {
+          val out = fs.create(marker, true)
+          try out.write(ckId.getBytes("UTF-8")) finally out.close()
+        } else {
+          val in = fs.open(marker)
+          val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          if (prior.nonEmpty && ckId.nonEmpty && prior != ckId &&
+              stateVersions(spark, stateDir).nonEmpty)
+            throw new IllegalStateException(
+              s"state at $stateDir was built by streaming query $prior but this " +
+                s"checkpoint identifies as $ckId: the checkpoint was reset/replaced " +
+                "while reusing the stateDir. Use a fresh stateDir (or restore the " +
+                "original checkpoint) to avoid double-counting.")
+        }
         val vdir = new Path(s"$stateDir/v=$id")
         if (!fs.exists(vdir)) { // replayed batch -> already folded, skip
           // A batch id at or below the newest folded version whose own
@@ -258,6 +281,27 @@ object StreamingOps {
         }
         ()
       }.start()
+  }
+
+  /** The stable query id from a streaming checkpoint's `metadata` file
+    * ({"id":"<uuid>"}) — same across restarts from the same checkpoint,
+    * different once the checkpoint is deleted/replaced. Empty when the
+    * file is missing/unreadable (guard degrades to the version-dir
+    * heuristic rather than failing healthy pipelines).
+    */
+  private def checkpointQueryId(fs: org.apache.hadoop.fs.FileSystem,
+      checkpointDir: String): String = {
+    val meta = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+    try {
+      if (!fs.exists(meta)) ""
+      else {
+        val in = fs.open(meta)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+      }
+    } catch { case _: Exception => "" }
   }
 
   /** Complete state versions, ascending (Hadoop FS — works on any
@@ -291,14 +335,22 @@ object StreamingOps {
     * and emits the updated row each micro-batch; the processor is the
     * template for richer per-entity accumulators.
     *
-    * transformWithState requires the RocksDB state store provider —
-    * set here on the session (HDFS-backed state, the default, is
-    * rejected by the operator).
+    * transformWithState requires the RocksDB state store provider.
+    * The provider conf is read when the QUERY starts and applies
+    * session-wide, so this op does not mutate it behind the caller's
+    * back (that would silently flip the provider under every other
+    * streaming query in the session, breaking their checkpoint
+    * compatibility) — it fails fast with the setting to apply.
     */
   def runningUserStats(events: Dataset[EventRow]): Dataset[UserRunning] = {
     val spark = events.sparkSession
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "transformWithState needs the RocksDB state store: set " +
+        "spark.sql.streaming.stateStore.providerClass to " +
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider " +
+        "on the session before starting the query")
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor,

@@ -238,6 +238,38 @@ class StreamingSpec extends SparkSpec {
       Map("x" -> 1L, "y" -> 2L, "z" -> 3L))
   }
 
+  test("materialized aggregate refuses a reset even when the colliding version dir survived pruning") {
+    import graft.operators.IncrementalAgg.Agg
+    val root = java.nio.file.Files.createTempDirectory("graft_mrst3").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    new java.io.File(in).mkdirs()
+    def writeFile(n: String, rows: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, n), rows.getBytes)
+    writeFile("a.csv", "k,v\nx,1\n")
+    val aggs = Seq(Agg("s", "sum", col("v")))
+    def source() = spark.readStream.schema("k string, v long")
+      .option("header", "true").option("maxFilesPerTrigger", "1").csv(in)
+    val q1 = StreamingOps.materializedAggregate(source(), Seq("k"), aggs,
+      state, "mrst3", retainVersions = 10)
+    q1.processAllAvailable(); q1.stop()
+    // v=0 RETAINED (retainVersions=10); reset the checkpoint only —
+    // batch ids restart at 0 and collide with the surviving dir, which
+    // the version-dir heuristic alone would misread as a replay
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRec); f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$state/_checkpoint"))
+    writeFile("b.csv", "k,v\ny,2\n")
+    val q2 = StreamingOps.materializedAggregate(source(), Seq("k"), aggs,
+      state, "mrst3b", retainVersions = 10)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("reset/replaced")), chain(e).toString)
+  }
+
   test("AvailableNow trigger drains pending files, stops, and a restart picks only new ones") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft_an").toString
@@ -266,6 +298,10 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
+      // the op requires (not sets) the RocksDB provider — configure it
+      // here, restore after, so other suites keep the default provider
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val stream = StreamingOps.eventsStream(spark, sf).as[EventRow]
       val q = StreamingOps.runningUserStats(stream)
         .writeStream.format("memory").queryName("tws_running")
