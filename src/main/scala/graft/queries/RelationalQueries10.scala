@@ -94,6 +94,40 @@ object RelationalQueries10 {
         .agg(count(lit(1)).as("n_clicks"), min($"pt").as("first_click_us"))
     },
 
+    // grouping() / grouping_id() flags under CUBE: distinguish "NULL
+    // because subtotal" from "NULL in the data" — the standard way BI
+    // layers label rollup rows (q13 is the plain cube; this pins the
+    // flag semantics)
+    "q87_grouping_id" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          grouping($"o_orderpriority").as("g_pri"),
+          grouping($"o_orderstatus").as("g_st"),
+          grouping_id().as("gid"))
+    },
+
+    // IGNORE NULLS window navigation: last non-null measurement seen so
+    // far and the 2nd value of each user's stream — the gap-carrying
+    // idiom time-series consumers use (nulls injected on a
+    // deterministic rule so both engines skip the same rows)
+    "q88_ignore_nulls" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"us".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+          when($"event_id" % 3 === 0, $"value").as("v"))
+        .withColumn("last_seen",
+          last($"v", ignoreNulls = true).over(w))
+        .withColumn("second_ev",
+          nth_value($"event_id", 2).over(w))
+        .select($"event_id", $"user_id", $"last_seen", $"second_ev")
+    },
+
     // NOT IN with a NULLABLE subquery column — the classic three-valued
     // -logic trap: one NULL in the subquery empties the result, and a
     // NULL probe value never qualifies. Spark plans the null-aware
@@ -246,6 +280,28 @@ object RelationalQueries10 {
         |  min(pt) AS first_click_us
         |FROM iv JOIN pt ON pt.pt >= iv.w0 AND pt.pt < iv.w1
         |GROUP BY iid""".stripMargin,
+
+    "q87_grouping_id" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_st,
+        |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+        |    AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q88_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_id % 3 = 0 THEN value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER w AS last_seen,
+        |  nth_value(event_id, 2) OVER w AS second_ev
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q85_not_in_nulls" ->
       """SELECT c_custkey, c_nationkey
