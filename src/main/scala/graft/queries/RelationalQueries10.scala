@@ -94,6 +94,25 @@ object RelationalQueries10 {
         .agg(count(lit(1)).as("n_clicks"), min($"pt").as("first_click_us"))
     },
 
+    // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    // MULTIPLICITIES (min / difference of per-value counts) where
+    // q38/q39's distinct variants collapse them — Spark plans both as
+    // count-annotated joins + generate, no row-by-row matching
+    "q89_setops_all" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+        .select($"c_nationkey".as("nationkey"))
+      val supp = Tables.load(s, dir, "supplier")
+        .select($"s_nationkey".as("nationkey"))
+      val ia = cust.intersectAll(supp)
+        .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val ea = cust.exceptAll(supp)
+        .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      ia.unionByName(ea)
+    },
+
     // grouping() / grouping_id() flags under CUBE: distinguish "NULL
     // because subtotal" from "NULL in the data" — the standard way BI
     // layers label rollup rows (q13 is the plain cube; this pins the
@@ -280,6 +299,21 @@ object RelationalQueries10 {
         |  min(pt) AS first_click_us
         |FROM iv JOIN pt ON pt.pt >= iv.w0 AND pt.pt < iv.w1
         |GROUP BY iid""".stripMargin,
+
+    "q89_setops_all" ->
+      """WITH ia AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier),
+        |ea AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  'intersect_all' AS op FROM ia GROUP BY nationkey
+        |UNION ALL
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  'except_all' AS op FROM ea GROUP BY nationkey""".stripMargin,
 
     "q87_grouping_id" ->
       """SELECT o_orderpriority, o_orderstatus,
