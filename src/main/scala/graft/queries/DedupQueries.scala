@@ -66,6 +66,31 @@ object DedupQueries {
       Dedup.connectedComponents(
           docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("component"))
+    },
+
+    // the SELECTION step that completes the dedup story: per near-dup
+    // cluster keep the best-QUALITY member (longest text, doc_id
+    // tie-break), not blindly the min id — one rank<=1 window over the
+    // high-cardinality component key (map-side WindowGroupLimit prunes
+    // per partition) on top of the same components
+    "dedup_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__ws", words(col("text")))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      val comp = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      comp.join(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("component"), col("doc_id").as("survivor_id"),
+          col("n_chars").as("survivor_chars"))
+        .join(comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members")), "component")
     }
   )
 
@@ -124,7 +149,7 @@ object DedupQueries {
   /** Transitive closure of the simhash pair graph — the brute-force
     * truth for the distributed connected-components operator.
     */
-  private val clustersSql =
+  private val clustersCtePrefix =
     s"""WITH RECURSIVE $simhashCtes,
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -134,7 +159,10 @@ object DedupQueries {
       |reach(u, lbl) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u)
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u)""".stripMargin
+
+  private val clustersSql =
+    s"""$clustersCtePrefix
       |SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -147,6 +175,20 @@ object DedupQueries {
     "dedup_ngram" -> jaccardPairSql(ngrams5),
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> clustersSql,
+
+    "dedup_keep_best" ->
+      s"""$clustersCtePrefix,
+         |comp AS (SELECT u AS doc_id, min(lbl) AS component
+         |  FROM reach GROUP BY u),
+         |j AS (SELECT c.component, d.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |m AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM comp GROUP BY component)
+         |SELECT j.component, j.doc_id AS survivor_id,
+         |  CAST(j.n_chars AS BIGINT) AS survivor_chars, m.n_members
+         |FROM j JOIN m USING (component) WHERE rn = 1""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
