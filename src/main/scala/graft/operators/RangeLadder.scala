@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object RangeLadder {
 
+  /** Collected-run-tuple budget under which the pre-gate pass is
+    * unnecessary: the in-task cap alone bounds the collect at
+    * partitions x maxGroups tuples, and below ~1M tuples (~100 MB
+    * worst case) that is driver-safe without a second pass.
+    */
+  val PreGateSkipBudget: Long = 1000000L
+
   final case class Ladder(
       ranged: DataFrame,
       rrdd: org.apache.spark.rdd.RDD[Row],
@@ -45,19 +52,24 @@ private[operators] object RangeLadder {
     // pre-gate: run COUNTS only (O(partitions) ints on the driver).
     // distinct groups >= total runs - (partitions - 1) under range
     // contiguity, so this refuses evenly-spread high-cardinality keys
-    // before the tuple collect below can blow the driver.
-    val runCounts = rrdd.mapPartitionsWithIndex { case (pid, it) =>
-      var n = 0L
-      var cur: Seq[Any] = null
-      it.foreach { r =>
-        val k = key(r)
-        if (cur == null || k != cur) { n += 1; cur = k }
-      }
-      Iterator.single(pid -> n)
-    }.collect()
-    val totalRuns = runCounts.map(_._2).sum
-    if (totalRuns - math.max(runCounts.length - 1, 0) > maxGroups)
-      throw new IllegalStateException(capMsg)
+    // before the tuple collect below can blow the driver. The pass is
+    // SKIPPED when the worst case the in-task cap permits
+    // (partitions x maxGroups tuples) already fits the driver budget —
+    // the common low-cardinality call pays nothing extra.
+    if (parts.toLong * (maxGroups + 1L) > PreGateSkipBudget) {
+      val runCounts = rrdd.mapPartitionsWithIndex { case (pid, it) =>
+        var n = 0L
+        var cur: Seq[Any] = null
+        it.foreach { r =>
+          val k = key(r)
+          if (cur == null || k != cur) { n += 1; cur = k }
+        }
+        Iterator.single(pid -> n)
+      }.collect()
+      val totalRuns = runCounts.map(_._2).sum
+      if (totalRuns - math.max(runCounts.length - 1, 0) > maxGroups)
+        throw new IllegalStateException(capMsg)
+    }
     // run-length (partition, group, measure): per-partition cap check
     // still aborts skewed layouts inside the job
     val runs: Array[(Int, Seq[Any], Long)] = rrdd

@@ -164,7 +164,16 @@ object RankSelect {
     */
   def discreteMedian(df: DataFrame, groupCols: Seq[String], nCol: String,
       orderKeys: Column*): DataFrame =
-    selectRank(df, groupCols, n => (n + 1L) / 2L, nCol, orderKeys: _*)
+    discreteMedianCapped(df, groupCols, nCol, DefaultMaxGroups, orderKeys: _*)
+
+  /** [[discreteMedian]] with an explicit cap — pass the real expected
+    * group count: below RangeLadder's skip budget the ladder drops its
+    * pre-gate pass entirely.
+    */
+  def discreteMedianCapped(df: DataFrame, groupCols: Seq[String], nCol: String,
+      maxGroups: Int, orderKeys: Column*): DataFrame =
+    selectRanksCapped(df, groupCols, n => Seq("" -> ((n + 1L) / 2L)), null,
+      nCol, maxGroups, orderKeys: _*)
 
   /** Per-group discrete quantile VECTOR in one pass: each requested
     * quantile `label -> num/den` selects the row at rank
@@ -176,8 +185,15 @@ object RankSelect {
   def discreteQuantiles(df: DataFrame, groupCols: Seq[String],
       quantiles: Seq[(String, Long, Long)], labelCol: String, nCol: String,
       orderKeys: Column*): DataFrame =
-    selectRanks(df, groupCols,
+    discreteQuantilesCapped(df, groupCols, quantiles, labelCol, nCol,
+      DefaultMaxGroups, orderKeys: _*)
+
+  /** [[discreteQuantiles]] with an explicit cap (see discreteMedianCapped). */
+  def discreteQuantilesCapped(df: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[(String, Long, Long)], labelCol: String, nCol: String,
+      maxGroups: Int, orderKeys: Column*): DataFrame =
+    selectRanksCapped(df, groupCols,
       n => quantiles.map { case (label, num, den) =>
         label -> math.max(1L, (n * num + den - 1L) / den)
-      }, labelCol, nCol, orderKeys: _*)
+      }, labelCol, nCol, maxGroups, orderKeys: _*)
 }

@@ -65,9 +65,10 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
       }
 
   server.createContext("/api/pipelines", (ex: HttpExchange) => {
-    // RAW path: getPath already percent-decodes, and decoding again in
-    // decodePath would corrupt names with '%' or '+' (double-decode)
-    val path = ex.getRequestURI.getRawPath.stripSuffix("/")
+    // DECODED path (getPath): static segments stay tolerant of legal
+    // percent-encodings (RFC 3986 equivalence, Spring-compatible);
+    // captured names are NOT decoded again — getPath already did it
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     try {
       (method, path) match {
@@ -131,14 +132,11 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
   private val JobStatusPath = "/api/pipelines/jobs/([^/]+)/status".r
   private val StopPath = "/api/pipelines/stop/([^/]+)".r
 
-  /** Decode a RAW (still percent-encoded — the routes match getRawPath)
-    * path segment so names with spaces/special chars resolve (the
-    * reference's Spring @PathVariable decodes automatically). '+' is a
-    * literal in URI paths, so shield it from URLDecoder's
-    * form-encoding rule before decoding the percent escapes.
+  /** Captured name segments come from getPath, which ALREADY
+    * percent-decoded them once (matching Spring's @PathVariable) —
+    * decoding again would corrupt names containing '%' or '+'.
     */
-  private def decodePath(seg: String): String =
-    java.net.URLDecoder.decode(seg.replace("+", "%2B"), StandardCharsets.UTF_8)
+  private def decodePath(seg: String): String = seg
 
   def start(): RestServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

@@ -78,13 +78,17 @@ object DedupQueries {
       val docs = Tables.load(s, dir, "documents")
         .withColumn("__ws", words(col("text")))
       val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      // comp feeds BOTH the survivor ranking and the member counts —
+      // persist it (500 tiny rows per 5k docs) or the union-find task
+      // and the vertex join run twice (same contract as the LSH
+      // signature frames; released by clearCache between queries)
       val comp = Dedup.connectedComponents(
           docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy(col("component"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-      comp.join(Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars")), "doc_id")
+      comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("component"), col("doc_id").as("survivor_id"),

@@ -24,9 +24,9 @@ object FeatureQueries2 {
         .select($"o_orderkey",
           $"o_totalprice".cast("decimal(15,2)").as("p"))
         .withColumn("g", lit(1))
-      val qs = RankSelect.discreteQuantiles(o, Seq("g"),
+      val qs = RankSelect.discreteQuantilesCapped(o, Seq("g"),
           Seq(("q1", 1L, 4L), ("q2", 1L, 2L), ("q3", 3L, 4L)),
-          "q", "n", $"p", $"o_orderkey")
+          "q", "n", 10000, $"p", $"o_orderkey")
         .groupBy($"g")
         .agg(max(when($"q" === "q1", $"p")).as("q1"),
           max(when($"q" === "q2", $"p")).as("q2"),

@@ -45,8 +45,8 @@ object RelationalQueries10 {
           $"l_extendedprice".cast("decimal(15,2)").as("v"),
           $"l_quantity".cast("long").as("w"),
           $"l_orderkey", $"l_linenumber")
-      WeightedMedian.weightedMedian(li, Seq("l_returnflag"), "w", "total_w",
-          $"v".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      WeightedMedian.weightedMedianCapped(li, Seq("l_returnflag"), "w",
+          "total_w", 10000, $"v".asc, $"l_orderkey".asc, $"l_linenumber".asc)
         .select($"l_returnflag", $"v".cast("double").as("wmedian"),
           $"total_w")
     },

@@ -68,12 +68,12 @@ object RelationalQueries7 {
         .select($"o_orderpriority", $"o_orderkey",
           $"o_totalprice".cast("decimal(15,2)").as("v"))
       val med = RankSelect
-        .discreteMedian(v, Seq("o_orderpriority"), "n", $"v", $"o_orderkey")
+        .discreteMedianCapped(v, Seq("o_orderpriority"), "n", 10000, $"v", $"o_orderkey")
         .select($"o_orderpriority".as("__p"), $"v".as("median"))
       val dev = v.join(broadcast(med), $"o_orderpriority" === $"__p")
         .withColumn("d", abs($"v" - $"median"))
       RankSelect
-        .discreteMedian(dev, Seq("o_orderpriority"), "n2", $"d", $"o_orderkey")
+        .discreteMedianCapped(dev, Seq("o_orderpriority"), "n2", 10000, $"d", $"o_orderkey")
         .select($"o_orderpriority", $"median".cast("double").as("median"),
           $"d".cast("double").as("mad"))
     },

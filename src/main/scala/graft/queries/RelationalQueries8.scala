@@ -129,9 +129,9 @@ object RelationalQueries8 {
       val o = Tables.load(s, dir, "orders")
         .select($"o_orderpriority", $"o_orderkey",
           $"o_totalprice".cast("decimal(15,2)").as("v"))
-      RankSelect.discreteQuantiles(o, Seq("o_orderpriority"),
+      RankSelect.discreteQuantilesCapped(o, Seq("o_orderpriority"),
           Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L)),
-          "q", "n", $"v", $"o_orderkey")
+          "q", "n", 10000, $"v", $"o_orderkey")
         .select($"o_orderpriority", $"q", $"v".cast("double").as("price"),
           $"n")
     },

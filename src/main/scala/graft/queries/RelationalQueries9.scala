@@ -186,9 +186,9 @@ object RelationalQueries9 {
       val o = Tables.load(s, dir, "orders")
         .select($"o_orderpriority", $"o_orderkey",
           $"o_totalprice".cast("decimal(15,2)").as("v"))
-      RankSelect.selectRanks(o, Seq("o_orderpriority"),
+      RankSelect.selectRanksCapped(o, Seq("o_orderpriority"),
           n => Seq("lo" -> ((n + 1L) / 2L), "hi" -> (n / 2L + 1L)),
-          "q", "n", $"v", $"o_orderkey")
+          "q", "n", 10000, $"v", $"o_orderkey")
         .groupBy($"o_orderpriority", $"n")
         .agg(max(when($"q" === "lo", $"v")).as("vlo"),
           max(when($"q" === "hi", $"v")).as("vhi"))

@@ -226,7 +226,11 @@ object StreamingOps {
     require(retainVersions >= 1)
     stream.writeStream.queryName(name.replaceAll("\\W", "_"))
       .option("checkpointLocation", s"$stateDir/_checkpoint")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      .foreachBatch(new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) {
+        // the identity check is constant for a query run: do the FS
+        // round-trips (checkpoint metadata + marker) once, not per batch
+        @volatile private var identityChecked = false
+        def apply(batch: Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
         val spark = batch.sparkSession
         val fs = new Path(stateDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -236,15 +240,16 @@ object StreamingOps {
         // Without this, a reset whose restarted batch id collides with
         // a still-retained version dir would be indistinguishable from
         // a replay and silently swallowed (data never folded).
-        val ckId = checkpointQueryId(fs, s"$stateDir/_checkpoint")
-        val marker = new Path(s"$stateDir/_query_id")
-        if (!fs.exists(marker)) {
-          val out = fs.create(marker, true)
-          try out.write(ckId.getBytes("UTF-8")) finally out.close()
-        } else {
-          val in = fs.open(marker)
-          val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
+        if (!identityChecked) {
+          val ckId = checkpointQueryId(fs, s"$stateDir/_checkpoint")
+          val marker = new Path(s"$stateDir/_query_id")
+          val prior =
+            if (!fs.exists(marker)) ""
+            else {
+              val in = fs.open(marker)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            }
           if (prior.nonEmpty && ckId.nonEmpty && prior != ckId &&
               stateVersions(spark, stateDir).nonEmpty)
             throw new IllegalStateException(
@@ -252,6 +257,15 @@ object StreamingOps {
                 s"checkpoint identifies as $ckId: the checkpoint was reset/replaced " +
                 "while reusing the stateDir. Use a fresh stateDir (or restore the " +
                 "original checkpoint) to avoid double-counting.")
+          // (re)bind on every accepted identity: a marker left behind by
+          // a query whose state was since cleared, or written before a
+          // tolerated reset, must follow the NEW id — a stale marker
+          // would brick the next legitimate batch of this very query
+          if (ckId.nonEmpty && prior != ckId) {
+            val out = fs.create(marker, true)
+            try out.write(ckId.getBytes("UTF-8")) finally out.close()
+          }
+          identityChecked = true
         }
         val vdir = new Path(s"$stateDir/v=$id")
         if (!fs.exists(vdir)) { // replayed batch -> already folded, skip
@@ -280,7 +294,8 @@ object StreamingOps {
             .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
         }
         ()
-      }.start()
+        }
+      }).start()
   }
 
   /** The stable query id from a streaming checkpoint's `metadata` file

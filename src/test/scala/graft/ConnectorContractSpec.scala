@@ -93,6 +93,23 @@ class ConnectorContractSpec extends SparkSpec {
     assert(hc.get("fs.s3a.path.style.access") == "true")
   }
 
+  test("s3 credentials scope per bucket when the path names one") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    // two pipelines, two stores: neither may clobber the other
+    Sources.applyS3Conf(spark, Map("path" -> "s3a://lake-a/raw",
+      "accessKey" -> "AK_A", "endpoint" -> "http://minio-a:9000"))
+    Sources.applyS3Conf(spark, Map("path" -> "s3://lake-b/raw",
+      "accessKey" -> "AK_B", "endpoint" -> "http://minio-b:9000"))
+    assert(hc.get("fs.s3a.bucket.lake-a.access.key") == "AK_A")
+    assert(hc.get("fs.s3a.bucket.lake-a.endpoint") == "http://minio-a:9000")
+    assert(hc.get("fs.s3a.bucket.lake-b.access.key") == "AK_B")
+    assert(hc.get("fs.s3a.bucket.lake-b.endpoint") == "http://minio-b:9000")
+    // bare bucket/prefix specs (the reference's S3 config shape) scope too
+    assert(Sources.bucketOf("lake-c/some/prefix").contains("lake-c"))
+    assert(Sources.bucketOf("s3a://lake-d").contains("lake-d"))
+    assert(Sources.bucketOf("") == None)
+  }
+
   test("s3 paths normalize to s3a://") {
     assert(Sources.s3aPath("s3://b/k") == "s3a://b/k")
     assert(Sources.s3aPath("s3a://b/k") == "s3a://b/k")
