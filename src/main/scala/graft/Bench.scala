@@ -36,7 +36,15 @@ object Bench {
     // land ~1-2s in whichever query triggers the old-gen collection
     // (dedup_clusters reads 3.4s in-suite vs 1.5s standalone); use
     // tools/BenchOne for pressure-free single-query numbers.
-    val results = sorted.map { case (name, fn) =>
+    // Two timed passes per query, report the MIN: a single timed pass is
+    // hostage to transient CPU steal on a shared driver host (round 4's
+    // permanent record read 177.66s for an engine that runs 83s clean —
+    // trivially cheap queries read 5-10x their steady-state, uniformly,
+    // with no algorithmic signature). min() is robust to one-sided noise:
+    // contention only ever ADDS time, so the smaller of two samples is the
+    // better estimate of the engine. Costs one extra suite pass of wall
+    // time, which a permanent record is worth.
+    def timedPass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -45,6 +53,11 @@ object Bench {
       // doesn't accumulate across the whole suite
       spark.catalog.clearCache()
       name -> dt
+    }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> math.min(a, b)
     }
     // Locale.ROOT: f"" uses the default locale, and a comma decimal
     // separator (de_DE etc.) would make the driver-parsed line invalid
@@ -68,7 +81,12 @@ object Bench {
     println(detail)
     val slowest = results.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    // System load average over the run's last minute: a contended host is
+    // self-identifying in the permanent record (loadavg >> cpus means the
+    // recorded numbers carry CPU steal even after the min-of-2 filter)
+    val loadavg =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},"slowest":$slowest,"loadavg":${num(loadavg, 1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,10 +10,13 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
 
 /** Multimodal column pipeline (SURVEY.md §2.6): media as opaque binary
   * columns + typed metadata, feature extraction as a partition-wise
-  * batch pass. The real codec step is stubbed (`realDecode` below) —
-  * image/audio libraries are absent in this environment — but the
-  * Spark-side plumbing (schema, encoders, partition batching) is real:
-  * swap `decodeStub` for a codec and nothing else changes.
+  * batch pass. `realDecode` runs a genuine codec (the JRE's own
+  * javax.imageio readers — PNG/JPEG/GIF/BMP, no external libraries);
+  * `decodeStub` is the deterministic stand-in for payloads that are not
+  * encoded images (the synthetic driver tables carry UTF-8 text blobs),
+  * and `decode` dispatches between them by magic number. Both emit the
+  * same fixed-length feature contract, so the Spark-side plumbing
+  * (schema, encoders, partition batching) is identical whichever ran.
   */
 object Multimodal {
 
@@ -30,10 +33,57 @@ object Multimodal {
       (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
       (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height"))
 
-  /** The real decoder would decompress/resize/sample here. Deliberately
-    * unimplemented: codecs are not available in this container.
+  /** Real codec decode via the JDK's own image readers (javax.imageio
+    * ships PNG/JPEG/GIF/BMP readers in every JRE — no external
+    * libraries). Emits the same fixed-length contract as [[decodeStub]]:
+    * a 16-bin normalized luminance histogram, with integer BT.601 luma
+    * weights ((77R + 150G + 29B) >> 8) so the binning is deterministic
+    * across JVMs. Throws IllegalArgumentException when no JRE reader
+    * recognizes the bytes — callers mixing encoded and synthetic
+    * payloads go through [[decode]].
     */
-  def realDecode(payload: Array[Byte]): Array[Float] = ???
+  def realDecode(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"no JRE image reader recognizes this ${payload.length}-byte payload")
+    val hist = new Array[Int](16)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+          29 * (rgb & 0xFF)) >> 8
+        hist(luma >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(w * h, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** True iff the payload starts with a magic number one of the JRE's
+    * image readers handles (PNG / JPEG / GIF / BMP).
+    */
+  def looksEncodedImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** Decode dispatch: the real codec when the payload carries an image
+    * magic number, the histogram stand-in otherwise. The driver-gated
+    * mm_extract query pins [[decodeStub]] directly (its payloads are
+    * UTF-8 text by construction and the oracle replays the stub's exact
+    * arithmetic); pipelines over genuine image corpora use this.
+    */
+  def decode(payload: Array[Byte]): Array[Float] =
+    if (looksEncodedImage(payload)) realDecode(payload) else decodeStub(payload)
 
   /** Deterministic stand-in: 16-bin byte histogram, normalized. Keeps
     * the dataflow (binary -> fixed-length feature vector) identical to a

@@ -171,15 +171,24 @@ object Dedup {
     * common in hamming-ball graphs). Labels are eagerly
     * localCheckpoint'ed per round, so lineage and storage stay O(1).
     *
-    * @param vertices one column `id` — every vertex, including
-    *                 singletons (they emit component == id)
+    * @param vertices column `id` — every vertex, including singletons
+    *                 (they emit component == id). Any additional columns
+    *                 ride through to the output unchanged (so callers
+    *                 that rank within components don't re-join their
+    *                 attributes afterwards); none may be named
+    *                 `component`
     * @param pairs    columns `id_a`, `id_b` — undirected edges. Every
     *                 endpoint MUST appear in `vertices`: the label loop
     *                 seeds from edge endpoints, so an endpoint outside
     *                 the vertex set would propagate connectivity through
     *                 (and could label components by) an id that no
     *                 vertex row carries
-    * @param localEdgeThreshold when the (directed, deduped) edge list
+    * @param localEdgeThreshold when the directed edge list (2 rows per
+    *                 input pair, duplicates COUNTED — deduping the
+    *                 routing count would cost a shuffle just to pick a
+    *                 path, so a duplicate-heavy pairs frame may
+    *                 overestimate and route a small graph to the
+    *                 iterative path; both paths are correct)
     *                 holds at most this many rows, skip the iterative
     *                 loop and run a single-task union-find over the
     *                 edges (executor-side, never the driver): a dedup
@@ -192,7 +201,7 @@ object Dedup {
     *                 vertex); above the threshold the min-label loop
     *                 runs with per-task memory independent of edge
     *                 count. Pass 0 to force the iterative path.
-    * @return (id, component) with component = min id in the component
+    * @return vertex columns + `component` = min id in the component
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIters: Int = 50, localEdgeThreshold: Long = 2000000L): DataFrame = {
@@ -228,10 +237,13 @@ object Dedup {
           println(s"[cc] local union-find over $edgeCount edges")
         localUnionFind(edges)
       } else iterativeMinLabel(edges, maxIters)
-    vertices.select(col("id"))
+    require(!vertices.columns.contains("component"),
+      "vertices must not carry a column named `component`")
+    vertices
       .join(labels.withColumnRenamed("id", "__lid"),
         col("id") === col("__lid"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .select(vertices.columns.map(col) :+
+        coalesce(col("component"), col("id")).as("component"): _*)
     } finally sparkSession.conf.set(cpKey, cpPrev)
   }
 

@@ -67,8 +67,13 @@ private[operators] object RangeLadder {
         Iterator.single(pid -> n)
       }.collect()
       val totalRuns = runCounts.map(_._2).sum
+      // the gate suffix names which guard fired — a cap abort on a
+      // petabyte job should say whether the layout was skewed (in-task)
+      // or genuinely high-cardinality (pre-gate) without a re-run
       if (totalRuns - math.max(runCounts.length - 1, 0) > maxGroups)
-        throw new IllegalStateException(capMsg)
+        throw new IllegalStateException(capMsg +
+          s" [pre-gate: >=${totalRuns - math.max(runCounts.length - 1, 0)} " +
+          s"distinct groups across $totalRuns runs; no tuples collected]")
     }
     // run-length (partition, group, measure): per-partition cap check
     // still aborts skewed layouts inside the job
@@ -81,7 +86,9 @@ private[operators] object RangeLadder {
           val k = key(r)
           if (cur == null || k != cur) {
             if (cur != null) out += ((pid, cur, m))
-            if (out.size > maxGroups) throw new IllegalStateException(capMsg)
+            if (out.size > maxGroups)
+              throw new IllegalStateException(capMsg +
+                s" [in-task: partition $pid alone holds >$maxGroups runs]")
             cur = k; m = 0L
           }
           m += measure(r)

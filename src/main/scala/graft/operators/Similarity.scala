@@ -28,12 +28,17 @@ object Similarity {
     * query — the radius-query sibling of top-k. Embarrassingly
     * parallel: one scan, a row-local codegen'd cosine, a filter — no
     * shuffle at all, so it scales linearly with executors at any
-    * corpus size. (For repeated range queries at 100 TB, pre-bucket
-    * with sign-LSH as in lshTopK and scan matching buckets only.)
+    * corpus size. No Parallelism.ensure: the whole pipeline is inside
+    * one codegen stage, and a round-robin repartition to spread a
+    * single-row-group test file costs more than the scan it spreads
+    * (the round-4 lesson); a real multi-file corpus parallelizes at
+    * the scan via file splits. (For repeated range queries at 100 TB,
+    * pre-bucket with sign-LSH as in lshTopK and scan matching buckets
+    * only.)
     */
   def rangeSearch(df: DataFrame, idCol: String, vecCol: String,
       queryDf: DataFrame, tau: Double): DataFrame =
-    Parallelism.ensure(df).crossJoin(broadcast(queryDf))
+    df.crossJoin(broadcast(queryDf))
       .filter(col(idCol) =!= col("qid"))
       .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
       .filter(col("cos") >= tau)

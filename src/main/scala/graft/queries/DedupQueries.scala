@@ -70,31 +70,26 @@ object DedupQueries {
 
     // the SELECTION step that completes the dedup story: per near-dup
     // cluster keep the best-QUALITY member (longest text, doc_id
-    // tie-break), not blindly the min id — one rank<=1 window over the
-    // high-cardinality component key (map-side WindowGroupLimit prunes
-    // per partition) on top of the same components
+    // tie-break), not blindly the min id. n_chars rides THROUGH the
+    // components operator (extra vertex columns pass through), and the
+    // member count shares the survivor window's partitioning — ONE
+    // window shuffle over the high-cardinality component key total, no
+    // second consumer, no persist, no re-join with documents.
     "dedup_keep_best" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
         .withColumn("__ws", words(col("text")))
       val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
-      // comp feeds BOTH the survivor ranking and the member counts —
-      // persist it (500 tiny rows per 5k docs) or the union-find task
-      // and the vertex join run twice (same contract as the LSH
-      // signature frames; released by clearCache between queries)
       val comp = Dedup.connectedComponents(
-          docs.select(col("doc_id").as("id")), pairs)
-        .select(col("id").as("doc_id"), col("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = Window.partitionBy(col("component"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-        .withColumn("__rn", row_number().over(w))
+          docs.select(col("doc_id").as("id"), col("n_chars")), pairs)
+      val byComponent = Window.partitionBy(col("component"))
+      comp
+        .withColumn("__rn", row_number().over(byComponent
+          .orderBy(col("n_chars").desc, col("id").asc)))
+        .withColumn("n_members", count(lit(1)).over(byComponent))
         .filter(col("__rn") === 1)
-        .select(col("component"), col("doc_id").as("survivor_id"),
-          col("n_chars").as("survivor_chars"))
-        .join(comp.groupBy(col("component"))
-          .agg(count(lit(1)).as("n_members")), "component")
+        .select(col("component"), col("id").as("survivor_id"),
+          col("n_chars").as("survivor_chars"), col("n_members"))
     }
   )
 

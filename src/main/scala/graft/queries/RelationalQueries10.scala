@@ -169,14 +169,21 @@ object RelationalQueries10 {
     // dynamic pivot: the pivot columns come from a driver-collected
     // DISTINCT scan (sorted for determinism) instead of a hard-coded
     // list — the two-phase shape every BI layer uses; the per-cell
-    // aggregate stays decomposable
+    // aggregate stays decomposable. The collected set is unioned with
+    // the oracle's pinned domain (F/O/P — the static SQL can't follow
+    // the data) so a filtered subset missing a status keeps column
+    // parity: an absent status pivots to NULL on BOTH engines. A
+    // dataset minting statuses OUTSIDE the domain still grows extra
+    // columns the static oracle lacks — inherent to any static oracle
+    // over a dynamic pivot.
     "q86_dynamic_pivot" -> { (s, dir) =>
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
         .select($"o_orderpriority", $"o_orderstatus",
           $"o_totalprice".cast("decimal(15,2)").as("p"))
-      val statuses = o.select($"o_orderstatus").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+      val statuses = (o.select($"o_orderstatus").distinct()
+        .collect().map(_.getString(0)) ++ Seq("F", "O", "P"))
+        .distinct.sorted.toSeq
       o.groupBy($"o_orderpriority")
         .pivot("o_orderstatus", statuses)
         .agg(sum($"p").cast("double"))

@@ -19,20 +19,29 @@ object RelationalQueries9 {
     * iteration costs a fixed scheduling round-trip regardless of data
     * volume, so the depth guard (6) is the latency knob on cyclic
     * graphs whose frontier never empties. The edge derivation is
-    * shared SQL text; Spark materializes it once (CACHE TABLE) where
-    * the oracle inlines it as a CTE — without the cache, UnionLoop
-    * re-derives the edge join on every iteration.
+    * shared SQL text; Spark materializes it once (an eager
+    * localCheckpoint registered as a momentary temp view) where the
+    * oracle inlines it as a CTE — without the materialization,
+    * UnionLoop re-derives the edge join on every iteration. The view
+    * is dropped as soon as the recursive plan is analyzed (resolution
+    * embeds the checkpointed relation), so the query leaves no
+    * catalog or cache residue behind.
     */
   private val edgeSql: String =
     """SELECT n1.n_nationkey AS src, n2.n_nationkey AS dst
       |FROM nation n1 JOIN nation n2
       |  ON n2.n_nationkey = (n1.n_nationkey + n1.n_regionkey + 1) % 25""".stripMargin
 
+  // the BROADCAST hint is a comment to DuckDB (shared oracle text) and a
+  // join-strategy pin to Spark: the checkpointed edge relation has no
+  // stats, so without it every UnionLoop iteration sort-merge-joins the
+  // tiny edge table instead of broadcasting it
   private def recursiveSql(edges: String): String =
     s"""WITH RECURSIVE r(node, depth) AS (
       |  SELECT n_nationkey, 0 FROM nation WHERE n_regionkey = 0
       |  UNION ALL
-      |  SELECT e.dst, r.depth + 1 FROM r JOIN $edges e ON e.src = r.node
+      |  SELECT /*+ BROADCAST(e) */ e.dst, r.depth + 1
+      |  FROM r JOIN $edges e ON e.src = r.node
       |  WHERE r.depth < 6)
       |SELECT CAST(node AS BIGINT) AS node,
       |  CAST(min(depth) AS BIGINT) AS min_depth,
@@ -45,9 +54,11 @@ object RelationalQueries9 {
     // edge SQL inlined as a CTE
     "q70_recursive_cte" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      s.sql(edgeSql).localCheckpoint(eager = true)
+        .createOrReplaceTempView("__q70_edges")
+      val out = s.sql(recursiveSql("__q70_edges"))
       s.catalog.dropTempView("__q70_edges")
-      s.sql(s"CACHE TABLE __q70_edges AS $edgeSql")
-      s.sql(recursiveSql("__q70_edges"))
+      out
     },
 
     // ntile + cume_dist partitioned by a HIGH-cardinality key (customer)

@@ -260,10 +260,19 @@ object StreamingOps {
           // (re)bind on every accepted identity: a marker left behind by
           // a query whose state was since cleared, or written before a
           // tolerated reset, must follow the NEW id — a stale marker
-          // would brick the next legitimate batch of this very query
+          // would brick the next legitimate batch of this very query.
+          // Staged write + atomic rename (same discipline as the v=N
+          // dirs): a crash mid-create would otherwise leave a torn
+          // query id that spuriously trips the identity check on the
+          // next healthy restart.
           if (ckId.nonEmpty && prior != ckId) {
-            val out = fs.create(marker, true)
+            val mstage = new Path(s"$stateDir/_query_id_staging")
+            fs.delete(mstage, false)
+            val out = fs.create(mstage, true)
             try out.write(ckId.getBytes("UTF-8")) finally out.close()
+            fs.delete(marker, false) // rename refuses an existing target
+            if (!fs.rename(mstage, marker))
+              throw new java.io.IOException(s"rename $mstage -> $marker failed")
           }
           identityChecked = true
         }

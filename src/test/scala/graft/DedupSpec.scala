@@ -30,6 +30,23 @@ class DedupSpec extends SparkSpec {
     assert(iterative == expect)
   }
 
+  test("connected components: extra vertex columns ride through unchanged") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val vertices = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "tag", "score")
+    val out = Dedup.connectedComponents(vertices, pairs)
+    assert(out.columns.toSeq == Seq("id", "tag", "score", "component"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows == Set((1L, "a", 10, 1L), (2L, "b", 20, 1L), (3L, "c", 30, 3L)))
+    // a vertex column named `component` would collide with the output
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        vertices.withColumnRenamed("tag", "component"), pairs)
+    }
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     import spark.implicits._
     val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd")).toDF("doc_id", "text")

@@ -47,8 +47,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out.payload(0) == doc.getAs[Array[Byte]]("payload")(0))
   }
 
-  test("realDecode is an explicit stub") {
-    intercept[NotImplementedError] { Multimodal.realDecode(Array[Byte](1)) }
+  private def encodePng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("realDecode decodes a genuine PNG through the JRE codec") {
+    // 4x4 all-black: every pixel's luma is 0 -> bin 0 holds all the mass
+    val black = encodePng(4, 4)((_, _) => 0x000000)
+    val fb = Multimodal.realDecode(black)
+    assert(fb.length == 16 && fb(0) == 1.0f && fb.drop(1).forall(_ == 0.0f))
+    // 4x4 all-white: luma 255 -> bin 15
+    val white = encodePng(4, 4)((_, _) => 0xFFFFFF)
+    val fw = Multimodal.realDecode(white)
+    assert(fw(15) == 1.0f && fw.take(15).forall(_ == 0.0f))
+    // half black / half white: 0.5 in each of bins 0 and 15
+    val split = encodePng(4, 4)((x, _) => if (x < 2) 0x000000 else 0xFFFFFF)
+    val fs = Multimodal.realDecode(split)
+    assert(fs(0) == 0.5f && fs(15) == 0.5f)
+    // pure red: BT.601 integer luma (77*255) >> 8 = 76 -> bin 4
+    val red = encodePng(2, 2)((_, _) => 0xFF0000)
+    assert(Multimodal.realDecode(red)(4) == 1.0f)
+  }
+
+  test("realDecode rejects non-image bytes; decode dispatches by magic number") {
+    intercept[IllegalArgumentException] {
+      Multimodal.realDecode("not an image".getBytes("UTF-8"))
+    }
+    val png = encodePng(4, 4)((_, _) => 0x000000)
+    assert(Multimodal.looksEncodedImage(png))
+    assert(!Multimodal.looksEncodedImage("plain text payload".getBytes("UTF-8")))
+    // dispatch: PNG bytes reach the codec, text bytes reach the stub
+    assert(Multimodal.decode(png)(0) == 1.0f)
+    val text = "aaab".getBytes("UTF-8")
+    assert(Multimodal.decode(text).toSeq == Multimodal.decodeStub(text).toSeq)
   }
 
   test("perceptual hash: identical payloads collide, hashes are 16 hex chars") {

@@ -174,6 +174,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("ann_range")
     assert(!p.contains("Exchange hashpartitioning"),
       "radius search must not shuffle the corpus")
+    assert(!p.contains("Exchange roundrobin"),
+      "no ensure-repartition either: the per-row cosine is codegen'd and " +
+        "a real corpus parallelizes at the scan via file splits")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the single query vector must broadcast")
   }

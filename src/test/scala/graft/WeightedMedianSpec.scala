@@ -37,6 +37,27 @@ class WeightedMedianSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("cap boundary: 1e6 distinct groups abort from the run-COUNT pre-gate") {
+    import spark.implicits._
+    // one group per row: a genuinely high-cardinality key, evenly
+    // spread so no single partition trips the in-task cap (runs per
+    // partition ~ n/partitions < maxGroups) — only the pre-gate can
+    // refuse it, and it must do so from run COUNTS alone, before any
+    // (partition, group, measure) tuple is collected
+    val n = 1000000L
+    val maxGroups = 250000
+    val df = spark.range(n).select($"id".as("g"), lit(1L).as("w"))
+    val e = intercept[Exception] {
+      WeightedMedian.weightedMedianCapped(df, Seq("g"), "w", "tw",
+        maxGroups, $"g".asc)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("maxGroups") &&
+      m.contains("pre-gate") && m.contains("no tuples collected")),
+      chain(e).toString)
+  }
+
   test("zero-total groups emit nothing; singleton group returns its row") {
     import spark.implicits._
     val df = Seq((1, 10L, 0L, 1L), (1, 20L, 0L, 2L), (2, 7L, 3L, 3L))
