@@ -72,12 +72,17 @@ object Bench {
     // (<200 char) summary or the head of the JSON gets truncated away
     // (rounds 1-3 all recorded "parsed": null because the 114-query map
     // pushed the line past the driver's 2000-char tail window).
-    val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/tmp/graft_bench_detail.json"),
-        detail.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    val detail = s"""{"metric":"per_query","unit":"sec","passes":2,"estimator":"min","queries":$qs,"sf":"$sfDir"}"""
+    // Written to /tmp (scratch) AND the repo root: the repo copy is the
+    // permanent per-query record — the driver's stdout tail truncates
+    // everything alphabetically before ~q35, which hides exactly the
+    // expensive dedup/corpus/ann families from cross-round tracking.
+    Seq("/tmp/graft_bench_detail.json", "BENCH_DETAIL.json").foreach { p =>
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p), detail.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     println(detail)
     val slowest = results.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
@@ -86,7 +91,11 @@ object Bench {
     // recorded numbers carry CPU steal even after the min-of-2 filter)
     val loadavg =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},"slowest":$slowest,"loadavg":${num(loadavg, 1)},"sf":"$sfDir"}""")
+    // passes/estimator make the record self-describing: the total is a
+    // sum of per-query min-of-2, NOT a single-pass wall time — without
+    // the fields, cross-round comparison vs r1-r4 single-pass numbers
+    // is silently apples-to-oranges
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},"passes":2,"estimator":"min","slowest":$slowest,"loadavg":${num(loadavg, 1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,13 +77,24 @@ object Multimodal {
       (p(0) == 'B' && p(1) == 'M'))
 
   /** Decode dispatch: the real codec when the payload carries an image
-    * magic number, the histogram stand-in otherwise. The driver-gated
-    * mm_extract query pins [[decodeStub]] directly (its payloads are
-    * UTF-8 text by construction and the oracle replays the stub's exact
-    * arithmetic); pipelines over genuine image corpora use this.
+    * magic number, the histogram stand-in otherwise. A magic-number hit
+    * is only a hint — a UTF-8 blob can legitimately start with "BM" or
+    * "GIF" (e.g. text beginning "BMW…") — so a payload ImageIO refuses
+    * falls back to the stub instead of crashing the partition. The
+    * driver-gated mm_extract query pins [[decodeStub]] directly (its
+    * payloads are UTF-8 text by construction and the oracle replays the
+    * stub's exact arithmetic); pipelines over genuine image corpora use
+    * this.
     */
   def decode(payload: Array[Byte]): Array[Float] =
-    if (looksEncodedImage(payload)) realDecode(payload) else decodeStub(payload)
+    if (looksEncodedImage(payload)) {
+      // NonFatal, not just IllegalArgumentException: a reader that
+      // accepts the magic can still fail parsing the rest (the JRE BMP
+      // reader throws EOFException on "BMW..." — it reads the magic,
+      // then hits end-of-stream mid-header)
+      try realDecode(payload)
+      catch { case scala.util.control.NonFatal(_) => decodeStub(payload) }
+    } else decodeStub(payload)
 
   /** Deterministic stand-in: 16-bin byte histogram, normalized. Keeps
     * the dataflow (binary -> fixed-length feature vector) identical to a
@@ -109,6 +120,26 @@ object Multimodal {
           val feat = decodeStub(m.payload)
           MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
             feat.indexOf(feat.max), feat.count(_ > 0))
+        }
+      }
+  }
+
+  case class MediaHistogram(media_id: Long, n_bytes: Long, features: Array[Float])
+
+  /** Partition-wise decode through the [[decode]] dispatch (real codec
+    * for encoded images, stub for everything else): the batch kernel a
+    * genuine multimodal ingest uses — binaryFile source rows in, one
+    * fixed-length feature vector per blob out. Same one-pass-per-
+    * partition shape as [[extractFeatures]], so swapping the codec for
+    * a GPU batch call changes nothing upstream or downstream.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaHistogram] = {
+    import media.sparkSession.implicits._
+    media.selectExpr("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaHistogram(id, payload.length.toLong, decode(payload))
         }
       }
   }

@@ -214,6 +214,13 @@ object Dedup {
     // they feed the next round's union, crashing the analyzer
     // (UnionBase.rewriteConstraints: "key not found: id#N"). Constraints
     // only power optional filter inference — correctness is unaffected.
+    // Input-shape guards FIRST — before any cluster job runs, so an
+    // invalid call fails in microseconds instead of after the edge
+    // count + label computation.
+    require(!vertices.columns.contains("component"),
+      "vertices must not carry a column named `component`")
+    require(!vertices.columns.contains("__lid"),
+      "vertices must not carry a column named `__lid` (reserved for the label join)")
     val sparkSession = vertices.sparkSession
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = sparkSession.conf.get(cpKey)
@@ -237,8 +244,6 @@ object Dedup {
           println(s"[cc] local union-find over $edgeCount edges")
         localUnionFind(edges)
       } else iterativeMinLabel(edges, maxIters)
-    require(!vertices.columns.contains("component"),
-      "vertices must not carry a column named `component`")
     vertices
       .join(labels.withColumnRenamed("id", "__lid"),
         col("id") === col("__lid"), "left")

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * tuples themselves). Both jobs and the caller's rescan reuse the one
   * captured RDD's range-exchange shuffle files.
   */
-private[operators] object RangeLadder {
+private[graft] object RangeLadder {
 
   /** Collected-run-tuple budget under which the pre-gate pass is
     * unnecessary: the in-task cap alone bounds the collect at

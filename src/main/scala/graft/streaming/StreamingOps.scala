@@ -270,9 +270,23 @@ object StreamingOps {
             fs.delete(mstage, false)
             val out = fs.create(mstage, true)
             try out.write(ckId.getBytes("UTF-8")) finally out.close()
-            fs.delete(marker, false) // rename refuses an existing target
-            if (!fs.rename(mstage, marker))
-              throw new java.io.IOException(s"rename $mstage -> $marker failed")
+            // Single atomic rename-with-overwrite (FileContext; HDFS and
+            // local both support it): no window where the marker is
+            // absent. A FileSystem without FileContext support degrades
+            // to delete+rename — a crash in that window loses the marker
+            // but NOT safety: the v=N batch-id guard below still refuses
+            // a reset checkpoint, only this defense-in-depth layer thins.
+            try {
+              val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+                marker.toUri, spark.sparkContext.hadoopConfiguration)
+              fc.rename(mstage, marker,
+                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            } catch {
+              case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+                fs.delete(marker, false) // rename refuses an existing target
+                if (!fs.rename(mstage, marker))
+                  throw new java.io.IOException(s"rename $mstage -> $marker failed")
+            }
           }
           identityChecked = true
         }

@@ -47,14 +47,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.payload(0) == doc.getAs[Array[Byte]]("payload")(0))
   }
 
-  private def encodePng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+  private def encodeImage(fmt: String, w: Int, h: Int)(
+      rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
     val bos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
     bos.toByteArray
   }
+
+  private def encodePng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] =
+    encodeImage("png", w, h)(rgb)
 
   test("realDecode decodes a genuine PNG through the JRE codec") {
     // 4x4 all-black: every pixel's luma is 0 -> bin 0 holds all the mass
@@ -85,6 +89,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(png)(0) == 1.0f)
     val text = "aaab".getBytes("UTF-8")
     assert(Multimodal.decode(text).toSeq == Multimodal.decodeStub(text).toSeq)
+  }
+
+  test("all four magic-number dispatch branches reach the codec") {
+    // one genuine encode per format the JRE writes; all-black so the
+    // expected histogram is the same across codecs (lossless for these)
+    for (fmt <- Seq("png", "jpg", "gif", "bmp")) {
+      val bytes = encodeImage(fmt, 4, 4)((_, _) => 0x000000)
+      assert(Multimodal.looksEncodedImage(bytes), s"$fmt magic not recognized")
+      val f = Multimodal.decode(bytes)
+      assert(f(0) == 1.0f && f.drop(1).forall(_ == 0.0f), s"$fmt decode off")
+    }
+  }
+
+  test("magic-number coincidence falls back to the stub, not a crash") {
+    // UTF-8 text that HAPPENS to start with an image magic ("BMW...",
+    // "GIF8...") is realistic in a mixed corpus: looksEncodedImage says
+    // yes, ImageIO refuses, decode must degrade to the stub
+    for (s <- Seq("BMW 3 series review", "GIF89 formatted export notes")) {
+      val b = s.getBytes("UTF-8")
+      assert(Multimodal.looksEncodedImage(b))
+      assert(Multimodal.decode(b).toSeq == Multimodal.decodeStub(b).toSeq)
+    }
   }
 
   test("perceptual hash: identical payloads collide, hashes are 16 hex chars") {

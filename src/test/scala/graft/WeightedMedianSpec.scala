@@ -44,9 +44,18 @@ class WeightedMedianSpec extends SparkSpec {
     // partition ~ n/partitions < maxGroups) — only the pre-gate can
     // refuse it, and it must do so from run COUNTS alone, before any
     // (partition, group, measure) tuple is collected
-    val n = 1000000L
-    val maxGroups = 250000
+    // Derive n and maxGroups from the ACTUAL budget + partition count so
+    // the pre-gate condition (parts * (maxGroups+1) > PreGateSkipBudget;
+    // floor division makes it hold for any parts) and the abort condition
+    // (distinct groups = n > maxGroups) are satisfied by construction: a
+    // change to local[k], Parallelism.ensure, or the budget constant must
+    // not flip this test to the in-task path (which would fail the
+    // message match for an unrelated reason)
+    val budget = graft.operators.RangeLadder.PreGateSkipBudget
+    val n = 2L * budget
     val df = spark.range(n).select($"id".as("g"), lit(1L).as("w"))
+    val parts = df.rdd.getNumPartitions
+    val maxGroups = (budget / parts).toInt
     val e = intercept[Exception] {
       WeightedMedian.weightedMedianCapped(df, Seq("g"), "w", "tw",
         maxGroups, $"g".asc)
