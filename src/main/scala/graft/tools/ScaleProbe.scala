@@ -45,6 +45,11 @@ object ScaleProbe {
       spark.read.parquet(s"$sf/$name.parquet")
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
+    // SPARK_GRAFT_SCALE_REUSE=1 skips re-replication when a prior run's
+    // tables are already on disk (the replication is deterministic)
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      new java.io.File(s"$out/supplier.parquet/_SUCCESS").exists()
+    if (!reuse) {
     replicate("documents", Seq("doc_id"), perturbText = true)
     replicate("embeddings", Seq("vec_id"), perturbText = false)
     replicate("lineitem", Seq("l_orderkey"), perturbText = false)
@@ -55,6 +60,7 @@ object ScaleProbe {
     replicate("part", Seq("p_partkey"), perturbText = false)
     copyOnce("region")
     copyOnce("supplier")
+    }
 
     val heavy = Seq("dedup_minhash", "dedup_ngram", "dedup_simhash",
       "dedup_embedding", "dedup_exact", "dedup_clusters", "ann_lsh", "knn_join",
@@ -72,8 +78,13 @@ object ScaleProbe {
       "ann_range", "knn_classify", "corpus_span_dedup", "feat_robust_scale",
       "q79_transition_matrix", "q81_interval_point_join", "q82_hopping_window",
       "q83_weighted_median", "q84_drawdown", "corpus_vocab_overlap",
-      "text_search_and", "ann_maxsim", "ann_centroids", "corpus_funnel")
-    heavy.foreach { name =>
+      "text_search_and", "ann_maxsim", "ann_centroids", "corpus_funnel",
+      "ann_bq", "dedup_keep_best")
+    // optional arg: regex over query names — probe a targeted subset
+    // without re-timing the whole heavy list (tables still replicate)
+    val selected = args.headOption
+      .map(re => heavy.filter(_.matches(re))).getOrElse(heavy)
+    selected.foreach { name =>
       val t0 = System.nanoTime()
       val n = try graft.SparkEntry.queries(name)(spark, out).count()
         catch { case e: Throwable => System.err.println(s"$name: $e"); -1L }
