@@ -18,6 +18,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Between-query cleanup: clearCache drops catalog-cached frames, but
+    // localCheckpoint blocks (the CC loop, q70's edge relation) are RDD
+    // storage the catalog never sees — without the explicit sweep they
+    // free only when a driver GC lets the ContextCleaner run, so a
+    // 3-pass 147-query suite accumulates old-gen pressure that lands as
+    // phantom seconds in whichever query triggers the collection
+    // (dedup_clusters read 2.6s in-suite vs 1.1s standalone).
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // Full untimed warmup pass: at sf0.1 most queries are dominated by
     // Janino codegen + JIT compilation of their generated classes (the
@@ -28,7 +40,7 @@ object Bench {
     // across passes (clearCache after every query).
     sorted.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      release()
     }
     // NOTE: no System.gc() between queries — a full collection unloads
     // the warmed codegen classes, forcing every query to re-compile
@@ -51,7 +63,7 @@ object Bench {
       // operators persist internal frames (LSH signatures etc.); clear
       // between queries so timings are independent and storage memory
       // doesn't accumulate across the whole suite
-      spark.catalog.clearCache()
+      release()
       name -> dt
     }
     val pass1 = timedPass()

@@ -20,8 +20,10 @@ object SparkEntry {
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
+      SimilarityQueries3.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
-      CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++ FeatureQueries.defs ++ FeatureQueries2.defs ++
+      CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
+      CorpusQueries5.defs ++ FeatureQueries.defs ++ FeatureQueries2.defs ++
       SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,7 +38,9 @@ object SparkEntry {
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
+      SimilarityQueries3.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
-      CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++ FeatureQueries.oracles ++ FeatureQueries2.oracles ++
+      CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
+      CorpusQueries5.oracles ++ FeatureQueries.oracles ++ FeatureQueries2.oracles ++
       SketchQueries.oracles
 }

@@ -26,8 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist internal frames; keep queries independent
+      // operators persist internal frames; keep queries independent.
+      // Also release localCheckpoint blocks (CC loop, q70) — they are
+      // RDD storage the catalog cache never tracks.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

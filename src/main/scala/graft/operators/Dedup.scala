@@ -362,6 +362,14 @@ object Dedup {
       // one job per round.
       val next = cur.localCheckpoint(eager = false)
       val s = labelSum(next)._1
+      // `next` is materialized now, so the previous round's checkpoint
+      // blocks are dead — release them immediately. Left to the
+      // ContextCleaner they free only after a driver GC, and a long
+      // suite (or a deep loop on a big graph) accumulates one label
+      // frame per round in block-manager storage until then
+      // (spark.catalog.clearCache never sees them: checkpoint RDDs
+      // aren't catalog cache entries).
+      dropCheckpoint(labels)
       changed = s.compareTo(prevSum) < 0
       prevSum = s
       labels = next
@@ -369,8 +377,26 @@ object Dedup {
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] converged after $iter rounds")
+    // The returned frame is a materialized checkpoint: it no longer
+    // references the edge frame, so the edges checkpoint is dead too.
+    // (The small-graph path must NOT do this — localUnionFind's output
+    // is lazy over the edges RDD until the caller consumes it.)
+    dropCheckpoint(edges)
     labels
   }
+
+  /** Release a localCheckpoint'ed frame's storage blocks. No-op on any
+    * other plan shape. Only call once the checkpoint is superseded AND
+    * nothing lazy still reads it — a local checkpoint has no lineage to
+    * recompute from, so a consumer arriving after the drop fails with
+    * a missing-block error rather than recomputing.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Exact embedding similarity pairs via a block-pair all-pairs join —
     * no broadcast of the table, so it cannot OOM driver or executors at

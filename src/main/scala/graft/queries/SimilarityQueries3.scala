@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GraftFunctions.cosine_sim
+
+/** Hybrid retrieval (SURVEY.md §2.4, round 6): lexical + vector
+  * search fused by reciprocal-rank fusion (RRF, Cormack et al. 2009:
+  * score = Σ 1/(k0 + rank), k0 = 60).
+  *
+  * Scale shape: each side produces a BOUNDED top-N shortlist first —
+  * `orderBy(...).limit(N)` plans as TakeOrderedAndProject (per-
+  * partition partial top-N + driver merge of N·partitions rows), NO
+  * global sort shuffle — and ranking/fusion then run on ≤2N rows.
+  * This is how production RRF works at any corpus size: the fused
+  * candidate set is bounded by the per-retriever depth, never the
+  * corpus.
+  *
+  * Oracle discipline: ranks are integers from a deterministic total
+  * order (bit-identical cosines per the strict-fold contract of
+  * [[graft.functions.catalyst.CosineSim]], integer term counts, id
+  * tie-breaks), and the RRF score is built with one fixed expression
+  * shape — `coalesce(1.0/(60+rv), 0.0) + coalesce(1.0/(60+rl), 0.0)`
+  * — so DuckDB reproduces every double bit-for-bit.
+  */
+object SimilarityQueries3 {
+
+  private val Depth = 100 // per-retriever shortlist depth
+  private val K0 = 60     // standard RRF dampening constant
+  private val TopK = 20
+  private val terms = Seq("query", "join", "data")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rrf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+
+      // vector retriever: exact cosine vs query vec 0, top-Depth
+      val vecTop = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id".as("id"), cosine_sim($"embedding", $"qv").as("cos"))
+        .orderBy($"cos".desc, $"id".asc).limit(Depth)
+      // lexical retriever: query-term occurrence count, top-Depth
+      // (row-local token filter; ties broken by id so the shortlist
+      // boundary is deterministic on both engines)
+      val lexTop = docs.filter($"doc_id" =!= 0)
+        .select($"doc_id".as("id"),
+          size(filter(split($"text", " "), t => t.isin(terms: _*)))
+            .cast("long").as("hits"))
+        .filter($"hits" > 0)
+        .orderBy($"hits".desc, $"id".asc).limit(Depth)
+
+      // ranks within each (tiny) shortlist, then full-outer RRF fusion:
+      // a doc missing from one list contributes 0 from that retriever
+      val wv = Window.orderBy($"cos".desc, $"id".asc)
+      val wl = Window.orderBy($"hits".desc, $"id".asc)
+      val rv = vecTop.select($"id", row_number().over(wv).cast("long").as("r_vec"))
+      val rl = lexTop.select($"id", row_number().over(wl).cast("long").as("r_lex"))
+      rv.join(rl, Seq("id"), "full_outer")
+        .select($"id", $"r_vec", $"r_lex",
+          (coalesce(lit(1.0) / (lit(K0) + $"r_vec"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(K0) + $"r_lex"), lit(0.0))).as("rrf"))
+        .orderBy($"rrf".desc, $"id".asc).limit(TopK)
+    }
+  )
+
+  // dot/cos replicated from SimilarityQueries.cos (strict left fold)
+  private def dot(x: String, y: String) =
+    s"""list_reduce(list_transform(range(1, len($x) + 1),
+       | gi -> CAST($x[CAST(gi AS INT)] AS DOUBLE) * CAST($y[CAST(gi AS INT)] AS DOUBLE)),
+       | (gx, gy) -> gx + gy)""".stripMargin
+  private def cos(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  val oracles: Map[String, String] = Map(
+    "ann_rrf" ->
+      s"""WITH vt AS (
+         |  SELECT e.vec_id AS id, ${cos("e.embedding", "q.qv")} AS cos
+         |  FROM embeddings e,
+         |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id != 0
+         |  ORDER BY cos DESC, id ASC LIMIT $Depth),
+         |lt AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      gw -> gw IN (${terms.map(t => s"'$t'").mkString(", ")}))) AS BIGINT)
+         |      AS hits
+         |  FROM documents WHERE doc_id != 0
+         |    AND len(list_filter(string_split(text, ' '),
+         |      gw -> gw IN (${terms.map(t => s"'$t'").mkString(", ")}))) > 0
+         |  ORDER BY hits DESC, id ASC LIMIT $Depth),
+         |rv AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT)
+         |    AS r_vec FROM vt),
+         |rl AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY hits DESC, id ASC) AS BIGINT)
+         |    AS r_lex FROM lt)
+         |SELECT coalesce(rv.id, rl.id) AS id, rv.r_vec, rl.r_lex,
+         |  coalesce(CAST(1 AS DOUBLE) / ($K0 + rv.r_vec), CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / ($K0 + rl.r_lex), CAST(0 AS DOUBLE))
+         |    AS rrf
+         |FROM rv FULL OUTER JOIN rl ON rv.id = rl.id
+         |ORDER BY rrf DESC, id ASC LIMIT $TopK""".stripMargin
+  )
+}

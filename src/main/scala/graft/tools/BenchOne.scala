@@ -12,12 +12,18 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same cleanup as Bench: catalog cache + checkpoint RDD blocks
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      fn(spark, sfDir).count(); spark.catalog.clearCache()
+      fn(spark, sfDir).count(); release()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); fn(spark, sfDir).count()
-        spark.catalog.clearCache()
+        release()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[benchone] $name: ${times.min}%.2f min / ${times.sum / 3}%.2f avg")

@@ -205,6 +205,25 @@ class PlanAuditSpec extends SparkSpec {
       "per-interval counts must partial-aggregate below the exchange")
   }
 
+  test("corpus chunking is entirely shuffle-free (explode stays in the scan stage)") {
+    val p = plan("corpus_chunk")
+    assert(!p.contains("Exchange"),
+      "chunking is row-local split+explode — any shuffle means the " +
+        "window arithmetic left the scan stage")
+  }
+
+  test("RRF fusion bounds both retrievers with partial top-N, no global sort") {
+    val p = plan("ann_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "each retriever shortlist must be a partial top-N (TakeOrdered), " +
+        "not a global sort of the corpus")
+    // the only full-frame sorts allowed are over the fused candidate set
+    // (≤ 2·Depth rows after the limits); the corpus itself must never be
+    // globally sorted — which would print as Sort ... Exchange rangepartitioning
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no corpus-wide range-partitioned sort may appear")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
