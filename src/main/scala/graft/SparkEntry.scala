@@ -18,7 +18,7 @@ object SparkEntry {
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
-      DedupQueries.defs ++
+      DedupQueries.defs ++ DedupQueries2.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
@@ -36,7 +36,7 @@ object SparkEntry {
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
-      DedupQueries.oracles ++
+      DedupQueries.oracles ++ DedupQueries2.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++

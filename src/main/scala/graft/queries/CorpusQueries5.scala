@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -30,6 +30,15 @@ object CorpusQueries5 {
   private val W = 64
   private val S = 48
 
+  /** Duplicate-n-gram window and the "appears in this many OTHER
+    * documents" threshold for a shingle to count as boilerplate.
+    */
+  private val NGram = 8
+  private val MinDocs = 1
+
+  /** Fixed BM25 query terms (scored in this order). */
+  private val BmTerms = Seq("query", "join", "data")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_chunk" -> { (s, dir) =>
       import s.implicits._
@@ -48,6 +57,89 @@ object CorpusQueries5 {
           least(lit(W), $"n" - $"chunk_idx" * S).cast("long").as("chunk_tokens"),
           array_join(slice($"toks", $"chunk_idx" * S + 1, lit(W)), " ")
             .as("chunk_text"))
+    },
+
+    // Gopher-style duplicate-n-gram quality signal: for each document,
+    // the fraction of its 8-gram shingles that also occur in >= MinDocs
+    // OTHER documents (cross-document boilerplate, the "fraction of
+    // characters in duplicate n-grams" family of filters). Scale shape:
+    // explode shingles (row-local), ONE distinct + ONE groupBy on the
+    // shingle text (shuffle keyed by shingle — high cardinality, even
+    // spread), semi-style join back, per-doc rollup. Never doc pairs.
+    // The ratio is a single IEEE double division (bit-exact both
+    // engines); docs shorter than the n-gram window report 0 shingles
+    // and ratio 0.0 via the same CASE on both sides.
+    "corpus_dupngrams" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val shingles = docs
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" >= NGram)
+        .select($"doc_id",
+          explode(sequence(lit(1), $"n" - (NGram - 1))).as("pos"),
+          $"toks")
+        .select($"doc_id",
+          array_join(slice($"toks", $"pos", lit(NGram)), " ").as("shingle"))
+      val perDocDistinct = shingles.distinct()
+      val common = perDocDistinct.groupBy($"shingle")
+        .agg(countDistinct($"doc_id").as("ndocs"))
+        .filter($"ndocs" >= MinDocs + 1)
+        .select($"shingle")
+      val flagged = perDocDistinct.join(common, Seq("shingle"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_common"))
+      docs.select($"doc_id",
+          greatest(size(split($"text", " ")) - (NGram - 1), lit(0))
+            .cast("long").as("n_shingles"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"n_common", lit(0L)).as("n_common"),
+          when($"n_shingles" === 0, lit(0.0))
+            .otherwise(coalesce($"n_common", lit(0L)).cast("double") /
+              $"n_shingles".cast("double")).as("dup_frac"))
+    },
+
+    // BM25 scoring (Robertson k1=1.2, b=0.75) of the corpus against a
+    // fixed 3-term query, top-50 by score. The idf is the RSJ weight in
+    // its RATIONAL form (N - df + 0.5)/(df + 0.5) — deliberately no
+    // ln(): log is the one libm call whose rounding is not guaranteed
+    // identical across engines, while +,*,/ on doubles are IEEE-exact,
+    // so this variant is bit-replayable in DuckDB (same discipline as
+    // the repo's no-pow/log sampling). Scale shape: ONE corpus-wide
+    // aggregate (N, total tokens, the three dfs) broadcast back as a
+    // 1-row frame; scoring is then row-local and the top-50 plans as
+    // TakeOrderedAndProject — no global sort, no per-term shuffle (the
+    // fixed query means tf extraction is a row-local array filter, not
+    // an exploded join).
+    "corpus_bm25" -> { (s, dir) =>
+      import s.implicits._
+      def tfOf(t: String) =
+        size(filter(split($"text", " "), w => w === t)).cast("long")
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
+          tfOf(BmTerms(0)).as("tf0"), tfOf(BmTerms(1)).as("tf1"),
+          tfOf(BmTerms(2)).as("tf2"))
+      val stats = base.agg(
+        count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"),
+        sum(when($"tf0" > 0, 1L).otherwise(0L)).as("df0"),
+        sum(when($"tf1" > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when($"tf2" > 0, 1L).otherwise(0L)).as("df2"))
+      // one fixed expression shape, replicated verbatim in the oracle:
+      // idf_t * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))), summed
+      // in term order 0,1,2. A zero tf contributes exactly 0.0.
+      def term(tf: Column, df: Column, n: Column, avgdl: Column): Column =
+        (((n.cast("double") - df.cast("double")) + lit(0.5)) /
+          (df.cast("double") + lit(0.5))) *
+          ((tf.cast("double") * lit(2.2)) /
+            (tf.cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl))))
+      base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+        .select($"doc_id", $"dl",
+          (term($"tf0", $"df0", $"n_docs", $"avgdl") +
+            term($"tf1", $"df1", $"n_docs", $"avgdl") +
+            term($"tf2", $"df2", $"n_docs", $"avgdl")).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(50)
     }
   )
 
@@ -68,6 +160,60 @@ object CorpusQueries5 {
         |  CAST(least($W, n - chunk_idx * $S) AS BIGINT) AS chunk_tokens,
         |  array_to_string(list_slice(w, chunk_idx * $S + 1, chunk_idx * $S + $W), ' ')
         |    AS chunk_text
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "corpus_dupngrams" -> {
+      val g = NGram - 1 // 7: shingle count is n - g
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, pos, pos + $g), ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, n - ${g - 1})) AS pos
+        |        FROM toks WHERE n >= $NGram)),
+        |common AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING count(DISTINCT doc_id) >= ${MinDocs + 1}),
+        |flagged AS (
+        |  SELECT doc_id, count(*) AS n_common FROM sh
+        |  WHERE shingle IN (SELECT shingle FROM common) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(greatest(t.n - $g, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(f.n_common, 0) AS BIGINT) AS n_common,
+        |  CASE WHEN greatest(t.n - $g, 0) = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(coalesce(f.n_common, 0) AS DOUBLE)
+        |            / CAST(t.n - $g AS DOUBLE) END AS dup_frac
+        |FROM toks t LEFT JOIN flagged f ON t.doc_id = f.doc_id""".stripMargin
+    },
+
+    "corpus_bm25" -> {
+      def tf(i: Int) =
+        s"""CAST(len(list_filter(string_split(text, ' '),
+           | gw -> gw = '${BmTerms(i)}')) AS BIGINT)""".stripMargin
+      def term(i: Int) =
+        s"""(((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE)) + 0.5)
+           |   / (CAST(df$i AS DOUBLE) + 0.5))
+           | * ((CAST(tf$i AS DOUBLE) * 2.2)
+           |   / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |      * (CAST(dl AS DOUBLE)
+           |         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    ${tf(0)} AS tf0, ${tf(1)} AS tf1, ${tf(2)} AS tf2
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         |  FROM base)
+         |SELECT doc_id, dl,
+         |  ((${term(0)} + ${term(1)}) + ${term(2)}) AS score
+         |FROM base, stats
+         |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
+    }
   )
 }

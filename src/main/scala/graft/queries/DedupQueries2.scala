@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GraftFunctions.cosine_sim
+
+/** Semantic deduplication (SURVEY.md §2.2, round 6) — the SemDeDup
+  * recipe (Abbas et al. 2023): cluster the embedding space, call
+  * everything sufficiently close to its cluster centroid a semantic
+  * duplicate group, and keep the member FARTHEST from the centroid
+  * (the paper's keep-worst rule: it preserves the most diversity).
+  *
+  * Deterministic stand-ins for the paper's k-means, so the oracle
+  * replays every decision: centroids are the lowest-vec_id member of
+  * each label (the ann_ivf convention); assignment is exact-cosine
+  * argmax with ties to the lowest centroid id (the ann_pq argmin
+  * discipline, mirrored); the dup threshold is a plain double compare
+  * on bit-identical strict-fold cosines.
+  *
+  * Scale shape: centroids broadcast (k rows); assignment is a
+  * row-local cosine fan-out combined by a map-side partial
+  * max(struct) — the ONE keyed shuffle carries n pre-combined rows,
+  * not n·k; the per-cluster keeper is a tiny groupBy whose k-row
+  * result broadcasts back. No window over the low-cardinality cluster
+  * key anywhere (the round-3 single-task-cliff lesson).
+  */
+object DedupQueries2 {
+
+  /** Cosine-to-centroid at or above this marks a semantic duplicate
+    * (sf0.01 nearest-centroid quantiles: p50 0.19, p90 0.30 — 0.25
+    * splits the corpus meaningfully).
+    */
+  private val Tau = 0.25
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val wc = Window.partitionBy($"label").orderBy($"vec_id".asc)
+      val centroids = emb.withColumn("__rn", row_number().over(wc))
+        .filter($"__rn" === 1)
+        .select($"label".cast("long").as("cid"), $"embedding".as("cv"))
+      // argmax assignment: max over struct(cos, -cid) == highest
+      // cosine, ties to the LOWEST cid; partial-aggregates map-side so
+      // the exchange sees one row per vector, not one per (vector,
+      // centroid)
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .select($"vec_id",
+          struct(cosine_sim($"embedding", $"cv").as("cos_c"),
+            (lit(0L) - $"cid").as("negcid")).as("m"))
+        .groupBy($"vec_id").agg(max($"m").as("m"))
+        .select($"vec_id", (lit(0L) - $"m.negcid").as("cid"),
+          $"m.cos_c".as("cos_c"))
+      // keep-worst: per cluster, the duplicate-group survivor is the
+      // member with the LOWEST cosine at-or-above Tau (vec_id breaks
+      // exact-double ties); k-row result broadcasts back
+      val keepers = assigned.filter($"cos_c" >= Tau)
+        .groupBy($"cid")
+        .agg(min(struct($"cos_c", $"vec_id")).as("k"))
+        .select($"cid", $"k.vec_id".as("keep_vec"))
+      assigned.join(broadcast(keepers), Seq("cid"), "left")
+        .select($"vec_id", $"cid", $"cos_c",
+          ($"cos_c" < Tau || $"vec_id" === $"keep_vec").as("keep"))
+    }
+  )
+
+  /** cosine as a strict left fold — bit-identical to CosineSim. */
+  private def cos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         | gi -> CAST($x[CAST(gi AS INT)] AS DOUBLE) * CAST($y[CAST(gi AS INT)] AS DOUBLE)),
+         | (gx, gy) -> gx + gy)""".stripMargin
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_semantic" ->
+      s"""WITH c AS (
+         |  SELECT CAST(label AS BIGINT) AS cid, embedding AS cv FROM (
+         |    SELECT label, embedding, row_number() OVER (
+         |      PARTITION BY label ORDER BY vec_id ASC) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cv")} AS cos_c
+         |  FROM embeddings e, c),
+         |assigned AS (
+         |  SELECT vec_id, cid, cos_c FROM (
+         |    SELECT vec_id, cid, cos_c, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+         |    FROM pairs) WHERE rn = 1),
+         |keepers AS (
+         |  SELECT cid, vec_id AS keep_vec FROM (
+         |    SELECT cid, vec_id, row_number() OVER (
+         |      PARTITION BY cid ORDER BY cos_c ASC, vec_id ASC) AS rn
+         |    FROM assigned WHERE cos_c >= $Tau) WHERE rn = 1)
+         |SELECT a.vec_id, a.cid, a.cos_c,
+         |  (a.cos_c < $Tau OR a.vec_id = k.keep_vec) AS keep
+         |FROM assigned a LEFT JOIN keepers k ON a.cid = k.cid""".stripMargin
+  )
+}

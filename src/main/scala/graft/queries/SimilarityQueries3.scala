@@ -65,6 +65,31 @@ object SimilarityQueries3 {
           (coalesce(lit(1.0) / (lit(K0) + $"r_vec"), lit(0.0)) +
             coalesce(lit(1.0) / (lit(K0) + $"r_lex"), lit(0.0))).as("rrf"))
         .orderBy($"rrf".desc, $"id".asc).limit(TopK)
+    },
+
+    // Hard-negative mining for contrastive / embedding training: for
+    // each of the first 5 vectors (the "anchors"), the top-10 most
+    // cosine-similar embeddings whose LABEL DIFFERS — similar-but-wrong
+    // examples, the classic in-batch-negatives upgrade. Scale shape:
+    // the anchor set is broadcast (5 rows), candidates stream through a
+    // row-local cosine, and the rank<=10 filter plans a map-side
+    // partial WindowGroupLimit so the single final window shuffle
+    // carries at most 10·partitions·anchors rows, never the corpus.
+    "ann_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"),
+          $"embedding".as("qv"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neg_id".asc)
+      emb.filter($"vec_id" >= 5)
+        .crossJoin(broadcast(anchors))
+        .filter($"label" =!= $"q_label")
+        .select($"q_id", $"vec_id".as("neg_id"),
+          $"label".cast("long").as("neg_label"),
+          cosine_sim($"embedding", $"qv").as("cos"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 10)
     }
   )
 
@@ -104,6 +129,23 @@ object SimilarityQueries3 {
          |    + coalesce(CAST(1 AS DOUBLE) / ($K0 + rl.r_lex), CAST(0 AS DOUBLE))
          |    AS rrf
          |FROM rv FULL OUTER JOIN rl ON rv.id = rl.id
-         |ORDER BY rrf DESC, id ASC LIMIT $TopK""".stripMargin
+         |ORDER BY rrf DESC, id ASC LIMIT $TopK""".stripMargin,
+
+    "ann_negatives" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (
+         |  SELECT a.q_id, e.vec_id AS neg_id,
+         |    CAST(e.label AS BIGINT) AS neg_label,
+         |    ${cos("e.embedding", "a.qv")} AS cos
+         |  FROM embeddings e, a
+         |  WHERE e.vec_id >= 5 AND e.label != a.q_label),
+         |r AS (
+         |  SELECT q_id, neg_id, neg_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, neg_id ASC) AS BIGINT) AS rk
+         |  FROM c)
+         |SELECT q_id, neg_id, neg_label, cos, rk FROM r WHERE rk <= 10""".stripMargin
   )
 }

@@ -224,6 +224,51 @@ class PlanAuditSpec extends SparkSpec {
       "no corpus-wide range-partitioned sort may appear")
   }
 
+  test("BM25 scoring is one broadcast aggregate + row-local top-k") {
+    val p = plan("corpus_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be a partial top-N, not a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row corpus-stats frame must broadcast back")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      "scoring is row-local against broadcast stats — no keyed shuffle " +
+        "may appear (the fixed query keeps tf extraction out of an " +
+        "exploded term join)")
+  }
+
+  test("hard-negative mining prunes rank<=10 map-side, anchors broadcast") {
+    val p = plan("ann_negatives")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "rank<=10 must plan a map-side partial WindowGroupLimit")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 5-row anchor set must broadcast, never shuffle the corpus")
+  }
+
+  test("semantic dedup pre-combines the assignment fan-out map-side") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("partial_max"),
+      "argmax assignment must partial-aggregate (one row per vector " +
+        "reaches the exchange, not one per vector×centroid)")
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("BroadcastHashJoin"),
+      "centroids and keepers must both broadcast")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("Exchange rangepartitioning"),
+      "no shuffle join or global sort: the only keyed exchanges are " +
+        "the vec_id combine and the k-row keeper rollup")
+  }
+
+  test("duplicate-ngram signal shuffles keyed on the shingle only") {
+    val p = plan("corpus_dupngrams")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "boilerplate detection must never compare document pairs")
+    assert(p.contains("partial_count"),
+      "per-doc and per-shingle counts must partial-aggregate below " +
+        "their exchanges")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
