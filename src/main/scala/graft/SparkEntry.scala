@@ -16,7 +16,7 @@ object SparkEntry {
       RelationalQueries3.defs ++ RelationalQueries4.defs ++
       RelationalQueries5.defs ++ RelationalQueries6.defs ++
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
-      RelationalQueries9.defs ++ RelationalQueries10.defs ++ EventQueries.defs ++
+      RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
@@ -34,7 +34,7 @@ object SparkEntry {
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
-      RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ EventQueries.oracles ++
+      RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++

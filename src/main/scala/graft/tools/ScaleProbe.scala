@@ -80,7 +80,8 @@ object ScaleProbe {
       "q83_weighted_median", "q84_drawdown", "corpus_vocab_overlap",
       "text_search_and", "ann_maxsim", "ann_centroids", "corpus_funnel",
       "ann_bq", "dedup_keep_best", "corpus_chunk", "ann_rrf",
-      "corpus_dupngrams", "corpus_bm25", "ann_negatives", "dedup_semantic")
+      "corpus_dupngrams", "corpus_bm25", "ann_negatives", "dedup_semantic",
+      "q90_pagerank")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption

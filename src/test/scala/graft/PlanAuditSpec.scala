@@ -259,6 +259,17 @@ class PlanAuditSpec extends SparkSpec {
         "the vec_id combine and the k-row keeper rollup")
   }
 
+  test("pagerank iterations partial-aggregate contributions map-side") {
+    val p = plan("q90_pagerank")
+    assert(p.contains("partial_sum"),
+      "per-dst contribution sums must combine below the exchange")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "every iteration must be a keyed equi-join on the node id")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-50 must be a partial top-N, not a global rank sort")
+  }
+
   test("duplicate-ngram signal shuffles keyed on the shingle only") {
     val p = plan("corpus_dupngrams")
     assert(!p.contains("CartesianProduct") &&
