@@ -70,33 +70,8 @@ object CorpusQueries5 {
     // engines); docs shorter than the n-gram window report 0 shingles
     // and ratio 0.0 via the same CASE on both sides.
     "corpus_dupngrams" -> { (s, dir) =>
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val shingles = docs
-        .select($"doc_id", split($"text", " ").as("toks"))
-        .withColumn("n", size($"toks"))
-        .filter($"n" >= NGram)
-        .select($"doc_id",
-          explode(sequence(lit(1), $"n" - (NGram - 1))).as("pos"),
-          $"toks")
-        .select($"doc_id",
-          array_join(slice($"toks", $"pos", lit(NGram)), " ").as("shingle"))
-      val perDocDistinct = shingles.distinct()
-      val common = perDocDistinct.groupBy($"shingle")
-        .agg(countDistinct($"doc_id").as("ndocs"))
-        .filter($"ndocs" >= MinDocs + 1)
-        .select($"shingle")
-      val flagged = perDocDistinct.join(common, Seq("shingle"), "left_semi")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_common"))
-      docs.select($"doc_id",
-          greatest(size(split($"text", " ")) - (NGram - 1), lit(0))
-            .cast("long").as("n_shingles"))
-        .join(flagged, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_shingles",
-          coalesce($"n_common", lit(0L)).as("n_common"),
-          when($"n_shingles" === 0, lit(0.0))
-            .otherwise(coalesce($"n_common", lit(0L)).cast("double") /
-              $"n_shingles".cast("double")).as("dup_frac"))
+      graft.operators.DupNgrams.stats(
+        Tables.load(s, dir, "documents"), "doc_id", "text", NGram, MinDocs)
     },
 
     // BM25 scoring (Robertson k1=1.2, b=0.75) of the corpus against a
