@@ -20,7 +20,7 @@ object SparkEntry {
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
-      SimilarityQueries3.defs ++
+      SimilarityQueries3.defs ++ ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
       CorpusQueries5.defs ++ FeatureQueries.defs ++ FeatureQueries2.defs ++
@@ -38,7 +38,7 @@ object SparkEntry {
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
-      SimilarityQueries3.oracles ++
+      SimilarityQueries3.oracles ++ ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
       CorpusQueries5.oracles ++ FeatureQueries.oracles ++ FeatureQueries2.oracles ++
