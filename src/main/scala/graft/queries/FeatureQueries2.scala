@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions.poly_hash
 
 /** Second feature-engineering wave (SURVEY.md §2.5, round 4): robust
   * (median/IQR) scaling and smoothed target encoding. Same cross-engine
@@ -54,6 +55,27 @@ object FeatureQueries2 {
           (($"kf".cast("double") +
             lit(10.0) * ($"gf".cast("double") / $"gn".cast("double"))) /
             ($"kn".cast("double") + lit(10.0))).as("enc"))
+    },
+
+    // the hashing trick (Weinberger et al. 2009): sparse signed
+    // bag-of-words into B = 32 buckets. Bucket index is the base-31
+    // rolling hash mod B; the SIGN comes from an independent base-37
+    // hash's parity (the ± trick that makes collisions cancel in
+    // expectation). All-integer and replayable: poly_hash lands in
+    // [0, 1e9+7) so % is non-negative on both engines. Scale shape:
+    // explode is row-local; the ONE shuffle is groupBy(doc_id, bucket)
+    // with map-side partials, bounded by docs·B rows — the classic
+    // sparse-featurizer plan at any corpus size.
+    "feat_hashing" -> { (s, dir) =>
+      import s.implicits._
+      val B = 32
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+        .select($"doc_id", (poly_hash($"tok") % B).as("bucket"),
+          when(poly_hash($"tok", 37) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy($"doc_id", $"bucket")
+        .agg(sum($"sgn").as("w"))
     }
   )
 
@@ -83,6 +105,22 @@ object FeatureQueries2 {
         |  (CAST(kf AS DOUBLE)
         |    + 10.0 * (CAST(gf AS DOUBLE) / CAST(gn AS DOUBLE)))
         |  / (CAST(kn AS DOUBLE) + 10.0) AS enc
-        |FROM k, g""".stripMargin
+        |FROM k, g""".stripMargin,
+
+    "feat_hashing" -> {
+      def ph(base: Int) =
+        s"""list_reduce(list_transform(range(1, length(tok) + 1),
+           | gi -> CAST(ord(substr(tok, CAST(gi AS INT), 1)) AS BIGINT)),
+           | (ga, gc) -> (ga * $base + gc) % 1000000007)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, ${ph(31)} AS h31, ${ph(37)} AS h37
+         |  FROM t WHERE length(tok) > 0)
+         |SELECT doc_id, h31 % 32 AS bucket,
+         |  CAST(sum(CASE WHEN h37 % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |FROM h GROUP BY doc_id, bucket""".stripMargin
+    }
   )
 }

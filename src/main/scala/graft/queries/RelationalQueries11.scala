@@ -71,6 +71,42 @@ object RelationalQueries11 {
       rFinal
         .select($"node", ($"node" % 2).as("ntype"), $"rank")
         .orderBy($"rank".desc, $"node".asc).limit(50)
+    },
+
+    // Single-source shortest path (weighted) — 4 unrolled Bellman-Ford
+    // relaxations from customer 1 (node 2) over the same even/odd
+    // trade graph, edge length 1000000 div (pair trade count + 1):
+    // heavily-trading pairs are "close". All-integer: lengths are
+    // BIGINT micro-units (non-negative truncating div == DuckDB //),
+    // and each round's `min` is order-independent, so the distance
+    // frontier is bit-exact replayable. Scale shape mirrors q90: the
+    // edge relation is built once, pre-partitioned on src and
+    // persisted; a round is one equi-join against the co-partitioned
+    // edges + one partial-aggregated min-groupBy — the frontier frame
+    // never exceeds |V| rows, and 4 rounds is the fixed-depth
+    // contract (BFS diameter knob, same as q70/q90).
+    "q91_shortest_path" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+        .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select($"src", $"dst", expr("1000000 div (cnt + 1)").as("w"))
+      val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst"), $"w"))
+        .repartition($"src")
+        .persist()
+      val d0 = Seq((2L, 0L)).toDF("node", "dist")
+      val dFinal = (1 to 4).foldLeft(d0) { (dist, _) =>
+        val relaxed = edges
+          .join(dist.select($"node".as("src"), $"dist").hint("SHUFFLE_HASH"), "src")
+          .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
+        dist.union(relaxed)
+          .groupBy($"node").agg(min($"dist").as("dist"))
+      }
+      dFinal
+        .select($"node", ($"node" % 2).as("ntype"), $"dist")
+        .orderBy($"dist".asc, $"node".asc).limit(100)
     }
   )
 
@@ -99,6 +135,28 @@ object RelationalQueries11 {
          |${iter("r2", "3")}
          |SELECT node, node % 2 AS ntype, rank FROM r3
          |ORDER BY rank DESC, node ASC LIMIT 50""".stripMargin
+    },
+
+    "q91_shortest_path" -> {
+      def relax(j: Int) =
+        s"""d$j AS (
+           |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM d${j - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.dist + e.w AS dist
+           |    FROM d${j - 1} d JOIN e ON d.node = e.src) GROUP BY node)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY src, dst),
+         |ew AS (SELECT src, dst, CAST(1000000 // (cnt + 1) AS BIGINT) AS w FROM e0),
+         |e AS (SELECT src, dst, w FROM ew
+         |      UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+         |d0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |${(1 to 4).map(relax).mkString(",\n")}
+         |SELECT node, node % 2 AS ntype, dist FROM d4
+         |ORDER BY dist ASC, node ASC LIMIT 100""".stripMargin
     }
   )
 }

@@ -280,6 +280,42 @@ class PlanAuditSpec extends SparkSpec {
         "their exchanges")
   }
 
+  test("k-means assignment is row-local; only k-row aggregates shuffle") {
+    // the centroids are a broadcast literal inside the projection, so
+    // the final frame must show: partial-aggregated per-cid rollup
+    // (one exchange over ≤k keys) + a broadcast join of the k-row
+    // centroid-checksum frame — and never a shuffle join or a
+    // vector×centroid exchange
+    val p = plan("ann_kmeans")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "cluster size/inertia must combine map-side below the exchange")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k-row centroid checksum frame must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffle join may appear — assignment is a row-local argmin")
+  }
+
+  test("shortest-path rounds partial-aggregate the frontier min map-side") {
+    val p = plan("q91_shortest_path")
+    assert(p.contains("partial_min"),
+      "per-node distance mins must combine below the exchange")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "every relaxation must be a keyed equi-join on the node id")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 must be a partial top-N, not a global sort")
+  }
+
+  test("feature hashing shuffles once, pre-combined on (doc, bucket)") {
+    val p = plan("feat_hashing")
+    assert(p.contains("partial_sum"),
+      "signed bucket weights must partial-aggregate below the exchange")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly one keyed shuffle: the (doc_id, bucket) rollup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange rangepartitioning"),
+      "no join or global sort belongs in a row-local featurizer")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
