@@ -85,6 +85,15 @@ object RelationalQueries11 {
     // edges + one partial-aggregated min-groupBy — the frontier frame
     // never exceeds |V| rows, and 4 rounds is the fixed-depth
     // contract (BFS diameter knob, same as q70/q90).
+    //
+    // Unlike q90, each round consumes the previous frontier TWICE
+    // (the keep-current union branch and the relax-join branch) — a
+    // Bellman-Ford structural fact, not a plan choice. Left lazy,
+    // that doubling compounds to 2^rounds recomputations of the
+    // whole prefix (measured 5.95s at sf0.1); persisting each
+    // round's |V|-bounded frontier makes both branches read one
+    // materialization (1.5s). Bench/Verify's release() sweep drops
+    // the round frames after the action.
     "q91_shortest_path" -> { (s, dir) =>
       import s.implicits._
       val orders = Tables.load(s, dir, "orders")
@@ -98,10 +107,11 @@ object RelationalQueries11 {
         .persist()
       val d0 = Seq((2L, 0L)).toDF("node", "dist")
       val dFinal = (1 to 4).foldLeft(d0) { (dist, _) =>
+        val d = dist.persist()
         val relaxed = edges
-          .join(dist.select($"node".as("src"), $"dist").hint("SHUFFLE_HASH"), "src")
+          .join(d.select($"node".as("src"), $"dist").hint("SHUFFLE_HASH"), "src")
           .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
-        dist.union(relaxed)
+        d.union(relaxed)
           .groupBy($"node").agg(min($"dist").as("dist"))
       }
       dFinal
