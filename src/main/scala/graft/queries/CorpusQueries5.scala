@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Fifth corpus wave (SURVEY.md §2.3, round 6): per-document
@@ -115,6 +116,70 @@ object CorpusQueries5 {
             term($"tf1", $"df1", $"n_docs", $"avgdl") +
             term($"tf2", $"df2", $"n_docs", $"avgdl")).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(50)
+    },
+
+    // Bigram language-model table (the classic n-gram LM training
+    // aggregate): corpus-wide bigram counts, conditional next-token
+    // probability p(w2|w1) = c(w1,w2)/c(w1·) kept RATIONAL — both
+    // counts are exact integers and the probability is ONE IEEE double
+    // division, so every p is bit-replayable (no log-space smoothing;
+    // same no-log discipline as corpus_bm25). Reported: top-3 next
+    // tokens for the 20 most continued prefixes. Scale shape: bigram
+    // extraction is a row-local zip_with + explode; the counts shuffle
+    // is keyed on (w1,w2) — high-cardinality, even spread — with
+    // map-side partials; the prefix rollup re-aggregates the ALREADY
+    // tiny (vocab²-bounded) count frame; the 20-row prefix list
+    // broadcasts back and rank<=3 plans a map-side WindowGroupLimit.
+    // The count frame is persisted — it feeds both the prefix rollup
+    // and the join-back (the q91 double-consumer lesson).
+    "corpus_bigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = Tables.load(s, dir, "documents")
+        .select(split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 2)
+        .select(explode(expr(
+          "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+        .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      val cnt = pairs.groupBy($"w1", $"w2")
+        .agg(count(lit(1)).as("n_pair")).persist()
+      val top = cnt.groupBy($"w1").agg(sum($"n_pair").as("n_prefix"))
+        .orderBy($"n_prefix".desc, $"w1".asc).limit(20)
+      val w = Window.partitionBy($"w1").orderBy($"n_pair".desc, $"w2".asc)
+      cnt.join(broadcast(top), "w1")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"w1", $"w2", $"n_pair", $"n_prefix",
+          ($"n_pair".cast("double") / $"n_prefix".cast("double")).as("p"),
+          $"rk")
+    },
+
+    // Token-diversity quality signal via Gini impurity: 1 − Σ(cᵢ/n)²
+    // over each document's token distribution — the no-log alternative
+    // to entropy (ln() rounding is engine-dependent; squares and one
+    // division are IEEE-exact). Computed as 1 − (Σcᵢ²)/n² where both
+    // Σcᵢ² and n² are EXACT integers: repetitive boilerplate scores
+    // low, diverse prose high. Scale shape: strictly row-local —
+    // per-doc counts come from array ops inside the row (distinct ×
+    // filter scan, bounded by doc length²), ZERO shuffles, parallelism
+    // = scan splits. The oracle prepends an explicit 0 before
+    // list_reduce — DuckDB folds element 1 as the init WITHOUT
+    // applying the lambda, which would leave a single-distinct-token
+    // doc with c instead of c² (the ann_pq elem-1-init trap, here not
+    // identity-safe because the fold squares).
+    "corpus_gini" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("tk"))
+        .select($"doc_id",
+          size($"tk").cast("long").as("n_tokens"),
+          size(array_distinct($"tk")).cast("long").as("n_distinct"),
+          expr("aggregate(transform(array_distinct(tk)," +
+            " t -> CAST(size(filter(tk, x -> x = t)) AS BIGINT))," +
+            " CAST(0 AS BIGINT), (acc, c) -> acc + c * c)").as("sumsq"))
+        .select($"doc_id", $"n_tokens", $"n_distinct",
+          (lit(1.0) - $"sumsq".cast("double") /
+            ($"n_tokens" * $"n_tokens").cast("double")).as("gini"))
     }
   )
 
@@ -189,6 +254,45 @@ object CorpusQueries5 {
          |  ((${term(0)} + ${term(1)}) + ${term(2)}) AS score
          |FROM base, stats
          |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
-    }
+    },
+
+    "corpus_bigram_lm" ->
+      """WITH p AS (
+        |  SELECT unnest(list_transform(range(0, greatest(len(tk) - 1, 0)),
+        |    gi -> {'w1': tk[CAST(gi + 1 AS INT)],
+        |           'w2': tk[CAST(gi + 2 AS INT)]})) AS bg
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)),
+        |cnt AS (
+        |  SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM p GROUP BY 1, 2),
+        |top AS (
+        |  SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_prefix
+        |  FROM cnt GROUP BY w1
+        |  ORDER BY n_prefix DESC, w1 ASC LIMIT 20),
+        |r AS (
+        |  SELECT c.w1, c.w2, c.n_pair, t.n_prefix,
+        |    CAST(row_number() OVER (PARTITION BY c.w1
+        |      ORDER BY c.n_pair DESC, c.w2 ASC) AS BIGINT) AS rk
+        |  FROM cnt c JOIN top t ON c.w1 = t.w1)
+        |SELECT w1, w2, n_pair, n_prefix,
+        |  CAST(n_pair AS DOUBLE) / CAST(n_prefix AS DOUBLE) AS p, rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    "corpus_gini" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_distinct(tk),
+        |        gt -> CAST(len(list_filter(tk, gx -> gx = gt)) AS BIGINT))),
+        |      (ga, gc) -> ga + gc * gc) AS BIGINT) AS sumsq
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  1.0 - CAST(sumsq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+        |    AS gini
+        |FROM g""".stripMargin
   )
 }

