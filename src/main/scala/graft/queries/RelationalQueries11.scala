@@ -126,38 +126,68 @@ object RelationalQueries11 {
     // 2000 → 1745 → 1534 → 1221 → 527 at sf0.01), so every round does
     // real peeling — each removal lowers neighbors' degrees below K in
     // turn. All-integer (degrees and counts), so parity is exact by
-    // construction. Scale shape: a round = one partial-agg degree
-    // groupBy + two LEFT SEMI joins against the |V|-bounded survivor
-    // set (SHUFFLE_HASH — the survivor set is node-sized, never
-    // broadcast-assumed); each round's edge frame is persisted because
-    // the degree pass and the semi-join chain both consume it (the
-    // q91 double-consumer lesson). The bipartite customer-supplier
-    // graph was probed and REJECTED for this query: its 100
-    // never-peeling high-degree suppliers pin every customer degree,
-    // so peeling converges after one round at any threshold.
+    // construction. Scale shape, iterated to the fast form (11.8s →
+    // 3.3s at sf0.1):
+    //  - edge build: per-order collect_set (ONE partial-agg shuffle of
+    //    orders, never an O(rows²) self-join sort) + row-local ordered
+    //    pair explode (orders hold ≤17 parts), repartition(src), then
+    //    an EXCHANGE-FREE (src,dst) dedup — hash partitioning on src
+    //    alone satisfies clustering on (src,dst);
+    //  - a round = one degree partial-agg + two LEFT SEMI joins against
+    //    the |V|-bounded survivor set (≤20k longs ≪ |E|), which
+    //    BROADCASTS — broadcast joins preserve the src partitioning so
+    //    no round ever re-exchanges the edge frame (the SHUFFLE_HASH
+    //    form re-shuffled it three times per round: 11.8s; at node
+    //    counts past broadcast limits flip the hints back);
+    //  - lineage: without truncation the analyzer cost grows 3^rounds
+    //    (each round embeds the previous plan three times — once
+    //    direct, twice via the survivor agg); a lazy localCheckpoint
+    //    every OTHER round keeps the plan constant-size while paying
+    //    the per-checkpoint Catalyst+codegen compile only twice
+    //    (every-round checkpointing measured slower: compile-bound,
+    //    not data-bound — the q70 scheduling-latency-knob lesson).
+    //    Survivor frames persist (consumed by two broadcasts — the
+    //    q91 double-consumer lesson) but are NOT checkpointed: a
+    //    persist costs no plan compile.
+    //    Constraint propagation is off for the build (checkpointed
+    //    constraints go stale — the Dedup CC loop rule).
+    // The bipartite customer-supplier graph was probed and REJECTED
+    // for this query: its 100 never-peeling high-degree suppliers pin
+    // every customer degree, so peeling converges after one round at
+    // any threshold.
     "q92_kcore" -> { (s, dir) =>
       import s.implicits._
       val K = 90
-      val li = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey")
-      val pairs = li.select($"l_orderkey", $"l_partkey".as("src"))
-        .join(li.select($"l_orderkey".as("ok2"), $"l_partkey".as("dst")),
-          $"l_orderkey" === $"ok2" && $"src" < $"dst")
-        .select($"src", $"dst").distinct()
-      val e0 = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-        .repartition($"src")
-      val eFinal = (1 to 4).foldLeft(e0) { (e, _) =>
-        val ep = e.persist()
-        val keep = ep.groupBy($"src").agg(count(lit(1)).as("deg"))
-          .filter($"deg" >= K).select($"src".as("node")).persist()
-        ep.join(keep.select($"node".as("src")).hint("SHUFFLE_HASH"),
-            Seq("src"), "left_semi")
-          .join(keep.select($"node".as("dst")).hint("SHUFFLE_HASH"),
-            Seq("dst"), "left_semi")
-      }
-      eFinal.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .select($"src".as("node"), $"deg")
-        .orderBy($"deg".desc, $"node".asc).limit(100)
+      val cpKey = "spark.sql.constraintPropagation.enabled"
+      val cpPrev = s.conf.get(cpKey)
+      s.conf.set(cpKey, "false")
+      try {
+        val li = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey")
+        val e0 = li.groupBy($"l_orderkey")
+          .agg(collect_set($"l_partkey").as("ps"))
+          .select(explode(expr(
+            "filter(flatten(transform(ps, x -> transform(ps, y -> " +
+              "struct(x AS src, y AS dst)))), p -> p.src != p.dst)")).as("p"))
+          .select($"p.src".as("src"), $"p.dst".as("dst"))
+          .repartition($"src")
+          .groupBy($"src", $"dst").agg(lit(1))
+          .select($"src", $"dst")
+          .localCheckpoint(eager = false)
+        val eFinal = (1 to 4).foldLeft(e0) { (e, r) =>
+          val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+            .filter($"deg" >= K).select($"src".as("node")).persist()
+          val next = e
+            .join(broadcast(keep.select($"node".as("src"))),
+              Seq("src"), "left_semi")
+            .join(broadcast(keep.select($"node".as("dst"))),
+              Seq("dst"), "left_semi")
+          if (r % 2 == 1) next.localCheckpoint(eager = false) else next
+        }
+        eFinal.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .select($"src".as("node"), $"deg")
+          .orderBy($"deg".desc, $"node".asc).limit(100)
+      } finally s.conf.set(cpKey, cpPrev)
     }
   )
 

@@ -333,6 +333,11 @@ class PlanAuditSpec extends SparkSpec {
       "per-round degrees must combine map-side below the exchange")
     assert(p.contains("LeftSemi"),
       "survivor filtering must plan as semi joins against the node set")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |V|-bounded survivor set must broadcast — a shuffled semi " +
+        "join re-exchanges the edge frame three times per round")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no peel round may shuffle the edge frame against the node set")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "peeling must never expand to node pairs")
