@@ -18,18 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Between-query cleanup: clearCache drops catalog-cached frames, but
-    // localCheckpoint blocks (the CC loop, q70's edge relation) are RDD
-    // storage the catalog never sees — without the explicit sweep they
-    // free only when a driver GC lets the ContextCleaner run, so a
-    // 3-pass 147-query suite accumulates old-gen pressure that lands as
-    // phantom seconds in whichever query triggers the collection
-    // (dedup_clusters read 2.6s in-suite vs 1.1s standalone).
-    def release(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    // Between-query cleanup — see GraftSession.release scaladoc (the
+    // localCheckpoint-block sweep is worth ~8.6s suite-wide and is
+    // pinned by ReleaseSpec).
+    def release(): Unit = GraftSession.release(spark)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // Full untimed warmup pass: at sf0.1 most queries are dominated by
     // Janino codegen + JIT compilation of their generated classes (the
@@ -56,21 +48,27 @@ object Bench {
     // contention only ever ADDS time, so the smaller of two samples is the
     // better estimate of the engine. Costs one extra suite pass of wall
     // time, which a permanent record is worth.
-    def timedPass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
+    // A query that throws records ok=false, NOT its elapsed-to-throw time:
+    // round 6's record showed 11 broken queries as ~0.05s "timings", which
+    // read as 10x wins in cross-round diffs. Failed queries are excluded
+    // from the totals and listed under "errors" in the summary.
+    def timedPass(): Seq[(String, Double, Boolean)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist internal frames (LSH signatures etc.); clear
       // between queries so timings are independent and storage memory
       // doesn't accumulate across the whole suite
       release()
-      name -> dt
+      (name, dt, ok)
     }
     val pass1 = timedPass()
     val pass2 = timedPass()
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-      name -> math.min(a, b)
+    val merged = pass1.zip(pass2).map { case ((name, a, okA), (_, b, okB)) =>
+      (name, math.min(a, b), okA && okB)
     }
+    val results = merged.collect { case (name, t, true) => name -> t }
+    val errored = merged.collect { case (name, _, false) => name }
     // Locale.ROOT: f"" uses the default locale, and a comma decimal
     // separator (de_DE etc.) would make the driver-parsed line invalid
     // JSON — the exact "parsed": null failure this file exists to avoid
@@ -84,7 +82,8 @@ object Bench {
     // (<200 char) summary or the head of the JSON gets truncated away
     // (rounds 1-3 all recorded "parsed": null because the 114-query map
     // pushed the line past the driver's 2000-char tail window).
-    val detail = s"""{"metric":"per_query","unit":"sec","passes":2,"estimator":"min","queries":$qs,"sf":"$sfDir"}"""
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"per_query","unit":"sec","passes":2,"estimator":"min","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // Written to /tmp (scratch) AND the repo root: the repo copy is the
     // permanent per-query record — the driver's stdout tail truncates
     // everything alphabetically before ~q35, which hides exactly the
@@ -107,7 +106,7 @@ object Bench {
     // sum of per-query min-of-2, NOT a single-pass wall time — without
     // the fields, cross-round comparison vs r1-r4 single-pass numbers
     // is silently apples-to-oranges
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},"passes":2,"estimator":"min","slowest":$slowest,"loadavg":${num(loadavg, 1)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":${results.size},"errors":$errs,"passes":2,"estimator":"min","slowest":$slowest,"loadavg":${num(loadavg, 1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,4 +26,19 @@ object GraftSession {
     builder(s"local[$cores]", Some(cores))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  /** Between-query storage sweep shared by Bench/BenchOne/Verify.
+    * clearCache drops catalog-cached frames, but localCheckpoint blocks
+    * (the CC loop, q70's edge relation) are RDD storage the catalog
+    * never tracks — without the explicit unpersist sweep they free only
+    * when a driver GC lets the ContextCleaner run, and across a
+    * 150+-query suite the accumulated old-gen pressure lands as phantom
+    * seconds in whichever query triggers the collection (round 5→6:
+    * -8.6s suite-wide from adding this). ReleaseSpec pins the contract.
+    */
+  def release(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -13,25 +13,35 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read ns as long (legacy conf) and truncate to the
-    * engine's native microsecond timestamps with exact integer division
-    * (ns epoch ~1.7e18 overflows double, so no floating-point division).
+  /** The generator has shipped `events.ts` in two physical shapes:
+    * TIMESTAMP(NANOS) (pre-2026-08 data) and plain `timestamp[us]` with
+    * no UTC flag, which Spark reads as TIMESTAMP_NTZ. Both are
+    * normalized here; keep nanosAsLong on so the nanos generation still
+    * loads instead of being rejected by the vectorized reader.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
-  /** ns-epoch long (from nanosAsLong) -> native microsecond timestamp;
-    * leaves real timestamp columns untouched. Shared by batch and
-    * streaming event readers.
+  /** Schema-dispatched normalization of `ts` to the engine's native
+    * TimestampType (µs, session-TZ aware). Shared by batch and streaming
+    * event readers; every downstream op may assume TimestampType.
+    * - LongType (from nanosAsLong): exact integer `div 1000` — ns epoch
+    *   ~1.7e18 overflows double, so never floating-point division.
+    * - TimestampNTZType: cast to TIMESTAMP. Sessions pin UTC, so the
+    *   wall-clock reinterpretation preserves every epoch-us value and
+    *   matches DuckDB's epoch_us over the same file.
     */
   def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
 

@@ -20,18 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query failures are recorded in errors.json (name -> message),
+    // not just stderr: a query that throws writes no parquet, and without
+    // an explicit err record a missing entry can masquerade as "not run"
+    // in the round's correctness summary (the round-6 NTZ breakage hid
+    // exactly this way).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(_._1.matches(only)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] ERR $name: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
-      // operators persist internal frames; keep queries independent.
-      // Also release localCheckpoint blocks (CC loop, q70) — they are
-      // RDD storage the catalog cache never tracks.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // operators persist internal frames; keep queries independent
+      // (catalog cache + checkpoint RDD blocks — GraftSession.release)
+      GraftSession.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -48,6 +52,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(_._1.matches(only))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries ERRORED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -181,6 +181,12 @@ object RelationalQueries10 {
       val o = Tables.load(s, dir, "orders")
         .select($"o_orderpriority", $"o_orderstatus",
           $"o_totalprice".cast("decimal(15,2)").as("p"))
+      // driver-collect contract (same family as the maxGroups ladders):
+      // the pivot domain is order-status codes — single chars, ≤ a few
+      // dozen values by schema design — so the distinct scan collects
+      // O(|domain|) rows, never O(facts). This is the standard two-phase
+      // BI dynamic-pivot shape; a high-cardinality pivot column would
+      // need an explicit cap + unpivoted (key,value) output instead.
       val statuses = (o.select($"o_orderstatus").distinct()
         .collect().map(_.getString(0)) ++ Seq("F", "O", "P"))
         .distinct.sorted.toSeq

@@ -13,11 +13,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // same cleanup as Bench: catalog cache + checkpoint RDD blocks
-    def release(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    def release(): Unit = graft.GraftSession.release(spark)
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       fn(spark, sfDir).count(); release()

@@ -36,11 +36,14 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    errs_path = f"{out_dir}/errors.json"
+    errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            why = errs.get(name, "no spark output (not recorded as err — check Verify log)")
+            print(f"ERR  {name}: {why[:200]}"); n_fail += 1; continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
             want = canon(con.execute(sql).df())
