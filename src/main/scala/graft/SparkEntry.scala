@@ -16,14 +16,16 @@ object SparkEntry {
       RelationalQueries3.defs ++ RelationalQueries4.defs ++
       RelationalQueries5.defs ++ RelationalQueries6.defs ++
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
-      RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
+      RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
+      RelationalQueries12.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
-      SimilarityQueries3.defs ++ ClusterQueries.defs ++
+      SimilarityQueries3.defs ++ SimilarityQueries4.defs ++ ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
-      CorpusQueries5.defs ++ FeatureQueries.defs ++ FeatureQueries2.defs ++
+      CorpusQueries5.defs ++ CorpusQueries6.defs ++
+      FeatureQueries.defs ++ FeatureQueries2.defs ++
       SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,13 +36,15 @@ object SparkEntry {
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
-      RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
+      RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
+      RelationalQueries12.oracles ++ EventQueries.oracles ++
+      TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++ TextQueries4.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
-      SimilarityQueries3.oracles ++ ClusterQueries.oracles ++
+      SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++ ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
-      CorpusQueries5.oracles ++ FeatureQueries.oracles ++ FeatureQueries2.oracles ++
+      CorpusQueries5.oracles ++ CorpusQueries6.oracles ++
+      FeatureQueries.oracles ++ FeatureQueries2.oracles ++
       SketchQueries.oracles
 }

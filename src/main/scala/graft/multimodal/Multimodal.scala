@@ -187,6 +187,54 @@ object Multimodal {
       }
   }
 
+  case class ShotStats(media_id: Long, n_frames: Long, n_shots: Long,
+      max_delta: Long)
+
+  /** Shot-boundary detection over video payloads: frame the payload
+    * into complete `frameBytes` chunks, compute each frame's integer
+    * byte-sum energy, and cut where the absolute energy delta between
+    * consecutive frames exceeds `threshold` (the classic
+    * histogram/intensity-difference detector; a real pipeline would
+    * compare color histograms per frame — the framing, the pairwise
+    * scan and the integer-delta contract stay identical). n_shots =
+    * boundaries + 1 for any non-empty framing, 0 for payloads shorter
+    * than one frame. Exact integers end to end, so the oracle replays
+    * every cut. Partition-wise kernel like [[audioWindows]].
+    */
+  def shotBoundaries(media: DataFrame, frameBytes: Int,
+      threshold: Long): Dataset[ShotStats] = {
+    require(frameBytes > 0)
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val n = p.length / frameBytes
+          val e = new Array[Long](n)
+          var f = 0
+          while (f < n) {
+            var s = 0L
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) { s += (p(i) & 0xFF); i += 1 }
+            e(f) = s
+            f += 1
+          }
+          var cuts = 0L
+          var maxD = 0L
+          var j = 1
+          while (j < n) {
+            val d = math.abs(e(j) - e(j - 1))
+            if (d > threshold) cuts += 1
+            if (d > maxD) maxD = d
+            j += 1
+          }
+          ShotStats(id, n.toLong, if (n == 0) 0L else cuts + 1L, maxD)
+        }
+      }
+  }
+
   case class PHash(media_id: Long, phash: String)
 
   /** Average-hash perceptual fingerprint for image payloads: downsample

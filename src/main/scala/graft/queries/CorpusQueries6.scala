@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Tokenizer-training + fingerprinting corpus operators (round 7).
+  *
+  * `corpus_bpe` — the first iteration of BPE tokenizer training
+  * (Sennrich et al. 2016): the adjacent-symbol pair-count table,
+  * weighted by word frequency, that the trainer's merge step argmaxes
+  * over. Scale shape: pair counting runs on the DISTINCT-WORD table
+  * (vocabulary-bounded — the within-word quadratic never touches
+  * corpus rows), so the expensive explode is O(vocab · word_len) and
+  * the corpus contributes only a word-count groupBy.
+  *
+  * `corpus_winnowing` — winnowing document fingerprints (Schleimer et
+  * al. 2003, the MOSS algorithm): k-gram rolling hashes, min of each
+  * w-hash window, distinct selected values = the document's sketch.
+  * Guarantees any match of length ≥ w+k−1 shares a fingerprint, at
+  * ~2/(w+1) sketch density. Strictly row-local (zero shuffles other
+  * than the scan); every hash is the repo's standard base-31 mod 1e9+7
+  * polynomial, so DuckDB replays the sketch value-for-value. Window
+  * minima are selected BY VALUE and deduped, so the classic
+  * rightmost-tie rule (a position-level concern) cannot affect the
+  * output set.
+  */
+object CorpusQueries6 {
+
+  private val K = 8   // winnowing k-gram length (chars)
+  private val W = 16  // winnowing window (hashes)
+  private val TopPairs = 20
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"), $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc).limit(TopPairs)
+    },
+
+    // Word-association mining (the word2vec/SGNS co-occurrence
+    // preprocessing step): skip-bigram counts within a +-2 token
+    // window, scored by the PMI ASSOCIATION RATIO in rational form —
+    // (N_pairs · c(a,b)) / (c(a) · c(b)), which orders pairs exactly
+    // like PMI = log of it without the one libm call that breaks
+    // cross-engine bit-parity (the corpus_bm25 no-log rule). All
+    // counts exact integers; both products fit BIGINT (N ~ 1e6·4,
+    // c ~ 1e5); ONE IEEE division per surviving pair. c(a,b) >= 5
+    // filters the rare-pair noise that dominates raw PMI. Scale
+    // shape: pair extraction is row-local (explode of a per-doc
+    // windowed zip), ONE high-cardinality (a,b) rollup with map-side
+    // partials; unigram counts are vocab-bounded and broadcast back;
+    // the corpus total is a 1-row broadcast; top-30 is a partial
+    // TakeOrdered.
+    "corpus_pmi" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(split($"text", " ").as("ps"))
+      val pairs = toks.select(explode(expr(
+        """flatten(transform(sequence(1, size(ps)), i ->
+          | transform(filter(array(i + 1, i + 2), j -> j <= size(ps)),
+          |  j -> struct(least(element_at(ps, i), element_at(ps, j)) AS a,
+          |              greatest(element_at(ps, i), element_at(ps, j)) AS b))))"""
+          .stripMargin)).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .persist() // feeds the pair rollup AND the N total
+      val pairCnt = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= 5)
+      val uni = toks.select(explode($"ps").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c_w"))
+      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairCnt
+        .join(broadcast(uni.select($"w".as("a"), $"c_w".as("c_a"))), "a")
+        .join(broadcast(uni.select($"w".as("b"), $"c_w".as("c_b"))), "b")
+        .crossJoin(broadcast(n))
+        .select($"a", $"b", $"c_ab", $"c_a", $"c_b",
+          (($"n_pairs" * $"c_ab").cast("double") /
+            ($"c_a" * $"c_b").cast("double")).as("assoc"))
+        .orderBy($"assoc".desc, $"a".asc, $"b".asc).limit(30)
+    },
+
+    "corpus_winnowing" -> { (s, dir) =>
+      val docs = graft.operators.Parallelism.ensure(
+        Tables.load(s, dir, "documents"))
+      // k-gram hashes (clamped at the tail like text_fingerprint), then
+      // per-window minima, then the distinct value set. All aggregates
+      // of the sketch are integers: count, min, max, sum (values
+      // < 1e9+7, docs < 1e3 chars — the sum cannot overflow BIGINT).
+      docs
+        .withColumn("gh", expr(
+          s"""transform(sequence(1, greatest(length(text) - ${K - 1}, 1)), i ->
+             | aggregate(transform(sequence(0, least(${K - 1}, length(text) - i)),
+             |   j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+             |  CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007))""".stripMargin))
+        .withColumn("fps", expr(
+          s"""array_distinct(transform(
+             | sequence(1, greatest(size(gh) - ${W - 1}, 1)),
+             | i -> array_min(slice(gh, i, $W))))""".stripMargin))
+        .select(col("doc_id"),
+          expr("CAST(size(fps) AS BIGINT)").as("n_fp"),
+          expr("array_min(fps)").as("min_fp"),
+          expr("array_max(fps)").as("max_fp"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_fp"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "corpus_bpe" ->
+      s"""WITH words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |pairs AS (
+         |  SELECT unnest(list_transform(range(1, length(w)),
+         |    gi -> substr(w, CAST(gi AS INT), 2))) AS pair, freq
+         |  FROM words)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs
+         |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $TopPairs""".stripMargin,
+
+    "corpus_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ps FROM documents),
+        |pairs AS (
+        |  SELECT p.a, p.b FROM toks,
+        |    unnest(flatten(list_transform(range(1, len(ps) + 1), gi ->
+        |      list_transform(list_filter([gi + 1, gi + 2], gj -> gj <= len(ps)),
+        |        gj -> struct_pack(a := least(ps[CAST(gi AS INT)], ps[CAST(gj AS INT)]),
+        |                          b := greatest(ps[CAST(gi AS INT)], ps[CAST(gj AS INT)])))))) AS t(p)),
+        |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM pairs GROUP BY a, b HAVING count(*) >= 5),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM (
+        |  SELECT unnest(ps) AS w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+        |SELECT pc.a, pc.b, pc.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+        |  CAST(n.n_pairs * pc.c_ab AS DOUBLE) / CAST(ua.c_w * ub.c_w AS DOUBLE)
+        |    AS assoc
+        |FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w, n
+        |ORDER BY assoc DESC, a ASC, b ASC LIMIT 30""".stripMargin,
+
+    // window minima via explicit offset transforms (NOT DuckDB list
+    // slicing — its inclusive bounds differ from Spark's slice(start,
+    // len) clamping); list_sum of an empty list is NULL on neither
+    // side here because sketches are never empty (n_g >= 1 always)
+    "corpus_winnowing" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(length(text) - ${K - 1}, 1) + 1),
+         |      gi -> list_reduce(
+         |        list_transform(range(0, least($K, length(text) - gi + 1)),
+         |          gj -> CAST(ord(substr(text, CAST(gi + gj AS INT), 1)) AS BIGINT)),
+         |        (ga, gc) -> (ga * 31 + gc) % 1000000007)) AS gh
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(gh) - ${W - 1}, 1) + 1),
+         |      gi -> list_min(list_transform(
+         |        range(0, least($W, len(gh) - gi + 1)),
+         |        gj -> gh[CAST(gi + gj AS INT)])))) AS fps
+         |  FROM h)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CAST(list_min(fps) AS BIGINT) AS min_fp,
+         |  CAST(list_max(fps) AS BIGINT) AS max_fp,
+         |  CAST(list_sum(fps) AS BIGINT) AS sum_fp
+         |FROM w""".stripMargin
+  )
+}

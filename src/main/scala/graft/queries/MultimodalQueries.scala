@@ -52,6 +52,17 @@ object MultimodalQueries {
       val media = graft.operators.Parallelism.ensure(
         Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
       Multimodal.audioWindows(media, winBytes = 256, hopBytes = 128).toDF()
+    },
+
+    // shot-boundary detection: 64-byte frames, cut where the absolute
+    // frame-energy delta exceeds 150 (probed mid-range: the payload
+    // diff distribution's p50 is 99, p90 225 — real cuts, not all or
+    // nothing); oracle replays the framing + delta scan on the source
+    // text
+    "mm_shot_detect" -> { (s, dir) =>
+      val media = graft.operators.Parallelism.ensure(
+        Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
+      Multimodal.shotBoundaries(media, frameBytes = 64, threshold = 150L).toDF()
     }
   )
 
@@ -128,6 +139,26 @@ object MultimodalQueries {
         |  CAST(list_sum(list_transform(range(1, 257),
         |    gi -> ord(substr(text, CAST(wi * 128 + gi AS INT), 1))))
         |    AS BIGINT) AS energy
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    "mm_shot_detect" ->
+      """WITH v AS (SELECT doc_id AS media_id, text, length(text) // 64 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |e AS (SELECT media_id, nf,
+        |  list_transform(range(0, nf), fi ->
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      gi -> ord(substr(text, CAST(fi * 64 + gi AS INT), 1))))
+        |      AS BIGINT)) AS en
+        |  FROM v),
+        |d AS (SELECT media_id, nf,
+        |  list_transform(range(1, nf),
+        |    fi -> abs(en[CAST(fi + 1 AS INT)] - en[CAST(fi AS INT)])) AS deltas
+        |  FROM e)
+        |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN nf = 0 THEN 0
+        |    ELSE len(list_filter(deltas, gd -> gd > 150)) + 1 END AS BIGINT)
+        |    AS n_shots,
+        |  CAST(coalesce(list_max(deltas), 0) AS BIGINT) AS max_delta
+        |FROM d""".stripMargin
   )
 }

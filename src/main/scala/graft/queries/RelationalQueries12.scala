@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-7 additions: community detection and the SCD2 warehouse
+  * primitive.
+  *
+  * `q93_label_prop` — synchronous label propagation (Raghavan et al.
+  * 2007) over the part co-order graph (q92's edge build), 3 unrolled
+  * rounds: every node adopts the label with the highest neighbor
+  * count, ties to the SMALLEST label — all-integer counts and a total
+  * tie order, so every round is bit-exact replayable (the float-free
+  * graph discipline of q90/q91/q92). Scale shape: edges built once,
+  * pre-partitioned on src and persisted; a round is one broadcast join
+  * of the |V|-bounded label frame (preserves the edge partitioning —
+  * the q92 lesson; past broadcast limits the label side flips to
+  * SHUFFLE_HASH exactly like kcorePeelRound) + one (dst,label) partial
+  * agg + one argmax partial agg over the ≤|E|-bounded count frame —
+  * argmax as `max(struct(cnt, -label))`, decomposable, never a window
+  * over the graph. 3 rounds is the fixed-depth contract; lineage grows
+  * linearly (each round embeds the prior once) so no checkpoint is
+  * needed at this depth.
+  *
+  * `q94_scd2` — slowly-changing-dimension type 2 build from the event
+  * stream: per user, each run of consecutive equal `event_type`s
+  * becomes one dimension version with [valid_from, valid_to) interval
+  * and a version number; the live row has valid_to NULL. One window
+  * partition over the HIGH-cardinality user key (no cliff), exact
+  * integer epoch-micros on both engines (never raw timestamps — the
+  * round-1 precision rule).
+  */
+object RelationalQueries12 {
+
+  private val Rounds = 3
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_label_prop" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey")
+      // q92's edge build: per-order collect_set + row-local pair
+      // explode (one partial-agg shuffle, no self-join sort), then an
+      // exchange-free (src,dst) dedup on the src partitioning
+      // partition by DST, not src: hash(dst) satisfies clustering for
+      // the (src,dst) dedup here AND for both per-round rollups below
+      // ((dst,lbl) grouping and the dst argmax are both dst-subsumed),
+      // so after this ONE exchange no round ever re-shuffles the edge
+      // frame — the label side broadcasts and broadcast joins preserve
+      // the partitioning (the q92 peel lesson; naive src-partitioned
+      // form with per-round (dst,lbl)+dst shuffles measured 5.1s at
+      // sf0.1 vs 2.0s for this shape)
+      val edges = li.groupBy($"l_orderkey")
+        .agg(collect_set($"l_partkey").as("ps"))
+        .select(explode(expr(
+          "filter(flatten(transform(ps, x -> transform(ps, y -> " +
+            "struct(x AS src, y AS dst)))), p -> p.src != p.dst)")).as("p"))
+        .select($"p.src".as("src"), $"p.dst".as("dst"))
+        .repartition($"dst")
+        .groupBy($"src", $"dst").agg(lit(1))
+        .select($"src", $"dst")
+        .persist()
+      val l0 = edges.select($"dst".as("node")).distinct()
+        .select($"node", $"node".as("lbl"))
+      val lFinal = (1 to Rounds).foldLeft(l0) { (labels, _) =>
+        edges
+          .join(broadcast(labels.select($"node".as("src"), $"lbl")), "src")
+          .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
+          .groupBy($"dst")
+          .agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
+          .select($"dst".as("node"), (-$"m.nl").as("lbl"))
+      }
+      lFinal.groupBy($"lbl".as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"n_members".desc, $"community".asc)
+    },
+
+    "q94_scd2" -> { (s, dir) =>
+      scd2(Tables.events(s, dir))
+    },
+
+    // Point-in-time dimension lookup — the query SCD2 tables exist FOR
+    // (the AS OF join against a versioned dimension): each click event
+    // resolves the dimension version (built from the user's NON-click
+    // activity) active at its timestamp. The versions of one user
+    // partition time, so each fact matches at most one row. Scale
+    // shape: ONE equi-shuffle on the high-cardinality user key; the
+    // interval containment is a residual filter on the hash join (a
+    // few versions per user), never a theta join.
+    "q95_scd2_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val dim = scd2(ev.filter($"event_type" =!= "click"))
+        .select($"user_id", $"event_type".as("dim_state"), $"version",
+          $"valid_from_us", $"valid_to_us")
+      val facts = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+      facts.join(dim, Seq("user_id"))
+        .filter($"t_us" >= $"valid_from_us" &&
+          ($"valid_to_us".isNull || $"t_us" < $"valid_to_us"))
+        .select($"event_id", $"user_id", $"t_us", $"dim_state", $"version")
+    }
+  )
+
+  /** Shared SCD2 run-collapse (see q94 scaladoc). */
+  private def scd2(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ev = events.select($"user_id", $"event_type",
+      unix_micros($"ts").as("us"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    ev.withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead($"us", 1).over(w))
+      .select($"user_id", $"event_type", $"version",
+        $"us".as("valid_from_us"), $"valid_to_us")
+  }
+
+  private def lpRound(prev: String, cur: String) =
+    s"""c$cur AS (
+       |  SELECT e.dst, p.lbl, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM e JOIN $prev p ON e.src = p.node
+       |  GROUP BY e.dst, p.lbl),
+       |l$cur AS (
+       |  SELECT dst AS node, lbl FROM c$cur
+       |  QUALIFY row_number() OVER (PARTITION BY dst
+       |    ORDER BY cnt DESC, lbl ASC) = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q93_label_prop" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |  WHERE a.l_partkey < b.l_partkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |${lpRound("l0", "1")},
+         |${lpRound("l1", "2")},
+         |${lpRound("l2", "3")}
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l3 GROUP BY lbl
+         |ORDER BY n_members DESC, community ASC""".stripMargin,
+
+    "q94_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS prev_type
+        |  FROM ev),
+        |runs AS (
+        |  SELECT user_id, event_type, us, event_id FROM chg
+        |  WHERE prev_type IS NULL OR prev_type != event_type)
+        |SELECT user_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC) AS BIGINT) AS version,
+        |  us AS valid_from_us,
+        |  lead(us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC) AS valid_to_us
+        |FROM runs""".stripMargin,
+
+    "q95_scd2_lookup" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE event_type != 'click'),
+        |chg AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS prev_type
+        |  FROM ev),
+        |runs AS (
+        |  SELECT user_id, event_type, us, event_id FROM chg
+        |  WHERE prev_type IS NULL OR prev_type != event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS dim_state,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS BIGINT) AS version,
+        |    us AS valid_from_us,
+        |    lead(us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS valid_to_us
+        |  FROM runs),
+        |facts AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT f.event_id, f.user_id, f.t_us, d.dim_state, d.version
+        |FROM facts f JOIN dim d ON f.user_id = d.user_id
+        |WHERE f.t_us >= d.valid_from_us
+        |  AND (d.valid_to_us IS NULL OR f.t_us < d.valid_to_us)""".stripMargin
+  )
+}

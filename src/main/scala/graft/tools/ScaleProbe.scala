@@ -81,7 +81,10 @@ object ScaleProbe {
       "text_search_and", "ann_maxsim", "ann_centroids", "corpus_funnel",
       "ann_bq", "dedup_keep_best", "corpus_chunk", "ann_rrf",
       "corpus_dupngrams", "corpus_bm25", "ann_negatives", "dedup_semantic",
-      "q90_pagerank")
+      "q90_pagerank",
+      "corpus_bpe", "corpus_winnowing", "q93_label_prop", "q94_scd2",
+      "ann_recall", "mm_shot_detect", "text_readability", "dedup_normalized",
+      "q95_scd2_lookup", "corpus_pmi")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption

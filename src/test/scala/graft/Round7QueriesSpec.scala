@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Property specs for the round-7 operators. The driver's oracle gate
+  * proves value parity; these pin the semantic contracts an oracle
+  * diff can't express.
+  */
+class Round7QueriesSpec extends SparkSpec {
+
+  test("winnowing guarantee: docs sharing a substring of length >= w+k-1 share a fingerprint") {
+    import spark.implicits._
+    // k=8, w=16 → any common run of >= 23 chars must put at least one
+    // common value in both sketches (the Schleimer guarantee, stated
+    // over values — value-dedup can only merge equal fingerprints)
+    val common = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"AAAA $common BBBB"),
+      (2L, s"zzzzzz $common qqqq"),
+      (3L, "completely unrelated content with no overlap at all xyzw"))
+      .toDF("doc_id", "text")
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("gh", expr(
+        """transform(sequence(1, greatest(length(text) - 7, 1)), i ->
+          | aggregate(transform(sequence(0, least(7, length(text) - i)),
+          |   j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007))""".stripMargin))
+      .withColumn("fps", expr(
+        """array_distinct(transform(sequence(1, greatest(size(gh) - 15, 1)),
+          | i -> array_min(slice(gh, i, 16))))""".stripMargin))
+      .select($"doc_id", explode($"fps").as("fp"))
+    val fps = sketch(docs).collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide here")
+  }
+
+  test("shotBoundaries kernel: framing, cuts and edge cases") {
+    import spark.implicits._
+    // 3 frames of 4 bytes: energies 4, 404, 404 → one cut at t=1 for
+    // threshold 100 → 2 shots; a 3-byte payload frames to zero shots
+    val flat = Array.fill(4)(1.toByte)
+    val loud = Array.fill(4)(101.toByte)
+    val media = Seq(
+      (1L, "video", flat ++ loud ++ loud),
+      (2L, "video", Array[Byte](1, 2, 3)),
+      (3L, "audio", flat ++ loud)) // wrong kind: filtered out
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.shotBoundaries(media, frameBytes = 4, threshold = 100L)
+      .collect().map(s => s.media_id -> s).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).n_frames == 3 && out(1L).n_shots == 2 && out(1L).max_delta == 400L)
+    assert(out(2L).n_frames == 0 && out(2L).n_shots == 0 && out(2L).max_delta == 0L)
+    // threshold above the max delta → a single shot
+    assert(Multimodal.shotBoundaries(media, 4, 1000L)
+      .filter(_.media_id == 1L).head().n_shots == 1L)
+  }
+
+  test("corpus_bpe pair counts equal the brute-force pair multiset") {
+    val out = SparkEntry.queries("corpus_bpe")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force on the driver over the same table
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val brute = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(_.split(" ").filter(_.length >= 2).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        brute(p) = brute.getOrElse(p, 0L) + 1L
+      }
+    })
+    out.foreach { case (p, c) =>
+      assert(brute(p) == c, s"pair '$p' count mismatch")
+    }
+    // the returned 20 really are the top by (count desc, pair asc)
+    val expectedTop = brute.toSeq.sortBy { case (p, c) => (-c, p) }.take(20).toMap
+    assert(out == expectedTop)
+  }
+
+  test("q94_scd2 versions partition each user's timeline into contiguous intervals") {
+    val rows = SparkEntry.queries("q94_scd2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq, "dense versions")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), "valid_to == next valid_from (contiguous)")
+          assert(a._2 != b._2, "consecutive versions differ in type")
+        case _ => ()
+      }
+      assert(sorted.last._5.isEmpty, "live row has NULL valid_to")
+    }
+  }
+
+  test("ann_recall is bounded and the shortlist contains what it counts") {
+    val rows = SparkEntry.queries("ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, hits, recall) =>
+      assert(hits >= 0L && hits <= 10L)
+      assert(recall == hits.toDouble / 10.0)
+    }
+  }
+
+  test("q93_label_prop is deterministic and conserves nodes") {
+    val a = SparkEntry.queries("q93_label_prop")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = SparkEntry.queries("q93_label_prop")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "two runs must agree exactly (integer counts, total tie order)")
+    val nNodes = a.map(_._2).sum
+    val distinctParts = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    // every part that co-occurs with another part is a node
+    assert(nNodes <= distinctParts && nNodes > 0)
+    GraftSession.release(spark)
+  }
+}
