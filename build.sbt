@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): a 170+-query 3-pass bench suite in 8g ran
+  // ~15% slower suite-wide from old-gen pressure (94.4s -> 82.1s at
+  // 24g, worst on the broadcast-iterative graph queries); the box has
+  // 128 GiB and local[32] packs all executor threads into this one JVM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -38,7 +38,10 @@ object GraftSession {
     */
   def release(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
+    // blocking: the sweep runs OUTSIDE the timed window (between
+    // queries), and an async unpersist lets the previous query's
+    // storage linger into the next query's measurement
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 }

@@ -235,7 +235,19 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, queryDf: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    ivfCells(df, idCol, vecCol, centroidDf, queryDf, nprobe)
+      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** The IVF candidate stage alone (factored from [[ivfTopK]] so
+    * IVFPQ can put an ADC scorer behind the same probe): assign every
+    * vector to its nearest centroid, keep only vectors in the `nprobe`
+    * cells nearest the query. Returns df's columns + (cid, qid, qv).
+    */
+  def ivfCells(df: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, queryDf: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assignW = Window.partitionBy(col(idCol))
       .orderBy(cosine_sim(col(vecCol), col("cv")).desc, col("cid").asc)
@@ -251,8 +263,5 @@ object Similarity {
       .select(col("qid"), col("qv"), col("cid"))
     assigned.join(broadcast(probed), "cid")
       .filter(col(idCol) =!= col("qid"))
-      .withColumn("cos", cosine_sim(col(vecCol), col("qv")))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
   }
 }

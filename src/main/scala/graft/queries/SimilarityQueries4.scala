@@ -30,6 +30,35 @@ object SimilarityQueries4 {
   private val TopK = 10
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVFPQ — the canonical billion-vector index shape (FAISS
+    // IndexIVFPQ): the IVF coarse quantizer prunes the corpus to
+    // nprobe cells, then PQ ADC scores ONLY the survivors from
+    // per-subspace LUTs — at 100 TB the scan touches nprobe/k_cells
+    // of the data and m bytes per candidate, never the stored floats.
+    // Composes the two already-oracle-gated stages (ann_ivf's
+    // assignment/probe, ann_pq's LUT scorer) so determinism carries
+    // over: argmax/argmin tie-breaks to the lowest id, every fold
+    // strictly left-to-right — scores bit-equal in DuckDB.
+    "ann_ivfpq" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val wc = Window.partitionBy($"label").orderBy($"vec_id".asc)
+      val centroids = emb.withColumn("__rn", row_number().over(wc))
+        .filter($"__rn" === 1)
+        .select($"label".cast("int").as("cid"), $"embedding".as("cv"))
+      val q = emb.filter($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val codebook = emb.filter($"vec_id".between(1, 64))
+        .select(($"vec_id" - 1).cast("int").as("c"), $"embedding".as("cv"))
+      val cells = graft.operators.Similarity.ivfCells(
+        emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        centroids, q, nprobe = 3)
+        .select($"vec_id", $"label", $"embedding", $"cid")
+      graft.operators.Similarity.pqTopK(cells, "vec_id", "embedding",
+          codebook, q, k = 10, m = 8)
+        .select($"vec_id", $"label", $"cid".cast("long").as("cid"), $"pq_score")
+    },
+
     "ann_recall" -> { (s, dir) =>
       import s.implicits._
       val qz = expr(
@@ -65,6 +94,74 @@ object SimilarityQueries4 {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    // ann_ivf's cells/probe CTEs + ann_pq's LUT scorer over only the
+    // probed survivors — fold orders and tie-breaks identical to both
+    // parents, so the composite stays bit-exact
+    "ann_ivfpq" ->
+      s"""WITH c AS (SELECT CAST(e.label AS INT) AS cid, e.embedding AS cv
+         |  FROM embeddings e
+         |  JOIN (SELECT min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.vec_id = m.mv),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |asg AS (SELECT vec_id, label, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_vc DESC, cid ASC) AS rn
+         |  FROM (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |    ${cos("e.embedding", "c.cv")} AS cos_vc
+         |    FROM embeddings e, c WHERE e.vec_id != 0)),
+         |probe AS (SELECT cid FROM (SELECT c.cid,
+         |    row_number() OVER (ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid ASC)
+         |      AS rn FROM c, q) WHERE rn <= 3),
+         |cells AS (SELECT a.vec_id, a.label, a.embedding, a.cid
+         |  FROM asg a JOIN probe p ON a.cid = p.cid WHERE a.rn = 1),
+         |cb AS (SELECT CAST(vec_id - 1 AS INT) AS c, embedding AS cv
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 64),
+         |percode AS (
+         |  SELECT j.j, cb.c,
+         |    list_slice(cb.cv, j.j * 8 + 1, j.j * 8 + 8) AS cs,
+         |    list_slice(q.qv, j.j * 8 + 1, j.j * 8 + 8) AS qs
+         |  FROM cb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+         |  CROSS JOIN q),
+         |luts AS (
+         |  SELECT j, list(cs ORDER BY c) AS codes,
+         |    list(list_reduce(list_transform(range(1, 9), gi ->
+         |      CAST(cs[CAST(gi AS INT)] AS DOUBLE)
+         |        * CAST(qs[CAST(gi AS INT)] AS DOUBLE)),
+         |      (gx, gy) -> gx + gy) ORDER BY c) AS dots,
+         |    list(list_reduce(list_transform(range(1, 9), gi ->
+         |      CAST(cs[CAST(gi AS INT)] AS DOUBLE)
+         |        * CAST(cs[CAST(gi AS INT)] AS DOUBLE)),
+         |      (gx, gy) -> gx + gy) ORDER BY c) AS nrms
+         |  FROM percode GROUP BY j),
+         |enc AS (
+         |  SELECT e.vec_id, e.label, e.cid, l.j, l.dots, l.nrms,
+         |    list_transform(l.codes, cc ->
+         |      list_reduce(list_transform(range(1, 9), gi ->
+         |        (CAST(e.embedding[CAST(l.j * 8 + gi AS INT)] AS DOUBLE)
+         |          - CAST(cc[CAST(gi AS INT)] AS DOUBLE))
+         |        * (CAST(e.embedding[CAST(l.j * 8 + gi AS INT)] AS DOUBLE)
+         |          - CAST(cc[CAST(gi AS INT)] AS DOUBLE))),
+         |        (gx, gy) -> gx + gy)) AS dists
+         |  FROM cells e CROSS JOIN luts l),
+         |coded AS (
+         |  SELECT vec_id, label, cid, j,
+         |    dots[list_position(dists, list_min(dists))] AS dj,
+         |    nrms[list_position(dists, list_min(dists))] AS nj
+         |  FROM enc),
+         |agg AS (
+         |  SELECT vec_id, label, cid,
+         |    list_reduce(list(dj ORDER BY j), (gx, gy) -> gx + gy) AS dot_sum,
+         |    list_reduce(list(nj ORDER BY j), (gx, gy) -> gx + gy) AS nrm_sum
+         |  FROM coded GROUP BY vec_id, label, cid),
+         |qn AS (SELECT list_reduce(list_transform(range(1, len(qv) + 1), gi ->
+         |    CAST(qv[CAST(gi AS INT)] AS DOUBLE)
+         |      * CAST(qv[CAST(gi AS INT)] AS DOUBLE)),
+         |    (gx, gy) -> gx + gy) AS qq FROM q)
+         |SELECT vec_id, label, CAST(cid AS BIGINT) AS cid,
+         |  dot_sum / (sqrt(nrm_sum) * sqrt(qq)) AS pq_score
+         |FROM agg CROSS JOIN qn
+         |ORDER BY pq_score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
     "ann_recall" ->
       s"""WITH z AS (
          |  SELECT vec_id, embedding,

@@ -353,6 +353,45 @@ class PlanAuditSpec extends SparkSpec {
       "no join or global sort belongs in a row-local featurizer")
   }
 
+  test("round-7 row-local operators stay shuffle-free or single-shuffle") {
+    // winnowing / readability / shot detection: pure scan work (the
+    // Parallelism.ensure round-robin exchange is the ONLY allowed one
+    // on the single-file test tables)
+    for (q <- Seq("corpus_winnowing", "mm_shot_detect")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty &&
+        !p.contains("Exchange rangepartitioning"),
+        s"$q must not shuffle on keys — row-local kernel")
+    }
+    assert(!plan("text_readability").contains("Exchange"),
+      "readability is a pure projection")
+    // normalized dedup: exactly one keyed shuffle (the normalized key)
+    val dn = plan("dedup_normalized")
+    assert("Exchange hashpartitioning".r.findAllIn(dn).length == 1 &&
+      dn.contains("partial_min"),
+      "one key rollup, partial-aggregated map-side")
+  }
+
+  test("corpus_pmi: pair rollup partial-combines; unigram/total sides broadcast") {
+    val p = plan("corpus_pmi")
+    assert(p.contains("partial_count"),
+      "pair counts must combine map-side before the exchange")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "unigram counts and the total must come back as broadcasts")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 must be a partial top-N, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join belongs in the association scorer")
+  }
+
+  test("q94_scd2 windows partition on the high-cardinality user key only") {
+    val p = plan("q94_scd2")
+    assert(!p.contains("Window [") || !p.contains("PARTITION BY ()"),
+      "no global (unpartitioned) window")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      "the one shuffle keys on user_id")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}

@@ -105,6 +105,32 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivfpq candidates come only from probed cells and score deterministically") {
+    import org.apache.spark.sql.functions.{col, row_number, broadcast}
+    import spark.implicits._
+    val out = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
+    assert(out.length == 10)
+    // results must lie in the 3 cells nearest the query (IVF contract)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"vec_id".asc)
+    val centroids = emb.withColumn("__rn", row_number().over(wc))
+      .filter($"__rn" === 1)
+      .select($"label".cast("int").as("cid"), $"embedding".as("cv"))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .select($"cid", graft.functions.GraftFunctions
+        .cosine_sim($"qv", $"cv").as("c"))
+      .orderBy($"c".desc, $"cid".asc).limit(3)
+      .collect().map(_.getInt(0).toLong).toSet
+    out.foreach(r => assert(probed.contains(r.getLong(2)),
+      s"vec ${r.getLong(0)} scored from unprobed cell ${r.getLong(2)}"))
+    // deterministic across runs
+    val again = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q93_label_prop is deterministic and conserves nodes") {
     val a = SparkEntry.queries("q93_label_prop")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
