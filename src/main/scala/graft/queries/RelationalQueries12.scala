@@ -133,19 +133,11 @@ object RelationalQueries12 {
     }
   )
 
-  /** Shared SCD2 run-collapse (see q94 scaladoc). */
-  private def scd2(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
-    val ev = events.select($"user_id", $"event_type",
-      unix_micros($"ts").as("us"), $"event_id")
-    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
-    ev.withColumn("prev_type", lag($"event_type", 1).over(w))
-      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
-      .withColumn("version", row_number().over(w).cast("long"))
-      .withColumn("valid_to_us", lead($"us", 1).over(w))
-      .select($"user_id", $"event_type", $"version",
-        $"us".as("valid_from_us"), $"valid_to_us")
-  }
+  /** Shared SCD2 run-collapse (see q94 scaladoc; the incremental
+    * streaming fold lives next to it in operators.Scd2).
+    */
+  private def scd2(events: DataFrame): DataFrame =
+    graft.operators.Scd2.runs(events)
 
   private def lpRound(prev: String, cur: String) =
     s"""c$cur AS (

@@ -222,6 +222,43 @@ object StreamingOps {
       aggs: Seq[graft.operators.IncrementalAgg.Agg], stateDir: String,
       name: String, retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.IncrementalAgg
+    versionedStateSink(stream, stateDir, name, retainVersions) { (prev, batch) =>
+      val delta = IncrementalAgg.partial(batch, keys, aggs)
+      prev.fold(delta)(p => IncrementalAgg.merge(p, delta, keys, aggs))
+    }
+  }
+
+  /** Streaming SCD2 dimension maintenance: folds each micro-batch of
+    * events into a versioned [[graft.operators.Scd2]] dimension table
+    * under `stateDir` — the warehouse "type-2 dimension kept current
+    * from the event stream" pattern. Per-batch work is O(batch +
+    * affected users), never O(history): closed versions are immutable,
+    * only affected users' open rows rewrite. In-order arrival per user
+    * is the contract (the same assumption a watermarked append stream
+    * makes); the exactly-once replay/reset guards are the shared
+    * [[versionedStateSink]] harness. Final state == the batch
+    * `Scd2.runs` over everything streamed, proven in Scd2Spec.
+    */
+  def scd2Maintained(events: DataFrame, stateDir: String,
+      name: String, retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(events, stateDir, name, retainVersions) { (prev, batch) =>
+      graft.operators.Scd2.mergeFold(prev, batch.toDF())
+    }
+
+  /** The versioned exactly-once foreachBatch state harness shared by
+    * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
+    * the previous complete state (None on the first batch) with the
+    * current micro-batch; the result is written as `v=<batchId>` via
+    * staging + atomic rename. Replayed batches skip their fold (the
+    * version dir already exists), a reset checkpoint over reused state
+    * is refused (both the query-identity marker and the batch-id-below-
+    * newest-version guards), and superseded versions are pruned beyond
+    * `retainVersions`.
+    */
+  private def versionedStateSink(stream: DataFrame, stateDir: String,
+      name: String, retainVersions: Int)(
+      fold: (Option[DataFrame], Dataset[org.apache.spark.sql.Row]) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.hadoop.fs.Path
     require(retainVersions >= 1)
     stream.writeStream.queryName(name.replaceAll("\\W", "_"))
@@ -304,9 +341,7 @@ object StreamingOps {
                 "but its own version dir is absent: the streaming checkpoint was reset while " +
                 "reusing this stateDir. Use a fresh stateDir (or restore the original checkpoint) " +
                 "to avoid double-counting.")
-          val delta = IncrementalAgg.partial(batch, keys, aggs)
-          val merged = latestState(spark, stateDir, below = id)
-            .fold(delta)(prev => IncrementalAgg.merge(prev, delta, keys, aggs))
+          val merged = fold(latestState(spark, stateDir, below = id), batch)
           val staging = new Path(s"$stateDir/_staging_$id")
           fs.delete(staging, true) // stale leftover from a crashed attempt
           merged.write.mode("overwrite").parquet(staging.toString)
