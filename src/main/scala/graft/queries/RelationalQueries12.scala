@@ -41,9 +41,9 @@ object RelationalQueries12 {
       import s.implicits._
       val li = Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey")
-      // q92's edge build: per-order collect_set + row-local pair
-      // explode (one partial-agg shuffle, no self-join sort), then an
-      // exchange-free (src,dst) dedup on the src partitioning
+      // q92's edge build: SHUFFLE_HASH self-join on the order key
+      // (sort-free; 1.8x the collect_set+explode form, see q92), then
+      // an exchange-free (src,dst) dedup on the dst partitioning
       // partition by DST, not src: hash(dst) satisfies clustering for
       // the (src,dst) dedup here AND for both per-round rollups below
       // ((dst,lbl) grouping and the dst argmax are both dst-subsumed),
@@ -52,12 +52,12 @@ object RelationalQueries12 {
       // the partitioning (the q92 peel lesson; naive src-partitioned
       // form with per-round (dst,lbl)+dst shuffles measured 5.1s at
       // sf0.1 vs 2.0s for this shape)
-      val edges = li.groupBy($"l_orderkey")
-        .agg(collect_set($"l_partkey").as("ps"))
-        .select(explode(expr(
-          "filter(flatten(transform(ps, x -> transform(ps, y -> " +
-            "struct(x AS src, y AS dst)))), p -> p.src != p.dst)")).as("p"))
-        .select($"p.src".as("src"), $"p.dst".as("dst"))
+      val ea = li.select($"l_orderkey", $"l_partkey".as("src"))
+      val eb = li.select($"l_orderkey", $"l_partkey".as("dst"))
+      val edges = ea.hint("SHUFFLE_HASH").join(eb.hint("SHUFFLE_HASH"),
+          Seq("l_orderkey"))
+        .filter($"src" =!= $"dst")
+        .select($"src", $"dst")
         .repartition($"dst")
         .groupBy($"src", $"dst").agg(lit(1))
         .select($"src", $"dst")
