@@ -130,6 +130,46 @@ object RelationalQueries12 {
       s1.agg(count(lit(1)).as("n_stage1")).crossJoin(
         s2.agg(count(lit(1)).as("n_stage2"))).crossJoin(
         s3.agg(count(lit(1)).as("n_stage3")))
+    },
+
+    // MERGE INTO semantics (the Delta/Iceberg upsert statement, which
+    // plain-parquet Spark lacks) as a relational operator: apply a
+    // keyed changeset (insert / update / delete, one op per key) to a
+    // base table in ONE pass — delete = anti semantics, update = value
+    // rewrite on match, insert = new keys appended. The changeset here
+    // derives deterministically from orders (heavy customers update
+    // their balance by their order total, every 97th ordering customer
+    // deletes, heavy keys also mint a shifted-key insert), so the
+    // oracle rebuilds it bit-for-bit; money stays exact decimal until
+    // the final double. Scale shape: ONE outer join on the key
+    // (changeset side is pre-aggregated to one row per key) + a union
+    // of the bounded insert set — never multiple passes over base.
+    "q97_merge" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables.load(s, dir, "customer")
+        .select($"c_custkey", $"c_name",
+          $"c_acctbal".cast("decimal(15,2)").as("bal"))
+      val byCust = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
+      val changes = byCust
+        .filter($"n_orders" >= 8 || $"o_custkey" % 97 === 0)
+        .select($"o_custkey".as("key"),
+          when($"o_custkey" % 97 === 0, lit("D"))
+            .otherwise(lit("U")).as("op"),
+          $"total")
+      val inserts = byCust.filter($"n_orders" >= 12)
+        .select(($"o_custkey" + 1000000L).as("c_custkey"),
+          concat(lit("NEW#"), $"o_custkey").as("c_name"),
+          $"total".cast("decimal(15,2)").as("bal"))
+      base.join(changes, base("c_custkey") === changes("key"), "left")
+        .filter($"op".isNull || $"op" =!= "D")
+        .select($"c_custkey", $"c_name",
+          when($"op" === "U", ($"bal" + $"total").cast("decimal(15,2)"))
+            .otherwise($"bal").as("bal"))
+        .unionByName(inserts)
+        .select($"c_custkey", $"c_name", $"bal".cast("double").as("bal"))
     }
   )
 
@@ -229,6 +269,33 @@ object RelationalQueries12 {
         |  WHERE p.p_us > vc.c_us AND p.p_us <= vc.c_us + 3600000000)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_stage1,
         |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_stage2,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_stage3""".stripMargin
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_stage3""".stripMargin,
+
+    "q97_merge" ->
+      """WITH bc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
+        |      AS total
+        |  FROM orders GROUP BY o_custkey),
+        |changes AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op, total
+        |  FROM bc WHERE n_orders >= 8 OR o_custkey % 97 = 0),
+        |ins AS (
+        |  SELECT o_custkey + 1000000 AS c_custkey,
+        |    'NEW#' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    total AS bal
+        |  FROM bc WHERE n_orders >= 12),
+        |merged AS (
+        |  SELECT b.c_custkey, b.c_name,
+        |    CASE WHEN c.op = 'U'
+        |      THEN CAST(CAST(b.c_acctbal AS DECIMAL(15,2)) + c.total
+        |        AS DECIMAL(15,2))
+        |      ELSE CAST(b.c_acctbal AS DECIMAL(15,2)) END AS bal
+        |  FROM customer b LEFT JOIN changes c ON b.c_custkey = c.key
+        |  WHERE c.op IS NULL OR c.op != 'D')
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal FROM merged
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal FROM ins""".stripMargin
   )
 }

@@ -163,6 +163,37 @@ class Round7QueriesSpec extends SparkSpec {
     assert(s2 <= s1)
   }
 
+  test("q97_merge applies delete/update/insert exactly once per key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = SparkEntry.queries("q97_merge")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val base = Tables.load(spark, sf, "customer")
+      .select($"c_custkey", $"c_acctbal".cast("decimal(15,2)").as("bal"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val byCust = Tables.load(spark, sf, "orders").groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast("decimal(15,2)")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+    val deleted = byCust.collect { case (k, _, _) if k % 97 == 0 => k }.toSet
+    val updated = byCust.collect { case (k, n, t) if k % 97 != 0 && n >= 8 => k -> t }.toMap
+    val inserted = byCust.collect { case (k, n, t) if n >= 12 => (k + 1000000L) -> t }.toMap
+    assert(deleted.nonEmpty && updated.nonEmpty && inserted.nonEmpty,
+      "fixture must exercise all three ops")
+    deleted.foreach(k => assert(!out.contains(k), s"deleted key $k survived"))
+    inserted.foreach { case (k, t) =>
+      assert(out.contains(k) && out(k)._1.startsWith("NEW#"), s"insert $k missing")
+      assert(out(k)._2 == t.doubleValue, s"insert $k balance")
+    }
+    updated.foreach { case (k, t) =>
+      assert(out(k)._2 == base(k).add(t).doubleValue, s"update $k balance")
+    }
+    // untouched keys keep their balance
+    val touched = deleted ++ updated.keySet
+    base.keys.filterNot(touched).take(50).foreach { k =>
+      assert(out(k)._2 == base(k).doubleValue, s"untouched $k changed")
+    }
+  }
+
   test("q93_label_prop is deterministic and conserves nodes") {
     val a = SparkEntry.queries("q93_label_prop")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
