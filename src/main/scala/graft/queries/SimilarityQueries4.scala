@@ -137,6 +137,23 @@ object SimilarityQueries4 {
       s.createDataFrame(selected.toSeq).toDF("vec_id", "pick_order", "cosq", "score")
     },
 
+    // filtered (metadata-constrained) ANN — "top-k similar WHERE
+    // label = 3", the hybrid search every vector store ships. The
+    // predicate is a plain Catalyst filter, so it reaches the parquet
+    // scan as a pushed filter and the cosine kernel only ever runs on
+    // the surviving rows (PRE-filtering; a post-filtered top-k both
+    // over-scans and under-returns). Plan-audited in PlanAuditSpec.
+    "ann_filtered" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      emb.filter($"vec_id" =!= 0 && $"label" === 3)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", $"label".cast("long").as("label"),
+          cosine_sim($"embedding", $"qv").as("cos"))
+        .orderBy($"cos".desc, $"vec_id".asc).limit(10)
+    },
+
     "ann_recall" -> { (s, dir) =>
       import s.implicits._
       val qz = expr(
@@ -272,6 +289,14 @@ object SimilarityQueries4 {
          |  dot_sum / (sqrt(nrm_sum) * sqrt(qq)) AS pq_score
          |FROM agg CROSS JOIN qn
          |ORDER BY pq_score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_filtered" ->
+      s"""SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |  ${cos("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e,
+         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id != 0 AND e.label = 3
+         |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_recall" ->
       s"""WITH z AS (

@@ -62,6 +62,31 @@ object StreamingOps {
         hll_sketch_estimate(col("hll_sketch")).as("distinct_est"),
         col("hll_sketch"))
 
+  /** Tumbling-window heavy hitters in a stream via mergeable
+    * frequent-items sketch state (the [[windowedDistinct]] recipe
+    * applied to the other classic unbounded-state aggregate): the
+    * state store holds one ≤maxMapSize-entry sketch per window —
+    * bounded at ANY key cardinality, where an exact per-key count
+    * table grows with the data. In the sketch's exact regime
+    * (distinct keys < 0.75·maxMapSize) the emitted top-k equals the
+    * true count ranking (est desc, item asc — the sketch_freq_topk
+    * tie order); beyond it the Misra-Gries error bound applies with
+    * no change in shape. The raw sketch column re-merges with batch
+    * partials for lambda-free backfills, like the HLL op.
+    */
+  def windowedTopK(events: DataFrame, keyCol: String, windowLen: String,
+      watermark: String = "1 hour", maxMapSize: Int = 512,
+      k: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions.{freq_sketch_agg, freq_sketch_topk}
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(freq_sketch_agg(col(keyCol).cast("string"), maxMapSize)
+        .as("freq_sketch"))
+      .select(col("window"), col("freq_sketch"),
+        freq_sketch_topk(col("freq_sketch"), k).as("topk"))
+  }
+
   /** Native session windows (Spark's session_window): per-user sessions
     * close after `gap` of event-time silence — the declarative twin of
     * [[sessionize]]'s flatMapGroupsWithState (which keeps explicit

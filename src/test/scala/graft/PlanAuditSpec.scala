@@ -392,6 +392,15 @@ class PlanAuditSpec extends SparkSpec {
       "the one shuffle keys on user_id")
   }
 
+  test("filtered ANN pushes the metadata predicate into the scan, pre-cosine") {
+    val p = plan("ann_filtered")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
+      "the label predicate must reach the parquet scan — a post-filter " +
+        "top-k would run the cosine kernel on the whole corpus")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a partial top-N, not a global sort")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}

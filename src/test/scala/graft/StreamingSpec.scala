@@ -23,6 +23,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed heavy hitters equal batch exact ranking per window") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val q = StreamingOps.windowedTopK(stream, "user_id", "1 hour", k = 5)
+      .writeStream.format("memory").queryName("win_topk")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT unix_timestamp(window.start) ws, topk FROM win_topk")
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getString(0), t.getLong(1)))
+      }.toMap
+    q.stop()
+    // batch exact per-window ranking (n desc, key asc) — must equal the
+    // sketch ranking in the exact regime (150 users << 0.75*512)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("u"), col("n"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2)))
+        .sortBy(t => (-t._2, t._1)).take(5).toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (ws, topk) =>
+      assert(topk == batch(ws), s"window $ws: $topk != ${batch(ws)}")
+    }
+  }
+
   test("streaming windowed HLL distinct equals batch exact per window") {
     val stream = StreamingOps.eventsStream(spark, sf)
     val q = StreamingOps.windowedDistinct(stream, "user_id", "1 hour")
