@@ -87,6 +87,15 @@ object CorpusQueries6 {
         .orderBy($"assoc".desc, $"a".asc, $"b".asc).limit(30)
     },
 
+    // dataset-card profiling: per-column null/distinct/extreme stats
+    // in ONE aggregate over ONE scan (operators.Profile — a profiler
+    // that rescans per column is 100 scans at 100 TB). Values render
+    // through exact integer/string casts only, so the card is
+    // engine-portable.
+    "corpus_profile" -> { (s, dir) =>
+      graft.operators.Profile.profile(Tables.load(s, dir, "documents"))
+    },
+
     "corpus_winnowing" -> { (s, dir) =>
       val docs = graft.operators.Parallelism.ensure(
         Tables.load(s, dir, "documents"))
@@ -124,6 +133,23 @@ object CorpusQueries6 {
          |  FROM words)
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $TopPairs""".stripMargin,
+
+    "corpus_profile" -> {
+      val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val base = "SELECT CAST(count(*) AS BIGINT) AS n, " + docCols.map { c =>
+        s"CAST(count($c) AS VARCHAR) AS ${c}_nn, " +
+          s"CAST(count(DISTINCT $c) AS VARCHAR) AS ${c}_d, " +
+          s"CAST(min($c) AS VARCHAR) AS ${c}_mn, " +
+          s"CAST(max($c) AS VARCHAR) AS ${c}_mx"
+      }.mkString(", ") + " FROM documents"
+      val rows = docCols.flatMap { c =>
+        Seq(("nonnull", s"${c}_nn"), ("distinct", s"${c}_d"),
+          ("min", s"${c}_mn"), ("max", s"${c}_mx")).map { case (m, v) =>
+          s"""SELECT '$c' AS "column", '$m' AS metric, $v AS value, n AS n_rows FROM b"""
+        }
+      }
+      s"WITH b AS ($base)\n" + rows.mkString("\nUNION ALL\n")
+    },
 
     "corpus_pmi" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ps FROM documents),
