@@ -434,6 +434,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Cell-restricted moderate-tau embedding pairs — the bucketed form of
+    * [[embeddingPairsExact]] (the SemDeDup shape): assign every vector to
+    * its `nprobe` nearest centroids (broadcast `centroidDf`: (cid, cv)),
+    * compare only pairs that share at least one assigned cell, verify by
+    * exact strict-fold cosine >= tau. With k cells of ~n/k vectors and
+    * nprobe probes, candidate volume is O(nprobe²·n²/k) instead of
+    * O(n²) — size k with the corpus (k ~ sqrt(n) gives O(n^1.5)) and the
+    * centroid broadcast stays tiny. Assignment is one broadcast fan-out
+    * pruned map-side by Spark's partial WindowGroupLimit (rank<=nprobe),
+    * so the only keyed shuffles are the nprobe·n-row cell exchange and
+    * the candidate distinct.
+    *
+    * RECALL BOUND (why this is honest where sign-LSH is not): a pair
+    * (a,b) is compared iff cells(a) ∩ cells(b) ≠ ∅. For vectors within
+    * cos >= tau of each other, their centroid rankings disagree only
+    * when both sit near a cell boundary farther than the ranking margin;
+    * nprobe >= 2 covers exactly that boundary band (each side probes its
+    * runner-up cell). Unlike per-hyperplane sign agreement (2/3 per
+    * plane at cos 0.5 — recall collapses multiplicatively), the miss
+    * probability here does not compound with dimensionality; on
+    * label-structured corpora (this one) capture is empirically total.
+    * Callers needing a guarantee still run [[embeddingPairsExact]];
+    * callers at 100 TB run this with k-means centroids from
+    * [[Similarity.ivfFit]] or any deterministic seed rule.
+    */
+  def embeddingPairsCells(rawDf: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, tau: Double, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = Parallelism.ensure(rawDf)
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nprobe nearest cells per vector; ties break to the lowest cid (the
+    // dedup_semantic argmax discipline, rank form) — strict-fold cosines
+    // make the tie set itself engine-identical
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(cosine_sim(col("__v"), col("cv")).desc, col("cid").asc)
+    val cells = vecs.crossJoin(broadcast(centroidDf))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__id"), col("cid"))
+    // a pair sharing BOTH cells would verify twice — distinct first, so
+    // the (expensive) cosine verify runs once per candidate pair
+    val cands = cells.as("x").join(cells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Embedding near-dup pairs: sign-LSH banding (bands x rowsPerBand
     * hyperplanes) for candidates, exact cosine >= tau to verify.
     * The scale path for genuine near-duplicates (tau >= ~0.9, where a

@@ -62,10 +62,22 @@ object Scd2 {
         // the user's open row, rewritten: absorbed (same type — its end
         // becomes the batch run-1's end, which is NULL when the batch
         // doesn't change type again) or closed at the batch's first event
+        // runtime guard on the in-order contract: a batch whose first
+        // event precedes a user's open valid_from_us would silently mint
+        // an overlapping/negative interval and the streaming sink would
+        // persist it as authoritative state — fail the job instead.
+        // assert_true returns NULL when the predicate holds (one integer
+        // compare per affected user) and throws with the message when
+        // violated; gating valid_to_us on it keeps Catalyst from pruning
+        // the check away.
         val openRows = dec.filter(col("has_open")).select(
           col("user_id"), col("o_type").as("event_type"),
           col("o_ver").as("version"), col("o_from").as("valid_from_us"),
-          when(col("merged"), col("f_to")).otherwise(col("f_from"))
+          when(expr("assert_true(f_from >= o_from, " +
+              "'Scd2.mergeFold: out-of-order batch — an event precedes " +
+              "the open version valid_from_us (in-order-per-user " +
+              "contract, see scaladoc)')").isNull,
+            when(col("merged"), col("f_to")).otherwise(col("f_from")))
             .as("valid_to_us"))
         // batch runs renumbered after the prior counter; run 1 vanishes
         // into the open row when absorbed

@@ -105,8 +105,15 @@ object CorpusQueries6 {
       // < 1e9+7, docs < 1e3 chars — the sum cannot overflow BIGINT).
       docs
         .withColumn("gh", expr(
+          // inner length clamped to >= 1 position: on an empty/too-short
+          // text Spark's sequence(0, -1) would DESCEND ([0,-1]) and hash
+          // garbage while the DuckDB oracle's empty range makes
+          // list_reduce throw — the clamp gives both engines the same
+          // defined value (one out-of-range char: ascii('') = 0 here,
+          // greatest(ord(''), 0) = 0 there)
           s"""transform(sequence(1, greatest(length(text) - ${K - 1}, 1)), i ->
-             | aggregate(transform(sequence(0, least(${K - 1}, length(text) - i)),
+             | aggregate(transform(
+             |   sequence(0, greatest(least(${K - 1}, length(text) - i), 0)),
              |   j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT)),
              |  CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007))""".stripMargin))
         .withColumn("fps", expr(
@@ -179,8 +186,8 @@ object CorpusQueries6 {
          |  SELECT doc_id,
          |    list_transform(range(1, greatest(length(text) - ${K - 1}, 1) + 1),
          |      gi -> list_reduce(
-         |        list_transform(range(0, least($K, length(text) - gi + 1)),
-         |          gj -> CAST(ord(substr(text, CAST(gi + gj AS INT), 1)) AS BIGINT)),
+         |        list_transform(range(0, greatest(least($K, length(text) - gi + 1), 1)),
+         |          gj -> CAST(greatest(ord(substr(text, CAST(gi + gj AS INT), 1)), 0) AS BIGINT)),
          |        (ga, gc) -> (ga * 31 + gc) % 1000000007)) AS gh
          |  FROM documents),
          |w AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.GraftFunctions.cosine_sim
+import graft.operators.Dedup
 
 /** Semantic deduplication (SURVEY.md §2.2, round 6) — the SemDeDup
   * recipe (Abbas et al. 2023): cluster the embedding space, call
@@ -63,6 +64,24 @@ object DedupQueries2 {
       assigned.join(broadcast(keepers), Seq("cid"), "left")
         .select($"vec_id", $"cid", $"cos_c",
           ($"cos_c" < Tau || $"vec_id" === $"keep_vec").as("keep"))
+    },
+
+    // the bucketed form of dedup_embedding: same tau=0.5 pair semantics,
+    // but candidates come from shared IVF cells (nprobe=2) instead of an
+    // all-pairs block join — O(n²/k) compare volume, the shape that
+    // survives 100 TB. Centroids are the deterministic lowest-vec_id
+    // member per label (the dedup_semantic convention) so the oracle
+    // replays the exact cell assignment; at scale the centroid frame
+    // comes from Similarity.ivfFit instead, same operator.
+    "dedup_embedding_cells" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val wc = Window.partitionBy($"label").orderBy($"vec_id".asc)
+      val centroids = emb.withColumn("__rn", row_number().over(wc))
+        .filter($"__rn" === 1)
+        .select($"label".cast("long").as("cid"), $"embedding".as("cv"))
+      Dedup.embeddingPairsCells(emb, "vec_id", "embedding",
+        centroids, tau = 0.5, nprobe = 2)
     }
   )
 
@@ -97,6 +116,36 @@ object DedupQueries2 {
          |    FROM assigned WHERE cos_c >= $Tau) WHERE rn = 1)
          |SELECT a.vec_id, a.cid, a.cos_c,
          |  (a.cos_c < $Tau OR a.vec_id = k.keep_vec) AS keep
-         |FROM assigned a LEFT JOIN keepers k ON a.cid = k.cid""".stripMargin
+         |FROM assigned a LEFT JOIN keepers k ON a.cid = k.cid""".stripMargin,
+
+    // replays the cell-restricted candidate generation exactly: same
+    // deterministic centroids, same nprobe=2 ranking (strict-fold
+    // cosines -> identical tie sets, cid ASC tie-break), DISTINCT pairs
+    // sharing a cell, exact cosine verify. NOT the all-pairs truth —
+    // that is dedup_embedding's oracle; this gate proves the bucketed
+    // path computes its declared semantics bit-exactly.
+    "dedup_embedding_cells" ->
+      s"""WITH c AS (
+         |  SELECT CAST(label AS BIGINT) AS cid, embedding AS cv FROM (
+         |    SELECT label, embedding, row_number() OVER (
+         |      PARTITION BY label ORDER BY vec_id ASC) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |cells AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+         |    FROM embeddings e, c) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM cells x JOIN cells y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |scored AS (
+         |  SELECT p.id_a, p.id_b,
+         |    ${cos("a.embedding", "b.embedding")} AS cos
+         |  FROM cand p
+         |  JOIN embeddings a ON a.vec_id = p.id_a
+         |  JOIN embeddings b ON b.vec_id = p.id_b)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.5""".stripMargin
   )
 }

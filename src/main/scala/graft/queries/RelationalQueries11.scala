@@ -59,6 +59,32 @@ object RelationalQueries11 {
       .join(side("dst"), Seq("dst"), "left_semi")
   }
 
+  /** One pagerank contribution round over a dst-partitioned persisted
+    * edge frame. `broadcastRanks = true` is the measured-fast form at
+    * bench scale (the |V|-bounded rank/contrib frames broadcast, the
+    * round is exchange-free on the edge side); past the broadcast
+    * budget the SAME round runs with SHUFFLE_HASH sides instead —
+    * semantically identical (GraphRoundFallbackSpec proves output
+    * equality under autoBroadcastJoinThreshold=-1, the kcorePeelRound
+    * discipline), the edge frame re-exchanges per round. The flip is
+    * the caller's parameter, not an automatic threshold check.
+    */
+  def pagerankRound(edges: DataFrame, nd: DataFrame, rank: DataFrame,
+      broadcastRanks: Boolean): DataFrame = {
+    import edges.sparkSession.implicits._
+    def side(df: DataFrame) =
+      if (broadcastRanks) broadcast(df) else df.hint("SHUFFLE_HASH")
+    val contrib = edges
+      .join(side(rank.select($"node".as("src"), expr("rank div deg").as("c"))),
+        "src")
+      .groupBy($"dst").agg(sum($"c").as("s"))
+    nd.join(side(contrib.withColumnRenamed("dst", "node")),
+        Seq("node"), "left")
+      .select($"node", $"deg",
+        (lit(150000L) +
+          expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_pagerank" -> { (s, dir) =>
       import s.implicits._
@@ -78,8 +104,9 @@ object RelationalQueries11 {
       // edge list at all. The round-6 SHUFFLE_HASH form (src-
       // partitioned edges, shuffled node sides) measured 2.5s at
       // sf0.1; this one 1.85s. Past broadcast limits (|V| beyond the
-      // driver budget) the hints flip back to SHUFFLE_HASH exactly as
-      // in kcorePeelRound.
+      // driver budget) the caller flips pagerankRound's broadcastRanks
+      // parameter to get SHUFFLE_HASH sides — a manual knob exactly
+      // like kcorePeelRound's, proven by GraphRoundFallbackSpec.
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
         .repartition($"dst")
         .persist()
@@ -89,15 +116,7 @@ object RelationalQueries11 {
 
       val r0 = nd.select($"node", $"deg", lit(1000000L).as("rank"))
       val rFinal = (1 to 3).foldLeft(r0) { (rank, _) =>
-        val contrib = edges
-          .join(broadcast(rank.select($"node".as("src"), expr("rank div deg").as("c"))),
-            "src")
-          .groupBy($"dst").agg(sum($"c").as("s"))
-        nd.join(broadcast(contrib.withColumnRenamed("dst", "node")),
-            Seq("node"), "left")
-          .select($"node", $"deg",
-            (lit(150000L) +
-              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank"))
+        pagerankRound(edges, nd, rank, broadcastRanks = true)
       }
       rFinal
         .select($"node", ($"node" % 2).as("ntype"), $"rank")

@@ -36,6 +36,28 @@ object RelationalQueries12 {
 
   private val Rounds = 3
 
+  /** One synchronous label-propagation round over a dst-partitioned
+    * persisted edge frame: every node adopts its neighbors' most
+    * frequent label, ties to the smallest label (integer argmax as a
+    * decomposable max(struct)). `broadcastLabels = true` is the
+    * measured-fast form (|V|-bounded label frame broadcasts, the round
+    * is exchange-free on the edge side); past the broadcast budget the
+    * caller flips to SHUFFLE_HASH — semantically identical, proven by
+    * GraphRoundFallbackSpec under autoBroadcastJoinThreshold=-1.
+    */
+  def labelPropRound(edges: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean): DataFrame = {
+    import edges.sparkSession.implicits._
+    val ls = labels.select($"node".as("src"), $"lbl")
+    val side = if (broadcastLabels) broadcast(ls) else ls.hint("SHUFFLE_HASH")
+    edges
+      .join(side, "src")
+      .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
+      .groupBy($"dst")
+      .agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
+      .select($"dst".as("node"), (-$"m.nl").as("lbl"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_label_prop" -> { (s, dir) =>
       import s.implicits._
@@ -65,12 +87,7 @@ object RelationalQueries12 {
       val l0 = edges.select($"dst".as("node")).distinct()
         .select($"node", $"node".as("lbl"))
       val lFinal = (1 to Rounds).foldLeft(l0) { (labels, _) =>
-        edges
-          .join(broadcast(labels.select($"node".as("src"), $"lbl")), "src")
-          .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
-          .groupBy($"dst")
-          .agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
-          .select($"dst".as("node"), (-$"m.nl").as("lbl"))
+        labelPropRound(edges, labels, broadcastLabels = true)
       }
       lFinal.groupBy($"lbl".as("community"))
         .agg(count(lit(1)).as("n_members"))

@@ -101,10 +101,12 @@ object SimilarityQueries4 {
       val cosq = cand.map(_.getDouble(2))
       val n = ids.length
       val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+      val selectedIdx = scala.collection.mutable.ArrayBuffer[Int]()
       val inSel = new Array[Boolean](n)
       // pick 1: plain cosine argmax (the shortlist is already sorted
       // cosq desc, id asc)
       selected += ((ids(0), 1L, cosq(0), cosq(0))); inSel(0) = true
+      selectedIdx += 0
       (2 to 5).foreach { step =>
         var best = -1
         var bestScore = Double.NegativeInfinity
@@ -112,8 +114,7 @@ object SimilarityQueries4 {
         while (i < n) {
           if (!inSel(i)) {
             var msim = Double.NegativeInfinity
-            selected.foreach { case (sid, _, _, _) =>
-              val j = ids.indexOf(sid)
+            selectedIdx.foreach { j =>
               val c = fold(vecs(i), vecs(j))
               if (c > msim) msim = c
             }
@@ -132,6 +133,7 @@ object SimilarityQueries4 {
           i += 1
         }
         selected += ((ids(best), step.toLong, cosq(best), bestScore))
+        selectedIdx += best
         inSel(best) = true
       }
       s.createDataFrame(selected.toSeq).toDF("vec_id", "pick_order", "cosq", "score")

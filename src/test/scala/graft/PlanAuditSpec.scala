@@ -386,8 +386,17 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q94_scd2 windows partition on the high-cardinality user key only") {
     val p = plan("q94_scd2")
-    assert(!p.contains("Window [") || !p.contains("PARTITION BY ()"),
-      "no global (unpartitioned) window")
+    // every Window node's partition-spec list (the second bracket group
+    // in "Window [fns], [partSpec], [ordSpec]") must key on user_id — an
+    // unpartitioned window would print an empty/other spec there. The
+    // old form tested for the literal "PARTITION BY ()", which executed
+    // plans never print, so it could not fail.
+    val windowNodes = "(?m)^\\s*(?:[+:*\\-! ]*)Window .*$".r.findAllIn(p).toList
+    assert(windowNodes.nonEmpty, "q94_scd2 must use window functions")
+    windowNodes.foreach { w =>
+      assert("\\], \\[user_id#\\d+".r.findFirstIn(w).isDefined,
+        s"window must partition on user_id, got: $w")
+    }
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
       "the one shuffle keys on user_id")
   }
