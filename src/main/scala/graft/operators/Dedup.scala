@@ -434,6 +434,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Incremental minhash near-dup state fold — the LLM-ingest use of
+    * MinHash: each arriving batch of documents is flagged against ALL
+    * history without recomputing it. State = one immutable row per doc
+    * seen: (id, sig, is_dup), where is_dup was decided on arrival and
+    * never rewritten (the closed-SCD2-version discipline). A batch doc
+    * is a dup iff some SMALLER-id doc (in history or earlier in the
+    * same batch) shares an LSH band AND the signature-agreement
+    * estimate of Jaccard clears tauNum/tauDen — an integer compare
+    * (`matches·tauDen >= numHashes·tauNum`), no float boundary. The
+    * estimate (stderr ~1/sqrt(numHashes)) replaces the exact set verify
+    * deliberately: state stays ~1KB/doc signatures, never token sets or
+    * text — the property that makes the fold viable at ingest scale.
+    *
+    * Contract (mirrors Scd2.mergeFold): batches arrive in
+    * non-decreasing id order, so "smaller id" == "already in state" —
+    * folding any in-order split sequence equals one fold over
+    * everything (MinhashStreamSpec proves it). Per-batch work is
+    * O(batch·bands + matching buckets), never O(history²): the band
+    * join probes history's buckets with the batch's bands only.
+    */
+  def minhashDedupFold(prev: Option[DataFrame], batch: DataFrame,
+      idCol: String, textCol: String, mode: String = "word", n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val sigsB = Parallelism.ensure(batch)
+      .select(col(idCol).as("id"),
+        minhash_sig_text(col(textCol), mode, n, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histSigs = prev.map(_.select(col("id"), col("sig")))
+    // partner pool: history plus the batch itself (earlier-id matches
+    // within one batch count — a split must not change the answer)
+    val pool = histSigs.map(_.unionByName(sigsB)).getOrElse(sigsB)
+    val bandsPool = pool.select(col("id"),
+      explode(minhash_bands(col("sig"), bands)).as("__band"))
+    val bandsB = sigsB.select(col("id"),
+      explode(minhash_bands(col("sig"), bands)).as("__band"))
+    val cand = bandsB.as("x").join(bandsPool.as("y"),
+        col("x.__band") === col("y.__band") && col("y.id") < col("x.id"))
+      .select(col("x.id").as("id_b"), col("y.id").as("id_a"))
+      .distinct()
+    val dupIds = cand
+      .join(pool.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigsB.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .filter(expr("aggregate(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, 0)), " +
+        s"0, (a, b) -> a + b) * $tauDen >= $numHashes * $tauNum"))
+      .select(col("id_b").as("id")).distinct()
+    val stateB = sigsB
+      .join(dupIds.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("sig"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+    prev.map(_.unionByName(stateB)).getOrElse(stateB)
+  }
+
   /** Cell-restricted moderate-tau embedding pairs — the bucketed form of
     * [[embeddingPairsExact]] (the SemDeDup shape): assign every vector to
     * its `nprobe` nearest centroids (broadcast `centroidDf`: (cid, cv)),

@@ -30,6 +30,8 @@ object CorpusQueries6 {
   private val K = 8   // winnowing k-gram length (chars)
   private val W = 16  // winnowing window (hashes)
   private val TopPairs = 20
+  private val MergeRounds = 3 // corpus_bpe_merges fixed-depth contract
+  private val Sep = "\u001f"  // symbol separator (chr(31)) — never in text
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bpe" -> { (s, dir) =>
@@ -44,6 +46,69 @@ object CorpusQueries6 {
           .as("pair"), $"freq")
         .groupBy($"pair").agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"pair".asc).limit(TopPairs)
+    },
+
+    // Iterated BPE merge training — what corpus_bpe's single pair-count
+    // pass feeds: MergeRounds rounds of (count adjacent symbol pairs on
+    // the vocab, pick the argmax pair, greedily re-segment every word
+    // left-to-right). Output = the merge table (round, a, b, cnt), the
+    // artifact a tokenizer trainer persists. Determinism: integer
+    // counts; the merge pick is a total order (cnt DESC, a ASC, b ASC);
+    // the greedy re-segment is a strict left fold, so DuckDB replays
+    // every round exactly (unrolled CTE rounds, the q93 lpRound shape).
+    // Scale shape: all per-round work is VOCAB-bounded (the corpus
+    // contributes one word-count groupBy up front); each round is one
+    // partial-agg pair rollup + a 1-row TakeOrdered collected to the
+    // driver (the bounded-ladder contract — the merge pick is a global
+    // argmax, inherently a 1-row decision) + a row-local fold; each
+    // round's segmentation persists and the superseded one drops (the
+    // q91 round-frame discipline). Symbols are chr(31)-joined strings,
+    // so "merge" is literally append-without-separator — no arrays
+    // shuffle anywhere.
+    "corpus_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val words0 = Tables.load(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select(expr("array_join(transform(sequence(1, length(w)), " +
+          "i -> substring(w, i, 1)), chr(31))").as("wstr"), $"freq")
+        .persist()
+      var seg = words0
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      (1 to MergeRounds).foreach { r =>
+        val pc = seg.select(explode(expr(
+          """CASE WHEN size(split(wstr, chr(31))) >= 2 THEN
+            |  transform(sequence(1, size(split(wstr, chr(31))) - 1),
+            |    i -> struct(element_at(split(wstr, chr(31)), i) AS a,
+            |      element_at(split(wstr, chr(31)), CAST(i + 1 AS INT)) AS b))
+            |ELSE CAST(array() AS array<struct<a:string,b:string>>) END"""
+            .stripMargin)).as("p"), $"freq")
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"freq").as("cnt"))
+        val best = pc.orderBy($"cnt".desc, $"a".asc, $"b".asc).limit(1)
+          .collect()
+        require(best.nonEmpty, s"corpus_bpe_merges: no pairs left at round $r")
+        val (ba, bb, bc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, ba, bb, bc))
+        // greedy left-to-right merge: appending WITHOUT the separator is
+        // the merge (the last symbol a absorbs b); lit() keeps arbitrary
+        // text chars out of SQL-literal escaping
+        val syms = split($"wstr", Sep)
+        val nxt = seg.withColumn("wstr",
+            aggregate(slice(syms, lit(2), size(syms) - 1),
+              element_at(syms, 1),
+              (acc, ss) => when(
+                element_at(split(acc, Sep), -1) === lit(ba) && ss === lit(bb),
+                concat(acc, ss)).otherwise(concat(acc, lit(Sep), ss))))
+          .persist()
+        nxt.count() // materialize before dropping the superseded round
+        if (seg ne words0) seg.unpersist()
+        seg = nxt
+      }
+      seg.unpersist(); words0.unpersist()
+      s.createDataFrame(merges.toSeq).toDF("round", "a", "b", "cnt")
     },
 
     // Word-association mining (the word2vec/SGNS co-occurrence
@@ -128,7 +193,46 @@ object CorpusQueries6 {
     }
   )
 
+  /** One unrolled BPE round (pair counts -> 1-row argmax -> greedy
+    * re-segment), chained words$r -> words${r+1} — the q93 lpRound
+    * discipline. list_reduce's elem-1 init == Spark's aggregate over
+    * slice(syms, 2) with init syms[1]; b$r.a/b captured from a plain
+    * lateral cross join (outer-lambda capture is fine outside
+    * RECURSIVE CTEs — the ann_pq precedent).
+    */
+  private def bpeRoundCte(r: Int): String =
+    s"""p$r AS (
+       |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT ss[CAST(gi AS INT)] AS a, ss[CAST(gi + 1 AS INT)] AS b, freq
+       |    FROM (SELECT string_split(wstr, chr(31)) AS ss, freq
+       |          FROM words${r - 1}),
+       |      unnest(range(1, len(ss))) AS t(gi))
+       |  GROUP BY a, b),
+       |b$r AS (SELECT a, b, cnt FROM p$r
+       |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+       |words$r AS (
+       |  SELECT list_reduce(ss, (acc, s2) -> CASE
+       |      WHEN string_split(acc, chr(31))[-1] = b$r.a AND s2 = b$r.b
+       |      THEN acc || s2 ELSE acc || chr(31) || s2 END) AS wstr, freq
+       |  FROM (SELECT string_split(wstr, chr(31)) AS ss, freq
+       |        FROM words${r - 1}), b$r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "corpus_bpe_merges" -> {
+      val rounds = (1 to MergeRounds).map(bpeRoundCte).mkString(",\n")
+      val sel = (1 to MergeRounds).map(r =>
+        s"SELECT CAST($r AS INT) AS round, a, b, cnt FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH words0 AS (
+         |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+         |      gi -> substr(w, CAST(gi AS INT), 1)), chr(31)) AS wstr,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |$rounds
+         |$sel""".stripMargin
+    },
+
     "corpus_bpe" ->
       s"""WITH words AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (

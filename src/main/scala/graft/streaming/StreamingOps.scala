@@ -270,6 +270,23 @@ object StreamingOps {
       graft.operators.Scd2.mergeFold(prev, batch.toDF())
     }
 
+  /** Streaming near-dup dedup — the LLM-ingest minhash use: each
+    * micro-batch of documents is flagged against all previously
+    * streamed history via [[graft.operators.Dedup.minhashDedupFold]]
+    * (per-band bucket probe + integer signature-estimate verify; state
+    * is ~1KB/doc signatures, never text). Non-decreasing id arrival is
+    * the contract (the scd2Maintained discipline); the exactly-once
+    * replay/reset guards are the shared [[versionedStateSink]]
+    * harness. Final state == one fold over everything streamed, proven
+    * in MinhashStreamSpec.
+    */
+  def minhashDedupMaintained(docs: DataFrame, idCol: String,
+      textCol: String, stateDir: String, name: String,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(docs, stateDir, name, retainVersions) { (prev, batch) =>
+      graft.operators.Dedup.minhashDedupFold(prev, batch.toDF(), idCol, textCol)
+    }
+
   /** The versioned exactly-once foreachBatch state harness shared by
     * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
     * the previous complete state (None on the first batch) with the

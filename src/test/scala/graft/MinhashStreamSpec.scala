@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The incremental minhash-dedup contract: folding in-order batches
+  * produces EXACTLY the state one fold over everything would — each
+  * doc's is_dup decision (band match + integer signature-estimate vs
+  * all smaller ids) is arrival-immutable and split-invariant.
+  */
+class MinhashStreamSpec extends SparkSpec {
+
+  private def canon(df: DataFrame) =
+    df.select(col("id"), col("is_dup"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text")).persist()
+  private lazy val full =
+    canon(Dedup.minhashDedupFold(None, docs, "doc_id", "text"))
+
+  test("the single-fold state flags the corpus' planted near-dups") {
+    assert(full.nonEmpty)
+    assert(full.exists(_._2), "corpus has planted near-dups — none flagged")
+    assert(full.exists(!_._2), "every doc flagged dup — estimate broken")
+  }
+
+  test("in-order id splits fold to the single-fold state") {
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+    for (cuts <- Seq(Seq(ids(ids.length / 2)), Seq(cut1, cut2))) {
+      val bounds = (Seq(Long.MinValue) ++ cuts ++ Seq(Long.MaxValue))
+        .sliding(2).toSeq
+      val state = bounds.foldLeft(Option.empty[DataFrame]) { case (prev, Seq(a, b)) =>
+        val batch = docs.filter(col("doc_id") > a && col("doc_id") <= b)
+        Some(Dedup.minhashDedupFold(prev, batch, "doc_id", "text").persist())
+      }
+      assert(canon(state.get) == full, s"fold over cuts $cuts diverged")
+    }
+    GraftSession.release(spark)
+  }
+
+  test("minhashDedupMaintained streams two files into the single-fold state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhstream").toString
+    val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .cast("long")).head().getLong(0)
+    // one file per micro-batch, smallest ids first: the in-order contract
+    docs.filter(col("doc_id") <= mid).coalesce(1)
+      .write.parquet(s"$dir/in/b0")
+    docs.filter(col("doc_id") > mid).coalesce(1)
+      .write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$dir/in/*")
+    val q = graft.streaming.StreamingOps.minhashDedupMaintained(
+      stream, "doc_id", "text", s"$dir/state", "mh_stream_spec")
+    try q.processAllAvailable() finally q.stop()
+    val vs = graft.streaming.StreamingOps.stateVersions(spark, s"$dir/state")
+    assert(vs.size >= 2, s"expected >=2 folded micro-batches, got $vs")
+    val finalState = graft.streaming.StreamingOps
+      .latestState(spark, s"$dir/state").get
+    assert(canon(finalState) == full)
+    GraftSession.release(spark)
+  }
+}
