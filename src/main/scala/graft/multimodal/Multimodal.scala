@@ -126,6 +126,30 @@ object Multimodal {
 
   case class MediaHistogram(media_id: Long, n_bytes: Long, features: Array[Float])
 
+  case class MediaEmbedding(media_id: Long, kind: String,
+      embedding: Array[Float])
+
+  /** Partition-wise embedding stub: a 16-dim high-nibble byte histogram
+    * per payload, RAW INTEGER counts as float32 (no normalization —
+    * cosine normalizes downstream, and integer counts < 2^24 are exact
+    * in float, so a SQL oracle replays the vector value-for-value where
+    * a float division would not be engine-portable). The batch shape a
+    * real encoder swap-in keeps: blobs in, fixed-length vectors out,
+    * one pass per partition.
+    */
+  def embedStub(media: DataFrame): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.selectExpr("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val hist = new Array[Float](16)
+          payload.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+          MediaEmbedding(id, kind, hist)
+        }
+      }
+  }
+
   /** Partition-wise decode through the [[decode]] dispatch (real codec
     * for encoded images, stub for everything else): the batch kernel a
     * genuine multimodal ingest uses — binaryFile source rows in, one

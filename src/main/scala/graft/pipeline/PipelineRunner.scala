@@ -43,6 +43,27 @@ class PipelineManager(spark: SparkSession) {
   /** Reference dto/JobInfo.java: name + status + submission time. */
   case class JobInfo(name: String, status: String, submissionTime: Long)
 
+  /** Last micro-batch progress of a live streaming job — the numbers a
+    * pipeline operator actually watches (batch id, row counts, rates).
+    * Doubles may be NaN before the first complete batch; the REST layer
+    * renders those as JSON null.
+    */
+  case class ProgressInfo(batchId: Long, numInputRows: Long,
+      inputRowsPerSecond: Double, processedRowsPerSecond: Double)
+
+  /** Structured-streaming lastProgress for a RUNNING job: None for
+    * batch/completed/unknown jobs and for streams that have not yet
+    * finished a micro-batch (lastProgress is null until then).
+    */
+  def lastProgress(name: String): Option[ProgressInfo] = jobs.get(name) match {
+    case Some(Running(q)) if q.isActive =>
+      Option(q.lastProgress).map { p =>
+        ProgressInfo(p.batchId, p.numInputRows,
+          p.inputRowsPerSecond, p.processedRowsPerSecond)
+      }
+    case _ => None
+  }
+
   private val jobs = TrieMap.empty[String, Status]
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val submittedAt = TrieMap.empty[String, Long]

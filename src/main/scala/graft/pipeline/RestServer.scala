@@ -13,6 +13,9 @@ import java.nio.charset.StandardCharsets
   *   GET  /api/pipelines/status              -> {"runningCount":N,"hasRunningPipelines":B}
   *   GET  /api/pipelines/jobs                -> {name:{"name":..,"status":..,"submissionTime":..}}
   *   GET  /api/pipelines/jobs/{name}/status  -> true|false
+  *   GET  /api/pipelines/jobs/{name}/progress -> last micro-batch
+  *     progress for a live streaming job (beyond the reference: batch
+  *     id, row counts, rows/sec; 404 for batch/unknown/no-batch-yet)
   *   GET  /api/pipelines/count               -> N
   *   POST /api/pipelines/start?configFilePath=PATH
   *   POST /api/pipelines/stop/{name}         -> 200, 404 if not running
@@ -79,11 +82,23 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
         case ("GET", "/api/pipelines/jobs") =>
           val body = manager.runningJobs.toSeq.sortBy(_._1).map {
             case (name, ji) =>
+              // streaming jobs additionally carry their last micro-batch
+              // progress (beyond the reference's JobInfo — the numbers
+              // an operator of a LIVE stream needs from a status poll)
+              val prog = manager.lastProgress(name)
+                .map(p => s""","lastProgress":${progressJson(p)}""")
+                .getOrElse("")
               s"${jstr(name)}:{" +
                 s""""name":${jstr(ji.name)},"status":${jstr(ji.status)},""" +
-                s""""submissionTime":${ji.submissionTime}}"""
+                s""""submissionTime":${ji.submissionTime}$prog}"""
           }.mkString("{", ",", "}")
           respond(ex, 200, body)
+        case ("GET", JobProgressPath(name)) =>
+          manager.lastProgress(decodePath(name)) match {
+            case Some(p) => respond(ex, 200, progressJson(p))
+            case None => respond(ex, 404,
+              s"""{"error":${jstr(s"no streaming progress for: ${decodePath(name)}")}}""")
+          }
         case ("GET", "/api/pipelines/count") =>
           respond(ex, 200, manager.runningCount.toString)
         case ("GET", JobStatusPath(name)) =>
@@ -130,7 +145,19 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
   })
 
   private val JobStatusPath = "/api/pipelines/jobs/([^/]+)/status".r
+  private val JobProgressPath = "/api/pipelines/jobs/([^/]+)/progress".r
   private val StopPath = "/api/pipelines/stop/([^/]+)".r
+
+  /** Rates are NaN until the first complete micro-batch — render as
+    * JSON null (a bare NaN token is invalid JSON and breaks parsers).
+    */
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
+
+  private def progressJson(p: manager.ProgressInfo): String =
+    s"""{"batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
+      s""""inputRowsPerSecond":${jnum(p.inputRowsPerSecond)},""" +
+      s""""processedRowsPerSecond":${jnum(p.processedRowsPerSecond)}}"""
 
   /** Captured name segments come from getPath, which ALREADY
     * percent-decoded them once (matching Spring's @PathVariable) —

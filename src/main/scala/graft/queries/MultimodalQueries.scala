@@ -63,6 +63,29 @@ object MultimodalQueries {
       val media = graft.operators.Parallelism.ensure(
         Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
       Multimodal.shotBoundaries(media, frameBytes = 64, threshold = 150L).toDF()
+    },
+
+    // multimodal retrieval end-to-end: binary media table -> embedding
+    // kernel (16-bin nibble histogram stub, integer counts — a real
+    // encoder swaps in without touching the plumbing) -> metadata-
+    // filtered exact top-k through the ANN stack's bruteForceTopK
+    // (kind='image' filters BEFORE the cosine kernel, the ann_filtered
+    // pre-filter shape). Proves the multimodal columns flow into the
+    // similarity operators; oracle replays the histogram from the
+    // source text (ASCII: byte == codepoint) and the strict-fold cosine.
+    "mm_search" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      val media = graft.operators.Parallelism.ensure(
+        Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
+      val emb = Multimodal.embedStub(media).toDF()
+        // the embedding frame feeds the query row AND the corpus side
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = emb.filter(col("media_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qv"))
+      graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("kind") === "image"), "media_id", "embedding",
+          broadcast(q), k = 10)
+        .select(col("media_id"), col("kind"), col("cos"))
     }
   )
 
@@ -159,6 +182,35 @@ object MultimodalQueries {
         |    ELSE len(list_filter(deltas, gd -> gd > 150)) + 1 END AS BIGINT)
         |    AS n_shots,
         |  CAST(coalesce(list_max(deltas), 0) AS BIGINT) AS max_delta
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // histogram from codepoints (ASCII: byte == char, the mm_extract
+    // precedent); raw integer counts as DOUBLE make the vector exact on
+    // both engines, and the cosine is the standard strict left fold
+    "mm_search" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    list_transform(range(0, 16), gk ->
+        |      CAST(len(list_filter(range(1, length(text) + 1),
+        |        gi -> (ord(substr(text, CAST(gi AS INT), 1)) // 16) = gk))
+        |        AS DOUBLE)) AS emb
+        |  FROM documents),
+        |q AS (SELECT emb AS qv FROM m WHERE media_id = 0),
+        |scored AS (
+        |  SELECT m.media_id, m.kind,
+        |    list_reduce(list_transform(range(1, 17),
+        |      gi -> m.emb[CAST(gi AS INT)] * q.qv[CAST(gi AS INT)]),
+        |      (gx, gy) -> gx + gy)
+        |    / (sqrt(list_reduce(list_transform(range(1, 17),
+        |        gi -> m.emb[CAST(gi AS INT)] * m.emb[CAST(gi AS INT)]),
+        |        (gx, gy) -> gx + gy))
+        |      * sqrt(list_reduce(list_transform(range(1, 17),
+        |        gi -> q.qv[CAST(gi AS INT)] * q.qv[CAST(gi AS INT)]),
+        |        (gx, gy) -> gx + gy))) AS cos
+        |  FROM m, q WHERE m.media_id <> 0 AND m.kind = 'image')
+        |SELECT media_id, kind, cos FROM scored
+        |ORDER BY cos DESC, media_id ASC LIMIT 10""".stripMargin
   )
 }

@@ -87,6 +87,27 @@ class RestServerSpec extends SparkSpec {
       assert(jc == 200)
       assert(jbody.contains(""""rest-stream":{"name":"rest-stream","status":"RUNNING","submissionTime":"""))
 
+      // streaming progress: poll until the first micro-batch completes,
+      // then the route reports batchId + row counts (rates may render
+      // null before steady state, but the fields must be present);
+      // batch/unknown jobs 404
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var prog = get(port, "/api/pipelines/jobs/rest-stream/progress")
+      while (prog._1 != 200 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        prog = get(port, "/api/pipelines/jobs/rest-stream/progress")
+      }
+      assert(prog._1 == 200, s"no progress before deadline: $prog")
+      assert(prog._2.contains("\"batchId\":") &&
+        prog._2.contains("\"numInputRows\":") &&
+        prog._2.contains("\"inputRowsPerSecond\":") &&
+        prog._2.contains("\"processedRowsPerSecond\":"), prog._2)
+      // the jobs listing now embeds the same progress object
+      val jb2 = get(port, "/api/pipelines/jobs")._2
+      assert(jb2.contains("\"lastProgress\":{\"batchId\":"), jb2)
+      assert(get(port, "/api/pipelines/jobs/rest-batch/progress")._1 == 404)
+      assert(get(port, "/api/pipelines/jobs/ghost/progress")._1 == 404)
+
       // stop/{name}: 200 for the running job, 404 for unknown
       assert(post(port, "/api/pipelines/stop/rest-stream")._1 == 200)
       assert(get(port, "/api/pipelines/jobs/rest-stream/status") == ((200, "false")))
