@@ -487,6 +487,52 @@ object Dedup {
     prev.map(_.unionByName(stateB)).getOrElse(stateB)
   }
 
+  /** Incremental SEMANTIC dedup state fold — the embedding counterpart
+    * of [[minhashDedupFold]] (SemDeDup made streaming): each arriving
+    * batch of vectors is assigned to its nearest centroid cell
+    * (broadcast `centroidDf` (cid, cv); argmax as a map-side partial
+    * max(struct), ties to the lowest cid — the dedup_semantic
+    * discipline) and flagged iff some SMALLER-id vector in the SAME
+    * cell (history or earlier in the batch) has exact strict-fold
+    * cosine >= tau. State = one immutable (id, cell, emb, is_dup) row
+    * per vector — embeddings must stay in state (unlike minhash there
+    * is no compact sketch that verifies cosine exactly), so state is
+    * ~4·dim bytes/doc; the cell key keeps the per-batch compare
+    * O(batch · cell occupancy), never O(batch · history).
+    *
+    * Contract (as minhashDedupFold): batches arrive in non-decreasing
+    * id order — folding any in-order split equals one fold over
+    * everything (SemanticStreamSpec proves it).
+    */
+  def semanticDedupFold(prev: Option[DataFrame], batch: DataFrame,
+      idCol: String, vecCol: String, centroidDf: DataFrame,
+      tau: Double): DataFrame = {
+    val assigned = Parallelism.ensure(batch)
+      .select(col(idCol).as("id"), col(vecCol).as("emb"))
+      .crossJoin(broadcast(centroidDf))
+      .select(col("id"), col("emb"),
+        struct(cosine_sim(col("emb"), col("cv")).as("c"),
+          (lit(0L) - col("cid")).as("negcid")).as("m"))
+      // narrow group key: the exchange sees one pre-combined row per id
+      // (map-side partial max); emb values are identical per id across
+      // the centroid fan-out, so first() is value-deterministic
+      .groupBy(col("id"))
+      .agg(max(col("m")).as("m"), first(col("emb")).as("emb"))
+      .select(col("id"), (lit(0L) - col("m.negcid")).as("cell"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histPart = prev.map(_.select(col("id"), col("cell"), col("emb")))
+    val pool = histPart.map(_.unionByName(assigned)).getOrElse(assigned)
+    val dupIds = assigned.as("x").join(pool.as("y"),
+        col("x.cell") === col("y.cell") && col("y.id") < col("x.id") &&
+          cosine_sim(col("x.emb"), col("y.emb")) >= tau)
+      .select(col("x.id").as("id")).distinct()
+    val stateB = assigned
+      .join(dupIds.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("emb"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+    prev.map(_.unionByName(stateB)).getOrElse(stateB)
+  }
+
   /** Cell-restricted moderate-tau embedding pairs — the bucketed form of
     * [[embeddingPairsExact]] (the SemDeDup shape): assign every vector to
     * its `nprobe` nearest centroids (broadcast `centroidDf`: (cid, cv)),

@@ -66,49 +66,17 @@ object CorpusQueries6 {
     // so "merge" is literally append-without-separator — no arrays
     // shuffle anywhere.
     "corpus_bpe_merges" -> { (s, dir) =>
-      import s.implicits._
-      val words0 = Tables.load(s, dir, "documents")
-        .select(explode(split($"text", " ")).as("w"))
-        .filter(length($"w") >= 2)
-        .groupBy($"w").agg(count(lit(1)).as("freq"))
-        .select(expr("array_join(transform(sequence(1, length(w)), " +
-          "i -> substring(w, i, 1)), chr(31))").as("wstr"), $"freq")
-        .persist()
-      var seg = words0
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-      (1 to MergeRounds).foreach { r =>
-        val pc = seg.select(explode(expr(
-          """CASE WHEN size(split(wstr, chr(31))) >= 2 THEN
-            |  transform(sequence(1, size(split(wstr, chr(31))) - 1),
-            |    i -> struct(element_at(split(wstr, chr(31)), i) AS a,
-            |      element_at(split(wstr, chr(31)), CAST(i + 1 AS INT)) AS b))
-            |ELSE CAST(array() AS array<struct<a:string,b:string>>) END"""
-            .stripMargin)).as("p"), $"freq")
-          .groupBy($"p.a".as("a"), $"p.b".as("b"))
-          .agg(sum($"freq").as("cnt"))
-        val best = pc.orderBy($"cnt".desc, $"a".asc, $"b".asc).limit(1)
-          .collect()
-        require(best.nonEmpty, s"corpus_bpe_merges: no pairs left at round $r")
-        val (ba, bb, bc) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, ba, bb, bc))
-        // greedy left-to-right merge: appending WITHOUT the separator is
-        // the merge (the last symbol a absorbs b); lit() keeps arbitrary
-        // text chars out of SQL-literal escaping
-        val syms = split($"wstr", Sep)
-        val nxt = seg.withColumn("wstr",
-            aggregate(slice(syms, lit(2), size(syms) - 1),
-              element_at(syms, 1),
-              (acc, ss) => when(
-                element_at(split(acc, Sep), -1) === lit(ba) && ss === lit(bb),
-                concat(acc, ss)).otherwise(concat(acc, lit(Sep), ss))))
-          .persist()
-        nxt.count() // materialize before dropping the superseded round
-        if (seg ne words0) seg.unpersist()
-        seg = nxt
-      }
-      seg.unpersist(); words0.unpersist()
-      s.createDataFrame(merges.toSeq).toDF("round", "a", "b", "cnt")
+      s.createDataFrame(bpeTrain(s, dir)._1).toDF("round", "a", "b", "cnt")
+    },
+
+    // the APPLICATION half of tokenizer training: corpus token counts
+    // under the learned merges — round 0 is the char-level baseline,
+    // each merge round shrinks the total (the compression curve a
+    // tokenizer report plots). Token totals are freq-weighted integer
+    // sums over the SAME per-round segmentations the merge loop builds,
+    // so the oracle replays them from the identical unrolled CTEs.
+    "corpus_bpe_tokenize" -> { (s, dir) =>
+      s.createDataFrame(bpeTrain(s, dir)._2).toDF("round", "n_tokens")
     },
 
     // Word-association mining (the word2vec/SGNS co-occurrence
@@ -193,6 +161,69 @@ object CorpusQueries6 {
     }
   )
 
+  /** The shared BPE training loop (corpus_bpe_merges /
+    * corpus_bpe_tokenize): MergeRounds rounds of vocab-wide pair counts
+    * -> global argmax merge (total order cnt DESC, a ASC, b ASC; a
+    * 1-row TakeOrdered collected to the driver — the bounded-ladder
+    * contract, the merge pick is inherently a 1-row global decision)
+    * -> greedy left-to-right re-segmentation as a strict string fold.
+    * Returns (merge table rows, per-round corpus token totals with
+    * round 0 = the char-level baseline). Each round's segmentation
+    * persists and the superseded one drops (the q91 round-frame
+    * discipline); all per-round work is VOCAB-bounded.
+    */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], Seq[(Int, Long)]) = {
+    import s.implicits._
+    val words0 = Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), chr(31))").as("wstr"), $"freq")
+      .persist()
+    def tokenTotal(seg: org.apache.spark.sql.DataFrame): Long =
+      seg.agg(sum($"freq" * size(split($"wstr", Sep))).as("t"))
+        .head().getLong(0)
+    var seg = words0
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    val tokens = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    tokens += ((0, tokenTotal(words0)))
+    (1 to MergeRounds).foreach { r =>
+      val pc = seg.select(explode(expr(
+        """CASE WHEN size(split(wstr, chr(31))) >= 2 THEN
+          |  transform(sequence(1, size(split(wstr, chr(31))) - 1),
+          |    i -> struct(element_at(split(wstr, chr(31)), i) AS a,
+          |      element_at(split(wstr, chr(31)), CAST(i + 1 AS INT)) AS b))
+          |ELSE CAST(array() AS array<struct<a:string,b:string>>) END"""
+          .stripMargin)).as("p"), $"freq")
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+      val best = pc.orderBy($"cnt".desc, $"a".asc, $"b".asc).limit(1)
+        .collect()
+      require(best.nonEmpty, s"bpeTrain: no pairs left at round $r")
+      val (ba, bb, bc) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r, ba, bb, bc))
+      // greedy left-to-right merge: appending WITHOUT the separator is
+      // the merge (the last symbol a absorbs b); lit() keeps arbitrary
+      // text chars out of SQL-literal escaping
+      val syms = split($"wstr", Sep)
+      val nxt = seg.withColumn("wstr",
+          aggregate(slice(syms, lit(2), size(syms) - 1),
+            element_at(syms, 1),
+            (acc, ss) => when(
+              element_at(split(acc, Sep), -1) === lit(ba) && ss === lit(bb),
+              concat(acc, ss)).otherwise(concat(acc, lit(Sep), ss))))
+        .persist()
+      tokens += ((r, tokenTotal(nxt))) // also materializes nxt before
+      if (seg ne words0) seg.unpersist() // dropping the superseded round
+      seg = nxt
+    }
+    seg.unpersist(); words0.unpersist()
+    (merges.toSeq, tokens.toSeq)
+  }
+
   /** One unrolled BPE round (pair counts -> 1-row argmax -> greedy
     * re-segment), chained words$r -> words${r+1} — the q93 lpRound
     * discipline. list_reduce's elem-1 init == Spark's aggregate over
@@ -222,6 +253,23 @@ object CorpusQueries6 {
       val rounds = (1 to MergeRounds).map(bpeRoundCte).mkString(",\n")
       val sel = (1 to MergeRounds).map(r =>
         s"SELECT CAST($r AS INT) AS round, a, b, cnt FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH words0 AS (
+         |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+         |      gi -> substr(w, CAST(gi AS INT), 1)), chr(31)) AS wstr,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |$rounds
+         |$sel""".stripMargin
+    },
+
+    "corpus_bpe_tokenize" -> {
+      val rounds = (1 to MergeRounds).map(bpeRoundCte).mkString(",\n")
+      val sel = (0 to MergeRounds).map(r =>
+        s"""SELECT CAST($r AS INT) AS round,
+           |  CAST(sum(freq * len(string_split(wstr, chr(31)))) AS BIGINT)
+           |    AS n_tokens FROM words$r""".stripMargin)
         .mkString("\nUNION ALL ")
       s"""WITH words0 AS (
          |  SELECT array_to_string(list_transform(range(1, length(w) + 1),

@@ -287,6 +287,25 @@ object StreamingOps {
       graft.operators.Dedup.minhashDedupFold(prev, batch.toDF(), idCol, textCol)
     }
 
+  /** Streaming SEMANTIC dedup (SemDeDup incremental): arriving vectors
+    * flag against all streamed history through
+    * [[graft.operators.Dedup.semanticDedupFold]] — broadcast-centroid
+    * cell assignment + within-cell exact cosine vs smaller ids. The
+    * centroid frame is FIXED for the query's lifetime (train it
+    * offline via Similarity.ivfFit — re-fitting mid-stream would
+    * reassign history). Same in-order-id contract and
+    * [[versionedStateSink]] guards as minhashDedupMaintained;
+    * SemanticStreamSpec proves batch-replay equivalence.
+    */
+  def semanticDedupMaintained(vecs: DataFrame, idCol: String,
+      vecCol: String, centroidDf: DataFrame, tau: Double,
+      stateDir: String, name: String,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(vecs, stateDir, name, retainVersions) { (prev, batch) =>
+      graft.operators.Dedup.semanticDedupFold(
+        prev, batch.toDF(), idCol, vecCol, centroidDf, tau)
+    }
+
   /** The versioned exactly-once foreachBatch state harness shared by
     * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
     * the previous complete state (None on the first batch) with the

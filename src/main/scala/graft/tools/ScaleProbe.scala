@@ -85,7 +85,8 @@ object ScaleProbe {
       "corpus_bpe", "corpus_winnowing", "q93_label_prop", "q94_scd2",
       "ann_recall", "mm_shot_detect", "text_readability", "dedup_normalized",
       "q95_scd2_lookup", "corpus_pmi", "ann_ivfpq", "ann_diversify",
-      "q96_window_funnel", "q97_merge", "ann_filtered", "corpus_profile")
+      "q96_window_funnel", "q97_merge", "ann_filtered", "corpus_profile",
+      "dedup_embedding_cells", "corpus_bpe_merges", "mm_search")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
