@@ -19,7 +19,7 @@ object SparkEntry {
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
       RelationalQueries12.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++
-      DedupQueries.defs ++ DedupQueries2.defs ++
+      DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++ ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
@@ -39,7 +39,7 @@ object SparkEntry {
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
       RelationalQueries12.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++ TextQueries4.oracles ++
-      DedupQueries.oracles ++ DedupQueries2.oracles ++
+      DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++ ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++

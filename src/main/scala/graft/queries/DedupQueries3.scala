@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Dedup EVALUATION harness (round 8) — the dedup counterpart of
+  * ann_recall: measure, in-engine, the candidate recall of the minhash
+  * LSH banding against the exact Jaccard truth, at the dedup_minhash
+  * operating point (word-3 shingles, 128 hashes, 32 bands of r=4,
+  * tau = 1/2). This is the number a pipeline operator watches when
+  * tuning (bands, rows) — CI for the "LSH capture is probabilistic"
+  * assumption the dedup family documents.
+  *
+  * Exactness: candidates here come from VALUE-banded keys (band index +
+  * the 4 signature values rendered to a string) rather than
+  * minhash_bands' mixed 64-bit keys — hash-key collisions would add
+  * engine-side candidates the oracle lacks; value keys are
+  * collision-free, so the candidate SET (not just its verified subset)
+  * replays bit-exactly. The truth side generates pairs from shingle
+  * postings (a pair with J > 0 shares a shingle — no all-pairs scan)
+  * and verifies with the integer `2I >= U` compare. The oracle replays
+  * the full minhash family in SQL: token hash = base-31 polynomial mod
+  * P1 folded like the simhash oracle, h_j = (a_j·h + b_j) mod FP with
+  * the Knuth/LCG mixing constants — every product < 2^63, so both
+  * engines compute identical longs (DuckDB would THROW on overflow
+  * rather than wrap, which makes the bound an asserted invariant).
+  *
+  * Scale shape: signatures are one codegen pass (~1KB/row cached);
+  * banded self-join volume is O(n·bands); the truth side is the only
+  * possibly-quadratic piece — via postings it is sum over shingles of
+  * df², the honest cost of exact truth, and the harness exists to be
+  * run on SAMPLES at 100 TB (the eval set, not the corpus).
+  */
+object DedupQueries3 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_eval" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.operators.Parallelism.ensure(
+        Tables.load(s, dir, "documents"))
+      val sigs = docs.select($"doc_id",
+          minhash_sig_text($"text", "word", 3, 128).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sigs.select($"doc_id", explode(expr(
+        "transform(sequence(0, 31), g -> concat(g, ':', " +
+          "concat_ws(',', slice(sig, g * 4 + 1, 4))))")).as("bkey"))
+      val cand = banded.as("x").join(banded.as("y"),
+          $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact truth: postings-generated pairs (J > 0 ⇒ shared shingle),
+      // verified by the integer threshold compare
+      val sets = docs.select($"doc_id", word_shingles($"text", 3).as("set"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val postings = sets.select($"doc_id", explode($"set").as("sh"))
+      val tcand = postings.as("a").join(postings.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .distinct()
+      val truth = tcand
+        .join(sets.select($"doc_id".as("id_a"), $"set".as("sa")), "id_a")
+        .join(sets.select($"doc_id".as("id_b"), $"set".as("sb")), "id_b")
+        .withColumn("i", size(array_intersect($"sa", $"sb")))
+        .withColumn("u", size($"sa") + size($"sb") - $"i")
+        .filter($"i" * 2 >= $"u" && $"u" > 0)
+        .select($"id_a", $"id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select($"n_true", $"n_cand", $"n_hit",
+          ($"n_hit".cast("double") / $"n_true".cast("double")).as("recall"))
+    }
+  )
+
+  /** Spark-identical word-3-shingle set (shared with DedupQueries). */
+  private val shingles3 =
+    """list_distinct(list_transform(range(0, len(string_split(text, ' ')) - 2),
+      | gi -> string_split(text, ' ')[CAST(gi + 1 AS INT)] || ' ' ||
+      |   string_split(text, ' ')[CAST(gi + 2 AS INT)] || ' ' ||
+      |   string_split(text, ' ')[CAST(gi + 3 AS INT)]))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_eval" ->
+      s"""WITH s AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+         |sig AS (SELECT doc_id,
+         |  list_transform(range(0, 128), gj ->
+         |    coalesce(list_min(list_transform(sh, gt ->
+         |      ((CASE WHEN (2654435761 * (gj + 1)) % 1000000007 = 0 THEN 1
+         |             ELSE (2654435761 * (gj + 1)) % 1000000007 END)
+         |       * list_reduce(list_transform(range(1, length(gt) + 1),
+         |           gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
+         |         (ga, gc) -> (ga * 31 + gc) % 1073741789)
+         |       + (1013904223 * (gj + 7)) % 1000000007) % 1000000007)),
+         |    1000000007)) AS sig
+         |  FROM s),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh)) AS i,
+         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u,
+         |    sa.sig AS siga, sb.sig AS sigb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  JOIN sig sa ON sa.doc_id = a.doc_id
+         |  JOIN sig sb ON sb.doc_id = b.doc_id),
+         |f AS (SELECT id_a, id_b,
+         |    (2 * i >= u AND u > 0) AS is_true,
+         |    len(list_filter(range(0, 32), gg ->
+         |      siga[CAST(gg * 4 + 1 AS INT)] = sigb[CAST(gg * 4 + 1 AS INT)]
+         |      AND siga[CAST(gg * 4 + 2 AS INT)] = sigb[CAST(gg * 4 + 2 AS INT)]
+         |      AND siga[CAST(gg * 4 + 3 AS INT)] = sigb[CAST(gg * 4 + 3 AS INT)]
+         |      AND siga[CAST(gg * 4 + 4 AS INT)] = sigb[CAST(gg * 4 + 4 AS INT)]
+         |    )) > 0 AS is_cand
+         |  FROM p)
+         |SELECT
+         |  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |  CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE)
+         |    AS recall
+         |FROM f""".stripMargin
+  )
+}
