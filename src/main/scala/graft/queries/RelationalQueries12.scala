@@ -149,6 +149,60 @@ object RelationalQueries12 {
         s3.agg(count(lit(1)).as("n_stage3")))
     },
 
+    // MATCH_RECOGNIZE-style sequence detection WITH NEGATION (round 8
+    // — the pattern class funnels cannot express): per user, purchases
+    // completing view -> click -> purchase within 24 hours with NO
+    // error event between the view and the purchase (sf0.01: 143 raw
+    // chains, 100 survive the negation — the NOT genuinely bites; the
+    // corpus' ~9-min inter-event spacing makes sub-hour windows
+    // vacuous). Deterministic
+    // matching rule: each purchase binds its LATEST preceding click,
+    // which binds ITS latest preceding view ((us, event_id) struct max
+    // — lexicographic, total order). The negation is O(1) per match
+    // via an error-prefix-count column: errors strictly inside
+    // (view, purchase) = err_pfx(purchase) - err_pfx(view) (endpoints
+    // are never errors). Scale shape: ONE window pass over the
+    // user-partitioned stream computes both conditional struct maxima
+    // and the prefix count; then two user+id equi-joins (purchase ->
+    // its click row -> its view row) — all high-cardinality keys, no
+    // low-cardinality window cliff, no per-pattern self-join fan-out.
+    "q98_seq_pattern" -> { (s, dir) =>
+      import s.implicits._
+      val T = 86400000000L // 24 h in micros (the corpus' inter-event spacing is ~9 min)
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"us".asc, $"event_id".asc)
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wPfx = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"event_id",
+          unix_micros($"ts").as("us"))
+        .withColumn("last_click", max(when($"event_type" === "click",
+          struct($"us", $"event_id"))).over(wPrev))
+        .withColumn("last_view", max(when($"event_type" === "view",
+          struct($"us", $"event_id"))).over(wPrev))
+        .withColumn("err_pfx", count(when($"event_type" === "error",
+          lit(1))).over(wPfx))
+      val purchases = ev.filter($"event_type" === "purchase" &&
+          $"last_click".isNotNull)
+        .select($"user_id", $"event_id".as("p_id"), $"us".as("p_us"),
+          $"err_pfx".as("p_err"), $"last_click.event_id".as("c_id"))
+      val clicks = ev.filter($"event_type" === "click" &&
+          $"last_view".isNotNull)
+        .select($"user_id", $"event_id".as("c_id"),
+          $"last_view.event_id".as("v_id"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("v_id"), $"us".as("v_us"),
+          $"err_pfx".as("v_err"))
+      purchases
+        .join(clicks, Seq("user_id", "c_id"))
+        .join(views, Seq("user_id", "v_id"))
+        .filter($"p_us" - $"v_us" <= T && $"p_err" === $"v_err")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min($"p_us").as("first_match_us"),
+          max($"p_us").as("last_match_us"))
+    },
+
     // MERGE INTO semantics (the Delta/Iceberg upsert statement, which
     // plain-parquet Spark lacks) as a relational operator: apply a
     // keyed changeset (insert / update / delete, one op per key) to a
@@ -207,6 +261,41 @@ object RelationalQueries12 {
        |    ORDER BY cnt DESC, lbl ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q98_seq_pattern" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, event_id, us,
+        |    max(CASE WHEN event_type = 'click'
+        |        THEN struct_pack(us := us, eid := event_id) END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click,
+        |    max(CASE WHEN event_type = 'view'
+        |        THEN struct_pack(us := us, eid := event_id) END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_view,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS err_pfx
+        |  FROM ev),
+        |p AS (SELECT user_id, us AS p_us, err_pfx AS p_err,
+        |        (last_click).eid AS c_id FROM w
+        |      WHERE event_type = 'purchase' AND last_click IS NOT NULL),
+        |c AS (SELECT user_id, event_id AS c_id, (last_view).eid AS v_id
+        |      FROM w WHERE event_type = 'click' AND last_view IS NOT NULL),
+        |v AS (SELECT user_id, event_id AS v_id, us AS v_us,
+        |        err_pfx AS v_err FROM w WHERE event_type = 'view')
+        |SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  min(p_us) AS first_match_us, max(p_us) AS last_match_us
+        |FROM p JOIN c ON p.user_id = c.user_id AND p.c_id = c.c_id
+        |  JOIN v ON p.user_id = v.user_id AND c.v_id = v.v_id
+        |WHERE p_us - v_us <= 86400000000 AND p_err = v_err
+        |GROUP BY p.user_id""".stripMargin,
+
     "q93_label_prop" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
