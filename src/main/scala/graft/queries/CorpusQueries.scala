@@ -65,6 +65,50 @@ object CorpusQueries {
         Bounds("n_chars", 1, 1000000)))
     },
 
+    // the CAPSTONE composite (round 8): one query producing the
+    // training-corpus MANIFEST — quality gate (corpus_clean's cascade)
+    // → exact dedup among survivors (md5 groups, keep min id) → exact
+    // 10-per-lang stratified sample by the portable multiplicative-hash
+    // priority (corpus_stratified_sample's rule) → per-lang funnel
+    // accounting. Every stage is a stage other queries gate separately;
+    // the composite proves they CHAIN (the mm_search discipline for the
+    // text stack). All counts integer; rank<=10 rides the map-side
+    // partial WindowGroupLimit; the md5 rollup is the one
+    // high-cardinality shuffle.
+    "corpus_prepare" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val gated = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", token_count(col("text")))
+        .withColumn("stop_cnt", stopword_count(col("text")))
+        .withColumn("mean_word_len",
+          (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+        .filter(col("n_tokens") >= 20 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 12.0 &&
+          col("stop_cnt") * 100 >= col("n_tokens") * 2)
+        .select($"doc_id", $"lang", $"text", $"n_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // constant-width (hash, id) rows through the dedup shuffle — the
+      // full text never leaves the gated frame
+      val keep = gated.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+      val unique = gated
+        .join(keep.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"lang", $"n_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pri = pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+      val sampled = unique
+        .select($"doc_id", $"lang", $"n_tokens", pri.as("priority"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang").orderBy($"priority".asc)))
+        .filter($"rn" <= 10)
+      gated.groupBy($"lang").agg(count(lit(1)).as("n_gated"))
+        .join(unique.groupBy($"lang").agg(count(lit(1)).as("n_unique")),
+          Seq("lang"))
+        .join(sampled.groupBy($"lang").agg(count(lit(1)).as("n_sampled"),
+          sum($"n_tokens").as("sample_tokens")), Seq("lang"))
+    },
+
     "corpus_stats" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
         .withColumn("n_tokens", token_count(col("text")))
@@ -79,6 +123,41 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_prepare" ->
+      """WITH gated AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM (
+        |    SELECT doc_id, lang, text,
+        |      (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+        |      len(list_filter(string_split(text, ' '),
+        |        gw -> gw IN ('the','a','an','of','and','or','to','in','is','it')))
+        |        AS stop_cnt
+        |    FROM documents)
+        |  WHERE n_tokens >= 20
+        |    AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens >= 3.0
+        |    AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0
+        |    AND stop_cnt * 100 >= n_tokens * 2),
+        |uniq AS (
+        |  SELECT doc_id, lang, n_tokens FROM gated
+        |  WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM gated GROUP BY md5(text))),
+        |samp AS (
+        |  SELECT lang, n_tokens FROM (
+        |    SELECT lang, n_tokens, row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296 ASC) AS rn
+        |    FROM uniq) WHERE rn <= 10)
+        |SELECT g.lang,
+        |  CAST(g.n_gated AS BIGINT) AS n_gated,
+        |  CAST(u.n_unique AS BIGINT) AS n_unique,
+        |  CAST(sp.n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(sp.sample_tokens AS BIGINT) AS sample_tokens
+        |FROM (SELECT lang, count(*) AS n_gated FROM gated GROUP BY lang) g
+        |JOIN (SELECT lang, count(*) AS n_unique FROM uniq GROUP BY lang) u
+        |  ON g.lang = u.lang
+        |JOIN (SELECT lang, count(*) AS n_sampled, sum(n_tokens) AS sample_tokens
+        |      FROM samp GROUP BY lang) sp
+        |  ON g.lang = sp.lang""".stripMargin,
+
     "corpus_clean" ->
       """WITH t AS (SELECT doc_id, lang, source, text,
         |  (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,

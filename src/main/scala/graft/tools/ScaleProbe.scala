@@ -87,7 +87,8 @@ object ScaleProbe {
       "q95_scd2_lookup", "corpus_pmi", "ann_ivfpq", "ann_diversify",
       "q96_window_funnel", "q97_merge", "ann_filtered", "corpus_profile",
       "dedup_embedding_cells", "corpus_bpe_merges", "mm_search",
-      "dedup_eval", "q98_seq_pattern", "corpus_bpe_tokenize")
+      "dedup_eval", "q98_seq_pattern", "corpus_bpe_tokenize",
+      "corpus_prepare")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption

@@ -410,6 +410,37 @@ class PlanAuditSpec extends SparkSpec {
       "top-k must be a partial top-N, not a global sort")
   }
 
+  test("dedup_embedding_cells: broadcast centroids, map-side assignment prune") {
+    val p = plan("dedup_embedding_cells")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "the nprobe assignment must prune map-side (partial WindowGroupLimit) " +
+        "before the per-vector exchange")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the centroid fan-out must be a broadcast, never a shuffle")
+  }
+
+  test("mm_search: filter precedes the cosine kernel; top-k is partial") {
+    val p = plan("mm_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a partial top-N, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row query side must broadcast — no shuffle join in the scorer")
+  }
+
+  test("q98_seq_pattern: one user-partitioned window pass, no low-card cliff") {
+    val p = plan("q98_seq_pattern")
+    // every window node keys on the high-cardinality user_id — the same
+    // real assertion shape as q94_scd2 (vacuous-form trap fixed r8)
+    val windowNodes = "(?m)^\\s*(?:[+:*\\-! ]*)Window .*$".r.findAllIn(p).toList
+    assert(windowNodes.nonEmpty, "q98 must use window functions")
+    windowNodes.foreach { w =>
+      assert("\\], \\[user_id#\\d+".r.findFirstIn(w).isDefined,
+        s"window must partition on user_id, got: $w")
+    }
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      "the stream shuffles on the user key")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
