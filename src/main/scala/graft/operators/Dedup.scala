@@ -545,18 +545,20 @@ object Dedup {
     * so the only keyed shuffles are the nprobe·n-row cell exchange and
     * the candidate distinct.
     *
-    * RECALL BOUND (why this is honest where sign-LSH is not): a pair
-    * (a,b) is compared iff cells(a) ∩ cells(b) ≠ ∅. For vectors within
-    * cos >= tau of each other, their centroid rankings disagree only
-    * when both sit near a cell boundary farther than the ranking margin;
-    * nprobe >= 2 covers exactly that boundary band (each side probes its
-    * runner-up cell). Unlike per-hyperplane sign agreement (2/3 per
-    * plane at cos 0.5 — recall collapses multiplicatively), the miss
-    * probability here does not compound with dimensionality; on
-    * label-structured corpora (this one) capture is empirically total.
-    * Callers needing a guarantee still run [[embeddingPairsExact]];
-    * callers at 100 TB run this with k-means centroids from
-    * [[Similarity.ivfFit]] or any deterministic seed rule.
+    * RECALL BOUND (measured, not asserted): a pair (a,b) is compared
+    * iff cells(a) ∩ cells(b) ≠ ∅. Recall is total for tau AT OR ABOVE
+    * the corpus' cluster scale — pairs that similar share a nearest or
+    * runner-up centroid (this corpus at tau=0.5: 1/1 pair captured at
+    * sf0.01, 0 missed at sf0.001 even with mean centroids). BELOW the
+    * cluster scale recall degrades because such pairs genuinely
+    * straddle cells: probed at tau=0.4 with label-mean centroids,
+    * nprobe=2 misses 24/59 pairs and nprobe=3 misses 5/59 (sf0.01) —
+    * nprobe is the recall knob, and unlike per-hyperplane sign
+    * agreement (2/3 per plane at cos 0.5, collapsing multiplicatively)
+    * each +1 probe recovers a whole boundary band. Callers needing a
+    * guarantee at sub-cluster tau run [[embeddingPairsExact]]; callers
+    * at 100 TB run this with k-means centroids from
+    * [[Similarity.ivfFit]] and nprobe sized to their tau.
     */
   def embeddingPairsCells(rawDf: DataFrame, idCol: String, vecCol: String,
       centroidDf: DataFrame, tau: Double, nprobe: Int = 2): DataFrame = {
