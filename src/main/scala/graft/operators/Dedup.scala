@@ -470,7 +470,12 @@ object Dedup {
       explode(minhash_bands(col("sig"), bands)).as("__band"))
     val bandsB = sigsB.select(col("id"),
       explode(minhash_bands(col("sig"), bands)).as("__band"))
-    val cand = bandsB.as("x").join(bandsPool.as("y"),
+    // the BATCH side broadcasts (explicit, not left to AQE): history's
+    // banded rows stream through the join with NO exchange — per-batch
+    // shuffle volume stays O(batch·bands) however large history grows
+    // (the state scan itself is O(history) parquet IO, the versioned-
+    // state harness contract)
+    val cand = broadcast(bandsB.as("x")).join(bandsPool.as("y"),
         col("x.__band") === col("y.__band") && col("y.id") < col("x.id"))
       .select(col("x.id").as("id_b"), col("y.id").as("id_a"))
       .distinct()
@@ -522,7 +527,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val histPart = prev.map(_.select(col("id"), col("cell"), col("emb")))
     val pool = histPart.map(_.unionByName(assigned)).getOrElse(assigned)
-    val dupIds = assigned.as("x").join(pool.as("y"),
+    // batch side broadcasts (explicit): history streams with no
+    // exchange — the per-batch shuffle is O(batch), not O(history)
+    val dupIds = broadcast(assigned.as("x")).join(pool.as("y"),
         col("x.cell") === col("y.cell") && col("y.id") < col("x.id") &&
           cosine_sim(col("x.emb"), col("y.emb")) >= tau)
       .select(col("x.id").as("id")).distinct()

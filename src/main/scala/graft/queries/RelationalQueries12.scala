@@ -203,6 +203,44 @@ object RelationalQueries12 {
           max($"p_us").as("last_match_us"))
     },
 
+    // Seasonal decomposition (round 8) — the classical trend/seasonal
+    // split, float-free: hourly event counts gap-filled to a dense
+    // series (q60's sequence recipe — a ROWS window over a gappy series
+    // would silently span time gaps), trend = centered 25-hour moving
+    // window, seasonality per hour-of-day from INTERIOR rows only
+    // (full windows, so the rational form has one fixed denominator).
+    // The seasonal index stays a RATIONAL—num = Σ(25·cnt − winsum) is
+    // an order-independent integer sum (safe for negatives: no
+    // truncating division touches a negative anywhere), den = 25·n —
+    // with ONE IEEE division at the end; bit-exact in DuckDB. Scale
+    // note: the windows run over the HOUR-downsampled series, whose
+    // length grows with time span, not data volume — the heavy rollup
+    // (events → hourly counts) is a partial-agg groupBy at full
+    // parallelism, and the series window is bounded work by
+    // construction (the q84_drawdown series discipline).
+    "q99_seasonal" -> { (s, dir) =>
+      import s.implicits._
+      val sparse = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy($"hr").agg(count(lit(1)).as("cnt"))
+      val bounds = sparse.agg(min($"hr").as("lo"), max($"hr").as("hi"))
+      val dense = bounds
+        .select(explode(expr("sequence(lo, hi)")).as("hr"))
+        .join(sparse, Seq("hr"), "left")
+        .select($"hr", coalesce($"cnt", lit(0L)).as("cnt"))
+      val w = Window.orderBy($"hr").rowsBetween(-12, 12)
+      dense
+        .withColumn("winsum", sum($"cnt").over(w))
+        .withColumn("wincnt", count(lit(1)).over(w))
+        .filter($"wincnt" === 25)
+        .groupBy(($"hr" % 24).as("hour_of_day"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum($"cnt").as("sum_cnt"),
+          sum(lit(25) * $"cnt" - $"winsum").as("seasonal_num"))
+        .withColumn("seasonal",
+          $"seasonal_num".cast("double") / (lit(25.0) * $"n_hours"))
+    },
+
     // MERGE INTO semantics (the Delta/Iceberg upsert statement, which
     // plain-parquet Spark lacks) as a relational operator: apply a
     // keyed changeset (insert / update / delete, one op per key) to a
@@ -261,6 +299,31 @@ object RelationalQueries12 {
        |    ORDER BY cnt DESC, lbl ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q99_seasonal" ->
+      """WITH sparse AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM sparse),
+        |dense AS (
+        |  SELECT t.hr, coalesce(s.cnt, 0) AS cnt
+        |  FROM (SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds) t
+        |  LEFT JOIN sparse s ON s.hr = t.hr),
+        |w AS (
+        |  SELECT hr, cnt,
+        |    sum(cnt) OVER (ORDER BY hr
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS winsum,
+        |    count(*) OVER (ORDER BY hr
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wincnt
+        |  FROM dense)
+        |SELECT hr % 24 AS hour_of_day,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+        |  CAST(sum(25 * cnt - winsum) AS BIGINT) AS seasonal_num,
+        |  CAST(sum(25 * cnt - winsum) AS DOUBLE) / (25.0 * count(*))
+        |    AS seasonal
+        |FROM w WHERE wincnt = 25 GROUP BY 1""".stripMargin,
+
     "q98_seq_pattern" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us

@@ -52,6 +52,51 @@ object TextQueries4 {
         .agg(min($"doc_id").as("keep_id"),
           count(lit(1)).as("n_members"))
         .select($"keep_id", $"n_members", length($"k").cast("long").as("key_len"))
+    },
+
+    // RAKE keyword extraction (Rose et al. 2010, round 8): candidate
+    // phrases = maximal stopword-free word runs (row-local: stopwords
+    // become chr(31) markers, split, trim, drop empties — no window,
+    // no position bookkeeping); word stats freq(w) = #phrase
+    // occurrences and deg(w) = Σ phrase length over containing
+    // phrases; word score = deg/freq (ONE IEEE division); phrase
+    // score = strict in-order fold of its word scores (collect
+    // (pos, score), sort_array, aggregate from 0.0 — DuckDB's
+    // elem-1-init list(ORDER BY) fold is bit-identical because
+    // 0.0 + x == x for positive IEEE doubles, the ann_pq rule).
+    // Scale shape: phrase extraction row-local at scan parallelism;
+    // stats are VOCAB-bounded and broadcast back; the per-phrase-type
+    // rollup is the one high-cardinality shuffle; top-20 is a partial
+    // TakeOrdered.
+    "text_rake" -> { (s, dir) =>
+      import s.implicits._
+      val stopList = graft.functions.GraftFunctions.stopwords
+        .map(w => s"'$w'").mkString(", ")
+      val phrases = Tables.load(s, dir, "documents")
+        .select(explode(expr(
+          s"""filter(transform(split(array_join(transform(split(text, ' '),
+             |  gw -> CASE WHEN gw IN ($stopList) THEN chr(31) ELSE gw END),
+             |  ' '), chr(31)), gp -> trim(gp)), gp -> gp != '')"""
+            .stripMargin)).as("phrase"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wl = phrases.select(explode(split($"phrase", " ")).as("w"),
+        size(split($"phrase", " ")).as("l"))
+      val stats = wl.groupBy($"w")
+        .agg(count(lit(1)).as("freq"), sum($"l").as("deg"))
+        .select($"w",
+          ($"deg".cast("double") / $"freq".cast("double")).as("score"))
+      val ptypes = phrases.groupBy($"phrase")
+        .agg(count(lit(1)).as("n_occur"))
+      ptypes
+        .select($"phrase", $"n_occur",
+          posexplode(split($"phrase", " ")).as(Seq("pos", "w")))
+        .join(broadcast(stats), "w")
+        .groupBy($"phrase", $"n_occur")
+        .agg(sort_array(collect_list(struct($"pos", $"score"))).as("ps"))
+        .withColumn("score", expr(
+          "aggregate(ps, CAST(0.0 AS DOUBLE), (a, x) -> a + x.score)"))
+        .select($"phrase", $"n_occur", $"score")
+        .orderBy($"score".desc, $"phrase".asc).limit(20)
     }
   )
 
@@ -81,6 +126,42 @@ object TextQueries4 {
         |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(length(k) AS BIGINT) AS key_len
-        |FROM n GROUP BY k""".stripMargin
+        |FROM n GROUP BY k""".stripMargin,
+
+    "text_rake" -> {
+      val stopList = graft.functions.GraftFunctions.stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH ph AS (
+         |  SELECT trim(gp) AS phrase FROM (
+         |    SELECT unnest(string_split(array_to_string(
+         |      list_transform(string_split(text, ' '),
+         |        gw -> CASE WHEN gw IN ($stopList) THEN chr(31) ELSE gw END),
+         |      ' '), chr(31))) AS gp
+         |    FROM documents)
+         |  WHERE trim(gp) <> ''),
+         |wl AS (
+         |  SELECT unnest(string_split(phrase, ' ')) AS w,
+         |    len(string_split(phrase, ' ')) AS l
+         |  FROM ph),
+         |stats AS (
+         |  SELECT w, CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS score
+         |  FROM wl GROUP BY w),
+         |pt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
+         |       FROM ph GROUP BY phrase),
+         |pws AS (
+         |  SELECT pt.phrase, pt.n_occur, gi AS pos,
+         |    string_split(pt.phrase, ' ')[CAST(gi AS INT)] AS w
+         |  FROM pt, unnest(range(1, len(string_split(pt.phrase, ' ')) + 1))
+         |    AS t(gi)),
+         |scored AS (
+         |  SELECT phrase, n_occur,
+         |    list_reduce(list(s.score ORDER BY pws.pos), (ga, gb) -> ga + gb)
+         |      AS score
+         |  FROM pws JOIN stats s ON pws.w = s.w
+         |  GROUP BY phrase, n_occur)
+         |SELECT phrase, n_occur, score FROM scored
+         |ORDER BY score DESC, phrase ASC LIMIT 20""".stripMargin
+    }
   )
 }
