@@ -479,14 +479,18 @@ object Dedup {
         col("x.__band") === col("y.__band") && col("y.id") < col("x.id"))
       .select(col("x.id").as("id_b"), col("y.id").as("id_a"))
       .distinct()
-    val dupIds = cand
+    // same discipline down the verify chain: candidate pairs and the
+    // batch signature frame are batch-bounded — broadcast them so the
+    // history-sized signature pool streams through its one join
+    val dupIds = broadcast(cand)
       .join(pool.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
-      .join(sigsB.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .join(broadcast(
+        sigsB.select(col("id").as("id_b"), col("sig").as("__sb"))), "id_b")
       .filter(expr("aggregate(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, 0)), " +
         s"0, (a, b) -> a + b) * $tauDen >= $numHashes * $tauNum"))
       .select(col("id_b").as("id")).distinct()
     val stateB = sigsB
-      .join(dupIds.withColumn("__d", lit(true)), Seq("id"), "left")
+      .join(broadcast(dupIds.withColumn("__d", lit(true))), Seq("id"), "left")
       .select(col("id"), col("sig"),
         coalesce(col("__d"), lit(false)).as("is_dup"))
     prev.map(_.unionByName(stateB)).getOrElse(stateB)
@@ -534,7 +538,7 @@ object Dedup {
           cosine_sim(col("x.emb"), col("y.emb")) >= tau)
       .select(col("x.id").as("id")).distinct()
     val stateB = assigned
-      .join(dupIds.withColumn("__d", lit(true)), Seq("id"), "left")
+      .join(broadcast(dupIds.withColumn("__d", lit(true))), Seq("id"), "left")
       .select(col("id"), col("cell"), col("emb"),
         coalesce(col("__d"), lit(false)).as("is_dup"))
     prev.map(_.unionByName(stateB)).getOrElse(stateB)

@@ -42,6 +42,23 @@ class MinhashStreamSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("the per-batch probe broadcasts the batch side — history never shuffles") {
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val mid = ids(ids.length / 2)
+    val prev = Dedup.minhashDedupFold(None,
+      docs.filter(col("doc_id") <= mid), "doc_id", "text").persist()
+    prev.count()
+    val next = Dedup.minhashDedupFold(Some(prev),
+      docs.filter(col("doc_id") > mid), "doc_id", "text")
+    val p = next.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the band probe must broadcast the batch side")
+    assert(!p.contains("SortMergeJoin"),
+      "history must stream through the probe without a sort-merge exchange")
+    GraftSession.release(spark)
+  }
+
   test("minhashDedupMaintained streams two files into the single-fold state") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mhstream").toString
     val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)

@@ -58,6 +58,25 @@ class SemanticStreamSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("the per-batch probe broadcasts the batch side — history never shuffles") {
+    val ids = vecs.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val mid = ids(ids.length / 2)
+    val prev = Dedup.semanticDedupFold(None,
+      vecs.filter(col("vec_id") <= mid), "vec_id", "embedding",
+      centroids, Tau).persist()
+    prev.count()
+    val next = Dedup.semanticDedupFold(Some(prev),
+      vecs.filter(col("vec_id") > mid), "vec_id", "embedding",
+      centroids, Tau)
+    val p = next.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the cell probe must broadcast the batch side")
+    assert(!p.contains("SortMergeJoin"),
+      "history must stream through the probe without a sort-merge exchange")
+    GraftSession.release(spark)
+  }
+
   test("semanticDedupMaintained streams two files into the single-fold state") {
     val dir = java.nio.file.Files.createTempDirectory("graft_semstream").toString
     val mid = vecs.agg(((min(col("vec_id")) + max(col("vec_id"))) / 2)
