@@ -124,8 +124,8 @@ object DedupQueries {
   /** simhash CTE chain (w -> h -> sh), shared by the pair and cluster
     * oracles so the hash family is defined once.
     */
-  private val simhashCtes =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private[queries] def simhashCtes(base: String = "documents"): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $base),
       |h AS (SELECT doc_id, list_transform(ws, gw ->
       |  list_reduce(list_transform(range(1, len(gw) + 1),
       |    gi -> CAST(ord(substr(gw, CAST(gi AS INT), 1)) AS BIGINT)),
@@ -139,7 +139,7 @@ object DedupQueries {
       |  (gx, gy) -> gx + gy) AS sh FROM h)""".stripMargin
 
   private val simhashSql =
-    s"""WITH $simhashCtes
+    s"""WITH ${simhashCtes()}
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -149,7 +149,7 @@ object DedupQueries {
     * truth for the distributed connected-components operator.
     */
   private val clustersCtePrefix =
-    s"""WITH RECURSIVE $simhashCtes,
+    s"""WITH RECURSIVE ${simhashCtes()},
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
+import graft.operators.Dedup
 
 /** Dedup EVALUATION harness (round 8) — the dedup counterpart of
   * ann_recall: measure, in-engine, the candidate recall of the minhash
@@ -74,6 +75,43 @@ object DedupQueries3 {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select($"n_true", $"n_cand", $"n_hit",
           ($"n_hit".cast("double") / $"n_true".cast("double")).as("recall"))
+    },
+
+    // the FUZZY curation capstone (round 8, corpus_prepare's expensive
+    // sibling): quality gate -> simhash near-dup pair graph ->
+    // connected components -> keep-best survivor per cluster (longest
+    // text, id tie-break — the dedup_keep_best rule) -> per-lang
+    // manifest. Chains the heavy dedup path (banded candidates, the
+    // checkpointed CC loop) into the same manifest shape; lang and
+    // n_chars ride THROUGH the components operator as pass-through
+    // vertex columns, so no re-join with documents anywhere.
+    "corpus_prepare_fuzzy" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val gated = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", token_count(col("text")))
+        .withColumn("stop_cnt", stopword_count(col("text")))
+        .withColumn("mean_word_len",
+          (length($"text") - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+        .filter($"n_tokens" >= 20 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 12.0 &&
+          $"stop_cnt" * 100 >= $"n_tokens" * 2)
+        .select($"doc_id", $"lang", $"text", $"n_chars")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.simhashPairs(
+        gated.withColumn("__ws", words($"text")), "doc_id", "__ws",
+        maxHamming = 3)
+      val comp = Dedup.connectedComponents(
+        gated.select($"doc_id".as("id"), $"lang", $"n_chars"), pairs)
+      val byComponent = Window.partitionBy($"component")
+      val surv = comp
+        .withColumn("__rn", row_number().over(byComponent
+          .orderBy($"n_chars".desc, $"id".asc)))
+        .filter($"__rn" === 1)
+        .select($"lang", $"n_chars")
+      gated.groupBy($"lang").agg(count(lit(1)).as("n_gated"))
+        .join(surv.groupBy($"lang").agg(count(lit(1)).as("n_survivors"),
+          sum($"n_chars").as("survivor_chars")), Seq("lang"))
     }
   )
 
@@ -122,6 +160,48 @@ object DedupQueries3 {
          |  CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE)
          |    AS recall
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // the gated-docs CTE feeds DedupQueries' shared simhash chain
+    // (parameterized base table), then the dedup_keep_best
+    // transitive-closure + survivor machinery, then the manifest rollup
+    "corpus_prepare_fuzzy" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, lang, text, n_chars FROM (
+         |    SELECT doc_id, lang, text, n_chars,
+         |      (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+         |      len(list_filter(string_split(text, ' '),
+         |        gw -> gw IN ('the','a','an','of','and','or','to','in','is','it')))
+         |        AS stop_cnt
+         |    FROM documents)
+         |  WHERE n_tokens >= 20
+         |    AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens >= 3.0
+         |    AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0
+         |    AND stop_cnt * 100 >= n_tokens * 2),
+         |${DedupQueries.simhashCtes("docs")},
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, min(lbl) AS component
+         |  FROM reach GROUP BY u),
+         |j AS (SELECT c.component, d.doc_id, d.lang, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |  FROM comp c JOIN docs d ON d.doc_id = c.doc_id),
+         |surv AS (SELECT lang, n_chars FROM j WHERE rn = 1)
+         |SELECT g.lang,
+         |  CAST(g.n_gated AS BIGINT) AS n_gated,
+         |  CAST(s.n_survivors AS BIGINT) AS n_survivors,
+         |  CAST(s.survivor_chars AS BIGINT) AS survivor_chars
+         |FROM (SELECT lang, count(*) AS n_gated FROM docs GROUP BY lang) g
+         |JOIN (SELECT lang, count(*) AS n_survivors,
+         |      sum(n_chars) AS survivor_chars FROM surv GROUP BY lang) s
+         |  ON g.lang = s.lang""".stripMargin
   )
 }

@@ -88,7 +88,8 @@ object ScaleProbe {
       "q96_window_funnel", "q97_merge", "ann_filtered", "corpus_profile",
       "dedup_embedding_cells", "corpus_bpe_merges", "mm_search",
       "dedup_eval", "q98_seq_pattern", "corpus_bpe_tokenize",
-      "corpus_prepare", "q99_seasonal", "text_rake")
+      "corpus_prepare", "q99_seasonal", "text_rake",
+      "corpus_prepare_fuzzy")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
