@@ -79,6 +79,25 @@ object Transforms {
       if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
+    // whole-frame SQL stage (round 8, beyond the reference): the query
+    // references the incoming frame as `__input` via a scoped temp view
+    // — arbitrary ANSI analytics (windows, CTEs, joins against
+    // catalog tables) inside a YAML pipeline without leaving the
+    // declarative plan. The view name is unique per invocation so
+    // concurrent pipelines on one session cannot clobber each other.
+    case "sql" =>
+      val q = t.properties.getOrElse("query",
+        throw new IllegalArgumentException(
+          "sql transform requires a `query` property")).toString
+      val view = s"__graft_sql_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(view)
+      // spark.sql analyzes EAGERLY (Dataset.ofRows asserts analysis), so
+      // the resolved plan no longer needs the catalog entry — drop it
+      // immediately and no view leaks across pipeline stages
+      val out = df.sparkSession.sql(q.replace("__input", view))
+      df.sparkSession.catalog.dropTempView(view)
+      out
+
     case "identity" => df
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }

@@ -207,6 +207,29 @@ class PipelineSpecTest extends SparkSpec {
       s"each input row exactly once after restart, got $rows")
   }
 
+  test("sql transform: whole-frame SQL over __input, windows and all") {
+    import graft.operators.Transforms
+    import graft.pipeline.TransformSpec
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 4L), ("b", 2L)).toDF("k", "v")
+    val out = Transforms.apply(df, Seq(TransformSpec("sql", Map(
+      "query" -> ("SELECT k, v, row_number() OVER " +
+        "(PARTITION BY k ORDER BY v DESC) AS rn FROM __input")))))
+    val top = out.filter($"rn" === 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top == Map("a" -> 4L, "b" -> 2L))
+    // the scoped view does not leak
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_sql_")))
+    // stages chain: sql output feeds the next transform
+    val chained = Transforms.apply(df, Seq(
+      TransformSpec("sql", Map("query" ->
+        "SELECT k, sum(v) AS total FROM __input GROUP BY k")),
+      TransformSpec("filter", Map("expression" -> "total > 2"))))
+    assert(chained.collect().map(_.getString(0)).toSeq == Seq("a"))
+    GraftSession.release(spark)
+  }
+
   test("aggregate transform: YAML groupBy/aggregations run a grouped pipeline stage") {
     import graft.operators.Transforms
     import graft.pipeline.TransformSpec
