@@ -17,7 +17,7 @@ object SparkEntry {
       RelationalQueries5.defs ++ RelationalQueries6.defs ++
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
-      RelationalQueries12.defs ++ EventQueries.defs ++
+      RelationalQueries12.defs ++ RelationalQueries13.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
@@ -25,7 +25,7 @@ object SparkEntry {
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
       CorpusQueries5.defs ++ CorpusQueries6.defs ++
-      FeatureQueries.defs ++ FeatureQueries2.defs ++
+      FeatureQueries.defs ++ FeatureQueries2.defs ++ FeatureQueries3.defs ++
       SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,7 +37,7 @@ object SparkEntry {
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
-      RelationalQueries12.oracles ++ EventQueries.oracles ++
+      RelationalQueries12.oracles ++ RelationalQueries13.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++ TextQueries4.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
@@ -45,6 +45,6 @@ object SparkEntry {
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
       CorpusQueries5.oracles ++ CorpusQueries6.oracles ++
-      FeatureQueries.oracles ++ FeatureQueries2.oracles ++
+      FeatureQueries.oracles ++ FeatureQueries2.oracles ++ FeatureQueries3.oracles ++
       SketchQueries.oracles
 }

@@ -61,4 +61,25 @@ object Quality {
     val row = audit(df, rules).head()
     rules.map(r => r.name -> (row.getAs[Long](r.name) == 0L)).toMap
   }
+
+  /** Referential-integrity audit — the rule class the single-pass
+    * [[audit]] cannot express (it needs a second table). One row:
+    * `(fk_name, n_child, n_orphans)` where orphans are child rows whose
+    * `fk` value has no match in `parent.pk` (NULL fks count as orphans:
+    * a fact row pointing nowhere is broken either way — callers wanting
+    * nullable fks filter first).
+    *
+    * Scale shape: ONE hash join shuffled on the key — the parent side
+    * reduces to its distinct keys first (map-side partial), both counts
+    * come from the same partial-aggregated pass over the join output.
+    * No distinct-vs-anti double scan of the 100 TB child.
+    */
+  def orphanCount(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String, fkName: String): DataFrame =
+    child.select(col(fk).as("__k"))
+      .join(parent.select(col(pk).as("__k")).distinct()
+        .withColumn("__hit", lit(1)), Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("__hit").isNull, 1)).as("n_orphans"))
+      .select(lit(fkName).as("fk_name"), col("n_child"), col("n_orphans"))
 }

@@ -131,6 +131,44 @@ class OperatorSpec extends SparkSpec {
     assert(out == Map(9L -> 2L, 10L -> 0L))
   }
 
+  test("range-join pairs equal the naive theta join, exactly once each") {
+    // real data: every (purchase, click-in-24h) pair from sf0.001 events,
+    // bucketed scheme vs the O(L*R)-per-key reference join
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+    val c = ev.filter(col("event_type") === "click")
+    val got = RangeJoin.pairsInPrecedingWindow(p, c, "user_id", "ts",
+        86400L * 1000000L)
+      .select(col("left_id"), col("right_id"))
+    val naive = p.select(col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pus"), col("event_id").as("pid"))
+      .join(c.select(col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cus"), col("event_id").as("cid")),
+        col("pu") === col("cu") &&
+          col("cus") >= col("pus") - 86400L * 1000000L &&
+          col("cus") <= col("pus"))
+      .select(col("pid").as("left_id"), col("cid").as("right_id"))
+    assert(got.count() > 0, "no pairs at all — test data assumption broke")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "bucketed pair join diverges from the reference theta join")
+  }
+
+  test("orphan count flags exactly the planted dangling keys") {
+    import graft.operators.Quality
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L))
+      .toDF("id", "fk")
+    val childNull = child.union(
+      Seq(5L).toDF("id").withColumn("fk", lit(null).cast("long")))
+    val parent = Seq(10L, 11L).toDF("pk")
+    val row = Quality.orphanCount(child, "fk", parent, "pk", "c.fk").head()
+    assert(row.getString(0) == "c.fk" && row.getLong(1) == 4L &&
+      row.getLong(2) == 2L)
+    // NULL fk is an orphan by contract
+    val rowN = Quality.orphanCount(childNull, "fk", parent, "pk", "n").head()
+    assert(rowN.getLong(1) == 5L && rowN.getLong(2) == 3L)
+  }
+
   test("poly hash matches reference fold") {
     import spark.implicits._
     val got = Seq("hello").toDF("t")
