@@ -20,6 +20,7 @@ object SparkEntry {
       RelationalQueries12.defs ++ RelationalQueries13.defs ++ EventQueries.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
+      DedupQueries4.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++ ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
@@ -40,6 +41,7 @@ object SparkEntry {
       RelationalQueries12.oracles ++ RelationalQueries13.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++ TextQueries4.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
+      DedupQueries4.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++ ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++

@@ -628,4 +628,76 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** EXACT Jaccard >= tauNum/tauDen pair join via prefix filtering
+    * (AllPairs/PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * the deterministic sibling of [[minhashPairs]] — zero false
+    * negatives by construction, where LSH banding only bounds the miss
+    * probability. Tokens get a GLOBAL rarity order (document frequency
+    * asc, token asc — one vocab-bounded aggregate); each set emits only
+    * its first |x| − ceil(τ·|x|) + 1 rarest tokens as postings: two
+    * sets with J ≥ τ must overlap in ≥ ceil(τ·|x|) tokens, so their
+    * prefixes cannot be disjoint — candidates = prefix-postings
+    * self-join, then ONE exact `array_intersect` verify per surviving
+    * pair against the persisted sorted arrays (the dedup_eval lesson:
+    * array kernels on few pairs beat postings-count aggregation).
+    * The candidate join carries PPJoin's two extra exact filters —
+    * length (J ≥ τ forces min(mx,my)·den ≥ max(mx,my)·num) and
+    * positional (the first common token t at positions (px,py) bounds
+    * the overlap: I ≤ 1 + min(mx−px, my−py), and t provably sits in
+    * BOTH prefixes, so requiring the bound to clear
+    * α = ceil(num·(mx+my)/(num+den)) on at least one shared prefix
+    * token loses nothing). All thresholds integer (`ceil` =
+    * `(a + b − 1) div b`, verify = `I·den >= U·num` — the no-float
+    * dedup discipline).
+    *
+    * Scale shape: postings volume shrinks to the prefix fraction
+    * (1 − τ of each set, and those are the RAREST tokens, so posting
+    * lists are short on Zipfian vocabularies); the self-join shuffles
+    * on token, verify on id. On THIS synthetic corpus the shared-vocab
+    * floor keeps prefix df high — measured at sf0.01/τ=19/20: postings
+    * 11,695 → 876 (13×), candidates 95,749 with the prefix filter
+    * alone, 21,348 adding length, 17,799 adding positional (14% of
+    * all-pairs; a natural Zipf corpus prunes far harder). Input
+    * arrays persist once, reused by both verify branches.
+    */
+  def prefixFilterJaccardPairs(rawDf: DataFrame, idCol: String,
+      tokensCol: String, tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = Parallelism.ensure(rawDf)
+    val sets = df.select(col(idCol).as("__id"),
+        array_sort(array_distinct(col(tokensCol))).as("__toks"))
+      .withColumn("__m", size(col("__toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sets.select(col("__id"), col("__m"),
+      explode(col("__toks")).as("__tok"))
+    val tdf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val pref = toks.join(tdf, "__tok")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok")))
+        .cast("long"))
+      .filter(col("__pos") <=
+        col("__m") - expr(s"(__m * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("__id"), col("__tok"), col("__pos"), col("__m"))
+    val nd = tauNum + tauDen
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
+        least(col("a.__m"), col("b.__m")) * tauDen >=
+          greatest(col("a.__m"), col("b.__m")) * tauNum &&
+        lit(1L) + least(col("a.__m") - col("a.__pos"),
+            col("b.__m") - col("b.__pos")) >=
+          expr(s"($tauNum * (a.__m + b.__m) + ${nd - 1}) div $nd"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__m").as("__ma")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__m").as("__mb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("uni", col("__ma") + col("__mb") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
 }

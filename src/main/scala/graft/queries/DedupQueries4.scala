@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** `dedup_ppjoin` — EXACT word-level Jaccard >= 19/20 near-dup pairs via
+  * prefix filtering ([[Dedup.prefixFilterJaccardPairs]]): the
+  * zero-false-negative counterpart of the minhash family, for the
+  * regimes where a recall GUARANTEE (not a bound) is the requirement —
+  * eval/audit sets, legal-hold dedup, contamination screens. τ = 0.95
+  * is the corpus-probed operating point (word-set similarity floor is
+  * high on this synthetic vocab: τ=0.5 captures 74% of ALL pairs,
+  * 19/20 keeps 1,887 of 124,750 — and a high τ is where prefix
+  * filtering shines: prefixes shrink to |x|−ceil(19|x|/20)+1 ≈ |x|/20
+  * of the rarest tokens). The oracle replays the whole ladder: global
+  * (df, token) rarity order, the integer prefix cut, prefix-postings
+  * candidate join, `list_intersect` verify under the integer
+  * `2I >= U` compare — every step deterministic, no hash family at
+  * all (this is the dedup query whose SQL a reviewer can read as the
+  * definition of correctness).
+  */
+object DedupQueries4 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ppjoin" -> { (s, dir) =>
+      import s.implicits._
+      // deterministic 20% audit stratum: exactness costs pair volume
+      // (this corpus' shared-vocab floor keeps ~14% of all-pairs as
+      // candidates), and the operating pattern for an exact pass is
+      // auditing a stratum while minhash covers the corpus — the
+      // dedup_eval discipline. doc_id % 5 replays verbatim in SQL.
+      val docs = Tables.load(s, dir, "documents")
+        .filter($"doc_id" % 5 === 0)
+        .select($"doc_id",
+          expr("filter(split(text, ' '), gx -> gx != '')").as("toks"))
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "toks",
+        tauNum = 19, tauDen = 20)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_ppjoin" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '),
+        |      gx -> gx <> ''))) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS m
+        |          FROM sets),
+        |toks AS (SELECT doc_id, m, unnest(toks) AS tok FROM sized),
+        |tdf AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT t.doc_id, t.m, t.tok,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |                       ORDER BY d.df, t.tok) AS pos
+        |  FROM toks t JOIN tdf d USING (tok)),
+        |pref AS (SELECT doc_id, m, tok, pos FROM ranked
+        |         WHERE pos <= m - ((m * 19 + 19) // 20) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM pref a JOIN pref b
+        |           ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |          AND least(a.m, b.m) * 20 >= greatest(a.m, b.m) * 19
+        |          AND 1 + least(a.m - a.pos, b.m - b.pos)
+        |              >= (19 * (a.m + b.m) + 38) // 39),
+        |v AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS inter,
+        |    sa.m + sb.m
+        |      - CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS uni
+        |  FROM cand c
+        |  JOIN sized sa ON c.id_a = sa.doc_id
+        |  JOIN sized sb ON c.id_b = sb.doc_id)
+        |SELECT id_a, id_b, inter, uni FROM v
+        |WHERE inter * 20 >= uni * 19""".stripMargin
+  )
+}
