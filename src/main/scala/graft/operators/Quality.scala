@@ -15,6 +15,13 @@ object Quality {
     def name: String
     /** Aggregate column counting this rule's violations (0 = clean). */
     def agg: Column
+    /** Row-local rules have ADDITIVE violation counts — auditing each
+      * split and summing equals auditing the whole. That is what lets
+      * [[graft.streaming.StreamingOps.qualityAuditMaintained]] fold
+      * per-batch audits into a cumulative state. Unique is the
+      * exception (needs distinct state across batches).
+      */
+    def rowLocal: Boolean = true
   }
 
   /** Column must not contain nulls. */
@@ -47,6 +54,7 @@ object Quality {
   case class Unique(column: String) extends Rule {
     val name = s"dup_$column"
     def agg: Column = count(col(column)) - count_distinct(col(column))
+    override def rowLocal: Boolean = false
   }
 
   /** One row: total row count + one violation-count column per rule. */

@@ -98,6 +98,51 @@ object Transforms {
       df.sparkSession.catalog.dropTempView(view)
       out
 
+    // declarative data-contract gate (round 8, beyond the reference):
+    // `rules` is a list of {kind, column, ...} checks compiled to ONE
+    // Quality.audit aggregation pass; any rule whose violation count
+    // exceeds `maxViolations` (default 0) fails the pipeline with the
+    // per-rule counts in the message. Deliberately EAGER — a gate must
+    // decide before the sink runs; the cost is one scan however many
+    // rules are attached. On success the frame passes through
+    // untouched.
+    case "quality" =>
+      val props = t.properties
+      val rules: Seq[Quality.Rule] = props.get("rules") match {
+        case Some(rs: Seq[_]) => rs.map {
+          case rm: Map[_, _] =>
+            val m = rm.asInstanceOf[Map[String, Any]]
+            val c = m.getOrElse("column", throw new IllegalArgumentException(
+              "quality rule requires a `column`")).toString
+            m.getOrElse("kind", "").toString match {
+              case "not_null" => Quality.NotNull(c)
+              case "non_empty" => Quality.NonEmpty(c)
+              case "in_set" => Quality.InSet(c,
+                m.getOrElse("allowed", "").toString
+                  .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              case "bounds" => Quality.Bounds(c,
+                m.getOrElse("lo", "0").toString.toDouble,
+                m.getOrElse("hi", "0").toString.toDouble)
+              case "unique" => Quality.Unique(c)
+              case other => throw new IllegalArgumentException(
+                s"Unknown quality rule kind: $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"quality rule must be a mapping, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "quality transform requires a `rules` list")
+      }
+      val maxV = props.getOrElse("maxViolations", "0").toString.toLong
+      val row = Quality.audit(df, rules).head()
+      val breached = rules.map(r => r.name -> row.getAs[Long](r.name))
+        .filter(_._2 > maxV)
+      if (breached.nonEmpty) throw new IllegalStateException(
+        "quality gate failed: " +
+          breached.map { case (n, v) => s"$n=$v" }.mkString(", ") +
+          s" (maxViolations=$maxV, rows=${row.getAs[Long]("n_rows")})")
+      df
+
     case "identity" => df
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }

@@ -306,6 +306,37 @@ object StreamingOps {
         prev, batch.toDF(), idCol, vecCol, centroidDf, tau)
     }
 
+  /** Streaming data-contract monitoring: folds each micro-batch's
+    * [[graft.operators.Quality.audit]] into a cumulative one-row audit
+    * state (total rows + per-rule violation counts over everything
+    * streamed) — the ingest-gate dashboard number kept current without
+    * ever re-scanning history. Only row-local rules are accepted:
+    * their violation counts are ADDITIVE, so per-batch audit + sum is
+    * exactly the whole-history audit (split-invariance is arithmetic
+    * here, not a contract on arrival order — unlike the dedup folds,
+    * ANY batch order folds to the same state). `Unique` is refused up
+    * front: cross-batch uniqueness needs distinct-key state, which is
+    * [[streamingDedup]]'s job. Exactly-once replay/reset guards are the
+    * shared [[versionedStateSink]] harness; QualityStreamSpec proves
+    * the streamed state equals the one-pass batch audit.
+    */
+  def qualityAuditMaintained(stream: DataFrame,
+      rules: Seq[graft.operators.Quality.Rule], stateDir: String,
+      name: String, retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rules.forall(_.rowLocal),
+      "only row-local rules fold across micro-batches; " +
+        "Unique needs distinct-key state (use streamingDedup)")
+    versionedStateSink(stream, stateDir, name, retainVersions) { (prev, batch) =>
+      val delta = graft.operators.Quality.audit(batch.toDF(), rules)
+      prev.fold(delta) { p =>
+        val cols = "n_rows" +: rules.map(_.name)
+        p.unionByName(delta)
+          .agg(sum(col(cols.head)).as(cols.head),
+            cols.tail.map(c => sum(col(c)).as(c)): _*)
+      }
+    }
+  }
+
   /** The versioned exactly-once foreachBatch state harness shared by
     * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
     * the previous complete state (None on the first batch) with the

@@ -89,7 +89,9 @@ object ScaleProbe {
       "dedup_embedding_cells", "corpus_bpe_merges", "mm_search",
       "dedup_eval", "q98_seq_pattern", "corpus_bpe_tokenize",
       "corpus_prepare", "q99_seasonal", "text_rake",
-      "corpus_prepare_fuzzy")
+      "corpus_prepare_fuzzy",
+      "q100_attribution", "layout_zorder", "dq_referential",
+      "feat_random_proj", "dedup_ppjoin")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption

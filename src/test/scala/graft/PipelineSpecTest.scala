@@ -265,6 +265,50 @@ class PipelineSpecTest extends SparkSpec {
     assert(cfg.pipelines.head.transformations.head.kind == "aggregate")
   }
 
+  test("quality transform: clean data passes through, breaches fail the stage") {
+    import graft.operators.Transforms
+    import graft.pipeline.TransformSpec
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("b", 20L), (null, 500L))
+      .toDF("k", "v")
+    // passes: one null allowed under maxViolations=1, bounds span data
+    val rules = Seq(
+      Map("kind" -> "not_null", "column" -> "k"),
+      Map("kind" -> "bounds", "column" -> "v", "lo" -> "0", "hi" -> "1000"))
+    val ok = Transforms.apply(df, Seq(TransformSpec("quality", Map(
+      "rules" -> rules, "maxViolations" -> "1"))))
+    assert(ok.count() == 3, "gate must pass the frame through untouched")
+    // fails: default maxViolations=0 trips on the null, message carries
+    // the rule name and count
+    val e = intercept[IllegalStateException] {
+      Transforms.apply(df, Seq(TransformSpec("quality", Map(
+        "rules" -> rules))))
+    }
+    assert(e.getMessage.contains("null_k=1"))
+    // parses from YAML: nested rule list arrives as Seq[Map]
+    val cfg = graft.pipeline.ConfigParser.parse(
+      """pipelines:
+        |  - name: "gated"
+        |    source:
+        |      type: file
+        |      properties: { path: "/tmp/x", format: "csv" }
+        |    transformations:
+        |      - type: quality
+        |        properties:
+        |          maxViolations: 0
+        |          rules:
+        |            - { kind: not_null, column: k }
+        |            - { kind: in_set, column: lang, allowed: "en,de" }
+        |    sink:
+        |      type: file
+        |      properties: { path: "/tmp/y", format: "parquet" }
+        |""".stripMargin)
+    val qt = cfg.pipelines.head.transformations.head
+    assert(qt.kind == "quality")
+    assert(qt.properties("rules").asInstanceOf[Seq[_]].size == 2)
+    GraftSession.release(spark)
+  }
+
   test("manager count/isRunning/stopAll mirror the controller surface") {
     val in = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$in/x.txt"), "a\nb\n")
