@@ -97,6 +97,27 @@ object RelationalQueries13 {
           (max($"bs") - min($"bs")).as("bs_span"))
     },
 
+    // k-anonymity / l-diversity release audit (Sweeney 2002 /
+    // Machanavajjhala 2007): quasi-identifier = (nation, account-
+    // balance bucket), sensitive attribute = market segment. A row is
+    // re-identifiable if its QI equivalence class has < k members, and
+    // attribute-disclosable if the class shows < l distinct sensitive
+    // values — the gate a dataset must pass before leaving the trust
+    // boundary. ONE groupBy on the QI (count + count_distinct, both
+    // map-side partial); the bucket is floor(acctbal/1000) — a single
+    // IEEE division + true floor, identical on both engines including
+    // negative balances (floor, never truncation — the round-3 trap).
+    "dq_kanon" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .withColumn("bal_bucket",
+          floor($"c_acctbal" / lit(1000.0)).cast("long"))
+        .groupBy($"c_nationkey", $"bal_bucket")
+        .agg(count(lit(1)).as("n"),
+          count_distinct($"c_mktsegment").as("n_sensitive"))
+        .filter($"n" < 5 || $"n_sensitive" < 2)
+    },
+
     "dq_referential" -> { (s, dir) =>
       def t(n: String) = Tables.load(s, dir, n)
       Quality.orphanCount(t("lineitem"), "l_orderkey",
@@ -152,6 +173,17 @@ object RelationalQueries13 {
          |  CAST(max(bp) - min(bp) AS BIGINT) AS bp_span,
          |  CAST(max(bs) - min(bs) AS BIGINT) AS bs_span
          |FROM z GROUP BY zv // 1024""".stripMargin,
+
+    "dq_kanon" ->
+      """WITH b AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, bal_bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+        |  FROM b GROUP BY c_nationkey, bal_bucket)
+        |SELECT * FROM g WHERE n < 5 OR n_sensitive < 2""".stripMargin,
 
     "dq_referential" ->
       """SELECT 'lineitem.l_orderkey' AS fk_name,

@@ -441,6 +441,37 @@ class PlanAuditSpec extends SparkSpec {
       "the stream shuffles on the user key")
   }
 
+  test("round-8 additions: shuffle budgets and window keys hold") {
+    // random projection is a pure per-row map — zero exchanges beyond
+    // the (allowed) single-file parallelism spread
+    val rp = plan("feat_random_proj")
+    assert("Exchange hashpartitioning".r.findAllIn(rp).isEmpty &&
+      !rp.contains("Exchange rangepartitioning"),
+      "feat_random_proj must not shuffle on keys")
+    // k-anonymity: the canonical two-phase distinct-aggregate — first
+    // keyed on (QI, sensitive) for the distinct, then on QI for the
+    // counts; both partial-aggregated, and nothing more
+    val ka = plan("dq_kanon")
+    assert("Exchange hashpartitioning".r.findAllIn(ka).length == 2 &&
+      ka.contains("partial_count"),
+      "dq_kanon is the two-exchange distinct-agg rollup, partial map-side")
+    // z-order audit: the maxima frame comes back as a broadcast, never
+    // a shuffle join against the fact scan
+    val zo = plan("layout_zorder")
+    assert(zo.contains("BroadcastNestedLoopJoin") || zo.contains("BroadcastHashJoin"),
+      "bucket bounds must broadcast")
+    assert(!zo.contains("SortMergeJoin"), "no shuffle join for a 1-row frame")
+    // attribution: every window partitions on the high-cardinality
+    // purchase id (left_id) — no low-cardinality window cliff
+    val at = plan("q100_attribution")
+    val wns = "(?m)^\\s*(?:[+:*\\-! ]*)Window .*$".r.findAllIn(at).toList
+    assert(wns.nonEmpty, "attribution must use window functions")
+    wns.foreach { w =>
+      assert("\\], \\[left_id#\\d+".r.findFirstIn(w).isDefined,
+        s"window must partition on left_id, got: $w")
+    }
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
