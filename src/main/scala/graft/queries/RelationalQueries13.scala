@@ -118,6 +118,41 @@ object RelationalQueries13 {
         .filter($"n" < 5 || $"n_sensitive" < 2)
     },
 
+    // distribution-drift audit (the training-data monitoring staple):
+    // two-sample chi-square contingency between the pre/post-1998 order
+    // eras over 10 fixed-width price buckets. The heavy part is ONE
+    // partial-aggregated (bucket, era) rollup over the fact table; the
+    // marginals come from windows over the 20-row AGGREGATED frame (the
+    // q84 downsample-then-window discipline — never a window over the
+    // facts). Expected counts and contributions are one fixed IEEE
+    // expression tree per row — integer products first (R·C < 2^63 is
+    // the asserted-invariant bound), exactly one division each, squares
+    // as self-multiplication (never pow — the libm rule).
+    "dq_drift" -> { (s, dir) =>
+      import s.implicits._
+      val counts = Tables.load(s, dir, "orders")
+        .withColumn("bucket", least(lit(9L),
+          floor($"o_totalprice" / lit(50000.0)).cast("long")))
+        .withColumn("era",
+          when($"o_orderdate" < lit("1998-01-01").cast("timestamp"), "pre")
+            .otherwise("post"))
+        .groupBy($"bucket", $"era")
+        .agg(count(lit(1)).as("n"))
+      val wb = Window.partitionBy($"bucket")
+      val we = Window.partitionBy($"era")
+      val wg = Window.partitionBy()
+      counts
+        .withColumn("row_tot", sum($"n").over(wb))
+        .withColumn("col_tot", sum($"n").over(we))
+        .withColumn("grand", sum($"n").over(wg))
+        .withColumn("expected",
+          ($"row_tot" * $"col_tot").cast("double") / $"grand".cast("double"))
+        .withColumn("contrib",
+          ($"n".cast("double") - $"expected") *
+            ($"n".cast("double") - $"expected") / $"expected")
+        .select($"bucket", $"era", $"n", $"expected", $"contrib")
+    },
+
     "dq_referential" -> { (s, dir) =>
       def t(n: String) = Tables.load(s, dir, n)
       Quality.orphanCount(t("lineitem"), "l_orderkey",
@@ -184,6 +219,31 @@ object RelationalQueries13 {
         |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
         |  FROM b GROUP BY c_nationkey, bal_bucket)
         |SELECT * FROM g WHERE n < 5 OR n_sensitive < 2""".stripMargin,
+
+    "dq_drift" ->
+      """WITH c AS (
+        |  SELECT least(9, CAST(floor(o_totalprice / 50000.0) AS BIGINT))
+        |      AS bucket,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |         THEN 'pre' ELSE 'post' END AS era,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT bucket, era, n,
+        |    sum(n) OVER (PARTITION BY bucket) AS row_tot,
+        |    sum(n) OVER (PARTITION BY era) AS col_tot,
+        |    sum(n) OVER () AS grand
+        |  FROM c)
+        |SELECT bucket, era, n,
+        |  CAST(row_tot * col_tot AS DOUBLE) / CAST(grand AS DOUBLE)
+        |    AS expected,
+        |  (CAST(n AS DOUBLE)
+        |     - CAST(row_tot * col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+        |  * (CAST(n AS DOUBLE)
+        |     - CAST(row_tot * col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+        |  / (CAST(row_tot * col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+        |    AS contrib
+        |FROM m""".stripMargin,
 
     "dq_referential" ->
       """SELECT 'lineitem.l_orderkey' AS fk_name,
