@@ -17,15 +17,18 @@ object SparkEntry {
       RelationalQueries5.defs ++ RelationalQueries6.defs ++
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
-      RelationalQueries12.defs ++ RelationalQueries13.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++ TextQueries4.defs ++
+      RelationalQueries12.defs ++ RelationalQueries13.defs ++
+      RelationalQueries14.defs ++ EventQueries.defs ++ EventQueries2.defs ++
+      TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
+      TextQueries4.defs ++ TextQueries5.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
       DedupQueries4.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++ ClusterQueries.defs ++
-      PipelineQueries.defs ++ MultimodalQueries.defs ++ CorpusQueries.defs ++
+      PipelineQueries.defs ++ MultimodalQueries.defs ++
+      MultimodalQueries2.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
-      CorpusQueries5.defs ++ CorpusQueries6.defs ++
+      CorpusQueries5.defs ++ CorpusQueries6.defs ++ CorpusQueries7.defs ++
       FeatureQueries.defs ++ FeatureQueries2.defs ++ FeatureQueries3.defs ++
       SketchQueries.defs
 
@@ -38,15 +41,19 @@ object SparkEntry {
       RelationalQueries5.oracles ++ RelationalQueries6.oracles ++
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
-      RelationalQueries12.oracles ++ RelationalQueries13.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++ TextQueries4.oracles ++
+      RelationalQueries12.oracles ++ RelationalQueries13.oracles ++
+      RelationalQueries14.oracles ++ EventQueries.oracles ++
+      EventQueries2.oracles ++
+      TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
+      TextQueries4.oracles ++ TextQueries5.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
       DedupQueries4.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++ ClusterQueries.oracles ++
-      PipelineQueries.oracles ++ MultimodalQueries.oracles ++ CorpusQueries.oracles ++
+      PipelineQueries.oracles ++ MultimodalQueries.oracles ++
+      MultimodalQueries2.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
-      CorpusQueries5.oracles ++ CorpusQueries6.oracles ++
+      CorpusQueries5.oracles ++ CorpusQueries6.oracles ++ CorpusQueries7.oracles ++
       FeatureQueries.oracles ++ FeatureQueries2.oracles ++ FeatureQueries3.oracles ++
       SketchQueries.oracles
 }

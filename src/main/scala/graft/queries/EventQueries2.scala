@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 event-stream additions, wave 2.
+  *
+  * `q103_paths` — top user journeys (the product-analytics "path
+  * analysis" report): each user's first 5 events in strict
+  * (micros, event_id) order joined into a `a>b>c` path string, top-20
+  * paths by user count. The rn ≤ 5 filter rides Spark 4's map-side
+  * Partial WindowGroupLimit (per-partition top-k pruning before the
+  * user exchange — the round-2 lesson), the path rollup shuffles only
+  * one short string per user, and the top-20 is a partial
+  * TakeOrdered. Total order everywhere: (us, event_id) within users,
+  * (n_users desc, path asc) across paths.
+  *
+  * `dq_freshness` — per-event-type freshness/staleness audit (the
+  * ingestion-lag monitor every streaming warehouse runs): row count,
+  * first/last event micros, staleness vs the GLOBAL max watermark,
+  * and the count inside the trailing 7 days. "Now" is deliberately
+  * the corpus watermark, not wall-clock — deterministic and
+  * oracle-replayable (the no-Date.now discipline). One broadcast of
+  * the 1-row global max against the scan, ONE partial-aggregated
+  * rollup — the conditional recent-count lives in the same pass, no
+  * second scan. All integer micros.
+  */
+object EventQueries2 {
+
+  private val Week: Long = 7L * 24 * 3600 * 1000000L
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_paths" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts").asc, $"event_id".asc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"rn", $"event_type"))).as("xs"))
+        .select(expr("array_join(transform(xs, x -> x.event_type), '>')")
+          .as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path".asc).limit(20)
+    },
+
+    "dq_freshness" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_type",
+        unix_micros($"ts").as("us"))
+      val glob = ev.agg(max($"us").as("gmax"))
+      ev.crossJoin(broadcast(glob))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          min($"us").as("min_us"),
+          max($"us").as("max_us"),
+          sum(when($"us" >= $"gmax" - lit(Week), 1L).otherwise(0L))
+            .as("n_recent7"),
+          first($"gmax").as("gmax"))
+        .select($"event_type", $"n", $"min_us", $"max_us",
+          ($"gmax" - $"max_us").as("staleness_us"), $"n_recent7")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q103_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us, event_id FROM events),
+        |r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS rn FROM e),
+        |p AS (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY rn), '>') AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "dq_freshness" ->
+      s"""WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+         |           FROM events),
+         |g AS (SELECT max(us) AS gmax FROM e)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(us) AS BIGINT) AS min_us,
+         |  CAST(max(us) AS BIGINT) AS max_us,
+         |  CAST((SELECT gmax FROM g) - max(us) AS BIGINT) AS staleness_us,
+         |  CAST(sum(CASE WHEN us >= (SELECT gmax FROM g) - $Week
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recent7
+         |FROM e GROUP BY event_type""".stripMargin
+  )
+}

@@ -337,6 +337,49 @@ object StreamingOps {
     }
   }
 
+  /** Streaming EXACT distinct-count via bitmap segments — the
+    * streaming face of q102_bitmap_distinct: state is one
+    * `(seg, bits)` row per OCCUPIED 32-key segment (`seg = key DIV
+    * 32`, `bits |= 1 << key mod 32`), so its size is bounded by the
+    * live key space / 32, independent of how many rows streamed by —
+    * the exact-distinct state bound HLL approximates away. `bit_or`
+    * is idempotent AND commutative, so like qualityAuditMaintained
+    * (and unlike the id-ordered dedup folds) ANY batch split in ANY
+    * order folds to the same state — split-invariance is arithmetic,
+    * not an arrival contract. Keys must be non-negative (DIV/% on
+    * negatives truncate toward zero — the round-3 trap; the fold
+    * filters them out and counts them separately under seg = -1 so
+    * violations surface in state rather than corrupting segments).
+    * Read the count back with [[bitmapDistinctCount]]. Exactly-once
+    * replay/reset guards are the shared [[versionedStateSink]]
+    * harness; BitmapStreamSpec proves streamed state == the one-pass
+    * batch distinct.
+    */
+  def bitmapDistinctMaintained(stream: DataFrame, keyCol: String,
+      stateDir: String, name: String,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(stream, stateDir, name, retainVersions) { (prev, batch) =>
+      val delta = batch.toDF().select(
+          when(col(keyCol) >= 0L, expr(s"$keyCol DIV 32")).otherwise(lit(-1L))
+            .as("seg"),
+          when(col(keyCol) >= 0L,
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST($keyCol % 32 AS INT))"))
+            .otherwise(lit(0L)).as("bitval"))
+        .groupBy(col("seg")).agg(expr("bit_or(bitval)").as("bits"))
+      prev.fold(delta) { p =>
+        p.unionByName(delta).groupBy(col("seg"))
+          .agg(expr("bit_or(bits)").as("bits"))
+      }
+    }
+
+  /** Exact distinct count from a [[bitmapDistinctMaintained]] state
+    * frame (rejected-negative segments excluded).
+    */
+  def bitmapDistinctCount(state: DataFrame): Long =
+    state.filter(col("seg") >= 0L)
+      .agg(coalesce(sum(expr("bit_count(bits)")), lit(0L)).cast("long"))
+      .head().getLong(0)
+
   /** The versioned exactly-once foreachBatch state harness shared by
     * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
     * the previous complete state (None on the first batch) with the
