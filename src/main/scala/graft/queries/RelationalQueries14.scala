@@ -32,6 +32,16 @@ import graft.Tables
   * touching the fact table again. 32-bit segments keep `1 << bit`
   * < 2^31 — inside the asserted-invariant bound on both engines
   * (DuckDB throws on BIGINT overflow rather than wrapping).
+  *
+  * `q104_basket_rules` — market-basket association rules (Agrawal
+  * 1993): support / confidence / lift for part pairs co-purchased in
+  * an order. The pair join is keyed on the HIGH-cardinality order key
+  * with fan-out bounded by basket size (a few lineitems per order) —
+  * the co-occurrence cost is Σ basket², linear in orders, never
+  * item² — and the (order, part) frame persists because three
+  * consumers reuse it. Confidence and lift are single IEEE divisions
+  * of exact integer products (supp·N < 2^63 — the asserted-invariant
+  * bound); ranking and ties are integer-first (supp desc, item ids).
   */
 object RelationalQueries14 {
 
@@ -54,6 +64,43 @@ object RelationalQueries14 {
         .withColumn("s_neg",
           (-$"p") - least(min(-$"p").over(w), lit(0L)))
         .select($"day", $"x", $"dev", $"s_pos", $"s_neg")
+    },
+
+    "q104_basket_rules" -> { (s, dir) =>
+      import s.implicits._
+      // one row per (order, part) — persisted: both sides of the pair
+      // self-join AND the item-frequency rollup reuse it, otherwise
+      // the distinct runs three times
+      // pre-partition the persisted frame on the JOIN key: hash
+      // (l_orderkey) satisfies both sides of the pair self-join, so
+      // AQE elides both join-side exchanges once the cache
+      // materializes (the q90/q93 round-7 lesson)
+      val op = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .repartition($"l_orderkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val itemN = op.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+      val totN = op.agg(count_distinct($"l_orderkey").as("n_orders"))
+      // SHUFFLE_HASH: the persisted frame arrives unsorted; a sort-merge
+      // self-join would sort both sides on the order key for nothing
+      // (the round-7 edge-build lesson, 1.8x there)
+      val rules = op.as("x").hint("SHUFFLE_HASH")
+        .join(op.as("y").hint("SHUFFLE_HASH"), "l_orderkey")
+        .filter($"x.l_partkey" < $"y.l_partkey")
+        .groupBy($"x.l_partkey".as("item_a"), $"y.l_partkey".as("item_b"))
+        .agg(count(lit(1)).as("supp"))
+        .filter($"supp" >= 3L)
+      rules
+        .join(broadcast(itemN.select($"l_partkey".as("item_a"),
+          $"n_item".as("n_a"))), "item_a")
+        .join(broadcast(itemN.select($"l_partkey".as("item_b"),
+          $"n_item".as("n_b"))), "item_b")
+        .crossJoin(broadcast(totN))
+        .select($"item_a", $"item_b", $"supp", $"n_a", $"n_b",
+          ($"supp".cast("double") / $"n_a".cast("double")).as("confidence"),
+          (($"supp" * $"n_orders").cast("double") /
+            ($"n_a" * $"n_b").cast("double")).as("lift"))
+        .orderBy($"supp".desc, $"item_a".asc, $"item_b".asc).limit(20)
     },
 
     "q102_bitmap_distinct" -> { (s, dir) =>
@@ -91,6 +138,26 @@ object RelationalQueries14 {
         |  (-p) - least(CAST(min(-p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
         |    PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS s_neg
         |FROM run""".stripMargin,
+
+    "q104_basket_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        |      FROM op GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |        AS n_orders FROM op),
+        |r AS (SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+        |             CAST(count(*) AS BIGINT) AS supp
+        |      FROM op x JOIN op y
+        |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, supp, na.n_item AS n_a, nb.n_item AS n_b,
+        |  CAST(supp AS DOUBLE) / CAST(na.n_item AS DOUBLE) AS confidence,
+        |  CAST(supp * n_orders AS DOUBLE) /
+        |    CAST(na.n_item * nb.n_item AS DOUBLE) AS lift
+        |FROM r JOIN n na ON r.item_a = na.l_partkey
+        |       JOIN n nb ON r.item_b = nb.l_partkey
+        |       CROSS JOIN tot
+        |ORDER BY supp DESC, item_a, item_b LIMIT 20""".stripMargin,
 
     "q102_bitmap_distinct" ->
       """WITH segs AS (

@@ -472,6 +472,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-8 wave-2 additions: scan pruning, partial aggs, group limits") {
+    // gopher audit is a pure per-row rule map — no key shuffles at all
+    val tg = plan("text_gopher")
+    assert("Exchange hashpartitioning".r.findAllIn(tg).isEmpty,
+      "text_gopher must not shuffle on keys")
+    // bitmap distinct: partial bit_or below the first exchange, two
+    // narrowing exchanges, zero joins, and only 2 columns scanned
+    val bm = plan("q102_bitmap_distinct")
+    assert(bm.contains("partial_bit_or"),
+      "segment bitmaps must partial-aggregate map-side")
+    assert("Exchange hashpartitioning".r.findAllIn(bm).length == 2 &&
+      !bm.contains("Join"), "bitmap rollup is two exchanges, no joins")
+    assert(bm.contains("ReadSchema: struct<l_partkey:bigint,l_returnflag:string>"),
+      "scan must prune to the two referenced columns")
+    // path analysis: the rn<=5 filter must prune per-partition before
+    // the user exchange (Partial WindowGroupLimit)
+    val pa = plan("q103_paths")
+    assert(pa.contains("WindowGroupLimit") && pa.contains("Partial"),
+      "q103_paths must carry a map-side (Partial) WindowGroupLimit")
+    assert(pa.contains("TakeOrderedAndProject"),
+      "top-20 paths must be a partial TakeOrdered, not a global sort")
+    // freshness: the 1-row global watermark broadcasts against the scan
+    val fr = plan("dq_freshness")
+    assert(fr.contains("BroadcastNestedLoopJoin") ||
+      fr.contains("BroadcastHashJoin"), "global max must broadcast")
+    assert(!fr.contains("SortMergeJoin"), "no shuffle join for a 1-row frame")
+    // cusum: the orders->days rollup partial-aggregates at scan
+    // parallelism; the running windows order by day over the series
+    val cu = plan("q101_cusum")
+    assert(cu.contains("partial_count"),
+      "daily rollup must partial-aggregate below the exchange")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
