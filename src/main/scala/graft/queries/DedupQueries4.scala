@@ -24,6 +24,47 @@ import graft.operators.Dedup
 object DedupQueries4 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `dedup_containment` — ASYMMETRIC overlap detection (round 8):
+    // containment C(A→B) = |A∩B| / |A| over distinct word-8-shingles,
+    // flagged at C >= 4/5 by integer cross-multiply (5·I >= 4·|A|).
+    // Jaccard misses exactly this case — a short document quoted
+    // wholesale inside a long one scores low symmetric similarity but
+    // high containment; this is the quote/sub-document screen corpus
+    // curation runs next to the Jaccard family. Scale shape: LONG
+    // shingles are the blocking key — 8-word shingles are near-unique
+    // (probed max df 3, postings-pair fan-out 1.1k on 23.7k postings),
+    // so the postings self-join costs Σ df², linear-ish in corpus
+    // size, never all-pairs; docs under 8 words have no shingles and
+    // exit (documented contract). Both containment directions emit.
+    "dedup_containment" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions.word_shingles
+      val docs = graft.operators.Parallelism.ensure(
+        Tables.load(s, dir, "documents"))
+      // one row per (doc, distinct shingle) — persisted: the size
+      // rollup and BOTH sides of the postings join reuse it
+      val sh = docs.select($"doc_id",
+          explode(word_shingles($"text", 8)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("x").join(sh.as("y"), "sh")
+        .filter($"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("i"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dirA = pairs
+        .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_contained")), "id_a")
+        .filter(lit(5L) * $"i" >= lit(4L) * $"n_contained")
+        .select($"id_a".as("contained"), $"id_b".as("container"),
+          $"i", $"n_contained")
+      val dirB = pairs
+        .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_contained")), "id_b")
+        .filter(lit(5L) * $"i" >= lit(4L) * $"n_contained")
+        .select($"id_b".as("contained"), $"id_a".as("container"),
+          $"i", $"n_contained")
+      dirA.unionByName(dirB)
+    },
+
     "dedup_ppjoin" -> { (s, dir) =>
       import s.implicits._
       // deterministic 20% audit stratum: exactness costs pair volume
@@ -41,6 +82,28 @@ object DedupQueries4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, len(ws) - 7),
+        |      i -> array_to_string(ws[CAST(i+1 AS INT):CAST(i+8 AS INT)],
+        |        ' ')))) AS sh
+        |  FROM w WHERE len(ws) >= 8),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM s GROUP BY 1),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |             CAST(count(*) AS BIGINT) AS i
+        |      FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a AS contained, id_b AS container, i,
+        |       na.n AS n_contained
+        |FROM p JOIN sz na ON p.id_a = na.doc_id WHERE 5*i >= 4*na.n
+        |UNION ALL
+        |SELECT id_b, id_a, i, nb.n
+        |FROM p JOIN sz nb ON p.id_b = nb.doc_id
+        |WHERE 5*i >= 4*nb.n""".stripMargin,
+
     "dedup_ppjoin" ->
       """WITH sets AS (
         |  SELECT doc_id,
