@@ -24,7 +24,8 @@ object SparkEntry {
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
       DedupQueries4.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
-      SimilarityQueries3.defs ++ SimilarityQueries4.defs ++ ClusterQueries.defs ++
+      SimilarityQueries3.defs ++ SimilarityQueries4.defs ++
+      SimilarityQueries5.defs ++ ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++
       MultimodalQueries2.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
@@ -49,7 +50,8 @@ object SparkEntry {
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
       DedupQueries4.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
-      SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++ ClusterQueries.oracles ++
+      SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++
+      SimilarityQueries5.oracles ++ ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++
       MultimodalQueries2.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++

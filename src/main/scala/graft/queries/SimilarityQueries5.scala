@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.cosine_sim
+
+/** Round-8 similarity additions, wave 2.
+  *
+  * `ann_nprobe_curve` — the nprobe/recall TRADEOFF CURVE, the tuning
+  * report every IVF deployment reads before picking its operating
+  * point: for nprobe ∈ {1..4}, recall@10 of cell-restricted search vs
+  * the exact top-10, per anchor query. One cosine kernel pass scores
+  * all (anchor, vector) pairs; each vector carries its cell (argmax
+  * centroid cosine, ties to the lowest cell id) and each anchor its
+  * centroid probe ORDER, so "candidate under nprobe = p" is just
+  * `cell_rank <= p` — all four curve points come from the SAME scored
+  * frame, no re-scan per p. Centroids are the deterministic
+  * lowest-id-per-label rows (the ann_ivf convention) so the oracle
+  * replays assignment bit-for-bit; every cosine is the strict
+  * left-fold (CosineSim == list_reduce). The output grid is TOTAL
+  * (4 probes × anchors, zero-hit rows kept via the grid left join) —
+  * a curve with silently missing points misleads tuning.
+  *
+  * Scale shape: this is the eval harness pattern (ann_recall /
+  * dedup_eval class) — exact truth costs anchors × corpus and runs on
+  * anchor SAMPLES at scale; the per-q windows are anchor-bounded by
+  * construction. The production search path this curve tunes is
+  * ann_ivf/ann_ivfpq, which never brute-forces.
+  */
+object SimilarityQueries5 {
+
+  private val NAnchors = 5
+  private val TopK = 10
+  private val Probes = Seq(1, 2, 3, 4)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_nprobe_curve" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val wc = Window.partitionBy($"label").orderBy($"vec_id".asc)
+      val centroids = emb.withColumn("__rn", row_number().over(wc))
+        .filter($"__rn" === 1)
+        .select($"label".cast("long").as("cid"), $"embedding".as("cv"))
+      val anchors = emb.filter($"vec_id" < NAnchors)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      // vector -> cell: argmax centroid cosine, ties to lowest cid
+      val wA = Window.partitionBy($"vec_id")
+        .orderBy($"cc".desc, $"cid".asc)
+      val asg = emb.filter($"vec_id" >= NAnchors)
+        .crossJoin(broadcast(centroids))
+        .select($"vec_id", $"cid", cosine_sim($"embedding", $"cv").as("cc"))
+        .withColumn("__rn", row_number().over(wA)).filter($"__rn" === 1)
+        .select($"vec_id", $"cid")
+      // anchor -> centroid probe order
+      val wQ = Window.partitionBy($"q_id").orderBy($"cc".desc, $"cid".asc)
+      val qc = anchors.crossJoin(broadcast(centroids))
+        .select($"q_id", $"cid", cosine_sim($"qv", $"cv").as("cc"))
+        .withColumn("cell_rank", row_number().over(wQ).cast("long"))
+        .select($"q_id", $"cid", $"cell_rank")
+      // ONE kernel pass feeds the exact ranking and all 4 curve points
+      val scored = emb.filter($"vec_id" >= NAnchors)
+        .crossJoin(broadcast(anchors))
+        .select($"q_id", $"vec_id", cosine_sim($"embedding", $"qv").as("cos"))
+        .join(asg, "vec_id")
+        .join(broadcast(qc), Seq("q_id", "cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wR = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val exact = scored.withColumn("rk", row_number().over(wR))
+        .filter($"rk" <= TopK).select($"q_id", $"vec_id")
+      val approx = Probes.map { p =>
+        scored.filter($"cell_rank" <= p)
+          .withColumn("rk", row_number().over(wR)).filter($"rk" <= TopK)
+          .select(lit(p.toLong).as("nprobe"), $"q_id", $"vec_id")
+      }.reduce(_ unionByName _)
+      val hits = approx
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"nprobe", $"q_id").agg(count(lit(1)).as("hits"))
+      // total grid: zero-hit curve points must exist
+      val grid = Probes.toDF("nprobe").select($"nprobe".cast("long"))
+        .crossJoin(anchors.select($"q_id"))
+      grid.join(hits, Seq("nprobe", "q_id"), "left_outer")
+        .select($"nprobe", $"q_id",
+          coalesce($"hits", lit(0L)).as("hits"),
+          (coalesce($"hits", lit(0L)).cast("double") / lit(TopK.toDouble))
+            .as("recall"))
+    }
+  )
+
+  private def dot(x: String, y: String) =
+    s"""list_reduce(list_transform(range(1, len($x) + 1),
+       | gi -> CAST($x[CAST(gi AS INT)] AS DOUBLE) * CAST($y[CAST(gi AS INT)] AS DOUBLE)),
+       | (gx, gy) -> gx + gy)""".stripMargin
+  private def cos(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  val oracles: Map[String, String] = Map(
+    "ann_nprobe_curve" ->
+      s"""WITH cen AS (SELECT CAST(label AS BIGINT) AS cid, embedding AS cv
+         |  FROM (SELECT label, embedding,
+         |          row_number() OVER (PARTITION BY label ORDER BY vec_id)
+         |            AS rn FROM embeddings)
+         |  WHERE rn = 1),
+         |a AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < $NAnchors),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cen c
+         |    WHERE e.vec_id >= $NAnchors)
+         |  WHERE rn = 1),
+         |qc AS (SELECT q_id, cid,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cos("a.qv", "c.cv")} DESC, c.cid) AS BIGINT)
+         |      AS cell_rank
+         |  FROM a CROSS JOIN cen c),
+         |s AS (SELECT a.q_id, e.vec_id,
+         |    ${cos("e.embedding", "a.qv")} AS cosq, asg.cid
+         |  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+         |  CROSS JOIN a
+         |  WHERE e.vec_id >= $NAnchors),
+         |j AS (SELECT s.q_id, s.vec_id, s.cosq, qc.cell_rank
+         |  FROM s JOIN qc ON s.q_id = qc.q_id AND s.cid = qc.cid),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosq DESC, vec_id) AS rk FROM j)
+         |  WHERE rk <= $TopK),
+         |pr AS (SELECT nprobe, q_id, vec_id FROM (
+         |    SELECT pp.nprobe, j.q_id, j.vec_id,
+         |      row_number() OVER (PARTITION BY pp.nprobe, j.q_id
+         |        ORDER BY j.cosq DESC, j.vec_id) AS rk
+         |    FROM j CROSS JOIN
+         |      (SELECT CAST(unnest([1,2,3,4]) AS BIGINT) AS nprobe) pp
+         |    WHERE j.cell_rank <= pp.nprobe)
+         |  WHERE rk <= $TopK),
+         |h AS (SELECT nprobe, q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM pr JOIN exact USING (q_id, vec_id) GROUP BY 1, 2),
+         |grid AS (SELECT nprobe, q_id FROM
+         |  (SELECT CAST(unnest([1,2,3,4]) AS BIGINT) AS nprobe) pp
+         |  CROSS JOIN (SELECT q_id FROM a) qq)
+         |SELECT grid.nprobe, grid.q_id,
+         |  coalesce(h.hits, 0) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / $TopK.0 AS recall
+         |FROM grid LEFT JOIN h
+         |  ON grid.nprobe = h.nprobe AND grid.q_id = h.q_id""".stripMargin
+  )
+}
