@@ -144,6 +144,40 @@ object Transforms {
       df
 
     case "identity" => df
+    // deterministic exact dedup stage (round 8, beyond the reference):
+    // `keys` is the duplicate-key column list, `orderBy` the SURVIVOR
+    // order — the first row per key under it wins. orderBy is
+    // REQUIRED: dropDuplicates keeps an arbitrary row per key (it
+    // varies with partitioning and task order), which silently makes
+    // a pipeline non-reproducible; callers should end the order with
+    // a unique tiebreak column. Plan shape: one hash shuffle on the
+    // keys, and the rank=1 filter rides Spark 4's map-side Partial
+    // WindowGroupLimit — per-partition pruning before the exchange.
+    case "dedup" =>
+      val props = t.properties
+      val keys = props.getOrElse("keys", throw new IllegalArgumentException(
+          "dedup transform requires a `keys` property")).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, "dedup transform requires at least one key")
+      val order = props.getOrElse("orderBy", throw new IllegalArgumentException(
+          "dedup transform requires an `orderBy` property (deterministic " +
+            "survivor — include a unique tiebreak column)")).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(order.nonEmpty, "dedup orderBy must name at least one column")
+      val sortCols = order.map { o =>
+        val parts = o.split("\\s+")
+        val desc = parts.length > 1 && parts.last.equalsIgnoreCase("DESC")
+        val e = expr(if (parts.length > 1 &&
+          Set("ASC", "DESC").contains(parts.last.toUpperCase))
+          parts.dropRight(1).mkString(" ") else o)
+        if (desc) e.desc else e.asc
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+      df.withColumn("__graft_dedup_rn", row_number().over(w))
+        .filter(col("__graft_dedup_rn") === 1)
+        .drop("__graft_dedup_rn")
+
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }
 }

@@ -36,6 +36,43 @@ object SimilarityQueries5 {
   private val Probes = Seq(1, 2, 3, 4)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `ann_knn_graph` — k-NN GRAPH CONSTRUCTION (round 8), the build
+    // primitive under graph-ANN indexes (HNSW/NSG layers, SemDeDup's
+    // neighborhood graphs, label-propagation over embeddings): each
+    // vector's top-3 neighbors among candidates sharing a probed IVF
+    // cell. Storage-vs-probe asymmetry is the real IVF discipline:
+    // vectors are STORED in their primary cell only, queries PROBE
+    // their nprobe=2 nearest cells — candidate volume 2n²/k, never
+    // all-pairs. The per-vector top-3 window partitions on the
+    // high-cardinality vector id (map-side WindowGroupLimit);
+    // deterministic centroids + strict-fold cosines + (cos desc, id)
+    // total order make the graph oracle-replayable edge for edge.
+    "ann_knn_graph" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val wc = Window.partitionBy($"label").orderBy($"vec_id".asc)
+      val centroids = emb.withColumn("__rn", row_number().over(wc))
+        .filter($"__rn" === 1)
+        .select($"label".cast("long").as("cid"), $"embedding".as("cv"))
+      val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)
+      val ranked = emb.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"embedding", $"cid",
+          cosine_sim($"embedding", $"cv").as("cc"))
+        .withColumn("crk", row_number().over(wA))
+      val stored = ranked.filter($"crk" === 1)
+        .select($"vec_id".as("nbr_id"), $"embedding".as("nv"), $"cid")
+      val probes = ranked.filter($"crk" <= 2)
+        .select($"vec_id", $"embedding".as("qv"), $"cid")
+      val wK = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id".asc)
+      probes.join(stored, "cid")
+        .filter($"vec_id" =!= $"nbr_id")
+        // no dedup needed: a neighbor has ONE primary cell, so it can
+        // match at most one of the two distinct probed cells
+        .select($"vec_id", $"nbr_id", cosine_sim($"qv", $"nv").as("cos"))
+        .withColumn("rk", row_number().over(wK).cast("long"))
+        .filter($"rk" <= 3)
+    },
+
     "ann_nprobe_curve" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
@@ -96,6 +133,34 @@ object SimilarityQueries5 {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    "ann_knn_graph" ->
+      s"""WITH cen AS (SELECT CAST(label AS BIGINT) AS cid, embedding AS cv
+         |  FROM (SELECT label, embedding,
+         |          row_number() OVER (PARTITION BY label ORDER BY vec_id)
+         |            AS rn FROM embeddings)
+         |  WHERE rn = 1),
+         |cc AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cos("e.embedding", "c.cv")} AS csim
+         |  FROM embeddings e CROSS JOIN cen c),
+         |rkd AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS crk
+         |  FROM cc),
+         |stored AS (SELECT vec_id AS nbr_id, embedding AS nv, cid
+         |  FROM rkd WHERE crk = 1),
+         |probes AS (SELECT vec_id, embedding AS qv, cid
+         |  FROM rkd WHERE crk <= 2),
+         |cand AS (SELECT p.vec_id, s.nbr_id,
+         |    ${cos("p.qv", "s.nv")} AS cosn
+         |  FROM probes p JOIN stored s USING (cid)
+         |  WHERE p.vec_id != s.nbr_id)
+         |SELECT vec_id, nbr_id, cosn AS cos, CAST(rk AS BIGINT) AS rk
+         |FROM (SELECT vec_id, nbr_id, cosn,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cosn DESC, nbr_id) AS rk
+         |      FROM cand)
+         |WHERE rk <= 3""".stripMargin,
+
     "ann_nprobe_curve" ->
       s"""WITH cen AS (SELECT CAST(label AS BIGINT) AS cid, embedding AS cv
          |  FROM (SELECT label, embedding,

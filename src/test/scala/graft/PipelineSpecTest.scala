@@ -265,6 +265,34 @@ class PipelineSpecTest extends SparkSpec {
     assert(cfg.pipelines.head.transformations.head.kind == "aggregate")
   }
 
+  test("dedup transform: deterministic survivor per key, WindowGroupLimit plan") {
+    import graft.operators.Transforms
+    import graft.pipeline.TransformSpec
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 3L, 30.0), ("a", 2L, 30.0),
+      ("b", 9L, 5.0)).toDF("k", "id", "score")
+    val spec = TransformSpec("dedup",
+      Map("keys" -> "k", "orderBy" -> "score DESC, id"))
+    val out = Transforms.apply(df, Seq(spec))
+    // highest score wins; the score tie resolves to the lowest id
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 9L)))
+    // repartitioned input must produce the SAME survivors — the
+    // determinism dropDuplicates cannot give
+    val out2 = Transforms.apply(df.repartition(7), Seq(spec))
+    assert(out2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 9L)))
+    // rank=1 filter prunes map-side before the key exchange
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "dedup stage must carry a WindowGroupLimit")
+    // missing orderBy is refused, not silently nondeterministic
+    intercept[IllegalArgumentException] {
+      Transforms.apply(df, Seq(TransformSpec("dedup", Map("keys" -> "k"))))
+    }
+    GraftSession.release(spark)
+  }
+
   test("quality transform: clean data passes through, breaches fail the stage") {
     import graft.operators.Transforms
     import graft.pipeline.TransformSpec
