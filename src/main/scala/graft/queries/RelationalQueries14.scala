@@ -66,6 +66,35 @@ object RelationalQueries14 {
         .select($"day", $"x", $"dev", $"s_pos", $"s_neg")
     },
 
+    // MAD-based volume anomaly detection (round 8): flag days whose
+    // order count deviates from the series median by more than 3x the
+    // median absolute deviation — the robust ops-monitoring rule
+    // (mean/stddev break on the very outliers being hunted). EVERY
+    // quantity is an exact integer: median and MAD come from explicit
+    // sorted-list indexing at ceil(n/2) (the probed q68 rank rule, so
+    // DuckDB's quantile_disc replays it), the flag is the integer
+    // compare ad > 3*mad — no float forms anywhere. Scale shape: the
+    // orders->days rollup partial-aggregates at full parallelism; the
+    // collected day series is TIME-bounded (~365 rows/year regardless
+    // of order volume — the q84/q99 downsample contract), so the
+    // 1-row median agg is driver-safe by construction.
+    "dq_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      def disc(c: String) = expr(
+        s"element_at(sort_array(collect_list($c)), " +
+          s"CAST(ceil(count($c) * 0.5) AS INT))")
+      val med = daily.agg(disc("x").as("med"))
+      val dev = daily.crossJoin(broadcast(med))
+        .withColumn("ad", abs($"x" - $"med"))
+      val mad = dev.agg(disc("ad").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .filter($"ad" > lit(3L) * $"mad")
+        .select($"day", $"x", $"med", $"ad", $"mad")
+    },
+
     "q104_basket_rules" -> { (s, dir) =>
       import s.implicits._
       // one row per (order, part) — persisted: both sides of the pair
@@ -138,6 +167,20 @@ object RelationalQueries14 {
         |  (-p) - least(CAST(min(-p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
         |    PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS s_neg
         |FROM run""".stripMargin,
+
+    // quantile_disc's ceil(q*n) 1-based rank rule (probed, q68) ==
+    // the Spark side's explicit sorted-list ceil(n/2) indexing
+    "dq_anomaly" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(quantile_disc(x, 0.5) AS BIGINT) AS med FROM d),
+        |dev AS (SELECT day, x, med, abs(x - med) AS ad
+        |        FROM d CROSS JOIN m),
+        |md AS (SELECT CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad
+        |       FROM dev)
+        |SELECT day, x, med, ad, mad
+        |FROM dev CROSS JOIN md WHERE ad > 3 * mad""".stripMargin,
 
     "q104_basket_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
