@@ -505,6 +505,33 @@ class PlanAuditSpec extends SparkSpec {
       "daily rollup must partial-aggregate below the exchange")
   }
 
+  test("round-8 wave-3 additions: bucketed candidates, broadcast stats") {
+    // basket rules: the pair join must be ShuffledHash (no sort over
+    // the pre-partitioned cache), item stats broadcast, and the pair
+    // rollup partial-aggregated
+    val br = plan("q104_basket_rules")
+    assert(br.contains("ShuffledHashJoin"),
+      "pair self-join must be a sort-free shuffled hash join")
+    assert("BroadcastHashJoin".r.findAllIn(br).length >= 2,
+      "item frequencies must broadcast back")
+    assert(br.contains("partial_count"),
+      "pair support must partial-aggregate map-side")
+    // knn graph: centroids broadcast against the scan; the per-vector
+    // top-3 prunes map-side (high-cardinality window partition)
+    val kg = plan("ann_knn_graph")
+    assert(kg.contains("BroadcastNestedLoopJoin") || kg.contains("BroadcastHashJoin"),
+      "the k-row centroid frame must broadcast")
+    assert(kg.contains("WindowGroupLimit"),
+      "per-vector top-3 must carry a WindowGroupLimit")
+    // containment: the postings self-join is keyed on the shingle —
+    // no all-pairs nested loop anywhere on the big side
+    val ct = plan("dedup_containment")
+    assert(!ct.contains("CartesianProduct"),
+      "containment must never cross-join documents")
+    assert(ct.contains("partial_count"),
+      "shared-shingle counts must partial-aggregate")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
