@@ -18,7 +18,7 @@ object SparkEntry {
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
       RelationalQueries12.defs ++ RelationalQueries13.defs ++
-      RelationalQueries14.defs ++ EventQueries.defs ++ EventQueries2.defs ++
+      RelationalQueries14.defs ++ RelationalQueries15.defs ++ EventQueries.defs ++ EventQueries2.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       TextQueries4.defs ++ TextQueries5.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
@@ -43,7 +43,7 @@ object SparkEntry {
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
       RelationalQueries12.oracles ++ RelationalQueries13.oracles ++
-      RelationalQueries14.oracles ++ EventQueries.oracles ++
+      RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ EventQueries.oracles ++
       EventQueries2.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       TextQueries4.oracles ++ TextQueries5.oracles ++

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 relational additions, wave 3 — the experimentation /
+  * statistical-testing surface.
+  *
+  * `q105_ab_test` — two-proportion z-test for an A/B experiment:
+  * variant = user_id % 2 (deterministic assignment — replayable, no
+  * RNG), conversion = the user is a power purchaser (>= 14). The z
+  * statistic is ONE fixed IEEE expression tree over exact integer
+  * counts — divisions, multiplications and a correctly-rounded sqrt
+  * only (the no-pow/log discipline; the p-value needs erf, which is
+  * NOT cross-engine bit-stable, so the query reports the statistic
+  * and leaves the threshold to the caller — |z| > 1.96 is the 95%
+  * line). Scale: one partial-agg user rollup, then a 2-row variant
+  * rollup; the statistic assembles on a 1-row frame.
+  *
+  * `q106_ks_test` — two-sample Kolmogorov-Smirnov D between the
+  * pre-/post-1998 daily order-volume distributions (dq_drift's era
+  * split, nonparametric form). EVERYTHING is integer: the sample
+  * points are daily counts (small ints), the ECDF gap is
+  * cross-multiplied — D = max |cum1·n2 − cum2·n1| / (n1·n2) — so the
+  * max and its argmax are exact; one double division renders D at
+  * the end. The ECDF windows run over the VALUE grid of distinct
+  * daily counts (tens of rows — the downsample-then-window rule
+  * twice over: days bound the rollup, distinct counts bound the
+  * grid). Tie on the argmax resolves to the smallest value via
+  * lexicographic struct max with negated value.
+  */
+object RelationalQueries15 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_ab_test" -> { (s, dir) =>
+      import s.implicits._
+      // conversion = "power user": >= 14 purchases (the per-user
+      // purchase median is ~13-14 at every SF — events per user are
+      // volume-invariant in this generator — so both variants keep
+      // real variance; an any-purchase definition converts EVERY user
+      // and the pooled variance collapses to 0/0)
+      val users = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purch"))
+        .withColumn("converted", when($"n_purch" >= 14L, 1L).otherwise(0L))
+        .withColumn("variant", $"user_id" % 2)
+      users.groupBy()
+        .agg(
+          sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"variant" === 0, $"converted").otherwise(0L)).as("c_a"),
+          sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"variant" === 1, $"converted").otherwise(0L)).as("c_b"))
+        // stepwise columns keep the IEEE tree identical on both sides;
+        // the zero-variance edge (pooled p of 0 or 1) emits null z
+        // explicitly instead of tripping ANSI division
+        .withColumn("p_a", $"c_a".cast("double") / $"n_a".cast("double"))
+        .withColumn("p_b", $"c_b".cast("double") / $"n_b".cast("double"))
+        .withColumn("pp",
+          ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b").cast("double"))
+        .withColumn("se2", $"pp" * (lit(1.0) - $"pp") *
+          (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
+        .select($"n_a", $"c_a", $"n_b", $"c_b", $"p_a", $"p_b",
+          when($"se2" > 0.0, ($"p_a" - $"p_b") / sqrt($"se2")).as("z"))
+    },
+
+    "q106_ks_test" -> { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("era",
+          when(year($"day") < 1998, lit("pre")).otherwise(lit("post")))
+      val grid = daily.groupBy($"x")
+        .agg(sum(when($"era" === "pre", 1L).otherwise(0L)).as("d1"),
+          sum(when($"era" === "post", 1L).otherwise(0L)).as("d2"))
+      val w = Window.orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("cum1", sum($"d1").over(w))
+        .withColumn("cum2", sum($"d2").over(w))
+        .withColumn("n1", sum($"d1").over(wa))
+        .withColumn("n2", sum($"d2").over(wa))
+        .withColumn("gap", abs($"cum1" * $"n2" - $"cum2" * $"n1"))
+        .groupBy()
+        .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+          max(struct($"gap", (-$"x").as("negx"))).as("m"))
+        .select($"n1", $"n2",
+          $"m.gap".as("d_num"), ($"n1" * $"n2").as("d_den"),
+          (-$"m.negx").as("at_x"),
+          ($"m.gap".cast("double") / ($"n1" * $"n2").cast("double")).as("d"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q105_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS c_b
+        |  FROM u),
+        |t AS (SELECT n_a, c_a, n_b, c_b,
+        |    CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |    CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |    CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM c),
+        |v AS (SELECT t.*, pp * (1.0 - pp) *
+        |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS se2
+        |  FROM t)
+        |SELECT n_a, c_a, n_b, c_b, p_a, p_b,
+        |  CASE WHEN se2 > 0.0 THEN (p_a - p_b) / sqrt(se2) END AS z
+        |FROM v""".stripMargin,
+
+    "q106_ks_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT x, CASE WHEN year(day) < 1998 THEN 'pre'
+        |        ELSE 'post' END AS era FROM daily),
+        |grid AS (SELECT x,
+        |    CAST(sum(CASE WHEN era = 'pre' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN era = 'post' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d2
+        |  FROM e GROUP BY x),
+        |c AS (SELECT x,
+        |    CAST(sum(d1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(d2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum2,
+        |    CAST(sum(d1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(d2) OVER () AS BIGINT) AS n2
+        |  FROM grid),
+        |g AS (SELECT x, cum1, cum2, n1, n2,
+        |    abs(cum1 * n2 - cum2 * n1) AS gap FROM c),
+        |m AS (SELECT n1, n2,
+        |    max(struct_pack(gap := gap, negx := -x)) AS m
+        |  FROM g GROUP BY n1, n2)
+        |SELECT n1, n2, m.gap AS d_num, n1 * n2 AS d_den,
+        |  -(m.negx) AS at_x,
+        |  CAST(m.gap AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d
+        |FROM m""".stripMargin
+  )
+}
