@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Round-8 corpus additions, wave 2.
+/** Round-8 corpus additions, wave 2: the mixture-allocation and
+  * training-export steps (plus see `corpus_shuffle_shards` inline).
   *
   * `corpus_temperature_sample` — temperature-scaled mixture
   * allocation (the multilingual-sampling rule of mBERT/XLM-R/mT5,
@@ -28,6 +29,33 @@ import graft.Tables
 object CorpusQueries7 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `corpus_shuffle_shards` — deterministic TRAINING-ORDER shuffle +
+    // shard assignment (round 8), the export step between curation and
+    // the data loader: global pseudo-random order from the committed
+    // injective multiplicative hash (no RNG — re-runs and the oracle
+    // reproduce the identical order), sharded so positions come from
+    // per-SHARD windows (shard = priority mod 16; the window
+    // partitions on the shard key at full parallelism — a single
+    // global row_number would be the one-partition cliff). The loader
+    // contract is (shard asc, pos asc) == global priority order
+    // WITHIN each shard — shards interleave freely across workers,
+    // which is exactly how multi-worker training readers consume
+    // shards. Per-shard doc counts ride along (balance audit: the
+    // multiplicative hash spreads ids near-uniformly).
+    "corpus_shuffle_shards" -> { (s, dir) =>
+      import s.implicits._
+      val pri = pmod($"doc_id" * lit(2654435761L), lit(4294967296L))
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", pri.as("priority"))
+        .withColumn("shard", pmod($"priority", lit(16L)))
+      val w = Window.partitionBy($"shard").orderBy($"priority".asc)
+      val ws = Window.partitionBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t.withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("shard_size", count(lit(1)).over(ws))
+        .select($"shard", $"pos", $"doc_id", $"lang", $"shard_size")
+    },
+
     "corpus_temperature_sample" -> { (s, dir) =>
       import s.implicits._
       val counts = Tables.load(s, dir, "documents")
@@ -57,6 +85,19 @@ object CorpusQueries7 {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_shuffle_shards" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 4294967296 AS priority
+        |  FROM documents),
+        |u AS (SELECT doc_id, lang, priority,
+        |    priority % 16 AS shard FROM t)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY priority)
+        |    AS BIGINT) AS pos,
+        |  doc_id, lang,
+        |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_size
+        |FROM u""".stripMargin,
+
     // list_reduce over list(... ORDER BY lang) replays the strict
     // lang-ordered denominator fold; sum() OVER () on BIGINT returns
     // HUGEINT in DuckDB — cast back
