@@ -23,6 +23,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("append-mode windowed counts drop late data beyond the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val mk = (m: Int, v: Double) => Seq((ts(m), "click", v))
+      .toDF("ts", "event_type", "value")
+    // b0: in-window row. b1: advances the watermark past the window
+    // end (200min - 1h wm = 140 > 60). b2: a LATE row inside the
+    // already-closed window — must be dropped on input, not merged.
+    // batch boundaries controlled EXPLICITLY: each file lands only
+    // after the previous is fully processed, so the watermark
+    // genuinely advances between them (same-trigger arrival would let
+    // the late row through legitimately — wm updates are per-batch)
+    mk(10, 1.0).coalesce(1).write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream.schema(mk(0, 0.0).schema)
+      .option("latestFirst", "false")
+      .parquet(s"$dir/in/*")
+    val q = StreamingOps.windowedCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("late_win")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mk(200, 1.0).coalesce(1).write.parquet(s"$dir/in/b1")
+      q.processAllAvailable()
+      mk(20, 9.0).coalesce(1).write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.sql(
+      "SELECT unix_timestamp(window.start) ws, n, max_val FROM late_win")
+      .collect().filter(_.getLong(0) == t0.getTime / 1000)
+    // exactly ONE emission for the closed window, count 1, and the
+    // late row's value (9.0) is nowhere in its aggregates
+    assert(w0.length == 1, s"window must emit exactly once, got ${w0.toSeq}")
+    assert(w0(0).getLong(1) == 1L && w0(0).getDouble(2) == 1.0,
+      s"late row leaked into the closed window: ${w0(0)}")
+    GraftSession.release(spark)
+  }
+
   test("streaming windowed heavy hitters equal batch exact ranking per window") {
     val stream = StreamingOps.eventsStream(spark, sf)
     val q = StreamingOps.windowedTopK(stream, "user_id", "1 hour", k = 5)
