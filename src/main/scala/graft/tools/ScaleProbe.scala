@@ -91,7 +91,13 @@ object ScaleProbe {
       "corpus_prepare", "q99_seasonal", "text_rake",
       "corpus_prepare_fuzzy",
       "q100_attribution", "layout_zorder", "dq_referential",
-      "feat_random_proj", "dedup_ppjoin")
+      "feat_random_proj", "dedup_ppjoin",
+      // round-8 wave 2+
+      "text_gopher", "corpus_temperature_sample", "q101_cusum",
+      "q102_bitmap_distinct", "q103_paths", "dq_freshness", "mm_dedup",
+      "q104_basket_rules", "dedup_containment", "ann_nprobe_curve",
+      "ann_knn_graph", "dq_anomaly", "q105_ab_test", "q106_ks_test",
+      "corpus_shuffle_shards")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
