@@ -66,6 +66,47 @@ object RelationalQueries15 {
           when($"se2" > 0.0, ($"p_a" - $"p_b") / sqrt($"se2")).as("z"))
     },
 
+    // `q107_random_walks` — WALK-CORPUS generation over the trade
+    // graph (round 8), the sampling step under DeepWalk/node2vec-style
+    // graph embeddings: 4-step walks from the 50 lowest customer
+    // nodes. The "random" next-hop is a committed-constant hash —
+    // pick = 1 + (walk·2654435761 + cur·40503 + step·1013904223) mod
+    // deg(cur) — so walks are REPLAYABLE (no RNG; every product
+    // < 2^63, positive operands — DuckDB % == pmod here) and the
+    // oracle unrolls the steps as CTEs (the q93 lpRound discipline).
+    // Scale shape: the adjacency frame ranks each node's edges once
+    // (two windows on the HIGH-cardinality src key) and persists;
+    // each step is one equi-join of the walker frame against it —
+    // walker-bounded work per round, graph touched only by lookup.
+    "q107_random_walks" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+      val wS = Window.partitionBy($"src").orderBy($"dst".asc)
+      val wD = Window.partitionBy($"src")
+      val adj = edges
+        .withColumn("rk", row_number().over(wS).cast("long"))
+        .withColumn("deg", count(lit(1)).over(wD))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = adj.select($"src".as("node")).distinct()
+        .filter($"node" % 2 === 0 && $"node" <= 100)
+        .select($"node".as("walk_id"), $"node".as("cur"))
+      val steps = (1 to 4).scanLeft(seeds) { (w, t) =>
+        adj.join(broadcast(w), adj("src") === w("cur"))
+          .filter($"rk" === lit(1L) + pmod(
+            $"walk_id" * lit(2654435761L) + $"cur" * lit(40503L) +
+              lit(t.toLong) * lit(1013904223L), $"deg"))
+          .select($"walk_id", $"dst".as("cur"))
+      }
+      steps.zipWithIndex.map { case (f, t) =>
+        f.select($"walk_id", lit(t.toLong).as("step"), $"cur".as("node"))
+      }.reduce(_ unionByName _)
+    },
+
     "q106_ks_test" -> { (s, dir) =>
       import s.implicits._
       val daily = Tables.load(s, dir, "orders")
@@ -124,6 +165,38 @@ object RelationalQueries15 {
         |SELECT n_a, c_a, n_b, c_b, p_a, p_b,
         |  CASE WHEN se2 > 0.0 THEN (p_a - p_b) / sqrt(se2) END AS z
         |FROM v""".stripMargin,
+
+    "q107_random_walks" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst FROM cs
+        |      UNION ALL SELECT dst, src FROM cs),
+        |adj AS (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM e),
+        |w0 AS (SELECT src AS walk_id, src AS cur FROM
+        |    (SELECT DISTINCT src FROM adj)
+        |  WHERE src % 2 = 0 AND src <= 100),
+        |w1 AS (SELECT w.walk_id, a.dst AS cur FROM w0 w JOIN adj a
+        |  ON a.src = w.cur AND a.rk = 1 +
+        |    (w.walk_id * 2654435761 + w.cur * 40503 + 1 * CAST(1013904223 AS BIGINT)) % a.deg),
+        |w2 AS (SELECT w.walk_id, a.dst AS cur FROM w1 w JOIN adj a
+        |  ON a.src = w.cur AND a.rk = 1 +
+        |    (w.walk_id * 2654435761 + w.cur * 40503 + 2 * CAST(1013904223 AS BIGINT)) % a.deg),
+        |w3 AS (SELECT w.walk_id, a.dst AS cur FROM w2 w JOIN adj a
+        |  ON a.src = w.cur AND a.rk = 1 +
+        |    (w.walk_id * 2654435761 + w.cur * 40503 + 3 * CAST(1013904223 AS BIGINT)) % a.deg),
+        |w4 AS (SELECT w.walk_id, a.dst AS cur FROM w3 w JOIN adj a
+        |  ON a.src = w.cur AND a.rk = 1 +
+        |    (w.walk_id * 2654435761 + w.cur * 40503 + 4 * CAST(1013904223 AS BIGINT)) % a.deg)
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+        |UNION ALL SELECT walk_id, 1, cur FROM w1
+        |UNION ALL SELECT walk_id, 2, cur FROM w2
+        |UNION ALL SELECT walk_id, 3, cur FROM w3
+        |UNION ALL SELECT walk_id, 4, cur FROM w4""".stripMargin,
 
     "q106_ks_test" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
