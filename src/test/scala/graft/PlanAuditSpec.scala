@@ -532,6 +532,32 @@ class PlanAuditSpec extends SparkSpec {
       "shared-shingle counts must partial-aggregate")
   }
 
+  test("round-8 wave-4 additions: stats assemble tiny, walks stay indexed") {
+    // ab test: one partial-agg user rollup; the statistic never
+    // shuffles more than the 1-row frame
+    val ab = plan("q105_ab_test")
+    assert(ab.contains("partial_sum") || ab.contains("partial_count"),
+      "per-user rollup must partial-aggregate")
+    assert(!ab.contains("Join"), "the z statistic needs no joins at all")
+    // shuffle shards: windows partition on the shard key — never a
+    // global (empty-partition-spec) row_number
+    val ss = plan("corpus_shuffle_shards")
+    val wns = "(?m)^\\s*(?:[+:*\\-! ]*)Window .*$".r.findAllIn(ss).toList
+    assert(wns.nonEmpty, "shuffle shards must use window functions")
+    wns.foreach { w =>
+      assert("\\], \\[shard#\\d+".r.findFirstIn(w).isDefined,
+        s"window must partition on shard, got: $w")
+    }
+    // random walks: each step consumes the walker frame as a
+    // BROADCAST against the persisted adjacency — the graph is
+    // looked up, never re-shuffled per step
+    val rw = plan("q107_random_walks")
+    assert("BroadcastHashJoin".r.findAllIn(rw).length >= 4,
+      "all 4 walk steps must broadcast the walker frame")
+    assert(!rw.contains("SortMergeJoin"),
+      "no step may sort-merge the adjacency")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
