@@ -64,10 +64,18 @@ object ConfigParser {
       streaming = m.get("streaming").exists(v => String.valueOf(v).toBoolean))
   }
 
+  // recursive: nested structures (the quality stage's `rules` list of
+  // maps) must survive as maps — the old String.valueOf flattening
+  // turned file-parsed rule maps into "{kind=not_null,...}" strings,
+  // which only surfaced once an examples/ config actually RAN
+  // (ExamplesSpec pins this). Scalar leaves keep their YAML types;
+  // every consumer renders via .toString.
   private def anyToScala(v: Object): Any = v match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, x) => k.toString -> String.valueOf(x) }.toMap
-    case l: java.util.List[_] => l.asScala.map(String.valueOf(_)).toSeq
+      m.asScala.map { case (k, x) =>
+        k.toString -> anyToScala(x.asInstanceOf[Object]) }.toMap
+    case l: java.util.List[_] =>
+      l.asScala.map(x => anyToScala(x.asInstanceOf[Object])).toSeq
     case other => other
   }
 }

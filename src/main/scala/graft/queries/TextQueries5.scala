@@ -30,8 +30,39 @@ object TextQueries5 {
 
   private val stopList =
     graft.functions.GraftFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+  private def markerList(l: String) =
+    graft.functions.GraftFunctions.langMarkers.toMap.apply(l)
+      .map(w => s"'$w'").mkString(", ")
+  private def sqlCount(set: String) =
+    s"len(list_filter(string_split(text, ' '), gw -> gw IN ($set)))"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `text_langid_eval` — the CONFUSION MATRIX for the langid
+    // classifier (round 8): per (true lang, predicted lang) counts
+    // plus each true lang's total and the share — the eval artifact a
+    // classifier report leads with (text_langid emits predictions;
+    // this closes the loop against the labels, the ann_recall
+    // discipline for text). Row-local classify at scan parallelism,
+    // ONE partial-agg (lang, pred) rollup; totals/share come from a
+    // window over the ≤|langs|² AGGREGATED frame (downsample-then-
+    // window); share is one division of exact counts.
+    "text_langid_eval" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftFunctions.{lang_scores, lang_predict}
+      val df = Tables.load(s, dir, "documents")
+      val scores = lang_scores($"text")
+      val scored = scores.foldLeft(df) { case (d, (l, c)) =>
+        d.withColumn(s"s_$l", c) }
+        .withColumn("pred",
+          lang_predict(scores.map { case (l, _) => l -> col(s"s_$l") }))
+      val wl = Window.partitionBy($"lang")
+      scored.groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+        .withColumn("n_lang", sum($"n").over(wl))
+        .withColumn("share",
+          $"n".cast("double") / $"n_lang".cast("double"))
+    },
+
     "text_gopher" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -68,6 +99,34 @@ object TextQueries5 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the scoring CTE mirrors text_langid's oracle; the rollup adds
+    // the confusion counts + per-true-lang window totals
+    "text_langid_eval" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  ${sqlCount(markerList("de"))} AS s_de,
+         |  ${sqlCount(markerList("en"))} AS s_en,
+         |  ${sqlCount(markerList("es"))} AS s_es,
+         |  ${sqlCount(markerList("fr"))} AS s_fr,
+         |  ${sqlCount(markerList("zh"))} AS s_zh
+         |  FROM documents),
+         |p AS (SELECT lang,
+         |  CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |    WHEN s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+         |    ELSE 'und' END AS pred
+         |  FROM t),
+         |c AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, pred, n,
+         |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+         |  CAST(n AS DOUBLE) /
+         |    CAST(CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE)
+         |    AS share
+         |FROM c""".stripMargin,
+
     // len(string_split) == Spark size(split) on space-separated text;
     // regexp_replace needs the 'g' flag in DuckDB
     "text_gopher" ->
