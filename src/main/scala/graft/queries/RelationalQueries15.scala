@@ -107,6 +107,40 @@ object RelationalQueries15 {
       }.reduce(_ unionByName _)
     },
 
+    // `q108_sliding_distinct` — 7-day sliding EXACT distinct users
+    // (round 8), the query that cashes in q102's re-mergeability
+    // claim: daily (day, seg, bits) segment bitmaps roll up ONCE from
+    // the event stream, and every 7-day window re-merges them with
+    // bit_or — the fact table is touched exactly once however many
+    // windows are asked, where a naive sliding count(DISTINCT) re-
+    // scans per window. The trailing window is an explode-7 postings
+    // join (each seg-day posts to the 7 target days it serves —
+    // equi-join on the day number, the RangeJoin bucket discipline;
+    // gappy days need no gap fill because absent days simply post
+    // nothing). All integers; state per window = live-keyspace/32.
+    "q108_sliding_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val segDay = Tables.events(s, dir)
+        .select(to_date($"ts").as("day"), $"user_id")
+        .select(datediff($"day", lit("1995-01-01").cast("date")).cast("long")
+          .as("dayn"), $"day",
+          expr("user_id DIV 32").as("seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("bitval"))
+        .groupBy($"dayn", $"day", $"seg")
+        .agg(expr("bit_or(bitval)").as("bits"))
+      val posted = segDay.select($"seg", $"bits", $"day", $"dayn",
+          explode(sequence(lit(0L), lit(6L))).as("off"))
+        .select(($"dayn" + $"off").as("target_dayn"), $"seg", $"bits")
+      val days = segDay.select($"dayn".as("target_dayn"), $"day").distinct()
+      posted
+        .join(days, "target_dayn") // only emit windows ending on a real day
+        .groupBy($"day", $"target_dayn", $"seg")
+        .agg(expr("bit_or(bits)").as("wbits"))
+        .groupBy($"day")
+        .agg(sum(expr("bit_count(wbits)")).cast("long").as("n_distinct_7d"))
+    },
+
     "q106_ks_test" -> { (s, dir) =>
       import s.implicits._
       val daily = Tables.load(s, dir, "orders")
@@ -197,6 +231,23 @@ object RelationalQueries15 {
         |UNION ALL SELECT walk_id, 2, cur FROM w2
         |UNION ALL SELECT walk_id, 3, cur FROM w3
         |UNION ALL SELECT walk_id, 4, cur FROM w4""".stripMargin,
+
+    "q108_sliding_distinct" ->
+      """WITH sd AS (SELECT
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS dayn,
+        |    CAST(ts AS DATE) AS day,
+        |    user_id // 32 AS seg,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events GROUP BY 1, 2, 3),
+        |posted AS (SELECT dayn + off AS target_dayn, seg, bits
+        |  FROM sd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off)),
+        |days AS (SELECT DISTINCT dayn AS target_dayn, day FROM sd),
+        |w AS (SELECT day, target_dayn, seg, bit_or(bits) AS wbits
+        |  FROM posted JOIN days USING (target_dayn)
+        |  GROUP BY 1, 2, 3)
+        |SELECT day, CAST(sum(bit_count(wbits)) AS BIGINT) AS n_distinct_7d
+        |FROM w GROUP BY day""".stripMargin,
 
     "q106_ks_test" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
