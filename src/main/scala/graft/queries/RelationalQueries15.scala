@@ -141,6 +141,42 @@ object RelationalQueries15 {
         .agg(sum(expr("bit_count(wbits)")).cast("long").as("n_distinct_7d"))
     },
 
+    // `q109_bitmap_retention` — week-over-week retention via bitmap
+    // INTERSECTION (round 8, the set-algebra face of the segment
+    // family): weekly (week, seg, bits) rollups, retained(w) =
+    // Σ_seg bit_count(bits_w & bits_{w+1}) — audience overlap
+    // computed on 8-byte words, never by re-joining user ids; the
+    // weekly frame is built ONCE (persisted — the active counts and
+    // both sides of the shift join reuse it) and the shift join is
+    // equi on (seg, week+1). Exact where theta sketches estimate;
+    // state per week = live-keyspace/32 words.
+    "q109_bitmap_retention" -> { (s, dir) =>
+      import s.implicits._
+      val weekly = Tables.events(s, dir)
+        // DIV, not `/`: Column `/` on longs is double true-division
+        .select(expr(
+          "CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT) DIV 7")
+          .as("week"),
+          expr("user_id DIV 32").as("seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("bitval"))
+        .groupBy($"week", $"seg")
+        .agg(expr("bit_or(bitval)").as("bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val active = weekly.groupBy($"week")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_active"))
+      val retained = weekly.as("a")
+        .join(weekly.select(($"week" - 1L).as("week"), $"seg",
+          $"bits".as("bits_next")).as("b"), Seq("week", "seg"))
+        .groupBy($"week")
+        .agg(sum(expr("bit_count(bits & bits_next)")).cast("long")
+          .as("n_retained"))
+      active.join(retained, "week")
+        .select($"week", $"n_active", $"n_retained",
+          ($"n_retained".cast("double") / $"n_active".cast("double"))
+            .as("rate"))
+    },
+
     "q106_ks_test" -> { (s, dir) =>
       import s.implicits._
       val daily = Tables.load(s, dir, "orders")
@@ -248,6 +284,23 @@ object RelationalQueries15 {
         |  GROUP BY 1, 2, 3)
         |SELECT day, CAST(sum(bit_count(wbits)) AS BIGINT) AS n_distinct_7d
         |FROM w GROUP BY day""".stripMargin,
+
+    "q109_bitmap_retention" ->
+      """WITH wk AS (SELECT
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) // 7 AS week,
+        |    user_id // 32 AS seg,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events GROUP BY 1, 2),
+        |act AS (SELECT week, CAST(sum(bit_count(bits)) AS BIGINT)
+        |    AS n_active FROM wk GROUP BY 1),
+        |ret AS (SELECT a.week,
+        |    CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_retained
+        |  FROM wk a JOIN wk b ON a.seg = b.seg AND b.week = a.week + 1
+        |  GROUP BY 1)
+        |SELECT week, n_active, n_retained,
+        |  CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE) AS rate
+        |FROM act JOIN ret USING (week)""".stripMargin,
 
     "q106_ks_test" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
