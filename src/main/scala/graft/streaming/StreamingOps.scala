@@ -380,6 +380,59 @@ object StreamingOps {
       .agg(coalesce(sum(expr("bit_count(bits)")), lit(0L)).cast("long"))
       .head().getLong(0)
 
+  /** Streaming TRAILING-WINDOW exact distinct via per-day bitmap
+    * segments — the streaming face of q108_sliding_distinct: state is
+    * one `(dayn, seg, bits)` row per (day, occupied segment) within
+    * the trailing `windowDays` of the max day seen, so state is
+    * bounded by windowDays × keyspace/32 REGARDLESS of stream length
+    * — days older than the window are pruned each fold. Within the
+    * retained window bit_or stays idempotent/commutative, but the
+    * PRUNE makes arrival order a contract: a day arriving after the
+    * window has rolled past it would resurrect pruned state, so
+    * non-decreasing day arrival is required (the scd2Maintained
+    * class — exactly a watermark's promise). `tsCol` must be a
+    * timestamp; keys non-negative (the bitmapDistinctMaintained
+    * quarantine rule, seg = -1). Read the current-window count with
+    * [[slidingDistinctCount]] — it re-merges segments ACROSS days
+    * first (a user active on several days must count once).
+    * SlidingBitmapStreamSpec proves split-invariance under in-order
+    * days, the batch-equality of the final window, and the state
+    * bound.
+    */
+  def slidingDistinctMaintained(stream: DataFrame, tsCol: String,
+      keyCol: String, windowDays: Int, stateDir: String, name: String,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(stream, stateDir, name, retainVersions) { (prev, batch) =>
+      val delta = batch.toDF().select(
+          expr(s"CAST(datediff(to_date($tsCol), DATE '1995-01-01') AS BIGINT)")
+            .as("dayn"),
+          when(col(keyCol) >= 0L, expr(s"$keyCol DIV 32")).otherwise(lit(-1L))
+            .as("seg"),
+          when(col(keyCol) >= 0L,
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST($keyCol % 32 AS INT))"))
+            .otherwise(lit(0L)).as("bitval"))
+        .groupBy(col("dayn"), col("seg"))
+        .agg(expr("bit_or(bitval)").as("bits"))
+      val merged = prev.fold(delta) { p =>
+        p.unionByName(delta).groupBy(col("dayn"), col("seg"))
+          .agg(expr("bit_or(bits)").as("bits"))
+      }
+      // prune beyond the trailing window of the max day seen so far;
+      // maxDayn is a 1-row frame, broadcast against the state
+      val maxd = merged.agg(max(col("dayn")).as("maxd"))
+      merged.crossJoin(broadcast(maxd))
+        .filter(col("dayn") > col("maxd") - windowDays)
+        .select(col("dayn"), col("seg"), col("bits"))
+    }
+
+  /** Current-trailing-window exact distinct from a
+    * [[slidingDistinctMaintained]] state frame: segments re-merge
+    * across the retained days before counting.
+    */
+  def slidingDistinctCount(state: DataFrame): Long =
+    bitmapDistinctCount(state.filter(col("seg") >= 0L)
+      .groupBy(col("seg")).agg(expr("bit_or(bits)").as("bits")))
+
   /** The versioned exactly-once foreachBatch state harness shared by
     * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
     * the previous complete state (None on the first batch) with the
