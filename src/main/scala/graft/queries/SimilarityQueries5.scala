@@ -73,6 +73,57 @@ object SimilarityQueries5 {
         .filter($"rk" <= 3)
     },
 
+    // `ann_quant_ablation` — the QUANTIZATION ablation (round 8, the
+    // sibling of ann_nprobe_curve on the compression axis): recall@10
+    // of int8 scalar quantization (8 bytes/dim→1) and binary sign
+    // quantization (64 dims→ONE long) against the exact ranking, side
+    // by side per anchor — the memory/recall tradeoff table a vector
+    // store's capacity planning reads. ONE kernel pass scores every
+    // (anchor, vector) pair with all three signals (exact cosine,
+    // int8 dot, packed-sign hamming); each arm is a window over the
+    // SAME persisted frame. Distinct sign bits sum without carries so
+    // the packed hamming is exact; the int8 dot is the ann_recall
+    // fold; output grid is TOTAL (zero-hit arms kept).
+    "ann_quant_ablation" -> { (s, dir) =>
+      import s.implicits._
+      val qz = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D) AS BIGINT))")
+      val bq = expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc + CASE WHEN embedding[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)")
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("qz", qz).withColumn("bq", bq)
+      val anchors = emb.filter($"vec_id" < NAnchors)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"qz".as("qqz"), $"bq".as("qbq"))
+      val scored = emb.filter($"vec_id" >= NAnchors)
+        .crossJoin(broadcast(anchors))
+        .select($"q_id", $"vec_id",
+          cosine_sim($"embedding", $"qv").as("cos"),
+          expr("aggregate(zip_with(qz, qqz, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dotq"),
+          expr("bit_count(bq ^ qbq)").cast("long").as("ham"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wE = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val wS = Window.partitionBy($"q_id").orderBy($"dotq".desc, $"vec_id".asc)
+      val wB = Window.partitionBy($"q_id").orderBy($"ham".asc, $"vec_id".asc)
+      def top(w: org.apache.spark.sql.expressions.WindowSpec) =
+        scored.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= TopK).select($"q_id", $"vec_id")
+      val exact = top(wE)
+      val arms = Seq("sq8" -> top(wS), "bq" -> top(wB)).map {
+        case (m, f) => f.select(lit(m).as("method"), $"q_id", $"vec_id")
+      }.reduce(_ unionByName _)
+      val hits = arms.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"method", $"q_id").agg(count(lit(1)).as("hits"))
+      val grid = Seq("sq8", "bq").toDF("method")
+        .crossJoin(anchors.select($"q_id"))
+      grid.join(hits, Seq("method", "q_id"), "left_outer")
+        .select($"method", $"q_id",
+          coalesce($"hits", lit(0L)).as("hits"),
+          (coalesce($"hits", lit(0L)).cast("double") / lit(TopK.toDouble))
+            .as("recall"))
+    },
+
     "ann_nprobe_curve" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
@@ -133,6 +184,43 @@ object SimilarityQueries5 {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    // int8 dot = the ann_recall fold; packed-sign hamming replays as
+    // per-dim sign-disagreement counts (no packing needed — distinct
+    // bits sum without carries, so the counts are identical)
+    "ann_quant_ablation" ->
+      s"""WITH a AS (SELECT vec_id AS q_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NAnchors),
+         |s AS (SELECT a.q_id, e.vec_id,
+         |    ${cos("e.embedding", "a.qv")} AS cosq,
+         |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |      gi -> CAST(floor(CAST(e.embedding[CAST(gi AS INT)] AS DOUBLE) * 127.0) AS BIGINT)
+         |          * CAST(floor(CAST(a.qv[CAST(gi AS INT)] AS DOUBLE) * 127.0) AS BIGINT)),
+         |      (gx, gy) -> gx + gy) AS dotq,
+         |    CAST(len(list_filter(range(1, len(e.embedding) + 1),
+         |      gi -> (e.embedding[CAST(gi AS INT)] > 0)
+         |         != (a.qv[CAST(gi AS INT)] > 0))) AS BIGINT) AS ham
+         |  FROM embeddings e CROSS JOIN a
+         |  WHERE e.vec_id >= $NAnchors),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosq DESC, vec_id) AS rk FROM s) WHERE rk <= $TopK),
+         |arm_sq AS (SELECT 'sq8' AS method, q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dotq DESC, vec_id) AS rk FROM s) WHERE rk <= $TopK),
+         |arm_bq AS (SELECT 'bq' AS method, q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ham ASC, vec_id) AS rk FROM s) WHERE rk <= $TopK),
+         |arms AS (SELECT * FROM arm_sq UNION ALL SELECT * FROM arm_bq),
+         |h AS (SELECT method, q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM arms JOIN exact USING (q_id, vec_id) GROUP BY 1, 2),
+         |grid AS (SELECT method, q_id FROM
+         |  (SELECT unnest(['sq8', 'bq']) AS method)
+         |  CROSS JOIN (SELECT q_id FROM a))
+         |SELECT grid.method, grid.q_id, coalesce(h.hits, 0) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / $TopK.0 AS recall
+         |FROM grid LEFT JOIN h
+         |  ON grid.method = h.method AND grid.q_id = h.q_id""".stripMargin,
+
     "ann_knn_graph" ->
       s"""WITH cen AS (SELECT CAST(label AS BIGINT) AS cid, embedding AS cv
          |  FROM (SELECT label, embedding,
