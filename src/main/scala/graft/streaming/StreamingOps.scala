@@ -433,6 +433,65 @@ object StreamingOps {
     bitmapDistinctCount(state.filter(col("seg") >= 0L)
       .groupBy(col("seg")).agg(expr("bit_or(bits)").as("bits")))
 
+  /** AS-OF enrichment of one micro-batch against an SCD2 dimension
+    * frame (the q95 point-in-time join, factored for streaming reuse):
+    * each fact row resolves the version active at its timestamp — ONE
+    * equi-join on the user key, interval containment as a residual
+    * filter (a user's versions partition time, so ≤1 match per fact).
+    */
+  def scd2Enrich(facts: DataFrame, dim: DataFrame): DataFrame = {
+    // containment lives IN the join condition: a post-join filter
+    // would DROP facts that predate every version of their user (all
+    // joined rows fail containment), where a left join with residual
+    // keeps them with null dim columns
+    val f = facts.withColumn("t_us", unix_micros(col("ts")))
+    val d = dim.select(col("user_id").as("d_user"),
+      col("event_type").as("dim_state"), col("version"),
+      col("valid_from_us"), col("valid_to_us"))
+    f.join(d, f("user_id") === d("d_user") &&
+        col("t_us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("t_us") < col("valid_to_us")),
+      "left")
+      .drop("d_user")
+  }
+
+  /** Streaming point-in-time enrichment — the CONSUMER side of
+    * [[scd2Maintained]]: each fact micro-batch joins the LATEST
+    * version of the maintained dimension under `dimStateDir` (read
+    * once per batch — the dimension advances between batches, exactly
+    * the lookup a warehouse's streaming fact load performs) and
+    * appends to `outDir` as parquet. Facts whose user has no
+    * dimension row (or predates every version) pass through with null
+    * dim columns — enrichment must not DROP facts. Batch appends are
+    * idempotent per batch id via a marker file (replays skip), the
+    * foreachBatch exactly-once discipline. Scd2EnrichSpec proves the
+    * streamed output equals the batch q95 join against the final
+    * dimension when the dimension is fed first.
+    */
+  def scd2EnrichedTo(facts: DataFrame, dimStateDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(outDir, s"_batch_$id")
+        if (!fs.exists(marker)) {
+          val dim = latestState(spark, dimStateDir).getOrElse(
+            spark.emptyDataFrame
+              .withColumn("user_id", lit(null).cast("long"))
+              .withColumn("event_type", lit(null).cast("string"))
+              .withColumn("version", lit(null).cast("long"))
+              .withColumn("valid_from_us", lit(null).cast("long"))
+              .withColumn("valid_to_us", lit(null).cast("long")))
+          scd2Enrich(batch.toDF(), dim)
+            .write.mode("append").parquet(s"$outDir/data")
+          fs.create(marker, true).close()
+        }
+        ()
+      }.start()
+
   /** The versioned exactly-once foreachBatch state harness shared by
     * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
     * the previous complete state (None on the first batch) with the
