@@ -66,6 +66,47 @@ object DedupQueries2 {
           ($"cos_c" < Tau || $"vec_id" === $"keep_vec").as("keep"))
     },
 
+    // `ann_prepare` — the ANN index-build CAPSTONE (round 8, the
+    // corpus_prepare discipline for the vector stack): ONE query
+    // producing the index manifest — semantic dedup (the SemDeDup
+    // keep-worst chain above, decisions identical) → survivors
+    // assigned to their cells → per-cell manifest (assigned/kept/
+    // dropped counts, kept-member cosine and id extremes). Proves the
+    // separately-gated vector stages CHAIN. All aggregates are
+    // order-independent (integer counts, min/max — never a float
+    // SUM over a cluster, whose order would not replay); the k-row
+    // manifest is the frame a vector store's capacity planner reads.
+    "ann_prepare" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val wc = Window.partitionBy($"label").orderBy($"vec_id".asc)
+      val centroids = emb.withColumn("__rn", row_number().over(wc))
+        .filter($"__rn" === 1)
+        .select($"label".cast("long").as("cid"), $"embedding".as("cv"))
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .select($"vec_id",
+          struct(cosine_sim($"embedding", $"cv").as("cos_c"),
+            (lit(0L) - $"cid").as("negcid")).as("m"))
+        .groupBy($"vec_id").agg(max($"m").as("m"))
+        .select($"vec_id", (lit(0L) - $"m.negcid").as("cid"),
+          $"m.cos_c".as("cos_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keepers = assigned.filter($"cos_c" >= Tau)
+        .groupBy($"cid")
+        .agg(min(struct($"cos_c", $"vec_id")).as("k"))
+        .select($"cid", $"k.vec_id".as("keep_vec"))
+      val flagged = assigned.join(broadcast(keepers), Seq("cid"), "left")
+        .withColumn("keep", $"cos_c" < Tau || $"vec_id" === $"keep_vec")
+      flagged.groupBy($"cid")
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"keep", 0L).otherwise(1L)).as("n_dropped"),
+          min(when($"keep", $"cos_c")).as("min_cos_kept"),
+          max(when($"keep", $"cos_c")).as("max_cos_kept"),
+          min(when($"keep", $"vec_id")).as("min_vec_kept"),
+          max(when($"keep", $"vec_id")).as("max_vec_kept"))
+    },
+
     // the bucketed form of dedup_embedding: same tau=0.5 pair semantics,
     // but candidates come from shared IVF cells (nprobe=2) instead of an
     // all-pairs block join — O(n²/k) compare volume, the shape that
@@ -117,6 +158,43 @@ object DedupQueries2 {
          |SELECT a.vec_id, a.cid, a.cos_c,
          |  (a.cos_c < $Tau OR a.vec_id = k.keep_vec) AS keep
          |FROM assigned a LEFT JOIN keepers k ON a.cid = k.cid""".stripMargin,
+
+    // the dedup_semantic chain verbatim + the manifest rollup
+    "ann_prepare" ->
+      s"""WITH c AS (
+         |  SELECT CAST(label AS BIGINT) AS cid, embedding AS cv FROM (
+         |    SELECT label, embedding, row_number() OVER (
+         |      PARTITION BY label ORDER BY vec_id ASC) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cv")} AS cos_c
+         |  FROM embeddings e, c),
+         |assigned AS (
+         |  SELECT vec_id, cid, cos_c FROM (
+         |    SELECT vec_id, cid, cos_c, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+         |    FROM pairs) WHERE rn = 1),
+         |keepers AS (
+         |  SELECT cid, vec_id AS keep_vec FROM (
+         |    SELECT cid, vec_id, row_number() OVER (
+         |      PARTITION BY cid ORDER BY cos_c ASC, vec_id ASC) AS rn
+         |    FROM assigned WHERE cos_c >= $Tau) WHERE rn = 1),
+         |flagged AS (
+         |  SELECT a.vec_id, a.cid, a.cos_c,
+         |    (a.cos_c < $Tau OR a.vec_id = k.keep_vec) AS keep
+         |  FROM assigned a LEFT JOIN keepers k ON a.cid = k.cid)
+         |SELECT cid,
+         |  CAST(count(*) AS BIGINT) AS n_assigned,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  min(CASE WHEN keep THEN cos_c END) AS min_cos_kept,
+         |  max(CASE WHEN keep THEN cos_c END) AS max_cos_kept,
+         |  CAST(min(CASE WHEN keep THEN vec_id END) AS BIGINT)
+         |    AS min_vec_kept,
+         |  CAST(max(CASE WHEN keep THEN vec_id END) AS BIGINT)
+         |    AS max_vec_kept
+         |FROM flagged GROUP BY cid""".stripMargin,
 
     // replays the cell-restricted candidate generation exactly: same
     // deterministic centroids, same nprobe=2 ranking (strict-fold
