@@ -47,6 +47,44 @@ object EventQueries2 {
         .orderBy($"n_users".desc, $"path".asc).limit(20)
     },
 
+    // pairwise audience-overlap matrix via bitmap set algebra
+    // (round 8): which event types share users, exactly — per type a
+    // (seg, bits) user bitmap, overlap(a,b) = Σ_seg bit_count(a & b),
+    // exact Jaccard from integer counts in one final division. The
+    // per-type frame rolls up ONCE (persisted, both matrix sides +
+    // totals reuse it); the pair join is equi on seg with |types|²
+    // fan-out per segment word — audience overlap on 8-byte words,
+    // never an id-level self-join. Exact where sketch_theta_setops
+    // estimates; the complement of q109's temporal intersection.
+    "dq_overlap_matrix" -> { (s, dir) =>
+      import s.implicits._
+      val tb = Tables.events(s, dir)
+        .select($"event_type",
+          expr("user_id DIV 32").as("seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("bitval"))
+        .groupBy($"event_type", $"seg")
+        .agg(expr("bit_or(bitval)").as("bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = tb.groupBy($"event_type")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_users"))
+      val inter = tb.as("a")
+        .join(tb.select($"event_type".as("type_b"), $"seg",
+          $"bits".as("bits_b")).as("b"), "seg")
+        .filter($"event_type" < $"type_b")
+        .groupBy($"event_type".as("type_a"), $"type_b")
+        .agg(sum(expr("bit_count(bits & bits_b)")).cast("long")
+          .as("n_overlap"))
+      inter
+        .join(broadcast(totals.select($"event_type".as("type_a"),
+          $"n_users".as("n_a"))), "type_a")
+        .join(broadcast(totals.select($"event_type".as("type_b"),
+          $"n_users".as("n_b"))), "type_b")
+        .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_overlap",
+          ($"n_overlap".cast("double") /
+            ($"n_a" + $"n_b" - $"n_overlap").cast("double")).as("jaccard"))
+    },
+
     "dq_freshness" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir).select($"event_type",
@@ -78,6 +116,25 @@ object EventQueries2 {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
         |FROM p GROUP BY path
         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "dq_overlap_matrix" ->
+      """WITH tb AS (SELECT event_type, user_id // 32 AS seg,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT)
+        |    AS n_users FROM tb GROUP BY 1),
+        |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_overlap
+        |  FROM tb a JOIN tb b
+        |    ON a.seg = b.seg AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ta.n_users AS n_a, tb2.n_users AS n_b,
+        |  n_overlap,
+        |  CAST(n_overlap AS DOUBLE) /
+        |    CAST(ta.n_users + tb2.n_users - n_overlap AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN tot ta ON inter.type_a = ta.event_type
+        |JOIN tot tb2 ON inter.type_b = tb2.event_type""".stripMargin,
 
     "dq_freshness" ->
       s"""WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us
