@@ -97,7 +97,10 @@ object ScaleProbe {
       "q102_bitmap_distinct", "q103_paths", "dq_freshness", "mm_dedup",
       "q104_basket_rules", "dedup_containment", "ann_nprobe_curve",
       "ann_knn_graph", "dq_anomaly", "q105_ab_test", "q106_ks_test",
-      "corpus_shuffle_shards")
+      "corpus_shuffle_shards",
+      "text_langid_eval", "q107_random_walks", "q108_sliding_distinct",
+      "q109_bitmap_retention", "ann_quant_ablation", "ann_prepare",
+      "dq_overlap_matrix", "dedup_containment")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption

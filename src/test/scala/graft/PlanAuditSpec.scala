@@ -558,6 +558,31 @@ class PlanAuditSpec extends SparkSpec {
       "no step may sort-merge the adjacency")
   }
 
+  test("round-8 wave-5 additions: bitmap rollups partial-agg, eval frames reuse") {
+    // every bitmap-family query must partial-aggregate its segment
+    // rollup below the first exchange and never join at the id level
+    for (q <- Seq("q108_sliding_distinct", "q109_bitmap_retention",
+      "dq_overlap_matrix")) {
+      val p = plan(q)
+      assert(p.contains("partial_bit_or"),
+        s"$q: segment bitmaps must partial-aggregate map-side")
+      assert(!p.contains("SortMergeJoin") || q == "q108_sliding_distinct",
+        s"$q: bitmap joins stay hash/broadcast, never sort-merge")
+    }
+    // quant ablation: one persisted kernel frame, three window arms —
+    // each top-k prunes map-side
+    val qa = plan("ann_quant_ablation")
+    assert(qa.contains("WindowGroupLimit"),
+      "ablation arms must carry WindowGroupLimit")
+    assert(qa.contains("InMemoryTableScan"),
+      "the kernel pass must be computed once and reused from cache")
+    // ann_prepare: centroid fan-out combines map-side (one row per
+    // vector crosses the exchange, not one per (vector, centroid))
+    val ap = plan("ann_prepare")
+    assert(ap.contains("partial_max") || ap.contains("partial_min"),
+      "assignment argmax must partial-aggregate")
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
