@@ -63,6 +63,60 @@ object TextQueries5 {
           $"n".cast("double") / $"n_lang".cast("double"))
     },
 
+    // `dq_quality_dup` — does LOW-quality text duplicate more? (round
+    // 8, the curation question the Gopher/C4 papers answer with this
+    // exact 2×2): quality = the binding text_gopher rules, duplicated
+    // = the doc CONTAINS an 8-word shingle occurring in more than one
+    // document (dedup_containment's near-dup evidence — this corpus
+    // has no EXACT normalized dups, probed, so a canonical-key
+    // definition degenerates to an empty column); 2×2 observed counts
+    // + chi-square, every expected/contribution term a FIXED IEEE
+    // tree over exact integer products (R·C < 2^63, squares as
+    // self-multiplication, never pow — the dq_drift discipline). One
+    // shingle-df rollup + a semi join + one row-local rule pass; the
+    // contingency assembles on a ≤4-row frame.
+    "dq_quality_dup" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftFunctions.word_shingles
+      val docs = Tables.load(s, dir, "documents")
+      // the shingle kernel is per-row compute over a single-file scan
+      // — spread it first (the Parallelism.ensure cliff rule)
+      val sh = graft.operators.Parallelism.ensure(docs)
+        .select($"doc_id", explode(word_shingles($"text", 8)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = sh.groupBy($"sh").agg(count(lit(1)).as("d"))
+        .filter($"d" > 1L).select($"sh")
+      val dupDocs = sh.join(shared, "sh").select($"doc_id").distinct()
+      val flagged = docs
+        .join(dupDocs.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce($"is_dup", lit(0L)))
+        .withColumn("n_words", size(split($"text", " ")).cast("long"))
+        .withColumn("n_chars_ns",
+          length(regexp_replace($"text", " ", "")).cast("long"))
+        .withColumn("is_lowq",
+          // the two gopher rules that actually bind on this corpus:
+          // word-count floor and mean-word-length band
+          when($"n_words" >= 50L && $"n_chars_ns" >= lit(3L) * $"n_words" &&
+            $"n_chars_ns" <= lit(10L) * $"n_words", 0L).otherwise(1L))
+      val cells = flagged.groupBy($"is_lowq", $"is_dup")
+        .agg(count(lit(1)).as("o"))
+      val wa = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wr = Window.partitionBy($"is_lowq")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wc = Window.partitionBy($"is_dup")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("g", sum($"o").over(wa))
+        .withColumn("r", sum($"o").over(wr))
+        .withColumn("c", sum($"o").over(wc))
+        .withColumn("e", ($"r" * $"c").cast("double") / $"g".cast("double"))
+        .select($"is_lowq", $"is_dup", $"o", $"r", $"c", $"e",
+          (($"o".cast("double") - $"e") * ($"o".cast("double") - $"e") /
+            $"e").as("chi2_contrib"))
+    },
+
     "text_gopher" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -99,6 +153,39 @@ object TextQueries5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_quality_dup" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, len(ws) - 7),
+        |      i -> array_to_string(ws[CAST(i+1 AS INT):CAST(i+8 AS INT)],
+        |        ' ')))) AS sh
+        |  FROM w WHERE len(ws) >= 8),
+        |shared AS (SELECT sh FROM s GROUP BY sh HAVING count(*) > 1),
+        |dup AS (SELECT DISTINCT doc_id FROM s JOIN shared USING (sh)),
+        |f AS (SELECT
+        |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+        |    CASE WHEN len(string_split(text, ' ')) >= 50
+        |      AND length(regexp_replace(text, ' ', '', 'g'))
+        |        >= 3 * len(string_split(text, ' '))
+        |      AND length(regexp_replace(text, ' ', '', 'g'))
+        |        <= 10 * len(string_split(text, ' '))
+        |      THEN 0 ELSE 1 END AS is_lowq
+        |  FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id),
+        |cells AS (SELECT is_lowq, is_dup, CAST(count(*) AS BIGINT) AS o
+        |  FROM f GROUP BY 1, 2),
+        |m AS (SELECT is_lowq, is_dup, o,
+        |    CAST(sum(o) OVER () AS BIGINT) AS g,
+        |    CAST(sum(o) OVER (PARTITION BY is_lowq) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY is_dup) AS BIGINT) AS c
+        |  FROM cells)
+        |SELECT is_lowq, is_dup, o, r, c,
+        |  CAST(r * c AS DOUBLE) / CAST(g AS DOUBLE) AS e,
+        |  (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(g AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(g AS DOUBLE))
+        |    / (CAST(r * c AS DOUBLE) / CAST(g AS DOUBLE)) AS chi2_contrib
+        |FROM m""".stripMargin,
+
     // the scoring CTE mirrors text_langid's oracle; the rollup adds
     // the confusion counts + per-true-lang window totals
     "text_langid_eval" ->
