@@ -75,6 +75,26 @@ object MultimodalQueries2 {
           .cast("long"))
         .filter($"hamming" <= 2L)
         .select($"id_a", $"id_b", $"hamming")
+    },
+
+    // `mm_dedup_clusters` — the visual-dedup CAPSTONE (round 8):
+    // mm_dedup's banded phash pair graph → checkpointed connected
+    // components (the dedup_clusters operator — same iterative
+    // min-label loop, vertices = all images so singletons keep their
+    // own cluster) → per-cluster manifest (member count, lowest-id
+    // survivor). Completes detect → cluster → select for the IMAGE
+    // path exactly as corpus_prepare_fuzzy does for text; oracle
+    // replays the full chain — phash + bands + Hamming pairs +
+    // recursive transitive closure.
+    "mm_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = defs("mm_dedup")(s, dir).select($"id_a", $"id_b")
+      val vertices = Tables.load(s, dir, "documents")
+        .filter($"doc_id" % 3 === 0).select($"doc_id".as("id"))
+      graft.operators.Dedup.connectedComponents(vertices, pairs)
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"),
+          min($"id").as("keep_media"))
     }
   )
 
@@ -123,6 +143,34 @@ object MultimodalQueries2 {
          |SELECT id_a, id_b,
          |  CAST(${(0 until 4).map(k => s"bit_count(xor(a$k, b$k))").mkString(" + ")} AS BIGINT) AS hamming
          |FROM cand
-         |WHERE ${(0 until 4).map(k => s"bit_count(xor(a$k, b$k))").mkString(" + ")} <= 2""".stripMargin)
+         |WHERE ${(0 until 4).map(k => s"bit_count(xor(a$k, b$k))").mkString(" + ")} <= 2""".stripMargin),
+
+    // the full mm_dedup chain + recursive transitive closure (the
+    // dedup_clusters discipline); WITH must become WITH RECURSIVE
+    "mm_dedup_clusters" -> (phashCte.replace("WITH img", "WITH RECURSIVE img") +
+      s""",
+         |hw AS (SELECT media_id,
+         |  ${(0 until 4).map(k => s"CAST(${bandInt("phash", k * 4 + 1)} AS BIGINT) AS w$k").mkString(", ")}
+         |  FROM hx),
+         |bands AS (SELECT media_id, w0, w1, w2, w3,
+         |                 unnest([0,1,2,3]) AS b FROM hw),
+         |bv AS (SELECT media_id, w0, w1, w2, w3, b,
+         |       [w0, w1, w2, w3][CAST(b + 1 AS INT)] AS bvv FROM bands),
+         |cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         |  ${(0 until 4).map(k => s"x.w$k AS a$k, y.w$k AS b$k").mkString(", ")}
+         |  FROM bv x JOIN bv y
+         |    ON x.b = y.b AND x.bvv = y.bvv AND x.media_id < y.media_id),
+         |p AS (SELECT id_a, id_b FROM cand
+         |  WHERE ${(0 until 4).map(k => s"bit_count(xor(a$k, b$k))").mkString(" + ")} <= 2),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(u, lbl) AS (
+         |  SELECT media_id, media_id FROM hx
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u, min(lbl) AS component FROM reach GROUP BY u)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(min(u) AS BIGINT) AS keep_media
+         |FROM comp GROUP BY component""".stripMargin)
   )
 }
