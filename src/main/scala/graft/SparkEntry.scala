@@ -31,6 +31,7 @@ object SparkEntry {
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
       CorpusQueries5.defs ++ CorpusQueries6.defs ++ CorpusQueries7.defs ++
       FeatureQueries.defs ++ FeatureQueries2.defs ++ FeatureQueries3.defs ++
+      FeatureQueries4.defs ++
       SketchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +58,6 @@ object SparkEntry {
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
       CorpusQueries5.oracles ++ CorpusQueries6.oracles ++ CorpusQueries7.oracles ++
       FeatureQueries.oracles ++ FeatureQueries2.oracles ++ FeatureQueries3.oracles ++
+      FeatureQueries4.oracles ++
       SketchQueries.oracles
 }
