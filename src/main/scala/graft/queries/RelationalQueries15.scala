@@ -34,6 +34,44 @@ import graft.Tables
 object RelationalQueries15 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `dq_benford` — Benford first-digit audit (round 8, the classic
+    // fabricated-numbers screen): first significant digit of
+    // o_totalprice vs Benford's log10(1+1/d) law. The law needs log —
+    // banned as a cross-engine FUNCTION (libm rounding differs), but
+    // perfectly portable as nine LITERAL double constants (a decimal
+    // literal parses to the same correctly-rounded double on both
+    // engines); chi-square contributions then follow the dq_drift
+    // fixed-tree discipline. First digit via regexp on the decimal's
+    // string rendering (both engines render DECIMAL(15,2) as plain
+    // '12345.67'). On THIS synthetic near-uniform price column the
+    // audit fires loudly — which is the point: a Benford screen
+    // exists to flag non-naturally-distributed numbers.
+    "dq_benford" -> { (s, dir) =>
+      import s.implicits._
+      val law = Seq(0.3010299956639812, 0.17609125905568124,
+        0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+        0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+        0.04575749056067514)
+      val lawCol = law.zipWithIndex.foldRight(lit(0.0)) {
+        case ((p, i), acc) => when($"d" === (i + 1), p).otherwise(acc)
+      }
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select(regexp_extract($"o_totalprice".cast("string"),
+          "([1-9])", 1).cast("long").as("d"))
+        // a 0.00 value has no significant digit (null d) — excluded,
+        // or its zero expected share divides by zero under ANSI
+        .filter($"d".isNotNull)
+        .groupBy($"d").agg(count(lit(1)).as("o"))
+        .withColumn("n", sum($"o").over(wAll))
+        .withColumn("expected_share", lawCol)
+        .withColumn("e", $"n".cast("double") * $"expected_share")
+        .select($"d", $"o", $"n", $"expected_share", $"e",
+          (($"o".cast("double") - $"e") * ($"o".cast("double") - $"e") /
+            $"e").as("chi2_contrib"))
+    },
+
     "q105_ab_test" -> { (s, dir) =>
       import s.implicits._
       // conversion = "power user": >= 14 purchases (the per-user
@@ -208,6 +246,33 @@ object RelationalQueries15 {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_benford" ->
+      """WITH f AS (SELECT CAST(nullif(regexp_extract(
+        |    CAST(o_totalprice AS VARCHAR), '([1-9])', 1), '') AS BIGINT)
+        |    AS d
+        |  FROM orders),
+        |c AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM f
+        |      WHERE d IS NOT NULL GROUP BY d),
+        |m AS (SELECT d, o, CAST(sum(o) OVER () AS BIGINT) AS n,
+        |    CASE d
+        |      WHEN 1 THEN 0.3010299956639812
+        |      WHEN 2 THEN 0.17609125905568124
+        |      WHEN 3 THEN 0.12493873660829992
+        |      WHEN 4 THEN 0.09691001300805642
+        |      WHEN 5 THEN 0.07918124604762482
+        |      WHEN 6 THEN 0.06694678963061322
+        |      WHEN 7 THEN 0.05799194697768673
+        |      WHEN 8 THEN 0.05115252244738129
+        |      WHEN 9 THEN 0.04575749056067514
+        |      ELSE 0.0 END AS expected_share
+        |  FROM c)
+        |SELECT d, o, n, expected_share,
+        |  CAST(n AS DOUBLE) * expected_share AS e,
+        |  (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * expected_share)
+        |    * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * expected_share)
+        |    / (CAST(n AS DOUBLE) * expected_share) AS chi2_contrib
+        |FROM m""".stripMargin,
+
     "q105_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
