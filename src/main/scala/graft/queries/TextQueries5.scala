@@ -87,7 +87,12 @@ object TextQueries5 {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shared = sh.groupBy($"sh").agg(count(lit(1)).as("d"))
         .filter($"d" > 1L).select($"sh")
-      val dupDocs = sh.join(shared, "sh").select($"doc_id").distinct()
+      // left_semi: the inner-join form materializes one row per
+      // (posting, shared-shingle) match before the distinct — on a
+      // corpus where every shingle is shared (the 10x replicas) that
+      // output is the whole postings table again
+      val dupDocs = sh.join(shared, Seq("sh"), "left_semi")
+        .select($"doc_id").distinct()
       val flagged = docs
         .join(dupDocs.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
         .withColumn("is_dup", coalesce($"is_dup", lit(0L)))
