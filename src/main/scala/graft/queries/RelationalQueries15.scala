@@ -215,6 +215,81 @@ object RelationalQueries15 {
             .as("rate"))
     },
 
+    // `q111_emd` — 1-Wasserstein (earth-mover) distance between the
+    // era'd daily-volume distributions (round 8, q106's integral
+    // sibling: KS is the max ECDF gap, EMD the SUM of gaps × spacing
+    // — the drift number that weighs how FAR mass moved, the metric
+    // modern drift monitors prefer over KS for shift magnitude). On
+    // the integer value grid with explicit spacing (next_x − x),
+    // EMD·n1·n2 = Σ |cum1·n2 − cum2·n1| · gap stays EXACT integer;
+    // one double division renders the statistic. Same tiny-grid
+    // windows as q106.
+    "q111_emd" -> { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("era",
+          when(year($"day") < 1998, lit("pre")).otherwise(lit("post")))
+      val grid = daily.groupBy($"x")
+        .agg(sum(when($"era" === "pre", 1L).otherwise(0L)).as("d1"),
+          sum(when($"era" === "post", 1L).otherwise(0L)).as("d2"))
+      val w = Window.orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wl = Window.orderBy($"x")
+      grid
+        .withColumn("cum1", sum($"d1").over(w))
+        .withColumn("cum2", sum($"d2").over(w))
+        .withColumn("n1", sum($"d1").over(wa))
+        .withColumn("n2", sum($"d2").over(wa))
+        .withColumn("gap", lead($"x", 1).over(wl) - $"x")
+        .filter($"gap".isNotNull) // the last grid point carries no mass
+        .groupBy()
+        .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+          sum(abs($"cum1" * $"n2" - $"cum2" * $"n1") * $"gap")
+            .as("emd_num"))
+        .select($"n1", $"n2", $"emd_num",
+          ($"n1" * $"n2").as("emd_den"),
+          ($"emd_num".cast("double") / ($"n1" * $"n2").cast("double"))
+            .as("emd"))
+    },
+
+    // `q112_autocorr` — daily-volume autocorrelation at lags 1/7/14
+    // (round 8, the seasonality detector): r_k = Σ(x_t−m)(x_{t+k}−m)
+    // / Σ(x_t−m)² with the mean subtraction CROSS-MULTIPLIED by the
+    // day count — num_k = Σ(N·x_t − T)(N·x_{t+k} − T) and
+    // den = Σ(N·x_t − T)² stay exact integers (every product < 2^63
+    // on this scale — the asserted-invariant bound), one division per
+    // lag at the end. Lags are leads over the day-DOWNSAMPLED series;
+    // gappy days pair by POSITION in the day sequence (documented —
+    // the series here is dense). A strong r_7 is the weekly rhythm
+    // this query exists to find.
+    "q112_autocorr" -> { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(count(lit(1)).as("nd"), sum($"x").as("t"))
+      val wl = Window.orderBy($"day")
+      val dev = daily.crossJoin(broadcast(tot))
+        .withColumn("v", $"nd" * $"x" - $"t")
+        .withColumn("v1", lead($"v", 1).over(wl))
+        .withColumn("v7", lead($"v", 7).over(wl))
+        .withColumn("v14", lead($"v", 14).over(wl))
+      dev.groupBy()
+        .agg(first($"nd").as("n_days"),
+          sum($"v" * $"v").as("den"),
+          sum($"v" * $"v1").as("num1"),
+          sum($"v" * $"v7").as("num7"),
+          sum($"v" * $"v14").as("num14"))
+        .select($"n_days", $"den",
+          ($"num1".cast("double") / $"den".cast("double")).as("r1"),
+          ($"num7".cast("double") / $"den".cast("double")).as("r7"),
+          ($"num14".cast("double") / $"den".cast("double")).as("r14"))
+    },
+
     "q106_ks_test" -> { (s, dir) =>
       import s.implicits._
       val daily = Tables.load(s, dir, "orders")
@@ -366,6 +441,55 @@ object RelationalQueries15 {
         |SELECT week, n_active, n_retained,
         |  CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE) AS rate
         |FROM act JOIN ret USING (week)""".stripMargin,
+
+    "q111_emd" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT x, CASE WHEN year(day) < 1998 THEN 'pre'
+        |        ELSE 'post' END AS era FROM daily),
+        |grid AS (SELECT x,
+        |    CAST(sum(CASE WHEN era = 'pre' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN era = 'post' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d2
+        |  FROM e GROUP BY x),
+        |c AS (SELECT x,
+        |    CAST(sum(d1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(d2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum2,
+        |    CAST(sum(d1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(d2) OVER () AS BIGINT) AS n2,
+        |    lead(x, 1) OVER (ORDER BY x) - x AS gap
+        |  FROM grid),
+        |m AS (SELECT n1, n2,
+        |    CAST(sum(abs(cum1 * n2 - cum2 * n1) * gap) AS BIGINT)
+        |      AS emd_num
+        |  FROM c WHERE gap IS NOT NULL GROUP BY n1, n2)
+        |SELECT n1, n2, emd_num, n1 * n2 AS emd_den,
+        |  CAST(emd_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS emd
+        |FROM m""".stripMargin,
+
+    "q112_autocorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |               CAST(sum(x) AS BIGINT) AS t FROM daily),
+        |dev AS (SELECT day, nd, nd * x - t AS v
+        |        FROM daily CROSS JOIN tot),
+        |l AS (SELECT nd, v,
+        |    lead(v, 1) OVER (ORDER BY day) AS v1,
+        |    lead(v, 7) OVER (ORDER BY day) AS v7,
+        |    lead(v, 14) OVER (ORDER BY day) AS v14
+        |  FROM dev)
+        |SELECT CAST(max(nd) AS BIGINT) AS n_days,
+        |  CAST(sum(v * v) AS BIGINT) AS den,
+        |  CAST(sum(v * v1) AS DOUBLE) / CAST(sum(v * v) AS DOUBLE) AS r1,
+        |  CAST(sum(v * v7) AS DOUBLE) / CAST(sum(v * v) AS DOUBLE) AS r7,
+        |  CAST(sum(v * v14) AS DOUBLE) / CAST(sum(v * v) AS DOUBLE) AS r14
+        |FROM l""".stripMargin,
 
     "q106_ks_test" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
