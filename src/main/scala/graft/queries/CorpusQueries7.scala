@@ -56,6 +56,47 @@ object CorpusQueries7 {
         .select($"shard", $"pos", $"doc_id", $"lang", $"shard_size")
     },
 
+    // `corpus_dsir` — DSIR-style data SELECTION by target-domain
+    // affinity (Xie et al. 2023, linearized to stay oracle-exact;
+    // round 8): score each document by how much its token mix
+    // resembles the TARGET domain (lang = 'en') vs the raw corpus.
+    // The paper's log-likelihood ratio needs log — banned — but its
+    // LINEARIZED form is exactly rational: per token w, weight_w =
+    // tf_w·N_raw − rf_w·N_tgt (positive iff w is over-represented in
+    // the target), doc score = Σ over the doc's tokens (with
+    // multiplicity) — an exact-integer sum, order-independent. Top-20
+    // docs by (score desc, doc_id) + the normalized affinity as ONE
+    // double division. Bound: tf·N products stay < 2^63 through
+    // ~petatoken corpora (both factors ≤ corpus tokens). Scale shape:
+    // token weights are VOCAB-bounded and broadcast; one explode +
+    // hash join + per-doc partial sum.
+    "corpus_dsir" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = toks.groupBy($"w")
+        .agg(count(lit(1)).as("rf"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("tf"))
+      val tot = stats.agg(sum($"rf").as("nr"), sum($"tf").as("nt"))
+      val weights = stats.crossJoin(broadcast(tot))
+        .select($"w", ($"tf" * $"nr" - $"rf" * $"nt").as("wt"),
+          $"nr", $"nt")
+      toks.join(broadcast(weights), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"wt").as("score_num"),
+          first($"nr").as("nr"), first($"nt").as("nt"))
+        .select($"doc_id", $"n_tokens", $"score_num",
+          // denominator as a left-to-right DOUBLE product: the integer
+          // triple product would overflow 2^63 long before the score
+          // sum does; double mults are IEEE-deterministic either way
+          ($"score_num".cast("double") /
+            ($"n_tokens".cast("double") * $"nr".cast("double") *
+              $"nt".cast("double"))).as("affinity"))
+        .orderBy($"score_num".desc, $"doc_id".asc).limit(20)
+    },
+
     "corpus_temperature_sample" -> { (s, dir) =>
       import s.implicits._
       val counts = Tables.load(s, dir, "documents")
@@ -101,6 +142,28 @@ object CorpusQueries7 {
     // list_reduce over list(... ORDER BY lang) replays the strict
     // lang-ordered denominator fold; sum() OVER () on BIGINT returns
     // HUGEINT in DuckDB — cast back
+    "corpus_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |stats AS (SELECT w, CAST(count(*) AS BIGINT) AS rf,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tf
+        |  FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(rf) AS BIGINT) AS nr,
+        |               CAST(sum(tf) AS BIGINT) AS nt FROM stats),
+        |wts AS (SELECT w, tf * nr - rf * nt AS wt, nr, nt
+        |  FROM stats CROSS JOIN tot),
+        |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wt) AS BIGINT) AS score_num,
+        |    CAST(max(nr) AS BIGINT) AS nr, CAST(max(nt) AS BIGINT) AS nt
+        |  FROM toks t JOIN wts ON t.w = wts.w
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, score_num,
+        |  CAST(score_num AS DOUBLE) /
+        |    (CAST(n_tokens AS DOUBLE) * CAST(nr AS DOUBLE)
+        |      * CAST(nt AS DOUBLE)) AS affinity
+        |FROM d ORDER BY score_num DESC, doc_id LIMIT 20""".stripMargin,
+
     "corpus_temperature_sample" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |           FROM documents GROUP BY lang),

@@ -85,6 +85,44 @@ object EventQueries2 {
             ($"n_a" + $"n_b" - $"n_overlap").cast("double")).as("jaccard"))
     },
 
+    // unordered REACH funnel via bitmap AND-chain (round 8): how many
+    // users did view, view∧click, view∧click∧purchase — REGARDLESS of
+    // order (the marketing "reach" metric; q46/q96 are the ordered
+    // funnels). Per-type segment bitmaps AND together stage by stage —
+    // set intersection on 8-byte words, one seg equi-join per stage,
+    // exact counts (theta sketches estimate this; bitmaps don't).
+    "q113_reach_funnel" -> { (s, dir) =>
+      import s.implicits._
+      // stage predicates narrow for real (this dense generator has
+      // every user doing every type): click >= 100, purchase >= 150
+      // value floors (measured sf0.01: 150 -> 131 -> 57 users)
+      val tb = Tables.events(s, dir)
+        .filter($"event_type" === "view" ||
+          ($"event_type" === "click" && $"value" >= 100.0) ||
+          ($"event_type" === "purchase" && $"value" >= 150.0))
+        .select($"event_type",
+          expr("user_id DIV 32").as("seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("bitval"))
+        .groupBy($"event_type", $"seg")
+        .agg(expr("bit_or(bitval)").as("bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def typ(t: String, c: String) = tb.filter($"event_type" === t)
+        .select($"seg", $"bits".as(c))
+      val joined = typ("view", "b_v")
+        .join(typ("click", "b_c"), Seq("seg"), "left")
+        .join(typ("purchase", "b_p"), Seq("seg"), "left")
+        .select($"seg", $"b_v",
+          coalesce($"b_c", lit(0L)).as("b_c"),
+          coalesce($"b_p", lit(0L)).as("b_p"))
+      joined.groupBy()
+        .agg(sum(expr("bit_count(b_v)")).cast("long").as("n_view"),
+          sum(expr("bit_count(b_v & b_c)")).cast("long")
+            .as("n_view_click"),
+          sum(expr("bit_count(b_v & b_c & b_p)")).cast("long")
+            .as("n_view_click_purchase"))
+    },
+
     "dq_freshness" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir).select($"event_type",
@@ -135,6 +173,28 @@ object EventQueries2 {
         |FROM inter
         |JOIN tot ta ON inter.type_a = ta.event_type
         |JOIN tot tb2 ON inter.type_b = tb2.event_type""".stripMargin,
+
+    "q113_reach_funnel" ->
+      """WITH tb AS (SELECT event_type, user_id // 32 AS seg,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |     OR (event_type = 'click' AND value >= 100.0)
+        |     OR (event_type = 'purchase' AND value >= 150.0)
+        |  GROUP BY 1, 2),
+        |j AS (SELECT v.seg, v.bits AS b_v,
+        |    coalesce(c.bits, 0) AS b_c, coalesce(p.bits, 0) AS b_p
+        |  FROM (SELECT seg, bits FROM tb WHERE event_type = 'view') v
+        |  LEFT JOIN (SELECT seg, bits FROM tb WHERE event_type = 'click') c
+        |    ON v.seg = c.seg
+        |  LEFT JOIN (SELECT seg, bits FROM tb
+        |             WHERE event_type = 'purchase') p
+        |    ON v.seg = p.seg)
+        |SELECT CAST(sum(bit_count(b_v)) AS BIGINT) AS n_view,
+        |  CAST(sum(bit_count(b_v & b_c)) AS BIGINT) AS n_view_click,
+        |  CAST(sum(bit_count(b_v & b_c & b_p)) AS BIGINT)
+        |    AS n_view_click_purchase
+        |FROM j""".stripMargin,
 
     "dq_freshness" ->
       s"""WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us
