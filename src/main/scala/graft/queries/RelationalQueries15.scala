@@ -72,6 +72,45 @@ object RelationalQueries15 {
             $"e").as("chi2_contrib"))
     },
 
+    // `dq_skew_report` — join-key skew audit (round 8, the "should I
+    // salt this join" report q21's salted join presumes someone ran):
+    // per candidate key column of lineitem — distinct keys, rows, the
+    // heaviest key's row count and share, and the p99 key size. Key
+    // sizes aggregate to a COUNT-OF-COUNTS grid (the value-grid
+    // trick), so the p99 is an exact integer selection over a tiny
+    // frame — smallest size whose cumulative key share reaches 99%,
+    // cross-multiplied (100·cum ≥ 99·K, no float ratio). One rollup +
+    // one grid per column; the only double is the final top-1 share.
+    "dq_skew_report" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val frames = Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        val grid = li.groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .groupBy($"n").agg(count(lit(1)).as("k"))
+        val w = Window.orderBy($"n")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wa = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        grid
+          .withColumn("cum_k", sum($"k").over(w))
+          .withColumn("tot_k", sum($"k").over(wa))
+          .withColumn("tot_rows", sum($"n" * $"k").over(wa))
+          .withColumn("max_n", max($"n").over(wa))
+          .filter($"cum_k" * 100L >= $"tot_k" * 99L)
+          .groupBy()
+          .agg(min($"n").as("p99_key_rows"),
+            first($"tot_k").as("n_keys"),
+            first($"tot_rows").as("n_rows"),
+            first($"max_n").as("max_key_rows"))
+          .select(lit(c).as("key_col"), $"n_keys", $"n_rows",
+            $"max_key_rows", $"p99_key_rows",
+            ($"max_key_rows".cast("double") / $"n_rows".cast("double"))
+              .as("top1_share"))
+      }
+      frames.reduce(_ unionByName _)
+    },
+
     "q105_ab_test" -> { (s, dir) =>
       import s.implicits._
       // conversion = "power user": >= 14 purchases (the per-user
@@ -347,6 +386,29 @@ object RelationalQueries15 {
         |    * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * expected_share)
         |    / (CAST(n AS DOUBLE) * expected_share) AS chi2_contrib
         |FROM m""".stripMargin,
+
+    "dq_skew_report" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      s"""SELECT key_col, n_keys, n_rows, max_key_rows, p99_key_rows,
+         |  CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         |    AS top1_share
+         |FROM (
+         |  SELECT '$c' AS key_col,
+         |    CAST(min(n) AS BIGINT) AS p99_key_rows,
+         |    CAST(max(tot_k) AS BIGINT) AS n_keys,
+         |    CAST(max(tot_rows) AS BIGINT) AS n_rows,
+         |    CAST(max(max_n) AS BIGINT) AS max_key_rows
+         |  FROM (
+         |    SELECT n, k,
+         |      sum(k) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND CURRENT ROW) AS cum_k,
+         |      sum(k) OVER () AS tot_k,
+         |      sum(n * k) OVER () AS tot_rows,
+         |      max(n) OVER () AS max_n
+         |    FROM (SELECT n, CAST(count(*) AS BIGINT) AS k
+         |          FROM (SELECT $c, CAST(count(*) AS BIGINT) AS n
+         |                FROM lineitem GROUP BY $c) GROUP BY n))
+         |  WHERE cum_k * 100 >= tot_k * 99)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q105_ab_test" ->
       """WITH u AS (SELECT user_id,
