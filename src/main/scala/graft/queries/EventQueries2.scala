@@ -123,6 +123,34 @@ object EventQueries2 {
             .as("n_view_click_purchase"))
     },
 
+    // daily NEW vs RETURNING users (round 8, the growth-accounting
+    // report): newcomers(d) = popcount(bits_d & ~cum_{<d}) where cum
+    // is the running bit_or of all prior days — the bitmap algebra
+    // handles "ever seen before" in one word op per segment, no
+    // first-seen-date join, no distinct-over-history rescan. The
+    // running OR windows partition on the HIGH-cardinality segment
+    // key ordered by day (frame ends at -1 row: strictly prior days);
+    // per-day rollup partial-aggregates. All exact.
+    "q114_new_vs_returning" -> { (s, dir) =>
+      import s.implicits._
+      val sd = Tables.events(s, dir)
+        .select(to_date($"ts").as("day"),
+          expr("user_id DIV 32").as("seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("bitval"))
+        .groupBy($"day", $"seg")
+        .agg(expr("bit_or(bitval)").as("bits"))
+      val w = Window.partitionBy($"seg").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sd.withColumn("prev_cum",
+          coalesce(expr("bit_or(bits)").over(w), lit(0L)))
+        .groupBy($"day")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_active"),
+          sum(expr("bit_count(bits & ~prev_cum)")).cast("long")
+            .as("n_new"))
+        .withColumn("n_returning", $"n_active" - $"n_new")
+    },
+
     "dq_freshness" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir).select($"event_type",
@@ -195,6 +223,24 @@ object EventQueries2 {
         |  CAST(sum(bit_count(b_v & b_c & b_p)) AS BIGINT)
         |    AS n_view_click_purchase
         |FROM j""".stripMargin,
+
+    "q114_new_vs_returning" ->
+      """WITH sd AS (SELECT CAST(ts AS DATE) AS day,
+        |    user_id // 32 AS seg,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT day, seg, bits,
+        |    coalesce(bit_or(bits) OVER (PARTITION BY seg ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prev_cum
+        |  FROM sd)
+        |SELECT day,
+        |  CAST(sum(bit_count(bits)) AS BIGINT) AS n_active,
+        |  CAST(sum(bit_count(bits & ~prev_cum)) AS BIGINT) AS n_new,
+        |  CAST(sum(bit_count(bits)) AS BIGINT)
+        |    - CAST(sum(bit_count(bits & ~prev_cum)) AS BIGINT)
+        |    AS n_returning
+        |FROM c GROUP BY day""".stripMargin,
 
     "dq_freshness" ->
       s"""WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us
