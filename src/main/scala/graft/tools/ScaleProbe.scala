@@ -102,7 +102,9 @@ object ScaleProbe {
       "q109_bitmap_retention", "ann_quant_ablation", "ann_prepare",
       "dq_overlap_matrix", "dedup_containment",
       "dq_quality_dup", "mm_dedup_clusters", "feat_target_encode_cv",
-      "q110_decile_gain", "dq_benford")
+      "q110_decile_gain", "dq_benford",
+      "q111_emd", "q112_autocorr", "q113_reach_funnel",
+      "q114_new_vs_returning", "corpus_dsir", "dq_skew_report")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption

@@ -583,6 +583,29 @@ class PlanAuditSpec extends SparkSpec {
       "assignment argmax must partial-aggregate")
   }
 
+  test("round-8 wave-6 additions: grids stay tiny, vocab sides broadcast") {
+    // the three statistics on the day/value grids never window over
+    // the fact table: their rollups partial-aggregate first
+    for (q <- Seq("q111_emd", "q112_autocorr", "q106_ks_test",
+      "dq_benford", "dq_skew_report")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: the fact rollup must partial-aggregate below the exchange")
+    }
+    // DSIR: token weights broadcast back against the postings —
+    // vocab-bounded side never shuffles the corpus twice
+    val ds = plan("corpus_dsir")
+    assert(ds.contains("BroadcastHashJoin"),
+      "corpus_dsir must broadcast the vocab weight frame")
+    assert(ds.contains("TakeOrderedAndProject"),
+      "top-20 must be a partial TakeOrdered")
+    // bitmap growth/funnel: partial bit_or everywhere
+    for (q <- Seq("q113_reach_funnel", "q114_new_vs_returning")) {
+      assert(plan(q).contains("partial_bit_or"),
+        s"$q: segment bitmaps must partial-aggregate map-side")
+    }
+  }
+
   test("partitionBy sink layout enables partition pruning on read") {
     import org.apache.spark.sql.functions.col
     import graft.pipeline.{SinkSpec, SourceSpec}
