@@ -108,21 +108,25 @@ object DedupQueries2 {
     },
 
     // the bucketed form of dedup_embedding: same tau=0.5 pair semantics,
-    // but candidates come from shared IVF cells (nprobe=2) instead of an
-    // all-pairs block join — O(n²/k) compare volume, the shape that
-    // survives 100 TB. Centroids are the deterministic lowest-vec_id
-    // member per label (the dedup_semantic convention) so the oracle
-    // replays the exact cell assignment; at scale the centroid frame
-    // comes from Similarity.ivfFit instead, same operator.
+    // but candidates come from shared IVF cells instead of an all-pairs
+    // block join. Round 9: the cell count is DERIVED from the corpus —
+    // k = ceil(sqrt(n)) sample-init centroids (the k lowest-vec_id
+    // vectors, the classic IVF sample init; any deterministic k is
+    // oracle-replayable) — so the committed query IS the scale shape:
+    // candidate volume O(nprobe²·n²/k) = O(n^1.5), not O(n²/k_const).
+    // nprobe=3 is the probed recall point at this k (sqrt-n cells sit
+    // below the tau=0.5 cluster scale; nprobe=2 misses the 1 true
+    // sf0.01 pair, nprobe=3 captures 1/1 — each +1 probe recovers a
+    // boundary band, see embeddingPairsCells' recall bound). At 100 TB
+    // the centroid frame comes from Similarity.ivfFit, same operator.
     "dedup_embedding_cells" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val wc = Window.partitionBy($"label").orderBy($"vec_id".asc)
-      val centroids = emb.withColumn("__rn", row_number().over(wc))
-        .filter($"__rn" === 1)
-        .select($"label".cast("long").as("cid"), $"embedding".as("cv"))
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+      val centroids = emb.filter($"vec_id" < k)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
       Dedup.embeddingPairsCells(emb, "vec_id", "embedding",
-        centroids, tau = 0.5, nprobe = 2)
+        centroids, tau = 0.5, nprobe = 3)
     }
   )
 
@@ -197,23 +201,25 @@ object DedupQueries2 {
          |FROM flagged GROUP BY cid""".stripMargin,
 
     // replays the cell-restricted candidate generation exactly: same
-    // deterministic centroids, same nprobe=2 ranking (strict-fold
-    // cosines -> identical tie sets, cid ASC tie-break), DISTINCT pairs
-    // sharing a cell, exact cosine verify. NOT the all-pairs truth —
-    // that is dedup_embedding's oracle; this gate proves the bucketed
-    // path computes its declared semantics bit-exactly.
+    // corpus-derived k = ceil(sqrt(n)) sample-init centroids (scalar
+    // subquery — both engines count the same table), same nprobe=3
+    // ranking (strict-fold cosines -> identical tie sets, cid ASC
+    // tie-break), DISTINCT pairs sharing a cell, exact cosine verify.
+    // NOT the all-pairs truth — that is dedup_embedding's oracle; this
+    // gate proves the bucketed path computes its declared semantics
+    // bit-exactly.
     "dedup_embedding_cells" ->
       s"""WITH c AS (
-         |  SELECT CAST(label AS BIGINT) AS cid, embedding AS cv FROM (
-         |    SELECT label, embedding, row_number() OVER (
-         |      PARTITION BY label ORDER BY vec_id ASC) AS rn
-         |    FROM embeddings) WHERE rn = 1),
+         |  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+         |                  FROM embeddings)),
          |cells AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid, row_number() OVER (
          |      PARTITION BY e.vec_id
          |      ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
-         |    FROM embeddings e, c) WHERE rn <= 2),
+         |    FROM embeddings e, c) WHERE rn <= 3),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          |  FROM cells x JOIN cells y

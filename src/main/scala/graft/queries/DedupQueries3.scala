@@ -28,19 +28,30 @@ import graft.operators.Dedup
   * engines compute identical longs (DuckDB would THROW on overflow
   * rather than wrap, which makes the bound an asserted invariant).
   *
-  * Scale shape: signatures are one codegen pass (~1KB/row cached);
-  * banded self-join volume is O(n·bands); the truth side is the only
-  * possibly-quadratic piece — via postings it is sum over shingles of
-  * df², the honest cost of exact truth, and the harness exists to be
-  * run on SAMPLES at 100 TB (the eval set, not the corpus).
+  * Scale shape (round 9): the whole harness — signatures, banding AND
+  * the exact truth — runs on a FIXED-SIZE deterministic eval stratum,
+  * `doc_id % m = 0` with m = ceil(n / 2000): the full corpus at
+  * sf<=0.04 (m=1 — gate values unchanged from round 8), ~2000 docs at
+  * ANY larger scale, so the Σdf² truth cost is bounded by the eval-set
+  * size, not the corpus (the committed query now IS the "samples at
+  * scale" shape its scaladoc promised). The stratum predicate and m
+  * replay verbatim in SQL via a scalar-subquery count. A fixed
+  * FRACTION would not work: true pairs are scattered across doc_ids,
+  * so an α-stratum keeps ~α² of them (probed: doc_id%5 keeps 0/25 at
+  * sf0.01) while its cost still grows with the corpus; the fixed-SIZE
+  * stratum keeps a stable ~2000-doc pair population (26 true pairs at
+  * sf0.1 m=3) at O(1) cost.
   */
 object DedupQueries3 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_eval" -> { (s, dir) =>
       import s.implicits._
+      val all = Tables.load(s, dir, "documents")
+      // fixed-size eval stratum: ~2000 docs at any corpus scale
+      val m = math.ceil(all.count() / 2000.0).toLong
       val docs = graft.operators.Parallelism.ensure(
-        Tables.load(s, dir, "documents"))
+        all.filter($"doc_id" % m === 0))
       val sigs = docs.select($"doc_id",
           minhash_sig_text($"text", "word", 3, 128).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -124,7 +135,9 @@ object DedupQueries3 {
 
   val oracles: Map[String, String] = Map(
     "dedup_eval" ->
-      s"""WITH s AS (SELECT doc_id, $shingles3 AS sh FROM documents),
+      s"""WITH s AS (SELECT doc_id, $shingles3 AS sh FROM documents
+         |  WHERE doc_id % (SELECT CAST(ceil(count(*) / 2000.0) AS BIGINT)
+         |                  FROM documents) = 0),
          |sig AS (SELECT doc_id,
          |  list_transform(range(0, 128), gj ->
          |    coalesce(list_min(list_transform(sh, gt ->

@@ -100,7 +100,7 @@ object ScaleProbe {
       "corpus_shuffle_shards",
       "text_langid_eval", "q107_random_walks", "q108_sliding_distinct",
       "q109_bitmap_retention", "ann_quant_ablation", "ann_prepare",
-      "dq_overlap_matrix", "dedup_containment",
+      "dq_overlap_matrix",
       "dq_quality_dup", "mm_dedup_clusters", "feat_target_encode_cv",
       "q110_decile_gain", "dq_benford",
       "q111_emd", "q112_autocorr", "q113_reach_funnel",
