@@ -69,7 +69,17 @@ object FeatureQueries4 {
       import graft.functions.GraftFunctions._
       val cust = Tables.load(s, dir, "customer")
       val qs = (1 to 9).map(_ / 10.0)
-      val cuts = cust.agg(kll_sketch_agg($"c_acctbal", 32768).as("sk"))
+      // parity depends on the KLL EXACT regime (k >= n, where the
+      // sketch's quantiles == quantile_disc) — derive k from the
+      // table instead of assuming it, and fail loudly past the KLL
+      // ceiling rather than silently diverging from the oracle
+      val nCust = cust.count()
+      require(nCust <= 65535L,
+        s"q110_decile_gain needs the KLL exact regime (k >= n) for its " +
+          s"oracle gate, but customer has $nCust rows > the KLL max k " +
+          "65535: gate on a stratum or drop to approximate (ungated) cuts")
+      val k = math.max(8L, nCust).toInt
+      val cuts = cust.agg(kll_sketch_agg($"c_acctbal", k).as("sk"))
         .select(kll_quantiles($"sk", qs).as("q"))
         .head().getSeq[Double](0)
       val bucketed = cust.withColumn("decile",

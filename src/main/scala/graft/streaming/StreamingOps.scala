@@ -348,29 +348,41 @@ object StreamingOps {
     * order folds to the same state — split-invariance is arithmetic,
     * not an arrival contract. Keys must be non-negative (DIV/% on
     * negatives truncate toward zero — the round-3 trap; the fold
-    * filters them out and counts them separately under seg = -1 so
-    * violations surface in state rather than corrupting segments).
-    * Read the count back with [[bitmapDistinctCount]]. Exactly-once
-    * replay/reset guards are the shared [[versionedStateSink]]
-    * harness; BitmapStreamSpec proves streamed state == the one-pass
-    * batch distinct.
+    * quarantines them under seg = -1 whose `bits` is a running
+    * VIOLATION-ROW COUNT, merged by sum where real segments merge by
+    * bit_or — round 9: the count was previously presence-only, losing
+    * how many rows violated). Read the count back with
+    * [[bitmapDistinctCount]]. Exactly-once replay/reset guards are the
+    * shared [[versionedStateSink]] harness; BitmapStreamSpec proves
+    * streamed state == the one-pass batch distinct.
     */
   def bitmapDistinctMaintained(stream: DataFrame, keyCol: String,
       stateDir: String, name: String,
       retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     versionedStateSink(stream, stateDir, name, retainVersions) { (prev, batch) =>
-      val delta = batch.toDF().select(
-          when(col(keyCol) >= 0L, expr(s"$keyCol DIV 32")).otherwise(lit(-1L))
-            .as("seg"),
-          when(col(keyCol) >= 0L,
-            expr(s"shiftleft(CAST(1 AS BIGINT), CAST($keyCol % 32 AS INT))"))
-            .otherwise(lit(0L)).as("bitval"))
-        .groupBy(col("seg")).agg(expr("bit_or(bitval)").as("bits"))
-      prev.fold(delta) { p =>
-        p.unionByName(delta).groupBy(col("seg"))
-          .agg(expr("bit_or(bits)").as("bits"))
-      }
+      val delta = segMerge(batch.toDF().select(
+        when(col(keyCol) >= 0L, expr(s"$keyCol DIV 32")).otherwise(lit(-1L))
+          .as("seg"),
+        when(col(keyCol) >= 0L,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($keyCol % 32 AS INT))"))
+          .otherwise(lit(1L)).as("bits")))
+      prev.fold(delta)(p => segMerge(p.unionByName(delta)))
     }
+
+  /** Segment merge shared by the bitmap folds: real segments bit_or
+    * their bits (idempotent/commutative), the seg = -1 quarantine row
+    * SUMS them (its bits is a violation-row count, additive across
+    * batches), grouped on all columns before `bits` (seg, or
+    * (dayn, seg)).
+    */
+  private def segMerge(df: DataFrame): DataFrame = {
+    val keys = df.columns.takeWhile(_ != "bits").map(col)
+    df.groupBy(keys: _*)
+      .agg(expr("bit_or(bits)").as("__or"), sum(col("bits")).as("__sum"))
+      .select(keys :+
+        when(col("seg") === -1L, col("__sum")).otherwise(col("__or"))
+          .as("bits"): _*)
+  }
 
   /** Exact distinct count from a [[bitmapDistinctMaintained]] state
     * frame (rejected-negative segments excluded).
@@ -392,7 +404,8 @@ object StreamingOps {
     * non-decreasing day arrival is required (the scd2Maintained
     * class — exactly a watermark's promise). `tsCol` must be a
     * timestamp; keys non-negative (the bitmapDistinctMaintained
-    * quarantine rule, seg = -1). Read the current-window count with
+    * quarantine rule: seg = -1 rows carry a per-day violation-row
+    * count). Read the current-window count with
     * [[slidingDistinctCount]] — it re-merges segments ACROSS days
     * first (a user active on several days must count once).
     * SlidingBitmapStreamSpec proves split-invariance under in-order
@@ -403,20 +416,15 @@ object StreamingOps {
       keyCol: String, windowDays: Int, stateDir: String, name: String,
       retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     versionedStateSink(stream, stateDir, name, retainVersions) { (prev, batch) =>
-      val delta = batch.toDF().select(
-          expr(s"CAST(datediff(to_date($tsCol), DATE '1995-01-01') AS BIGINT)")
-            .as("dayn"),
-          when(col(keyCol) >= 0L, expr(s"$keyCol DIV 32")).otherwise(lit(-1L))
-            .as("seg"),
-          when(col(keyCol) >= 0L,
-            expr(s"shiftleft(CAST(1 AS BIGINT), CAST($keyCol % 32 AS INT))"))
-            .otherwise(lit(0L)).as("bitval"))
-        .groupBy(col("dayn"), col("seg"))
-        .agg(expr("bit_or(bitval)").as("bits"))
-      val merged = prev.fold(delta) { p =>
-        p.unionByName(delta).groupBy(col("dayn"), col("seg"))
-          .agg(expr("bit_or(bits)").as("bits"))
-      }
+      val delta = segMerge(batch.toDF().select(
+        expr(s"CAST(datediff(to_date($tsCol), DATE '1995-01-01') AS BIGINT)")
+          .as("dayn"),
+        when(col(keyCol) >= 0L, expr(s"$keyCol DIV 32")).otherwise(lit(-1L))
+          .as("seg"),
+        when(col(keyCol) >= 0L,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($keyCol % 32 AS INT))"))
+          .otherwise(lit(1L)).as("bits")))
+      val merged = prev.fold(delta)(p => segMerge(p.unionByName(delta)))
       // prune beyond the trailing window of the max day seen so far;
       // maxDayn is a 1-row frame, broadcast against the state
       val maxd = merged.agg(max(col("dayn")).as("maxd"))
@@ -460,37 +468,77 @@ object StreamingOps {
     * version of the maintained dimension under `dimStateDir` (read
     * once per batch — the dimension advances between batches, exactly
     * the lookup a warehouse's streaming fact load performs) and
-    * appends to `outDir` as parquet. Facts whose user has no
+    * writes to `outDir/data` as parquet. Facts whose user has no
     * dimension row (or predates every version) pass through with null
-    * dim columns — enrichment must not DROP facts. Batch appends are
-    * idempotent per batch id via a marker file (replays skip), the
-    * foreachBatch exactly-once discipline. Scd2EnrichSpec proves the
-    * streamed output equals the batch q95 join against the final
-    * dimension when the dimension is fed first.
+    * dim columns — enrichment must not DROP facts. Exactly-once is the
+    * full [[versionedStateSink]] discipline (round 9 — the marker-file
+    * scheme it replaced could duplicate a batch on a crash between
+    * append and marker, and a reset checkpoint restarting ids at 0
+    * would hit old markers and silently DROP new batches): each batch
+    * stages to `_staging_$id` and atomically renames to
+    * `data/batch=$id` — the dir's existence IS the replay marker, so
+    * there is no append/marker window; the outDir is bound to the
+    * checkpoint query id ([[bindQueryIdentity]]) and a batch id at or
+    * below the newest written batch whose own dir is absent is refused
+    * as a reset. Readers `spark.read.parquet(outDir + "/data")` — the
+    * `batch` partition column carries replay provenance. Scd2EnrichSpec
+    * proves the streamed output equals the batch q95 join against the
+    * final dimension when the dimension is fed first.
     */
   def scd2EnrichedTo(facts: DataFrame, dimStateDir: String,
-      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.hadoop.fs.Path
     facts.writeStream.outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(outDir, s"_batch_$id")
-        if (!fs.exists(marker)) {
-          val dim = latestState(spark, dimStateDir).getOrElse(
-            spark.emptyDataFrame
-              .withColumn("user_id", lit(null).cast("long"))
-              .withColumn("event_type", lit(null).cast("string"))
-              .withColumn("version", lit(null).cast("long"))
-              .withColumn("valid_from_us", lit(null).cast("long"))
-              .withColumn("valid_to_us", lit(null).cast("long")))
-          scd2Enrich(batch.toDF(), dim)
-            .write.mode("append").parquet(s"$outDir/data")
-          fs.create(marker, true).close()
+      .foreachBatch(new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) {
+        @volatile private var identityChecked = false
+        def apply(batch: Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
+          val spark = batch.sparkSession
+          val fs = new Path(outDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!identityChecked) {
+            bindQueryIdentity(spark, outDir,
+              enrichedBatches(fs, outDir).nonEmpty)
+            identityChecked = true
+          }
+          val bdir = new Path(s"$outDir/data/batch=$id")
+          if (!fs.exists(bdir)) { // replayed batch -> already written, skip
+            val newest = enrichedBatches(fs, outDir).lastOption
+            if (newest.exists(id <= _))
+              throw new IllegalStateException(
+                s"batch $id arrived below existing output batch=${newest.get} at " +
+                  s"$outDir but its own batch dir is absent: the streaming checkpoint " +
+                  "was reset while reusing this outDir. Use a fresh outDir (or restore " +
+                  "the original checkpoint) to avoid dropping or duplicating batches.")
+            val dim = latestState(spark, dimStateDir).getOrElse(
+              spark.emptyDataFrame
+                .withColumn("user_id", lit(null).cast("long"))
+                .withColumn("event_type", lit(null).cast("string"))
+                .withColumn("version", lit(null).cast("long"))
+                .withColumn("valid_from_us", lit(null).cast("long"))
+                .withColumn("valid_to_us", lit(null).cast("long")))
+            val staging = new Path(s"$outDir/data/_staging_$id")
+            fs.delete(staging, true) // stale leftover from a crashed attempt
+            scd2Enrich(batch.toDF(), dim)
+              .write.mode("overwrite").parquet(staging.toString)
+            if (!fs.rename(staging, bdir))
+              throw new java.io.IOException(s"rename $staging -> $bdir failed")
+          }
+          ()
         }
-        ()
-      }.start()
+      }).start()
+  }
+
+  /** Written enrichment batch ids under `outDir/data`, ascending. */
+  private def enrichedBatches(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String): Seq[Long] = {
+    val d = new org.apache.hadoop.fs.Path(s"$outDir/data")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .sorted
+  }
 
   /** The versioned exactly-once foreachBatch state harness shared by
     * [[materializedAggregate]] and [[scd2Maintained]]: `fold` merges
@@ -525,53 +573,8 @@ object StreamingOps {
         // a still-retained version dir would be indistinguishable from
         // a replay and silently swallowed (data never folded).
         if (!identityChecked) {
-          val ckId = checkpointQueryId(fs, s"$stateDir/_checkpoint")
-          val marker = new Path(s"$stateDir/_query_id")
-          val prior =
-            if (!fs.exists(marker)) ""
-            else {
-              val in = fs.open(marker)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            }
-          if (prior.nonEmpty && ckId.nonEmpty && prior != ckId &&
-              stateVersions(spark, stateDir).nonEmpty)
-            throw new IllegalStateException(
-              s"state at $stateDir was built by streaming query $prior but this " +
-                s"checkpoint identifies as $ckId: the checkpoint was reset/replaced " +
-                "while reusing the stateDir. Use a fresh stateDir (or restore the " +
-                "original checkpoint) to avoid double-counting.")
-          // (re)bind on every accepted identity: a marker left behind by
-          // a query whose state was since cleared, or written before a
-          // tolerated reset, must follow the NEW id — a stale marker
-          // would brick the next legitimate batch of this very query.
-          // Staged write + atomic rename (same discipline as the v=N
-          // dirs): a crash mid-create would otherwise leave a torn
-          // query id that spuriously trips the identity check on the
-          // next healthy restart.
-          if (ckId.nonEmpty && prior != ckId) {
-            val mstage = new Path(s"$stateDir/_query_id_staging")
-            fs.delete(mstage, false)
-            val out = fs.create(mstage, true)
-            try out.write(ckId.getBytes("UTF-8")) finally out.close()
-            // Single atomic rename-with-overwrite (FileContext; HDFS and
-            // local both support it): no window where the marker is
-            // absent. A FileSystem without FileContext support degrades
-            // to delete+rename — a crash in that window loses the marker
-            // but NOT safety: the v=N batch-id guard below still refuses
-            // a reset checkpoint, only this defense-in-depth layer thins.
-            try {
-              val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-                marker.toUri, spark.sparkContext.hadoopConfiguration)
-              fc.rename(mstage, marker,
-                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-            } catch {
-              case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-                fs.delete(marker, false) // rename refuses an existing target
-                if (!fs.rename(mstage, marker))
-                  throw new java.io.IOException(s"rename $mstage -> $marker failed")
-            }
-          }
+          bindQueryIdentity(spark, stateDir,
+            stateVersions(spark, stateDir).nonEmpty)
           identityChecked = true
         }
         val vdir = new Path(s"$stateDir/v=$id")
@@ -601,6 +604,65 @@ object StreamingOps {
         ()
         }
       }).start()
+  }
+
+  /** Bind a state/output directory to its streaming checkpoint's
+    * identity (shared by [[versionedStateSink]] and [[scd2EnrichedTo]]):
+    * the checkpoint metadata carries a stable query id that survives
+    * legitimate restarts but CHANGES when the checkpoint is
+    * deleted/replaced. Without this, a reset whose restarted batch id
+    * collides with still-present state/batch dirs would be
+    * indistinguishable from a replay and silently swallowed (data never
+    * folded/written). Refuses when the stored `_query_id` marker
+    * disagrees with the checkpoint AND `hasState`; otherwise (re)binds
+    * the marker — a marker left behind by a query whose state was since
+    * cleared, or written before a tolerated reset, must follow the NEW
+    * id, or it would brick this very query's next batch. Marker writes
+    * are staged + atomically renamed (FileContext rename-with-overwrite
+    * where supported): a crash mid-create must not leave a torn id that
+    * spuriously trips the check on the next healthy restart.
+    */
+  private def bindQueryIdentity(spark: SparkSession, stateDir: String,
+      hasState: => Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckId = checkpointQueryId(fs, s"$stateDir/_checkpoint")
+    val marker = new Path(s"$stateDir/_query_id")
+    val prior =
+      if (!fs.exists(marker)) ""
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+    if (prior.nonEmpty && ckId.nonEmpty && prior != ckId && hasState)
+      throw new IllegalStateException(
+        s"state at $stateDir was built by streaming query $prior but this " +
+          s"checkpoint identifies as $ckId: the checkpoint was reset/replaced " +
+          "while reusing the stateDir. Use a fresh stateDir (or restore the " +
+          "original checkpoint) to avoid double-counting.")
+    if (ckId.nonEmpty && prior != ckId) {
+      val mstage = new Path(s"$stateDir/_query_id_staging")
+      fs.delete(mstage, false)
+      val out = fs.create(mstage, true)
+      try out.write(ckId.getBytes("UTF-8")) finally out.close()
+      // A FileSystem without FileContext support degrades to
+      // delete+rename — a crash in that window loses the marker but NOT
+      // safety: the batch-id-below-newest guard still refuses a reset
+      // checkpoint, only this defense-in-depth layer thins.
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          marker.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(mstage, marker,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(marker, false) // rename refuses an existing target
+          if (!fs.rename(mstage, marker))
+            throw new java.io.IOException(s"rename $mstage -> $marker failed")
+      }
+    }
   }
 
   /** The stable query id from a streaming checkpoint's `metadata` file

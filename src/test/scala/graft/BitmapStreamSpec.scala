@@ -40,7 +40,7 @@ class BitmapStreamSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
-  test("negative keys quarantine under seg = -1, never corrupt segments") {
+  test("negative keys quarantine under seg = -1 with a running violation count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bmneg").toString
     Seq(0L, 5L, -3L, 5L, 64L).toDF("k").coalesce(1)
@@ -50,10 +50,18 @@ class BitmapStreamSpec extends SparkSpec {
       .parquet(s"$dir/in/*")
     val q = StreamingOps.bitmapDistinctMaintained(
       stream, "k", s"$dir/state", "bm_neg_spec")
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      // a later batch's violations ADD to the quarantine count
+      Seq(-7L, -9L, 65L).toDF("k").coalesce(1)
+        .write.parquet(s"$dir/in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
     val state = StreamingOps.latestState(spark, s"$dir/state").get
-    assert(StreamingOps.bitmapDistinctCount(state) == 3L) // 0, 5, 64
-    assert(state.filter(col("seg") === -1L).count() == 1L)
+    assert(StreamingOps.bitmapDistinctCount(state) == 4L) // 0, 5, 64, 65
+    // seg = -1 carries the violation-ROW count (-3, -7, -9), not mere presence
+    assert(state.filter(col("seg") === -1L)
+      .select(col("bits")).head().getLong(0) == 3L)
     GraftSession.release(spark)
   }
 }
