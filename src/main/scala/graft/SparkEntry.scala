@@ -20,7 +20,7 @@ object SparkEntry {
       RelationalQueries12.defs ++ RelationalQueries13.defs ++
       RelationalQueries14.defs ++ RelationalQueries15.defs ++ EventQueries.defs ++ EventQueries2.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
-      TextQueries4.defs ++ TextQueries5.defs ++
+      TextQueries4.defs ++ TextQueries5.defs ++ TextQueries6.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
       DedupQueries4.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
@@ -47,7 +47,7 @@ object SparkEntry {
       RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ EventQueries.oracles ++
       EventQueries2.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
-      TextQueries4.oracles ++ TextQueries5.oracles ++
+      TextQueries4.oracles ++ TextQueries5.oracles ++ TextQueries6.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
       DedupQueries4.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++

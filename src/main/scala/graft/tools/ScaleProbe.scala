@@ -104,7 +104,9 @@ object ScaleProbe {
       "dq_quality_dup", "mm_dedup_clusters", "feat_target_encode_cv",
       "q110_decile_gain", "dq_benford",
       "q111_emd", "q112_autocorr", "q113_reach_funnel",
-      "q114_new_vs_returning", "corpus_dsir", "dq_skew_report")
+      "q114_new_vs_returning", "corpus_dsir", "dq_skew_report",
+      // round-9
+      "text_quality_clf", "dedup_eval", "ann_knn_graph")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption

@@ -365,6 +365,12 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(!plan("text_readability").contains("Exchange"),
       "readability is a pure projection")
+    // linear quality classifier: the hashed-feature scorer folds inside
+    // one projection — the bucket vector never materializes, so there
+    // is NO per-(doc, bucket) shuffle anywhere (feat_hashing pays one;
+    // the classifier must not)
+    assert(!plan("text_quality_clf").contains("Exchange"),
+      "text_quality_clf is a zero-shuffle row-local projection")
     // normalized dedup: exactly one keyed shuffle (the normalized key)
     val dn = plan("dedup_normalized")
     assert("Exchange hashpartitioning".r.findAllIn(dn).length == 1 &&
