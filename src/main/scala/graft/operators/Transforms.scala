@@ -164,20 +164,71 @@ object Transforms {
             "survivor — include a unique tiebreak column)")).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(order.nonEmpty, "dedup orderBy must name at least one column")
-      val sortCols = order.map { o =>
-        val parts = o.split("\\s+")
-        val desc = parts.length > 1 && parts.last.equalsIgnoreCase("DESC")
-        val e = expr(if (parts.length > 1 &&
-          Set("ASC", "DESC").contains(parts.last.toUpperCase))
-          parts.dropRight(1).mkString(" ") else o)
-        if (desc) e.desc else e.asc
-      }
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+        .partitionBy(keys.map(col): _*).orderBy(parseSortCols(order): _*)
       df.withColumn("__graft_dedup_rn", row_number().over(w))
         .filter(col("__graft_dedup_rn") === 1)
         .drop("__graft_dedup_rn")
 
+    // NEAR-duplicate dedup stage (round 9 — the minhash stack on the
+    // YAML surface; exact `dedup` cannot catch boilerplate-perturbed
+    // copies): minhash LSH candidates over `mode`/`ngram` shingles of
+    // `text`, exact-Jaccard verified at the rational `threshold`
+    // (num/den — the integer-compare discipline, never a float tau),
+    // connected components over the verified pair graph, then ONE
+    // survivor per component under the REQUIRED `orderBy` (the exact-
+    // dedup determinism contract: end the order with a unique tiebreak).
+    // Non-duplicate rows are singleton components and pass through.
+    // Plan shape at scale: O(n·bands) banded shuffle for candidates,
+    // checkpoint-bounded pointer-jumping CC, and a window on the
+    // high-cardinality component key (map-side WindowGroupLimit) — the
+    // corpus_prepare_fuzzy chain, declaratively.
+    case "neardedup" =>
+      val props = t.properties
+      def req(k: String) = props.getOrElse(k, throw new IllegalArgumentException(
+        s"neardedup transform requires a `$k` property")).toString
+      val idCol = req("id")
+      val textCol = req("text")
+      val mode = props.getOrElse("mode", "word").toString
+      require(Set("word", "char").contains(mode),
+        s"neardedup mode must be word or char, got $mode")
+      val n = props.getOrElse("ngram", "3").toString.toInt
+      val thr = props.getOrElse("threshold", "1/2").toString.split("/")
+      require(thr.length == 2 && thr.forall(_.trim.matches("\\d+")),
+        "neardedup threshold must be a rational num/den (e.g. 1/2, 19/20)")
+      val (tauNum, tauDen) = (thr(0).trim.toInt, thr(1).trim.toInt)
+      val order = req("orderBy").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(order.nonEmpty, "neardedup orderBy must name at least one column " +
+        "(deterministic survivor — include a unique tiebreak column)")
+      require(idCol == "id" || !df.columns.contains("id"),
+        "neardedup reserves the column name `id` unless it IS the id column")
+      val pairs = Dedup.minhashPairsText(df, idCol, textCol, mode, n,
+          tauNum = tauNum, tauDen = tauDen)
+        .select(col("id_a"), col("id_b"))
+      // rename the id back BEFORE the survivor window so orderBy can
+      // reference it under the user's column name
+      val comp = Dedup.connectedComponents(
+          df.withColumnRenamed(idCol, "id"), pairs)
+        .withColumnRenamed("id", idCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component")).orderBy(parseSortCols(order): _*)
+      comp.withColumn("__graft_nd_rn", row_number().over(w))
+        .filter(col("__graft_nd_rn") === 1)
+        .drop("__graft_nd_rn", "component")
+
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }
+
+  /** "col [ASC|DESC], expr [ASC|DESC], ..." -> sortable Columns (shared
+    * by the dedup and neardedup survivor orders).
+    */
+  private def parseSortCols(order: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    order.map { o =>
+      val parts = o.split("\\s+")
+      val desc = parts.length > 1 && parts.last.equalsIgnoreCase("DESC")
+      val e = expr(if (parts.length > 1 &&
+        Set("ASC", "DESC").contains(parts.last.toUpperCase))
+        parts.dropRight(1).mkString(" ") else o)
+      if (desc) e.desc else e.asc
+    }
 }
