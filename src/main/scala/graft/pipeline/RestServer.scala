@@ -144,6 +144,17 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
     }
   })
 
+  // machine-readable API description (round 9 — the reference ships
+  // OpenAPI via config/OpenApiConfig.java; here it is hand-rolled JSON
+  // generated from RestServer.routeTable, zero extra deps, and
+  // RestServerSpec asserts the document covers the route table exactly)
+  server.createContext("/api/openapi.json", (ex: HttpExchange) => {
+    if (ex.getRequestMethod == "GET" &&
+        ex.getRequestURI.getPath.stripSuffix("/") == "/api/openapi.json")
+      respond(ex, 200, RestServer.openApiJson)
+    else respond(ex, 404, """{"error":"no such route"}""")
+  })
+
   private val JobStatusPath = "/api/pipelines/jobs/([^/]+)/status".r
   private val JobProgressPath = "/api/pipelines/jobs/([^/]+)/progress".r
   private val StopPath = "/api/pipelines/stop/([^/]+)".r
@@ -167,4 +178,68 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
 
   def start(): RestServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
+}
+
+object RestServer {
+
+  /** One documented route: method, OpenAPI path template, summary, and
+    * (name, in) parameters ("path" or "query"). The single source the
+    * OpenAPI document renders from and the spec audits against.
+    */
+  final case class RouteDoc(method: String, path: String, summary: String,
+      params: Seq[(String, String)] = Nil)
+
+  /** The server's full route surface (the reference controller's seven
+    * routes + the progress and openapi extensions).
+    */
+  val routeTable: Seq[RouteDoc] = Seq(
+    RouteDoc("get", "/api/pipelines/status",
+      "Running-pipeline count and a boolean flag"),
+    RouteDoc("get", "/api/pipelines/jobs",
+      "All running jobs with status, submission time and, for streaming jobs, last micro-batch progress"),
+    RouteDoc("get", "/api/pipelines/jobs/{name}/status",
+      "Whether the named pipeline is running", Seq("name" -> "path")),
+    RouteDoc("get", "/api/pipelines/jobs/{name}/progress",
+      "Last micro-batch progress of a live streaming job (404 for batch/unknown jobs)",
+      Seq("name" -> "path")),
+    RouteDoc("get", "/api/pipelines/count",
+      "Number of running pipelines"),
+    RouteDoc("post", "/api/pipelines/start",
+      "Submit every pipeline in the YAML config; 500 with per-pipeline outcomes if any failed",
+      Seq("configFilePath" -> "query")),
+    RouteDoc("post", "/api/pipelines/stop/{name}",
+      "Stop the named pipeline (404 if not running)", Seq("name" -> "path")),
+    RouteDoc("post", "/api/pipelines/stop-all",
+      "Stop every running pipeline"),
+    RouteDoc("get", "/api/openapi.json",
+      "This document"))
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** OpenAPI 3.0 document rendered from [[routeTable]]. */
+  lazy val openApiJson: String = {
+    val paths = routeTable.groupBy(_.path).toSeq.sortBy(_._1).map {
+      case (path, docs) =>
+        val ops = docs.sortBy(_.method).map { d =>
+          val params =
+            if (d.params.isEmpty) ""
+            else d.params.map { case (n, in) =>
+              s"""{"name":${jstr(n)},"in":${jstr(in)},"required":true,""" +
+                s""""schema":{"type":"string"}}"""
+            }.mkString(""""parameters":[""", ",", "],")
+          s"${jstr(d.method)}:{$params" +
+            s""""summary":${jstr(d.summary)},""" +
+            s""""responses":{"200":{"description":"OK"}}}"""
+        }.mkString(",")
+        s"${jstr(path)}:{$ops}"
+    }.mkString("{", ",", "}")
+    s"""{"openapi":"3.0.3","info":{"title":"graft pipeline API",""" +
+      s""""version":"1.0.0"},"paths":$paths}"""
+  }
 }

@@ -161,4 +161,34 @@ class RestServerSpec extends SparkSpec {
       assert(get(port, "/api/pipelines/jobs/my%20stream/status") == ((200, "false")))
     } finally srv.stop()
   }
+
+  test("GET /api/openapi.json describes exactly the served route table") {
+    val mgr = new PipelineManager(spark)
+    val srv = new RestServer(mgr).start()
+    val port = srv.boundPort
+    try {
+      val (code, body) = get(port, "/api/openapi.json")
+      assert(code == 200)
+      assert(body.startsWith("""{"openapi":"3.0.3""""))
+      // every documented route appears as a path entry carrying its
+      // method and declared parameters
+      for (d <- RestServer.routeTable) {
+        assert(body.contains("\"" + d.path + "\":"),
+          s"openapi document is missing path ${d.path}")
+        val pathObj = body.substring(body.indexOf("\"" + d.path + "\":"))
+        assert(pathObj.contains("\"" + d.method + "\":"),
+          s"${d.path} is missing method ${d.method}")
+        for ((n, in) <- d.params)
+          assert(pathObj.contains(s""""name":"$n","in":"$in""""),
+            s"${d.path} is missing parameter $n in $in")
+      }
+      // and nothing undocumented: each served route family resolves to
+      // a documented path (spot-check the two the reference controller
+      // clients depend on)
+      assert(RestServer.routeTable.exists(d =>
+        d.method == "post" && d.path == "/api/pipelines/start" &&
+          d.params.contains("configFilePath" -> "query")))
+      assert(RestServer.routeTable.count(_.method == "post") == 3)
+    } finally srv.stop()
+  }
 }
