@@ -22,14 +22,14 @@ object SparkEntry {
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       TextQueries4.defs ++ TextQueries5.defs ++ TextQueries6.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
-      DedupQueries4.defs ++
+      DedupQueries4.defs ++ DedupQueries5.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++
-      SimilarityQueries5.defs ++ ClusterQueries.defs ++
+      SimilarityQueries5.defs ++ SimilarityQueries6.defs ++ ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++
       MultimodalQueries2.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
-      CorpusQueries5.defs ++ CorpusQueries6.defs ++ CorpusQueries7.defs ++
+      CorpusQueries5.defs ++ CorpusQueries6.defs ++ CorpusQueries7.defs ++ CorpusQueries8.defs ++
       FeatureQueries.defs ++ FeatureQueries2.defs ++ FeatureQueries3.defs ++
       FeatureQueries4.defs ++
       SketchQueries.defs
@@ -49,14 +49,14 @@ object SparkEntry {
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       TextQueries4.oracles ++ TextQueries5.oracles ++ TextQueries6.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
-      DedupQueries4.oracles ++
+      DedupQueries4.oracles ++ DedupQueries5.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++
-      SimilarityQueries5.oracles ++ ClusterQueries.oracles ++
+      SimilarityQueries5.oracles ++ SimilarityQueries6.oracles ++ ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++
       MultimodalQueries2.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
-      CorpusQueries5.oracles ++ CorpusQueries6.oracles ++ CorpusQueries7.oracles ++
+      CorpusQueries5.oracles ++ CorpusQueries6.oracles ++ CorpusQueries7.oracles ++ CorpusQueries8.oracles ++
       FeatureQueries.oracles ++ FeatureQueries2.oracles ++ FeatureQueries3.oracles ++
       FeatureQueries4.oracles ++
       SketchQueries.oracles

@@ -148,7 +148,7 @@ object DedupQueries {
   /** Transitive closure of the simhash pair graph — the brute-force
     * truth for the distributed connected-components operator.
     */
-  private val clustersCtePrefix =
+  private[queries] val clustersCtePrefix =
     s"""WITH RECURSIVE ${simhashCtes()},
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id

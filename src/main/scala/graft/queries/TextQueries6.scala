@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions.poly_hash
@@ -65,6 +66,37 @@ object TextQueries6 {
             .as("score"),
           ($"n_toks" > 0 &&
             $"s_num" * TauDen >= lit(TauNum) * 1000L * $"n_toks").as("keep"))
+    },
+
+    // `text_zipf_audit` — the rank-frequency (Zipf) corpus audit: the
+    // sanity table every tokenizer/corpus report prints. Top-50 tokens
+    // under the TOTAL order (freq desc, token asc), each with its
+    // rank·freq product (constant-ish under Zipf's law — the auditable
+    // number that needs no log) and the cumulative share of corpus
+    // tokens the top r cover (exact integer prefix sum over exact
+    // total, one division per row). Plan: one token-count shuffle,
+    // then the global top-50 window rides Spark 4's map-side Partial
+    // WindowGroupLimit (per-partition prune before the exchange — the
+    // q3_topk discipline), and the prefix sum runs on the 50-row
+    // survivor frame.
+    "text_zipf_audit" -> { (s, dir) =>
+      import s.implicits._
+      val freq = Tables.load(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      val total = freq.agg(sum($"freq").as("total"))
+      val wRank = Window.orderBy($"freq".desc, $"tok".asc)
+      val top = freq.withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter($"rnk" <= 50)
+      val wCum = Window.orderBy($"rnk".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.withColumn("cum_freq", sum($"freq").over(wCum))
+        .crossJoin(broadcast(total))
+        .select($"rnk", $"tok", $"freq",
+          ($"rnk" * $"freq").as("rank_freq"),
+          ($"cum_freq".cast("double") / $"total".cast("double"))
+            .as("cum_share"))
     }
   )
 
@@ -92,6 +124,22 @@ object TextQueries6 {
          |  END AS score,
          |  (n_toks > 0 AND s_num * $TauDen >= ($TauNum) * 1000 * n_toks)
          |    AS keep
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    "text_zipf_audit" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+        |r AS (SELECT tok, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT)
+        |      AS rnk
+        |  FROM f QUALIFY rnk <= 50)
+        |SELECT rnk, tok, freq, rnk * freq AS rank_freq,
+        |  CAST(sum(freq) OVER (ORDER BY rnk ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tot.total AS DOUBLE) AS cum_share
+        |FROM r CROSS JOIN tot""".stripMargin
   )
 }

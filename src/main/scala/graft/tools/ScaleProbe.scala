@@ -106,7 +106,9 @@ object ScaleProbe {
       "q111_emd", "q112_autocorr", "q113_reach_funnel",
       "q114_new_vs_returning", "corpus_dsir", "dq_skew_report",
       // round-9
-      "text_quality_clf", "dedup_eval", "ann_knn_graph")
+      "text_quality_clf", "dedup_eval", "ann_knn_graph",
+      "ann_graph_search", "ann_auc", "dedup_cluster_stats",
+      "corpus_token_budget", "text_zipf_audit")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
