@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Dedup
 
 /** `corpus_token_budget` (round 9) — BUDGETED SELECTION: every training
   * run has a token budget, and the curation question is "which
@@ -53,6 +54,71 @@ object CorpusQueries8 {
         .withColumn("cum_toks", sum($"n_toks").over(w))
         .select($"doc_id", $"source", $"n_toks", $"score", $"cum_toks",
           ($"cum_toks" <= Budget).as("selected"))
+    },
+
+    // `corpus_ccnet` — the CCNet-SHAPED curation funnel (round 9,
+    // Wenzek et al. 2020 — THE reference LLM corpus pipeline) as ONE
+    // oracle-gated capstone chaining the separately-gated stages:
+    // (1) language-ID gate — keep docs whose text_langid prediction
+    // matches the labeled lang (CCNet's fastText lang filter);
+    // (2) model-quality gate — the text_quality_clf committed-rational
+    // scorer at the same τ = −1/50 (CCNet's LM-perplexity tier,
+    // linearized); (3) near-dup dedup over the survivors — simhash
+    // pair graph → connected components → keep-best (longest, id
+    // tie-break; CCNet dedups by paragraph hash — this corpus' analog
+    // is the audited fuzzy chain). Output: the per-lang funnel
+    // manifest (n_raw → n_lang_ok → n_quality_ok → n_survivors +
+    // survivor_tokens) — the report a curation run publishes. Langs
+    // whose docs all fail upstream still emit (0-coalesced left join):
+    // a funnel with missing rows misreads attrition. All counts exact
+    // integers; the one chain recomputation the oracle needs is the
+    // corpus_prepare_fuzzy recursive-CTE pattern with the stage
+    // predicates in the seed CTE.
+    "corpus_ccnet" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions._
+      val toks = filter(split($"text", " "), t => length(t) > 0)
+      val contrib = transform(toks, t => {
+        val wNum = (lit(2654435761L) * ((poly_hash(t) % 32) + 1)) % 1999 - 999
+        val sgn = when(poly_hash(t, 37) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+        sgn * wNum
+      })
+      val scores = lang_scores($"text")
+      val base0 = Tables.load(s, dir, "documents")
+      val scoredBase = scores.foldLeft(base0) {
+        case (d, (l, c)) => d.withColumn(s"__s_$l", c)
+      }
+      val base = scoredBase
+        .withColumn("pred",
+          lang_predict(scores.map { case (l, _) => l -> col(s"__s_$l") }))
+        .withColumn("n_toks", size(toks).cast("long"))
+        .withColumn("s_num", aggregate(contrib, lit(0L), (a, x) => a + x))
+        .withColumn("lang_ok", $"pred" === $"lang")
+        .withColumn("quality_ok", $"lang_ok" && $"n_toks" > 0 &&
+          $"s_num" * TextQueries6.TauDen >=
+            lit(TextQueries6.TauNum) * 1000L * $"n_toks")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gated = base.filter($"quality_ok")
+        .select($"doc_id", $"lang", $"n_chars", $"n_toks",
+          words($"text").as("__ws"))
+      val pairs = Dedup.simhashPairs(gated, "doc_id", "__ws", maxHamming = 3)
+      val comp = Dedup.connectedComponents(
+        gated.select($"doc_id".as("id"), $"lang", $"n_chars", $"n_toks"),
+        pairs)
+      val byComponent = Window.partitionBy($"component")
+        .orderBy($"n_chars".desc, $"id".asc)
+      val surv = comp.withColumn("__rn", row_number().over(byComponent))
+        .filter($"__rn" === 1)
+      base.groupBy($"lang").agg(
+          count(lit(1)).as("n_raw"),
+          sum(when($"lang_ok", 1L).otherwise(0L)).as("n_lang_ok"),
+          sum(when($"quality_ok", 1L).otherwise(0L)).as("n_quality_ok"))
+        .join(surv.groupBy($"lang").agg(
+          count(lit(1)).as("n_survivors"),
+          sum($"n_toks").as("survivor_tokens")), Seq("lang"), "left")
+        .select($"lang", $"n_raw", $"n_lang_ok", $"n_quality_ok",
+          coalesce($"n_survivors", lit(0L)).as("n_survivors"),
+          coalesce($"survivor_tokens", lit(0L)).as("survivor_tokens"))
     }
   )
 
@@ -60,6 +126,12 @@ object CorpusQueries8 {
     s"""list_reduce(list_transform(range(1, length(gt) + 1),
        | gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
        | (ga, gc) -> (ga * $base + gc) % 1000000007)""".stripMargin
+
+  private def markerList(l: String) =
+    graft.functions.GraftFunctions.langMarkers.toMap.apply(l)
+      .map(w => s"'$w'").mkString(", ")
+  private def sqlCount(set: String) =
+    s"len(list_filter(string_split(text, ' '), gw -> gw IN ($set)))"
 
   val oracles: Map[String, String] = Map(
     "corpus_token_budget" ->
@@ -85,6 +157,72 @@ object CorpusQueries8 {
          |    ORDER BY score DESC, doc_id ASC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= $Budget)
          |    AS selected
-         |FROM sc""".stripMargin
+         |FROM sc""".stripMargin,
+
+    // the stage predicates in the seed CTE, then the
+    // corpus_prepare_fuzzy recursive-closure + keep-best machinery,
+    // then the funnel rollup (0-coalesced left join keeps empty langs)
+    "corpus_ccnet" ->
+      s"""WITH RECURSIVE raw AS (SELECT doc_id, lang, text, n_chars,
+         |    ${sqlCount(markerList("de"))} AS s_de,
+         |    ${sqlCount(markerList("en"))} AS s_en,
+         |    ${sqlCount(markerList("es"))} AS s_es,
+         |    ${sqlCount(markerList("fr"))} AS s_fr,
+         |    ${sqlCount(markerList("zh"))} AS s_zh,
+         |    CAST(len(list_filter(string_split(text, ' '), gt -> gt <> ''))
+         |      AS BIGINT) AS n_toks,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      list_filter(string_split(text, ' '), gt -> gt <> ''), gt ->
+         |      (CASE WHEN (${ph(37)}) % 2 = 0 THEN 1 ELSE -1 END)
+         |      * ((CAST(2654435761 AS BIGINT) * (((${ph(31)}) % 32) + 1))
+         |         % 1999 - 999))), 0) AS BIGINT) AS s_num
+         |  FROM documents),
+         |flags AS (SELECT doc_id, lang, text, n_chars, n_toks, s_num,
+         |    (CASE
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |      WHEN s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+         |      ELSE 'und' END = lang) AS lang_ok
+         |  FROM raw),
+         |f2 AS (SELECT *,
+         |    (lang_ok AND n_toks > 0 AND
+         |     s_num * ${TextQueries6.TauDen} >=
+         |       (${TextQueries6.TauNum}) * 1000 * n_toks) AS quality_ok
+         |  FROM flags),
+         |docs AS (SELECT doc_id, lang, text, n_chars, n_toks FROM f2
+         |         WHERE quality_ok),
+         |${DedupQueries.simhashCtes("docs")},
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, min(lbl) AS component
+         |  FROM reach GROUP BY u),
+         |j AS (SELECT c.component, d.lang, d.n_toks,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |  FROM comp c JOIN docs d ON d.doc_id = c.doc_id),
+         |surv AS (SELECT lang,
+         |    CAST(count(*) AS BIGINT) AS n_survivors,
+         |    CAST(sum(n_toks) AS BIGINT) AS survivor_tokens
+         |  FROM j WHERE rn = 1 GROUP BY lang),
+         |fun AS (SELECT lang,
+         |    CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_lang_ok,
+         |    CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality_ok
+         |  FROM f2 GROUP BY lang)
+         |SELECT fun.lang, fun.n_raw, fun.n_lang_ok, fun.n_quality_ok,
+         |  coalesce(surv.n_survivors, 0) AS n_survivors,
+         |  coalesce(surv.survivor_tokens, 0) AS survivor_tokens
+         |FROM fun LEFT JOIN surv ON fun.lang = surv.lang""".stripMargin
   )
 }

@@ -43,9 +43,11 @@ import graft.functions.GraftFunctions.poly_hash
   */
 object TextQueries6 {
 
-  /** Keep threshold −1/50 as an integer cross-multiply pair. */
-  private val TauNum = -1L
-  private val TauDen = 50L
+  /** Keep threshold −1/50 as an integer cross-multiply pair (shared
+    * with the corpus_ccnet capstone's quality stage).
+    */
+  private[queries] val TauNum = -1L
+  private[queries] val TauDen = 50L
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_clf" -> { (s, dir) =>
