@@ -18,7 +18,7 @@ object SparkEntry {
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
       RelationalQueries12.defs ++ RelationalQueries13.defs ++
-      RelationalQueries14.defs ++ RelationalQueries15.defs ++ EventQueries.defs ++ EventQueries2.defs ++
+      RelationalQueries14.defs ++ RelationalQueries15.defs ++ RelationalQueries16.defs ++ EventQueries.defs ++ EventQueries2.defs ++ EventQueries3.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       TextQueries4.defs ++ TextQueries5.defs ++ TextQueries6.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
@@ -44,8 +44,8 @@ object SparkEntry {
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
       RelationalQueries12.oracles ++ RelationalQueries13.oracles ++
-      RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ EventQueries.oracles ++
-      EventQueries2.oracles ++
+      RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ RelationalQueries16.oracles ++ EventQueries.oracles ++
+      EventQueries2.oracles ++ EventQueries3.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       TextQueries4.oracles ++ TextQueries5.oracles ++ TextQueries6.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++

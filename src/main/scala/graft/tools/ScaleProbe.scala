@@ -108,7 +108,8 @@ object ScaleProbe {
       // round-9
       "text_quality_clf", "dedup_eval", "ann_knn_graph",
       "ann_graph_search", "ann_auc", "dedup_cluster_stats",
-      "corpus_token_budget", "text_zipf_audit", "corpus_ccnet")
+      "corpus_token_budget", "text_zipf_audit", "corpus_ccnet",
+      "q115_time_to_convert", "q116_rfm")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
