@@ -89,8 +89,13 @@ object TextQueries6 {
         .groupBy($"tok").agg(count(lit(1)).as("freq"))
       val total = freq.agg(sum($"freq").as("total"))
       val wRank = Window.orderBy($"freq".desc, $"tok".asc)
-      val top = freq.withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter($"rnk" <= 50)
+      // global top-k as orderBy+limit -> TakeOrderedAndProject
+      // (per-partition top-50 merged on the driver, NO global sort;
+      // a global rank<=k window would sort everything — Spark's
+      // WindowGroupLimit rewrite only fires on keyed partitions);
+      // the rank window then runs on the 50-row survivor frame
+      val top = freq.orderBy($"freq".desc, $"tok".asc).limit(50)
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
       val wCum = Window.orderBy($"rnk".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top.withColumn("cum_freq", sum($"freq").over(wCum))

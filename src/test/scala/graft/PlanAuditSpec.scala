@@ -371,6 +371,15 @@ class PlanAuditSpec extends SparkSpec {
     // the classifier must not)
     assert(!plan("text_quality_clf").contains("Exchange"),
       "text_quality_clf is a zero-shuffle row-local projection")
+    // budgeted selection: ONE keyed shuffle (source) — the prefix-sum
+    // window must ride the same exchange, not add its own
+    assert("Exchange hashpartitioning".r
+        .findAllIn(plan("corpus_token_budget")).length == 1,
+      "corpus_token_budget must shuffle once on source")
+    // zipf audit: the global top-50 must be a TakeOrderedAndProject
+    // (per-partition top-k, no global sort of the vocabulary)
+    assert(plan("text_zipf_audit").contains("TakeOrderedAndProject"),
+      "text_zipf_audit's top-50 must be a TakeOrderedAndProject")
     // normalized dedup: exactly one keyed shuffle (the normalized key)
     val dn = plan("dedup_normalized")
     assert("Exchange hashpartitioning".r.findAllIn(dn).length == 1 &&
