@@ -24,8 +24,9 @@ import graft.functions.GraftFunctions.cosine_sim
   * ranking is (cosine DESC, node ASC) so the frontier SET is
   * engine-identical; candidates always include the previous frontier,
   * so the running top-1 never worsens and a stabilized frontier is a
-  * fixed point — the FIXED 8-step unroll equals run-to-convergence
-  * whenever it converges within 8. The output compares each query's
+  * fixed point — the FIXED 6-step unroll equals run-to-convergence
+  * whenever it converges within 6 (probed: converged by 4). The
+  * output compares each query's
   * final top-1 against the exact top-1 among graph nodes (`hit`) —
   * beam search on a sparse graph is APPROXIMATE by construction and
   * the eval says by how much.
@@ -49,7 +50,9 @@ import graft.functions.GraftFunctions.cosine_sim
 object SimilarityQueries6 {
 
   private val NAnchors = 5
-  private val Steps = 8
+  // probed at sf0.01: convergence by step 4; 6 keeps margin without
+  // paying 8 rounds of fixed per-step scheduling latency
+  private val Steps = 6
   private val Beam = 8
   private val Degree = 6
 
