@@ -293,6 +293,36 @@ class PipelineSpecTest extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("neardedup transform: refusal paths match the dedup determinism contract") {
+    import graft.operators.Transforms
+    import graft.pipeline.TransformSpec
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    def spec(extra: (String, Any)*) = TransformSpec("neardedup",
+      Map[String, Any]("id" -> "doc_id", "text" -> "text",
+        "orderBy" -> "doc_id") ++ extra)
+    // a float threshold is refused — rational num/den only (the
+    // integer-compare discipline; 0.5 would silently change semantics)
+    intercept[IllegalArgumentException] {
+      Transforms.apply(df, Seq(spec("threshold" -> "0.5")))
+    }
+    // missing survivor order is refused like the exact dedup stage
+    intercept[IllegalArgumentException] {
+      Transforms.apply(df, Seq(TransformSpec("neardedup",
+        Map("id" -> "doc_id", "text" -> "text"))))
+    }
+    // unknown shingle mode is refused up front
+    intercept[IllegalArgumentException] {
+      Transforms.apply(df, Seq(spec("mode" -> "sentence")))
+    }
+    // a frame already carrying a different `id` column is refused
+    // (the rename would collide silently otherwise)
+    intercept[IllegalArgumentException] {
+      Transforms.apply(df.withColumn("id", lit(0L)), Seq(spec()))
+    }
+    GraftSession.release(spark)
+  }
+
   test("quality transform: clean data passes through, breaches fail the stage") {
     import graft.operators.Transforms
     import graft.pipeline.TransformSpec
