@@ -197,6 +197,8 @@ object Transforms {
       require(thr.length == 2 && thr.forall(_.trim.matches("\\d+")),
         "neardedup threshold must be a rational num/den (e.g. 1/2, 19/20)")
       val (tauNum, tauDen) = (thr(0).trim.toInt, thr(1).trim.toInt)
+      require(tauNum >= 1 && tauDen >= tauNum,
+        s"neardedup threshold must satisfy 0 < num/den <= 1, got $tauNum/$tauDen")
       val order = req("orderBy").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(order.nonEmpty, "neardedup orderBy must name at least one column " +
         "(deterministic survivor — include a unique tiebreak column)")

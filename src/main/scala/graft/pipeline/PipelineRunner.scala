@@ -23,8 +23,18 @@ object PipelineRunner {
   def buildStream(spark: SparkSession, spec: PipelineSpec): DataFrame =
     Transforms(Sources.readStream(spark, spec.source), spec.transformations)
 
-  def runBatch(spark: SparkSession, spec: PipelineSpec): Unit =
+  def runBatch(spark: SparkSession, spec: PipelineSpec): Unit = {
     Sinks.write(buildBatch(spark, spec), spec.sink)
+    // stages that persist internally (neardedup's signature/candidate
+    // frames, connected-components checkpoints) must not outlive the
+    // pipeline on a long-running session (the REST server's JVM):
+    // un-released blocks accumulate as old-gen pressure — the Bench
+    // release() lesson applied to the pipeline surface. Session-global
+    // by nature: a concurrent pipeline's cached frames recompute
+    // transparently (correctness unaffected, a one-off perf cost).
+    if (spec.transformations.exists(_.kind == "neardedup"))
+      graft.GraftSession.release(spark)
+  }
 
   def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery =
     Sinks.writeStream(buildStream(spark, spec), spec.sink, spec.name)

@@ -11,8 +11,10 @@ import graft.operators.Dedup
   * documents fill it best?" Per SOURCE (the natural budget unit — in a
   * real corpus sources are domains/crawls, high-cardinality), rank
   * documents by the `text_quality_clf` model score (best first, doc_id
-  * tie-break) and select greedily while the running token total stays
-  * within B = 2000. Emits the full per-doc decision trail (score,
+  * tie-break) and select best-first while the running token total stays
+  * within B = 1000 (a prefix-sum cutoff: the first over-budget doc and
+  * everything ranked below it are unselected). Emits the full per-doc
+  * decision trail (score,
   * running total, selected flag) — the auditable form of a selection;
   * the manifest is one rollup away.
   *
@@ -34,16 +36,11 @@ object CorpusQueries8 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> { (s, dir) =>
       import s.implicits._
-      import graft.functions.GraftFunctions.poly_hash
-      val toks = filter(split($"text", " "), t => length(t) > 0)
-      val contrib = transform(toks, t => {
-        val wNum = (lit(2654435761L) * ((poly_hash(t) % 32) + 1)) % 1999 - 999
-        val sgn = when(poly_hash(t, 37) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-        sgn * wNum
-      })
       val scored = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"source", size(toks).cast("long").as("n_toks"),
-          aggregate(contrib, lit(0L), (acc, x) => acc + x).as("s_num"))
+        .select($"doc_id", $"source",
+          size(TextQueries6.qualityToks).cast("long").as("n_toks"),
+          aggregate(TextQueries6.qualityContrib, lit(0L),
+            (acc, x) => acc + x).as("s_num"))
         .filter($"n_toks" > 0)
         .withColumn("score",
           $"s_num".cast("double") / ($"n_toks".cast("double") * 1000.0))
@@ -77,12 +74,6 @@ object CorpusQueries8 {
     "corpus_ccnet" -> { (s, dir) =>
       import s.implicits._
       import graft.functions.GraftFunctions._
-      val toks = filter(split($"text", " "), t => length(t) > 0)
-      val contrib = transform(toks, t => {
-        val wNum = (lit(2654435761L) * ((poly_hash(t) % 32) + 1)) % 1999 - 999
-        val sgn = when(poly_hash(t, 37) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-        sgn * wNum
-      })
       val scores = lang_scores($"text")
       val base0 = Tables.load(s, dir, "documents")
       val scoredBase = scores.foldLeft(base0) {
@@ -91,8 +82,9 @@ object CorpusQueries8 {
       val base = scoredBase
         .withColumn("pred",
           lang_predict(scores.map { case (l, _) => l -> col(s"__s_$l") }))
-        .withColumn("n_toks", size(toks).cast("long"))
-        .withColumn("s_num", aggregate(contrib, lit(0L), (a, x) => a + x))
+        .withColumn("n_toks", size(TextQueries6.qualityToks).cast("long"))
+        .withColumn("s_num", aggregate(TextQueries6.qualityContrib, lit(0L),
+          (a, x) => a + x))
         .withColumn("lang_ok", $"pred" === $"lang")
         .withColumn("quality_ok", $"lang_ok" && $"n_toks" > 0 &&
           $"s_num" * TextQueries6.TauDen >=
@@ -122,11 +114,6 @@ object CorpusQueries8 {
     }
   )
 
-  private def ph(base: Int) =
-    s"""list_reduce(list_transform(range(1, length(gt) + 1),
-       | gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
-       | (ga, gc) -> (ga * $base + gc) % 1000000007)""".stripMargin
-
   private def markerList(l: String) =
     graft.functions.GraftFunctions.langMarkers.toMap.apply(l)
       .map(w => s"'$w'").mkString(", ")
@@ -135,15 +122,10 @@ object CorpusQueries8 {
 
   val oracles: Map[String, String] = Map(
     "corpus_token_budget" ->
-      s"""WITH t AS (SELECT doc_id, source,
-         |    list_filter(string_split(text, ' '), gt -> gt <> '') AS toks
+      s"""WITH s AS (SELECT doc_id, source,
+         |    ${TextQueries6.qualityNtoksSql} AS n_toks,
+         |    ${TextQueries6.qualitySnumSql} AS s_num
          |  FROM documents),
-         |s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
-         |    CAST(coalesce(list_sum(list_transform(toks, gt ->
-         |      (CASE WHEN (${ph(37)}) % 2 = 0 THEN 1 ELSE -1 END)
-         |      * ((CAST(2654435761 AS BIGINT) * (((${ph(31)}) % 32) + 1))
-         |         % 1999 - 999))), 0) AS BIGINT) AS s_num
-         |  FROM t),
          |sc AS (SELECT doc_id, source, n_toks,
          |    CAST(s_num AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1000.0)
          |      AS score
@@ -169,13 +151,8 @@ object CorpusQueries8 {
          |    ${sqlCount(markerList("es"))} AS s_es,
          |    ${sqlCount(markerList("fr"))} AS s_fr,
          |    ${sqlCount(markerList("zh"))} AS s_zh,
-         |    CAST(len(list_filter(string_split(text, ' '), gt -> gt <> ''))
-         |      AS BIGINT) AS n_toks,
-         |    CAST(coalesce(list_sum(list_transform(
-         |      list_filter(string_split(text, ' '), gt -> gt <> ''), gt ->
-         |      (CASE WHEN (${ph(37)}) % 2 = 0 THEN 1 ELSE -1 END)
-         |      * ((CAST(2654435761 AS BIGINT) * (((${ph(31)}) % 32) + 1))
-         |         % 1999 - 999))), 0) AS BIGINT) AS s_num
+         |    ${TextQueries6.qualityNtoksSql} AS n_toks,
+         |    ${TextQueries6.qualitySnumSql} AS s_num
          |  FROM documents),
          |flags AS (SELECT doc_id, lang, text, n_chars, n_toks, s_num,
          |    (CASE

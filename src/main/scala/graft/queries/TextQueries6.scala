@@ -49,19 +49,49 @@ object TextQueries6 {
   private[queries] val TauNum = -1L
   private[queries] val TauDen = 50L
 
+  /** Non-empty whitespace tokens — the classifier's tokenization. */
+  private[queries] def qualityToks: org.apache.spark.sql.Column =
+    filter(split(col("text"), " "), t => length(t) > 0)
+
+  /** Per-token signed rational-weight numerators (all integer): bucket
+    * by base-31 poly-hash mod 32, sign by the base-37 hash's parity,
+    * weight numerator (2654435761·(bucket+1) mod 1999) − 999 over the
+    * common denominator 1000. THE single definition of the quality
+    * model — corpus_token_budget and corpus_ccnet chain this exact
+    * scorer, so the formula must never fork (round-9 review finding).
+    */
+  private[queries] def qualityContrib: org.apache.spark.sql.Column =
+    transform(qualityToks, t => {
+      val wNum = (lit(2654435761L) * ((poly_hash(t) % 32) + 1)) % 1999 - 999
+      val sgn = when(poly_hash(t, 37) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+      sgn * wNum
+    })
+
+  /** The DuckDB replica of [[qualityContrib]]'s exact integer sum
+    * (`s_num`), over `gt`-named tokens.
+    */
+  private[queries] def qualitySnumSql: String = {
+    def ph(base: Int) =
+      s"""list_reduce(list_transform(range(1, length(gt) + 1),
+         | gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
+         | (ga, gc) -> (ga * $base + gc) % 1000000007)""".stripMargin
+    s"""CAST(coalesce(list_sum(list_transform(
+       |      list_filter(string_split(text, ' '), gt -> gt <> ''), gt ->
+       |      (CASE WHEN (${ph(37)}) % 2 = 0 THEN 1 ELSE -1 END)
+       |      * ((CAST(2654435761 AS BIGINT) * (((${ph(31)}) % 32) + 1))
+       |         % 1999 - 999))), 0) AS BIGINT)""".stripMargin
+  }
+
+  /** `n_toks` in SQL, matching [[qualityToks]]. */
+  private[queries] val qualityNtoksSql: String =
+    "CAST(len(list_filter(string_split(text, ' '), gt -> gt <> '')) AS BIGINT)"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_clf" -> { (s, dir) =>
       import s.implicits._
-      val toks = filter(split($"text", " "), t => length(t) > 0)
-      // per-token signed rational-weight numerator, all integer
-      val contrib = transform(toks, t => {
-        val wNum = (lit(2654435761L) * ((poly_hash(t) % 32) + 1)) % 1999 - 999
-        val sgn = when(poly_hash(t, 37) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-        sgn * wNum
-      })
       Tables.load(s, dir, "documents")
-        .select($"doc_id", size(toks).cast("long").as("n_toks"),
-          aggregate(contrib, lit(0L), (acc, x) => acc + x).as("s_num"))
+        .select($"doc_id", size(qualityToks).cast("long").as("n_toks"),
+          aggregate(qualityContrib, lit(0L), (acc, x) => acc + x).as("s_num"))
         .select($"doc_id", $"n_toks", $"s_num",
           when($"n_toks" > 0,
             $"s_num".cast("double") / ($"n_toks".cast("double") * 1000.0))
@@ -107,24 +137,13 @@ object TextQueries6 {
     }
   )
 
-  private def ph(base: Int) =
-    s"""list_reduce(list_transform(range(1, length(gt) + 1),
-       | gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
-       | (ga, gc) -> (ga * $base + gc) % 1000000007)""".stripMargin
-
   val oracles: Map[String, String] = Map(
     // integer sums are order-free, so DuckDB's list_sum == Spark's
     // strict fold; coalesce guards the (absent here) empty-token row
     "text_quality_clf" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), gt -> gt <> '') AS toks
-         |  FROM documents),
-         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
-         |    CAST(coalesce(list_sum(list_transform(toks, gt ->
-         |      (CASE WHEN (${ph(37)}) % 2 = 0 THEN 1 ELSE -1 END)
-         |      * ((CAST(2654435761 AS BIGINT) * (((${ph(31)}) % 32) + 1))
-         |         % 1999 - 999))), 0) AS BIGINT) AS s_num
-         |  FROM t)
+      s"""WITH s AS (SELECT doc_id, $qualityNtoksSql AS n_toks,
+         |    $qualitySnumSql AS s_num
+         |  FROM documents)
          |SELECT doc_id, n_toks, s_num,
          |  CASE WHEN n_toks > 0
          |    THEN CAST(s_num AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1000.0)

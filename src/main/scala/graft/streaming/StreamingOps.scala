@@ -588,6 +588,26 @@ object StreamingOps {
           val fs = new Path(outDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!identityChecked) {
+            // refuse outDirs written by the pre-round-9 flat-append
+            // scheme (loose part-files under data/ + _batch_N markers
+            // at the root): enrichedBatches() cannot see those markers,
+            // so resuming here would re-write already-appended batches
+            // (duplicating facts) and leave data/ an unreadable mix of
+            // partitioned and flat children
+            val legacyMarker = Option(fs.globStatus(
+                new Path(s"$outDir/_batch_*"))).exists(_.nonEmpty)
+            val dataDir = new Path(s"$outDir/data")
+            val flatData = fs.exists(dataDir) && fs.listStatus(dataDir)
+              .exists(st => !st.getPath.getName.startsWith("batch=") &&
+                !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith("."))
+            if (legacyMarker || flatData)
+              throw new IllegalStateException(
+                s"$outDir holds output from the legacy flat-append scd2EnrichedTo " +
+                  "layout (loose files under data/ or _batch_N markers): resuming " +
+                  "with the batch=N layout would duplicate replayed batches. Use a " +
+                  "fresh outDir, or migrate each legacy batch into data/batch=<id>/ " +
+                  "and delete the _batch_* markers first.")
             bindQueryIdentity(spark, outDir,
               enrichedBatches(fs, outDir).nonEmpty)
             identityChecked = true

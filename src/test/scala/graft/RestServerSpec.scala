@@ -171,11 +171,17 @@ class RestServerSpec extends SparkSpec {
       assert(code == 200)
       assert(body.startsWith("""{"openapi":"3.0.3""""))
       // every documented route appears as a path entry carrying its
-      // method and declared parameters
+      // method and declared parameters — each check bounded to THAT
+      // path's object (scanning to end-of-document would let a later
+      // sibling satisfy a misplaced method/parameter)
+      val starts = RestServer.routeTable.map(_.path).distinct
+        .map(p => p -> body.indexOf("\"" + p + "\":")).toMap
       for (d <- RestServer.routeTable) {
-        assert(body.contains("\"" + d.path + "\":"),
-          s"openapi document is missing path ${d.path}")
-        val pathObj = body.substring(body.indexOf("\"" + d.path + "\":"))
+        val from = starts(d.path)
+        assert(from >= 0, s"openapi document is missing path ${d.path}")
+        val to = starts.values.filter(_ > from)
+          .minOption.getOrElse(body.length)
+        val pathObj = body.substring(from, to)
         assert(pathObj.contains("\"" + d.method + "\":"),
           s"${d.path} is missing method ${d.method}")
         for ((n, in) <- d.params)

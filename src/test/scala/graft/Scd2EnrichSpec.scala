@@ -44,6 +44,29 @@ class Scd2EnrichSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("a legacy flat-append outDir is refused, not silently duplicated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2legacy").toString
+    // fabricate the pre-round-9 layout: a loose parquet file under
+    // data/ plus a _batch_0 marker at the outDir root
+    Seq((1L, 7L, new java.sql.Timestamp(0L)))
+      .toDF("event_id", "user_id", "ts").coalesce(1)
+      .write.parquet(s"$dir/out/data")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/out/_batch_0"))
+    val facts = Seq((2L, 7L, new java.sql.Timestamp(1000L)))
+      .toDF("event_id", "user_id", "ts")
+    facts.coalesce(1).write.parquet(s"$dir/facts_in/b0")
+    val factStream = spark.readStream.schema(facts.schema)
+      .parquet(s"$dir/facts_in/*")
+    val q = StreamingOps.scd2EnrichedTo(factStream, s"$dir/dimstate", s"$dir/out")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("legacy flat-append") ||
+      Option(e.getCause).exists(_.getMessage.contains("legacy flat-append")))
+    GraftSession.release(spark)
+  }
+
   test("a fact predating every dimension version survives with null dims") {
     import spark.implicits._
     val dim = Seq((7L, "signup", 1L, 1000L, Option.empty[Long]))
