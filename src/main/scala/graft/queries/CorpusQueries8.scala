@@ -53,6 +53,40 @@ object CorpusQueries8 {
           ($"cum_toks" <= Budget).as("selected"))
     },
 
+    // `corpus_ngram_novelty` — per-document NOVELTY (round 9): the
+    // share of a doc's distinct word-3-shingles never seen in any
+    // EARLIER doc (doc_id order = arrival order) — the
+    // redundancy-over-time curve corpus reports plot to show returns
+    // diminishing as a crawl grows (a shingle is novel iff this doc is
+    // its min-doc_id owner). All integer counts + one division; docs
+    // under 3 words have no shingles and emit novelty null (not 0 —
+    // "nothing to judge" must not read as "fully redundant"). Scale
+    // shape: one explode + min-aggregate over the shingle key (map-side
+    // partial), one join back on doc_id — postings-shaped, never
+    // all-pairs.
+    "corpus_ngram_novelty" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions.word_shingles
+      val docs = graft.operators.Parallelism.ensure(
+        Tables.load(s, dir, "documents"))
+      val sh = docs.select($"doc_id",
+          explode(word_shingles($"text", 3)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val firstOwner = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+      val novel = sh.join(firstOwner, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select($"doc_id").join(novel, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+          coalesce($"n_novel", lit(0L)).as("n_novel"),
+          when($"n_shingles" > 0,
+            $"n_novel".cast("double") / $"n_shingles".cast("double"))
+            .as("novelty"))
+    },
+
     // `corpus_ccnet` — the CCNet-SHAPED curation funnel (round 9,
     // Wenzek et al. 2020 — THE reference LLM corpus pipeline) as ONE
     // oracle-gated capstone chaining the separately-gated stages:
@@ -140,6 +174,28 @@ object CorpusQueries8 {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= $Budget)
          |    AS selected
          |FROM sc""".stripMargin,
+
+    "corpus_ngram_novelty" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(
+         |      range(0, len(string_split(text, ' ')) - 2),
+         |      gi -> string_split(text, ' ')[CAST(gi + 1 AS INT)] || ' ' ||
+         |        string_split(text, ' ')[CAST(gi + 2 AS INT)] || ' ' ||
+         |        string_split(text, ' ')[CAST(gi + 3 AS INT)]))) AS sh
+         |  FROM documents),
+         |fo AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh),
+         |nv AS (SELECT s.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN fo.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM s JOIN fo USING (sh) GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(nv.n_shingles, 0) AS n_shingles,
+         |  coalesce(nv.n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(nv.n_shingles, 0) > 0
+         |    THEN CAST(nv.n_novel AS DOUBLE) / CAST(nv.n_shingles AS DOUBLE)
+         |  END AS novelty
+         |FROM documents d LEFT JOIN nv ON d.doc_id = nv.doc_id""".stripMargin,
 
     // the stage predicates in the seed CTE, then the
     // corpus_prepare_fuzzy recursive-closure + keep-best machinery,

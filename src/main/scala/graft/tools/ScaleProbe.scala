@@ -109,7 +109,7 @@ object ScaleProbe {
       "text_quality_clf", "dedup_eval", "ann_knn_graph",
       "ann_graph_search", "ann_auc", "dedup_cluster_stats",
       "corpus_token_budget", "text_zipf_audit", "corpus_ccnet",
-      "q115_time_to_convert", "q116_rfm")
+      "q115_time_to_convert", "q116_rfm", "corpus_ngram_novelty")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
