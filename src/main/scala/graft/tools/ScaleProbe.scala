@@ -105,11 +105,12 @@ object ScaleProbe {
       "q110_decile_gain", "dq_benford",
       "q111_emd", "q112_autocorr", "q113_reach_funnel",
       "q114_new_vs_returning", "corpus_dsir", "dq_skew_report",
-      // round-9
-      "text_quality_clf", "dedup_eval", "ann_knn_graph",
+      // round-9 (dedup_eval / ann_knn_graph already listed above)
+      "text_quality_clf",
       "ann_graph_search", "ann_auc", "dedup_cluster_stats",
       "corpus_token_budget", "text_zipf_audit", "corpus_ccnet",
-      "q115_time_to_convert", "q116_rfm", "corpus_ngram_novelty")
+      "q115_time_to_convert", "q116_rfm", "corpus_ngram_novelty",
+      "q117_ltv_triangle")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
