@@ -30,6 +30,7 @@ object SparkEntry {
       MultimodalQueries2.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
       CorpusQueries5.defs ++ CorpusQueries6.defs ++ CorpusQueries7.defs ++ CorpusQueries8.defs ++
+      CorpusQueries9.defs ++
       FeatureQueries.defs ++ FeatureQueries2.defs ++ FeatureQueries3.defs ++
       FeatureQueries4.defs ++
       SketchQueries.defs
@@ -57,6 +58,7 @@ object SparkEntry {
       MultimodalQueries2.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++
       CorpusQueries5.oracles ++ CorpusQueries6.oracles ++ CorpusQueries7.oracles ++ CorpusQueries8.oracles ++
+      CorpusQueries9.oracles ++
       FeatureQueries.oracles ++ FeatureQueries2.oracles ++ FeatureQueries3.oracles ++
       FeatureQueries4.oracles ++
       SketchQueries.oracles

@@ -183,6 +183,21 @@ object Transforms {
     // checkpoint-bounded pointer-jumping CC, and a window on the
     // high-cardinality component key (map-side WindowGroupLimit) — the
     // corpus_prepare_fuzzy chain, declaratively.
+    //
+    // RECALL (round 10): candidate recall is set by the LSH banding,
+    // not the exact verify — a fixed 32-band/r=4 split of the 128
+    // hashes catches a true J=0.5 pair with only p = 1-(1-J^4)^32 ~
+    // 0.87, silently losing ~13% of near-threshold duplicates (the
+    // sign-LSH-at-cosine-0.5 class). So rows-per-band is DERIVED from
+    // the rational threshold (integer compares, coarsest r in
+    // {8,4,2,1} keeping per-pair recall >= ~99.9% at tau):
+    //   tau >= 7/8  -> r=8 (16 bands)   tau >= 2/3 -> r=4 (32 bands)
+    //   tau >= 1/3  -> r=2 (64 bands)   tau >= 1/16 -> r=1 (128 bands)
+    // and tau < 1/16 is refused (the band join degenerates toward
+    // all-pairs; that threshold does not mean "near-duplicate").
+    // Smaller r = more false candidates for the exact verify to
+    // discard — recall is bought with verify work, never lost
+    // silently.
     case "neardedup" =>
       val props = t.properties
       def req(k: String) = props.getOrElse(k, throw new IllegalArgumentException(
@@ -204,7 +219,17 @@ object Transforms {
         "(deterministic survivor — include a unique tiebreak column)")
       require(idCol == "id" || !df.columns.contains("id"),
         "neardedup reserves the column name `id` unless it IS the id column")
+      require(tauNum.toLong * 16 >= tauDen,
+        s"neardedup threshold $tauNum/$tauDen < 1/16: LSH candidate " +
+          "generation degenerates toward all-pairs at that similarity — " +
+          "raise the threshold or use an exact pairwise method")
+      val rowsPerBand =
+        if (tauNum.toLong * 8 >= tauDen.toLong * 7) 8
+        else if (tauNum.toLong * 3 >= tauDen.toLong * 2) 4
+        else if (tauNum.toLong * 3 >= tauDen.toLong) 2
+        else 1
       val pairs = Dedup.minhashPairsText(df, idCol, textCol, mode, n,
+          bands = 128 / rowsPerBand,
           tauNum = tauNum, tauDen = tauDen)
         .select(col("id_a"), col("id_b"))
       // rename the id back BEFORE the survivor window so orderBy can

@@ -23,17 +23,41 @@ object PipelineRunner {
   def buildStream(spark: SparkSession, spec: PipelineSpec): DataFrame =
     Transforms(Sources.readStream(spark, spec.source), spec.transformations)
 
+  /** Batch pipelines currently inside runBatch on this JVM — gates the
+    * post-pipeline block sweep (see below).
+    */
+  private val inFlightBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def runBatch(spark: SparkSession, spec: PipelineSpec): Unit = {
-    Sinks.write(buildBatch(spark, spec), spec.sink)
     // stages that persist internally (neardedup's signature/candidate
     // frames, connected-components checkpoints) must not outlive the
     // pipeline on a long-running session (the REST server's JVM):
     // un-released blocks accumulate as old-gen pressure — the Bench
-    // release() lesson applied to the pipeline surface. Session-global
-    // by nature: a concurrent pipeline's cached frames recompute
-    // transparently (correctness unaffected, a one-off perf cost).
-    if (spec.transformations.exists(_.kind == "neardedup"))
-      graft.GraftSession.release(spark)
+    // release() lesson applied to the pipeline surface. The sweep must
+    // NOT be the session-global GraftSession.release: RestServer runs
+    // submits on a thread pool, and localCheckpointed frames (the CC
+    // loop's) have TRUNCATED lineage — a global unpersist under a
+    // concurrently-running pipeline or streaming fold loses blocks
+    // that cannot be recomputed (checkpoint-block-not-found, a
+    // correctness failure, not a perf cost). So: (a) scope the sweep
+    // to RDDs that did not exist before this pipeline started, and
+    // (b) skip it entirely unless this is the only in-flight batch
+    // pipeline AND no streaming query is active — blocks skipped here
+    // are swept by the next solo neardedup pipeline's diff-free run or
+    // an explicit GraftSession.release at a known-quiet point.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    inFlightBatch.incrementAndGet()
+    try Sinks.write(buildBatch(spark, spec), spec.sink)
+    finally {
+      val alone = inFlightBatch.decrementAndGet() == 0
+      if (spec.transformations.exists(_.kind == "neardedup") && alone &&
+          spark.streams.active.isEmpty) {
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = true)
+        }
+      }
+    }
   }
 
   def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery =

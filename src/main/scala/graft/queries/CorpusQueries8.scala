@@ -18,14 +18,15 @@ import graft.operators.Dedup
   * running total, selected flag) — the auditable form of a selection;
   * the manifest is one rollup away.
   *
-  * Parity discipline: the score is the committed rational-weight
-  * scorer (integer S over 1000·n, one IEEE division — identical
-  * expression both engines, so the ORDER is engine-identical too);
-  * the running total is an exact integer prefix sum over that order;
-  * the selection compare is integer. Scale shape: ONE hash shuffle on
-  * source, per-source window prefix sum (rides the same exchange);
-  * zero-token docs are excluded up front (they can neither spend
-  * budget nor be ranked).
+  * Parity discipline: the score is the TRAINED rational-weight scorer
+  * (round 10 — TextQueries6.trainedContrib, integer S over 10^6·n,
+  * one IEEE division — identical expression both engines, so the
+  * ORDER is engine-identical too); the running total is an exact
+  * integer prefix sum over that order; the selection compare is
+  * integer. Scale shape: one training pass (map + 1024-key agg), ONE
+  * hash shuffle on source, per-source window prefix sum (rides the
+  * same exchange); zero-token docs are excluded up front (they can
+  * neither spend budget nor be ranked).
   */
 object CorpusQueries8 {
 
@@ -36,14 +37,16 @@ object CorpusQueries8 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> { (s, dir) =>
       import s.implicits._
+      val wts = TextQueries6.trainedWeights(s, dir)
       val scored = Tables.load(s, dir, "documents")
         .select($"doc_id", $"source",
           size(TextQueries6.qualityToks).cast("long").as("n_toks"),
-          aggregate(TextQueries6.qualityContrib, lit(0L),
+          aggregate(TextQueries6.trainedContrib(wts), lit(0L),
             (acc, x) => acc + x).as("s_num"))
         .filter($"n_toks" > 0)
         .withColumn("score",
-          $"s_num".cast("double") / ($"n_toks".cast("double") * 1000.0))
+          $"s_num".cast("double") /
+            ($"n_toks".cast("double") * TextQueries6.WDen.toDouble))
       val w = Window.partitionBy($"source")
         .orderBy($"score".desc, $"doc_id".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -92,14 +95,22 @@ object CorpusQueries8 {
     // oracle-gated capstone chaining the separately-gated stages:
     // (1) language-ID gate — keep docs whose text_langid prediction
     // matches the labeled lang (CCNet's fastText lang filter);
-    // (2) model-quality gate — the text_quality_clf committed-rational
-    // scorer at the same τ = −1/50 (CCNet's LM-perplexity tier,
-    // linearized); (3) near-dup dedup over the survivors — simhash
+    // (2) model-quality gate — the text_quality_clf TRAINED rational
+    // scorer at the same τ = 0 centroid rule (round 10; CCNet's
+    // model tier with weights actually learned from the corpus);
+    // (3) PERPLEXITY tier (round 10 — the stage CCNet actually buckets
+    // by, Wenzek et al. §4.3): per-lang head/middle/tail terciles of
+    // bigram-LM mean surprisal bits over the quality survivors
+    // (corpus_ppl_buckets' float-free machinery — the LM is trained on
+    // the FULL corpus; docs with no bigrams cannot be graded and fail
+    // the tier), keeping head+middle — CCNet's default retention;
+    // (4) near-dup dedup over the survivors — simhash
     // pair graph → connected components → keep-best (longest, id
     // tie-break; CCNet dedups by paragraph hash — this corpus' analog
     // is the audited fuzzy chain). Output: the per-lang funnel
-    // manifest (n_raw → n_lang_ok → n_quality_ok → n_survivors +
-    // survivor_tokens) — the report a curation run publishes. Langs
+    // manifest (n_raw → n_lang_ok → n_quality_ok → n_ppl_ok →
+    // n_survivors + survivor_tokens) — the report a curation run
+    // publishes. Langs
     // whose docs all fail upstream still emit (0-coalesced left join):
     // a funnel with missing rows misreads attrition. All counts exact
     // integers; the one chain recomputation the oracle needs is the
@@ -109,6 +120,7 @@ object CorpusQueries8 {
       import s.implicits._
       import graft.functions.GraftFunctions._
       val scores = lang_scores($"text")
+      val wts = TextQueries6.trainedWeights(s, dir)
       val base0 = Tables.load(s, dir, "documents")
       val scoredBase = scores.foldLeft(base0) {
         case (d, (l, c)) => d.withColumn(s"__s_$l", c)
@@ -117,19 +129,30 @@ object CorpusQueries8 {
         .withColumn("pred",
           lang_predict(scores.map { case (l, _) => l -> col(s"__s_$l") }))
         .withColumn("n_toks", size(TextQueries6.qualityToks).cast("long"))
-        .withColumn("s_num", aggregate(TextQueries6.qualityContrib, lit(0L),
-          (a, x) => a + x))
+        .withColumn("s_num", aggregate(TextQueries6.trainedContrib(wts),
+          lit(0L), (a, x) => a + x))
         .withColumn("lang_ok", $"pred" === $"lang")
         .withColumn("quality_ok", $"lang_ok" && $"n_toks" > 0 &&
           $"s_num" * TextQueries6.TauDen >=
-            lit(TextQueries6.TauNum) * 1000L * $"n_toks")
+            lit(TextQueries6.TauNum) * TextQueries6.WDen * $"n_toks")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gated = base.filter($"quality_ok")
-        .select($"doc_id", $"lang", $"n_chars", $"n_toks",
+        .select($"doc_id", $"lang", $"text", $"n_chars", $"n_toks",
           words($"text").as("__ws"))
-      val pairs = Dedup.simhashPairs(gated, "doc_id", "__ws", maxHamming = 3)
+      // ppl tier: LM over the FULL corpus, scored on the gated docs;
+      // bits is consumed twice (RankSelect counts pass + assignment)
+      val bits = CorpusQueries9.docBits(base0, gated)
+        .withColumn("mean_bits", $"s_e".cast("double") / $"m".cast("double"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pplKeep = CorpusQueries9.withTercile(bits)
+        .filter($"tercile" <= 2L)
+        .select($"doc_id", $"lang")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = gated.join(pplKeep.select($"doc_id"), Seq("doc_id"),
+        "left_semi")
+      val pairs = Dedup.simhashPairs(kept, "doc_id", "__ws", maxHamming = 3)
       val comp = Dedup.connectedComponents(
-        gated.select($"doc_id".as("id"), $"lang", $"n_chars", $"n_toks"),
+        kept.select($"doc_id".as("id"), $"lang", $"n_chars", $"n_toks"),
         pairs)
       val byComponent = Window.partitionBy($"component")
         .orderBy($"n_chars".desc, $"id".asc)
@@ -139,10 +162,13 @@ object CorpusQueries8 {
           count(lit(1)).as("n_raw"),
           sum(when($"lang_ok", 1L).otherwise(0L)).as("n_lang_ok"),
           sum(when($"quality_ok", 1L).otherwise(0L)).as("n_quality_ok"))
+        .join(pplKeep.groupBy($"lang").agg(count(lit(1)).as("n_ppl_ok")),
+          Seq("lang"), "left")
         .join(surv.groupBy($"lang").agg(
           count(lit(1)).as("n_survivors"),
           sum($"n_toks").as("survivor_tokens")), Seq("lang"), "left")
         .select($"lang", $"n_raw", $"n_lang_ok", $"n_quality_ok",
+          coalesce($"n_ppl_ok", lit(0L)).as("n_ppl_ok"),
           coalesce($"n_survivors", lit(0L)).as("n_survivors"),
           coalesce($"survivor_tokens", lit(0L)).as("survivor_tokens"))
     }
@@ -155,15 +181,15 @@ object CorpusQueries8 {
     s"len(list_filter(string_split(text, ' '), gw -> gw IN ($set)))"
 
   val oracles: Map[String, String] = Map(
+    // gw_doc only holds docs with >= 1 token, so the inner join IS the
+    // n_toks > 0 filter
     "corpus_token_budget" ->
-      s"""WITH s AS (SELECT doc_id, source,
-         |    ${TextQueries6.qualityNtoksSql} AS n_toks,
-         |    ${TextQueries6.qualitySnumSql} AS s_num
-         |  FROM documents),
-         |sc AS (SELECT doc_id, source, n_toks,
-         |    CAST(s_num AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1000.0)
+      s"""WITH ${TextQueries6.trainedCtes},
+         |sc AS (SELECT d.doc_id, d.source, g.n_toks,
+         |    CAST(g.s_num AS DOUBLE)
+         |      / (CAST(g.n_toks AS DOUBLE) * ${TextQueries6.WDen}.0)
          |      AS score
-         |  FROM s WHERE n_toks > 0)
+         |  FROM documents d JOIN gw_doc g ON d.doc_id = g.doc_id)
          |SELECT doc_id, source, n_toks, score,
          |  CAST(sum(n_toks) OVER (PARTITION BY source
          |    ORDER BY score DESC, doc_id ASC
@@ -201,15 +227,16 @@ object CorpusQueries8 {
     // corpus_prepare_fuzzy recursive-closure + keep-best machinery,
     // then the funnel rollup (0-coalesced left join keeps empty langs)
     "corpus_ccnet" ->
-      s"""WITH RECURSIVE raw AS (SELECT doc_id, lang, text, n_chars,
+      s"""WITH RECURSIVE ${TextQueries6.trainedCtes},
+         |raw AS (SELECT d.doc_id, d.lang, d.text, d.n_chars,
          |    ${sqlCount(markerList("de"))} AS s_de,
          |    ${sqlCount(markerList("en"))} AS s_en,
          |    ${sqlCount(markerList("es"))} AS s_es,
          |    ${sqlCount(markerList("fr"))} AS s_fr,
          |    ${sqlCount(markerList("zh"))} AS s_zh,
-         |    ${TextQueries6.qualityNtoksSql} AS n_toks,
-         |    ${TextQueries6.qualitySnumSql} AS s_num
-         |  FROM documents),
+         |    coalesce(g.n_toks, 0) AS n_toks,
+         |    coalesce(g.s_num, 0) AS s_num
+         |  FROM documents d LEFT JOIN gw_doc g ON d.doc_id = g.doc_id),
          |flags AS (SELECT doc_id, lang, text, n_chars, n_toks, s_num,
          |    (CASE
          |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
@@ -222,18 +249,27 @@ object CorpusQueries8 {
          |f2 AS (SELECT *,
          |    (lang_ok AND n_toks > 0 AND
          |     s_num * ${TextQueries6.TauDen} >=
-         |       (${TextQueries6.TauNum}) * 1000 * n_toks) AS quality_ok
+         |       (${TextQueries6.TauNum}) * ${TextQueries6.WDen} * n_toks)
+         |      AS quality_ok
          |  FROM flags),
          |docs AS (SELECT doc_id, lang, text, n_chars, n_toks FROM f2
          |         WHERE quality_ok),
-         |${DedupQueries.simhashCtes("docs")},
+         |${CorpusQueries9.pplCtes("docs")},
+         |ppl AS (SELECT doc_id, lang,
+         |    CAST(ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY CAST(s_e AS DOUBLE) / CAST(m AS DOUBLE) ASC,
+         |        doc_id ASC) AS BIGINT) AS tercile
+         |  FROM gp_doc),
+         |docs2 AS (SELECT d.* FROM docs d JOIN ppl p
+         |  ON d.doc_id = p.doc_id WHERE p.tercile <= 2),
+         |${DedupQueries.simhashCtes("docs2")},
          |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
          |edges AS (SELECT id_a AS u, id_b AS v FROM prs
          |  UNION ALL SELECT id_b, id_a FROM prs),
          |reach(u, lbl) AS (
-         |  SELECT doc_id, doc_id FROM docs
+         |  SELECT doc_id, doc_id FROM docs2
          |  UNION
          |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
          |comp AS (SELECT u AS doc_id, min(lbl) AS component
@@ -241,11 +277,13 @@ object CorpusQueries8 {
          |j AS (SELECT c.component, d.lang, d.n_toks,
          |    row_number() OVER (PARTITION BY c.component
          |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
-         |  FROM comp c JOIN docs d ON d.doc_id = c.doc_id),
+         |  FROM comp c JOIN docs2 d ON d.doc_id = c.doc_id),
          |surv AS (SELECT lang,
          |    CAST(count(*) AS BIGINT) AS n_survivors,
          |    CAST(sum(n_toks) AS BIGINT) AS survivor_tokens
          |  FROM j WHERE rn = 1 GROUP BY lang),
+         |pf AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ppl_ok
+         |  FROM ppl WHERE tercile <= 2 GROUP BY lang),
          |fun AS (SELECT lang,
          |    CAST(count(*) AS BIGINT) AS n_raw,
          |    CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
@@ -254,8 +292,10 @@ object CorpusQueries8 {
          |      AS n_quality_ok
          |  FROM f2 GROUP BY lang)
          |SELECT fun.lang, fun.n_raw, fun.n_lang_ok, fun.n_quality_ok,
+         |  coalesce(pf.n_ppl_ok, 0) AS n_ppl_ok,
          |  coalesce(surv.n_survivors, 0) AS n_survivors,
          |  coalesce(surv.survivor_tokens, 0) AS survivor_tokens
-         |FROM fun LEFT JOIN surv ON fun.lang = surv.lang""".stripMargin
+         |FROM fun LEFT JOIN surv ON fun.lang = surv.lang
+         |  LEFT JOIN pf ON fun.lang = pf.lang""".stripMargin
   )
 }

@@ -21,13 +21,26 @@ import graft.Tables
   * Scale note: the three global ntile windows sort the CUSTOMER
   * dimension (n_cust rows, 1/10th of orders here) — the q41 global-
   * window class; at 100 TB the customer dim is still dimension-sized,
-  * and the RankSelect ladder is the fallback if it ever isn't.
+  * and the RankSelect ladder is the fallback if it ever isn't. That
+  * assumption is ENFORCED, not assumed (round 10, the q110 exact-
+  * regime `require` pattern): the customer-table row count (a
+  * parquet-metadata count, and an upper bound on the per-customer
+  * frame since o_custkey references customer) must stay under the
+  * single-task global-sort ceiling or the query fails loudly naming
+  * the ladder fallback instead of silently serializing a fact-sized
+  * sort onto one core.
   */
 object RelationalQueries16 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_rfm" -> { (s, dir) =>
       import s.implicits._
+      val nCust = Tables.load(s, dir, "customer").count()
+      require(nCust <= 20000000L,
+        s"q116_rfm's global ntile windows single-task-sort the customer " +
+          s"dimension, but customer has $nCust rows > the 20M guard: " +
+          "switch the quartile coding to operators.RankSelect (exact " +
+          "per-group rank at full parallelism) before running at this size")
       val o = Tables.load(s, dir, "orders")
         .select($"o_custkey", to_date($"o_orderdate").as("d"),
           $"o_totalprice".cast("decimal(15,2)").as("p"))

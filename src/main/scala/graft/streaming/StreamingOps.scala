@@ -446,11 +446,35 @@ object StreamingOps {
     * [[bitmapDistinctCount]]. Exactly-once replay/reset guards are the
     * shared [[versionedStateSink]] harness; BitmapStreamSpec proves
     * streamed state == the one-pass batch distinct.
+    *
+    * Resuming a PRE-round-9 state dir is REFUSED (the scd2EnrichedTo
+    * legacy-layout discipline): the old presence-only quarantine row
+    * is exactly `(seg = -1, bits = 0)` — unambiguous, since the
+    * count semantics never write a zero-count quarantine row — and
+    * merging it silently would report "violations since the upgrade"
+    * as the all-time count. Delete the quarantine row from the legacy
+    * state (accepting the partial count) or replay from a fresh
+    * stateDir to resume.
     */
   def bitmapDistinctMaintained(stream: DataFrame, keyCol: String,
       stateDir: String, name: String,
-      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    // once per run, on the first batch that loads prior state: a
+    // one-row scan of the (key-space/32)-bounded state frame
+    @volatile var legacyChecked = false
     versionedStateSink(stream, stateDir, name, retainVersions) { (prev, batch) =>
+      if (!legacyChecked) {
+        prev.foreach { p =>
+          if (p.filter(col("seg") === -1L && col("bits") === 0L).limit(1)
+              .count() > 0)
+            throw new IllegalStateException(
+              s"$stateDir holds a pre-round-9 bitmapDistinctMaintained state " +
+                "(presence-only quarantine row seg=-1/bits=0): resuming would " +
+                "silently undercount violations. Drop the quarantine row from " +
+                "the legacy state or restart from a fresh stateDir.")
+        }
+        legacyChecked = true
+      }
       val delta = segMerge(batch.toDF().select(
         when(col(keyCol) >= 0L, expr(s"$keyCol DIV 32")).otherwise(lit(-1L))
           .as("seg"),
@@ -459,6 +483,7 @@ object StreamingOps {
           .otherwise(lit(1L)).as("bits")))
       prev.fold(delta)(p => segMerge(p.unionByName(delta)))
     }
+  }
 
   /** Segment merge shared by the bitmap folds: real segments bit_or
     * their bits (idempotent/commutative), the seg = -1 quarantine row
