@@ -30,7 +30,12 @@ object Bench {
     // pass below measures steady-state throughput — the quantity that
     // actually extrapolates to a long-running cluster. No data is cached
     // across passes (clearCache after every query).
-    sorted.foreach { case (_, fn) =>
+    // Per-query stderr markers (round 10): a JVM-killing failure (an
+    // executor-thread OOM escapes the per-query catch via
+    // SparkUncaughtExceptionHandler's exit) is attributable from the
+    // log tail instead of anonymous — stdout stays JSON-only.
+    sorted.foreach { case (name, fn) =>
+      System.err.println(s"[bench] warmup $name")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       release()
     }
@@ -61,6 +66,7 @@ object Bench {
     val osBean =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def timedPass(): Seq[(String, Double, Boolean, Double)] = sorted.map { case (name, fn) =>
+      System.err.println(s"[bench] timing $name")
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -25,7 +25,8 @@ object SparkEntry {
       DedupQueries4.defs ++ DedupQueries5.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++
-      SimilarityQueries5.defs ++ SimilarityQueries6.defs ++ ClusterQueries.defs ++
+      SimilarityQueries5.defs ++ SimilarityQueries6.defs ++
+      SimilarityQueries7.defs ++ ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++
       MultimodalQueries2.defs ++ CorpusQueries.defs ++
       CorpusQueries2.defs ++ CorpusQueries3.defs ++ CorpusQueries4.defs ++
@@ -53,7 +54,8 @@ object SparkEntry {
       DedupQueries4.oracles ++ DedupQueries5.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++
-      SimilarityQueries5.oracles ++ SimilarityQueries6.oracles ++ ClusterQueries.oracles ++
+      SimilarityQueries5.oracles ++ SimilarityQueries6.oracles ++
+      SimilarityQueries7.oracles ++ ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++
       MultimodalQueries2.oracles ++ CorpusQueries.oracles ++
       CorpusQueries2.oracles ++ CorpusQueries3.oracles ++ CorpusQueries4.oracles ++

@@ -108,31 +108,7 @@ object Transforms {
     // untouched.
     case "quality" =>
       val props = t.properties
-      val rules: Seq[Quality.Rule] = props.get("rules") match {
-        case Some(rs: Seq[_]) => rs.map {
-          case rm: Map[_, _] =>
-            val m = rm.asInstanceOf[Map[String, Any]]
-            val c = m.getOrElse("column", throw new IllegalArgumentException(
-              "quality rule requires a `column`")).toString
-            m.getOrElse("kind", "").toString match {
-              case "not_null" => Quality.NotNull(c)
-              case "non_empty" => Quality.NonEmpty(c)
-              case "in_set" => Quality.InSet(c,
-                m.getOrElse("allowed", "").toString
-                  .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              case "bounds" => Quality.Bounds(c,
-                m.getOrElse("lo", "0").toString.toDouble,
-                m.getOrElse("hi", "0").toString.toDouble)
-              case "unique" => Quality.Unique(c)
-              case other => throw new IllegalArgumentException(
-                s"Unknown quality rule kind: $other")
-            }
-          case other => throw new IllegalArgumentException(
-            s"quality rule must be a mapping, got $other")
-        }
-        case _ => throw new IllegalArgumentException(
-          "quality transform requires a `rules` list")
-      }
+      val rules = parseQualityRules(props)
       val maxV = props.getOrElse("maxViolations", "0").toString.toLong
       val row = Quality.audit(df, rules).head()
       val breached = rules.map(r => r.name -> row.getAs[Long](r.name))
@@ -199,36 +175,11 @@ object Transforms {
     // discard — recall is bought with verify work, never lost
     // silently.
     case "neardedup" =>
-      val props = t.properties
-      def req(k: String) = props.getOrElse(k, throw new IllegalArgumentException(
-        s"neardedup transform requires a `$k` property")).toString
-      val idCol = req("id")
-      val textCol = req("text")
-      val mode = props.getOrElse("mode", "word").toString
-      require(Set("word", "char").contains(mode),
-        s"neardedup mode must be word or char, got $mode")
-      val n = props.getOrElse("ngram", "3").toString.toInt
-      val thr = props.getOrElse("threshold", "1/2").toString.split("/")
-      require(thr.length == 2 && thr.forall(_.trim.matches("\\d+")),
-        "neardedup threshold must be a rational num/den (e.g. 1/2, 19/20)")
-      val (tauNum, tauDen) = (thr(0).trim.toInt, thr(1).trim.toInt)
-      require(tauNum >= 1 && tauDen >= tauNum,
-        s"neardedup threshold must satisfy 0 < num/den <= 1, got $tauNum/$tauDen")
-      val order = req("orderBy").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      require(order.nonEmpty, "neardedup orderBy must name at least one column " +
-        "(deterministic survivor — include a unique tiebreak column)")
+      val cfg = parseNearDedup(t.properties)
+      import cfg._
       require(idCol == "id" || !df.columns.contains("id"),
         "neardedup reserves the column name `id` unless it IS the id column")
-      require(tauNum.toLong * 16 >= tauDen,
-        s"neardedup threshold $tauNum/$tauDen < 1/16: LSH candidate " +
-          "generation degenerates toward all-pairs at that similarity — " +
-          "raise the threshold or use an exact pairwise method")
-      val rowsPerBand =
-        if (tauNum.toLong * 8 >= tauDen.toLong * 7) 8
-        else if (tauNum.toLong * 3 >= tauDen.toLong * 2) 4
-        else if (tauNum.toLong * 3 >= tauDen.toLong) 2
-        else 1
-      val pairs = Dedup.minhashPairsText(df, idCol, textCol, mode, n,
+      val pairs = Dedup.minhashPairsText(df, idCol, textCol, mode, ngram,
           bands = 128 / rowsPerBand,
           tauNum = tauNum, tauDen = tauDen)
         .select(col("id_a"), col("id_b"))
@@ -245,6 +196,77 @@ object Transforms {
 
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }
+
+  /** Parsed + validated neardedup stage config — shared by the batch
+    * stage and the streaming runner's fold mapping (round 10: the two
+    * surfaces must refuse identically).
+    */
+  private[graft] case class NearDedupCfg(idCol: String, textCol: String,
+      mode: String, ngram: Int, tauNum: Int, tauDen: Int,
+      rowsPerBand: Int, order: Seq[String])
+
+  private[graft] def parseNearDedup(props: Map[String, Any]): NearDedupCfg = {
+    def req(k: String) = props.getOrElse(k, throw new IllegalArgumentException(
+      s"neardedup transform requires a `$k` property")).toString
+    val idCol = req("id")
+    val textCol = req("text")
+    val mode = props.getOrElse("mode", "word").toString
+    require(Set("word", "char").contains(mode),
+      s"neardedup mode must be word or char, got $mode")
+    val n = props.getOrElse("ngram", "3").toString.toInt
+    val thr = props.getOrElse("threshold", "1/2").toString.split("/")
+    require(thr.length == 2 && thr.forall(_.trim.matches("\\d+")),
+      "neardedup threshold must be a rational num/den (e.g. 1/2, 19/20)")
+    val (tauNum, tauDen) = (thr(0).trim.toInt, thr(1).trim.toInt)
+    require(tauNum >= 1 && tauDen >= tauNum,
+      s"neardedup threshold must satisfy 0 < num/den <= 1, got $tauNum/$tauDen")
+    require(tauNum.toLong * 16 >= tauDen,
+      s"neardedup threshold $tauNum/$tauDen < 1/16: LSH candidate " +
+        "generation degenerates toward all-pairs at that similarity — " +
+        "raise the threshold or use an exact pairwise method")
+    val order = req("orderBy").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(order.nonEmpty, "neardedup orderBy must name at least one column " +
+      "(deterministic survivor — include a unique tiebreak column)")
+    // recall-preserving banding derived from the threshold (see the
+    // stage comment): coarsest r keeping per-pair candidate recall
+    // >= ~99.9% at tau
+    val rowsPerBand =
+      if (tauNum.toLong * 8 >= tauDen.toLong * 7) 8
+      else if (tauNum.toLong * 3 >= tauDen.toLong * 2) 4
+      else if (tauNum.toLong * 3 >= tauDen.toLong) 2
+      else 1
+    NearDedupCfg(idCol, textCol, mode, n, tauNum, tauDen, rowsPerBand, order)
+  }
+
+  /** Parsed quality-stage rules — shared by the batch gate and the
+    * streaming runner's audit-fold mapping.
+    */
+  private[graft] def parseQualityRules(props: Map[String, Any]): Seq[Quality.Rule] =
+    props.get("rules") match {
+      case Some(rs: Seq[_]) => rs.map {
+        case rm: Map[_, _] =>
+          val m = rm.asInstanceOf[Map[String, Any]]
+          val c = m.getOrElse("column", throw new IllegalArgumentException(
+            "quality rule requires a `column`")).toString
+          m.getOrElse("kind", "").toString match {
+            case "not_null" => Quality.NotNull(c)
+            case "non_empty" => Quality.NonEmpty(c)
+            case "in_set" => Quality.InSet(c,
+              m.getOrElse("allowed", "").toString
+                .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            case "bounds" => Quality.Bounds(c,
+              m.getOrElse("lo", "0").toString.toDouble,
+              m.getOrElse("hi", "0").toString.toDouble)
+            case "unique" => Quality.Unique(c)
+            case other => throw new IllegalArgumentException(
+              s"Unknown quality rule kind: $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"quality rule must be a mapping, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "quality transform requires a `rules` list")
+    }
 
   /** "col [ASC|DESC], expr [ASC|DESC], ..." -> sortable Columns (shared
     * by the dedup and neardedup survivor orders).

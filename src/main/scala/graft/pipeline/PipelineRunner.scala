@@ -60,8 +60,101 @@ object PipelineRunner {
     }
   }
 
-  def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery =
-    Sinks.writeStream(buildStream(spark, spec), spec.sink, spec.name)
+  /** Stage kinds that cannot run as a plain row-stream transform and
+    * need a streaming twin (or an explicit refusal).
+    */
+  private val StatefulKinds = Set("neardedup", "quality", "dedup")
+
+  /** Streaming submit. Plain row-local stages (filter / map / expr /
+    * select / sql / aggregate) compose onto the stream as-is. The
+    * STATEFUL YAML stages map to their streaming twins (round 10,
+    * VERDICT r9 task 5):
+    *
+    *  - `neardedup` → [[graft.streaming.StreamingOps.minhashDedupMaintained]]
+    *    (the minhash fold). The fold's survivor rule is "no smaller-id
+    *    near-duplicate has streamed by" with batches arriving in
+    *    non-decreasing id order — so the stage's `orderBy` MUST be the
+    *    id column ascending; any other survivor order needs future
+    *    knowledge (a later better row would retroactively change the
+    *    winner) and is refused. NOTE the contract difference vs batch:
+    *    on transitive chains (A~B, B~C, A≁C) the batch stage's
+    *    connected components keep only A while the fold keeps A and C
+    *    (C has no smaller-id NEIGHBOR) — the incremental rule is
+    *    neighbor-minima, not component-minima; a fully-connected
+    *    duplicate cluster (the common case the stage targets) dedups
+    *    identically. The pipeline's SINK path becomes the fold's
+    *    versioned state dir (read survivors with
+    *    StreamingOps.latestState, is_dup = false).
+    *  - `quality` → [[graft.streaming.StreamingOps.qualityAuditMaintained]]:
+    *    a stream cannot retroactively gate batches already sunk, so
+    *    streaming mode maintains the running audit counts in the sink
+    *    path instead of pass/fail gating; non-row-local rules (unique)
+    *    are refused up front — distinct-key state does not fold.
+    *  - `dedup` → refused: its keep-best-per-key survivor window needs
+    *    the final winner per key, which streaming cannot know; use
+    *    neardedup's id-order contract or run the pipeline in batch
+    *    mode.
+    *
+    * A stateful stage must be the FINAL transform (its output is
+    * versioned state, not a row stream) and the sink must be a
+    * file/parquet path.
+    */
+  def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery = {
+    val stateful = spec.transformations.zipWithIndex
+      .filter { case (t, _) => StatefulKinds.contains(t.kind) }
+    if (stateful.isEmpty)
+      return Sinks.writeStream(buildStream(spark, spec), spec.sink, spec.name)
+    require(stateful.size == 1,
+      s"streaming pipeline '${spec.name}' has ${stateful.size} stateful " +
+        "stages (neardedup/quality/dedup): at most one is supported — " +
+        "its versioned state is the pipeline output")
+    val (stage, idx) = stateful.head
+    require(idx == spec.transformations.size - 1,
+      s"streaming stage `${stage.kind}` must be the final transform in " +
+        s"'${spec.name}': it folds into versioned state, not a row stream")
+    require(Set("file", "parquet").contains(spec.sink.kind) &&
+      spec.sink.properties.contains("path"),
+      s"streaming `${stage.kind}` needs a file/parquet sink with a `path` " +
+        "(the path becomes the fold's versioned state dir)")
+    val stateDir = spec.sink.properties("path")
+    val upstream = Transforms(Sources.readStream(spark, spec.source),
+      spec.transformations.dropRight(1))
+    stage.kind match {
+      case "dedup" =>
+        throw new IllegalArgumentException(
+          s"the `dedup` transform has no streaming twin: its orderBy " +
+            "survivor window needs the final winner per key. Use " +
+            "`neardedup` with the id-ascending order contract, or run " +
+            "this pipeline in batch mode")
+      case "quality" =>
+        val rules = Transforms.parseQualityRules(stage.properties)
+        val nonLocal = rules.filterNot(_.rowLocal).map(_.name)
+        require(nonLocal.isEmpty,
+          s"quality rules [${nonLocal.mkString(", ")}] are not row-local " +
+            "and cannot fold across micro-batches (unique needs " +
+            "distinct-key state); drop them or run in batch mode")
+        graft.streaming.StreamingOps.qualityAuditMaintained(
+          upstream, rules, stateDir, spec.name)
+      case "neardedup" =>
+        val cfg = Transforms.parseNearDedup(stage.properties)
+        val orderOk = cfg.order match {
+          case Seq(one) =>
+            val p = one.split("\\s+")
+            p.head == cfg.idCol &&
+              (p.length == 1 || p.last.equalsIgnoreCase("ASC"))
+          case _ => false
+        }
+        require(orderOk,
+          s"streaming neardedup requires orderBy = `${cfg.idCol}` " +
+            s"(ascending id — the fold's smaller-id-wins contract), got " +
+            s"`${cfg.order.mkString(", ")}`: any other survivor order " +
+            "needs future knowledge and cannot stream")
+        graft.streaming.StreamingOps.minhashDedupMaintained(
+          upstream, cfg.idCol, cfg.textCol, stateDir, spec.name,
+          mode = cfg.mode, n = cfg.ngram, bands = 128 / cfg.rowsPerBand,
+          tauNum = cfg.tauNum, tauDen = cfg.tauDen)
+    }
+  }
 }
 
 /** Named-job manager mirroring the reference's REST surface

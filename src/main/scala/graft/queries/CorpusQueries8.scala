@@ -150,7 +150,7 @@ object CorpusQueries8 {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = gated.join(pplKeep.select($"doc_id"), Seq("doc_id"),
         "left_semi")
-      val pairs = Dedup.simhashPairs(kept, "doc_id", "__ws", maxHamming = 3)
+      val pairs = Dedup.simhashComponentPairs(kept, "doc_id", "__ws", maxHamming = 3)
       val comp = Dedup.connectedComponents(
         kept.select($"doc_id".as("id"), $"lang", $"n_chars", $"n_toks"),
         pairs)

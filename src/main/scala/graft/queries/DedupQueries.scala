@@ -62,7 +62,7 @@ object DedupQueries {
     "dedup_clusters" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .withColumn("__ws", words(col("text")))
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      val pairs = Dedup.simhashComponentPairs(docs, "doc_id", "__ws", maxHamming = 3)
       Dedup.connectedComponents(
           docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("component"))
@@ -79,7 +79,7 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
         .withColumn("__ws", words(col("text")))
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      val pairs = Dedup.simhashComponentPairs(docs, "doc_id", "__ws", maxHamming = 3)
       val comp = Dedup.connectedComponents(
           docs.select(col("doc_id").as("id"), col("n_chars")), pairs)
       val byComponent = Window.partitionBy(col("component"))

@@ -109,7 +109,7 @@ object DedupQueries3 {
           $"stop_cnt" * 100 >= $"n_tokens" * 2)
         .select($"doc_id", $"lang", $"text", $"n_chars")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.simhashPairs(
+      val pairs = Dedup.simhashComponentPairs(
         gated.withColumn("__ws", words($"text")), "doc_id", "__ws",
         maxHamming = 3)
       val comp = Dedup.connectedComponents(

@@ -26,7 +26,7 @@ object DedupQueries5 {
     "dedup_cluster_stats" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .withColumn("__ws", words(col("text")))
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      val pairs = Dedup.simhashComponentPairs(docs, "doc_id", "__ws", maxHamming = 3)
       val comp = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")), pairs)
       comp.groupBy(col("component"))

@@ -41,40 +41,56 @@ object MultimodalQueries2 {
       s"(instr('$HD', substr($c, ${pos + k}, 1))-1)*${1 << (4 * (3 - k))}"
     }.mkString(" + ")
 
+  /** One row per image: media_id + the 4 pre-parsed 16-bit band ints
+    * (persisted — the hex→int parse is 32 instr calls, once per image;
+    * see the mm_dedup comment).
+    */
+  private def phashBandFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.operators.Parallelism.ensure(
+      Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
+    Multimodal.perceptualHash(media).toDF()
+      .select($"media_id" +:
+        (0 until 4).map(k =>
+          expr(s"CAST(${bandInt("phash", k * 4 + 1)} AS BIGINT)")
+            .as(s"w$k")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Banded candidate join + Hamming<=2 verify over a (media_id,
+    * w0..w3) frame — factored so mm_dedup_clusters can run it over
+    * hash-class representatives only.
+    */
+  private def phashPairsFrom(hx: DataFrame): DataFrame = {
+    import hx.sparkSession.implicits._
+    val bands = hx.select($"media_id", $"w0", $"w1", $"w2", $"w3",
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS b, " +
+          "element_at(array(w0, w1, w2, w3), b + 1) AS bv))")).as("e"))
+      .select($"media_id", $"w0", $"w1", $"w2", $"w3",
+        $"e.b".as("b"), $"e.bv".as("bv"))
+    bands.as("x")
+      .join(bands.as("y"), Seq("b", "bv"))
+      .filter($"x.media_id" < $"y.media_id")
+      .select($"x.media_id".as("id_a"), $"y.media_id".as("id_b"),
+        $"x.w0".as("a0"), $"x.w1".as("a1"), $"x.w2".as("a2"), $"x.w3".as("a3"),
+        $"y.w0".as("b0"), $"y.w1".as("b1"), $"y.w2".as("b2"), $"y.w3".as("b3"))
+      .distinct()
+      .withColumn("hamming", expr(
+        (0 until 4).map(k => s"bit_count(a$k ^ b$k)").mkString(" + "))
+        .cast("long"))
+      .filter($"hamming" <= 2L)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val media = graft.operators.Parallelism.ensure(
-        Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
       // one row per image — persist so the band self-join reuses the
       // kernel output instead of running the hash twice. The hex→int
       // band parse runs HERE, once per image: the verify below touches
       // only 4 pre-parsed longs per candidate (the parse is 32 instr
       // calls — per-candidate it dominated the probe 20× at 10× scale)
-      val hx = Multimodal.perceptualHash(media).toDF()
-        .select($"media_id" +:
-          (0 until 4).map(k =>
-            expr(s"CAST(${bandInt("phash", k * 4 + 1)} AS BIGINT)")
-              .as(s"w$k")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = hx.select($"media_id", $"w0", $"w1", $"w2", $"w3",
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS b, " +
-            "element_at(array(w0, w1, w2, w3), b + 1) AS bv))")).as("e"))
-        .select($"media_id", $"w0", $"w1", $"w2", $"w3",
-          $"e.b".as("b"), $"e.bv".as("bv"))
-      bands.as("x")
-        .join(bands.as("y"), Seq("b", "bv"))
-        .filter($"x.media_id" < $"y.media_id")
-        .select($"x.media_id".as("id_a"), $"y.media_id".as("id_b"),
-          $"x.w0".as("a0"), $"x.w1".as("a1"), $"x.w2".as("a2"), $"x.w3".as("a3"),
-          $"y.w0".as("b0"), $"y.w1".as("b1"), $"y.w2".as("b2"), $"y.w3".as("b3"))
-        .distinct()
-        .withColumn("hamming", expr(
-          (0 until 4).map(k => s"bit_count(a$k ^ b$k)").mkString(" + "))
-          .cast("long"))
-        .filter($"hamming" <= 2L)
-        .select($"id_a", $"id_b", $"hamming")
+      phashPairsFrom(phashBandFrame(s, dir))
     },
 
     // `mm_dedup_clusters` — the visual-dedup CAPSTONE (round 8):
@@ -86,9 +102,31 @@ object MultimodalQueries2 {
     // path exactly as corpus_prepare_fuzzy does for text; oracle
     // replays the full chain — phash + bands + Hamming pairs +
     // recursive transitive closure.
+    // Round-10 scale fix (the 10× triage): the stub corpus clusters
+    // phashes so heavily that the full pair graph is quadratic in
+    // hash-group depth (the 10× probe: 498 distinct hashes over 16,667
+    // images, 9.35M hash-identical pairs — 63 s, a 40× scale-up for
+    // 10× data). Components only need CONNECTIVITY: collapse
+    // hash-IDENTICAL images into classes (one groupBy), connect each
+    // member to its min-id representative (hamming-0 star edges,
+    // linear), and run the banded Hamming join over DISTINCT hashes
+    // only — identical components + labels (the
+    // Dedup.simhashComponentPairs argument), at O(n + distinct²-
+    // bounded) edges. mm_dedup keeps the full enumeration: a gated
+    // pair LIST is quadratic by definition.
     "mm_dedup_clusters" -> { (s, dir) =>
       import s.implicits._
-      val pairs = defs("mm_dedup")(s, dir).select($"id_a", $"id_b")
+      val hx = phashBandFrame(s, dir)
+      val classes = hx.groupBy($"w0", $"w1", $"w2", $"w3")
+        .agg(min($"media_id").as("__rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val star = hx.join(classes, Seq("w0", "w1", "w2", "w3"))
+        .filter($"media_id" =!= $"__rep")
+        .select($"__rep".as("id_a"), $"media_id".as("id_b"))
+      val reps = classes.select($"__rep".as("media_id"),
+        $"w0", $"w1", $"w2", $"w3")
+      val pairs = star.unionByName(
+        phashPairsFrom(reps).select($"id_a", $"id_b"))
       val vertices = Tables.load(s, dir, "documents")
         .filter($"doc_id" % 3 === 0).select($"doc_id".as("id"))
       graft.operators.Dedup.connectedComponents(vertices, pairs)

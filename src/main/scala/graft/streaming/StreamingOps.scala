@@ -282,9 +282,12 @@ object StreamingOps {
     */
   def minhashDedupMaintained(docs: DataFrame, idCol: String,
       textCol: String, stateDir: String, name: String,
-      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      retainVersions: Int = 2, mode: String = "word", n: Int = 3,
+      bands: Int = 32, tauNum: Int = 1,
+      tauDen: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     versionedStateSink(docs, stateDir, name, retainVersions) { (prev, batch) =>
-      graft.operators.Dedup.minhashDedupFold(prev, batch.toDF(), idCol, textCol)
+      graft.operators.Dedup.minhashDedupFold(prev, batch.toDF(), idCol,
+        textCol, mode, n, bands = bands, tauNum = tauNum, tauDen = tauDen)
     }
 
   /** Streaming SEMANTIC dedup (SemDeDup incremental): arriving vectors
