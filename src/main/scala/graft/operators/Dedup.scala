@@ -500,8 +500,17 @@ object Dedup {
     */
   def minhashDedupFold(prev: Option[DataFrame], batch: DataFrame,
       idCol: String, textCol: String, mode: String = "word", n: Int = 3,
-      numHashes: Int = 128, bands: Int = 32,
+      numHashes: Int = 128, bands: Int = 0,
       tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    // bands <= 0 = "derive from tau": the recall-preserving banding
+    // (Transforms.recallBandRows — the single rule the YAML stage
+    // uses). A FIXED band count independent of tau silently loses
+    // recall at moderate thresholds (32 bands of r=4 give ~87%
+    // per-pair candidate recall at tau=1/2); explicit callers may
+    // still pin a banding.
+    val bandsEff =
+      if (bands > 0) bands
+      else numHashes / Transforms.recallBandRows(tauNum.toLong, tauDen.toLong)
     val sigsB = Parallelism.ensure(batch)
       .select(col(idCol).as("id"),
         minhash_sig_text(col(textCol), mode, n, numHashes).as("sig"))
@@ -511,9 +520,9 @@ object Dedup {
     // within one batch count — a split must not change the answer)
     val pool = histSigs.map(_.unionByName(sigsB)).getOrElse(sigsB)
     val bandsPool = pool.select(col("id"),
-      explode(minhash_bands(col("sig"), bands)).as("__band"))
+      explode(minhash_bands(col("sig"), bandsEff)).as("__band"))
     val bandsB = sigsB.select(col("id"),
-      explode(minhash_bands(col("sig"), bands)).as("__band"))
+      explode(minhash_bands(col("sig"), bandsEff)).as("__band"))
     // the BATCH side broadcasts (explicit, not left to AQE): history's
     // banded rows stream through the join with NO exchange — per-batch
     // shuffle volume stays O(batch·bands) however large history grows
@@ -538,6 +547,35 @@ object Dedup {
       .select(col("id"), col("sig"),
         coalesce(col("__d"), lit(false)).as("is_dup"))
     prev.map(_.unionByName(stateB)).getOrElse(stateB)
+  }
+
+  /** Near-dup candidate pairs from minhash SIGNATURES alone — the exact
+    * decision rule [[minhashDedupFold]] applies per batch (band-bucket
+    * candidate generation + integer signature-agreement estimate
+    * >= tau), run over a whole (id, sig) frame at once: band self-join
+    * with id_a < id_b, then `agree·tauDen >= numHashes·tauNum`. Because
+    * the rule is identical and deterministic, the pair graph equals the
+    * union of every per-batch fold's pair decisions — which is what the
+    * streaming reconcile pass needs to rewrite neighbor-minima
+    * survivors to batch component-minima. Callers should persist `sigs`
+    * (it feeds the band explode and both verify branches).
+    */
+  def sigEstimatePairs(sigs: DataFrame, numHashes: Int = 128,
+      bands: Int = 0, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val bandsEff =
+      if (bands > 0) bands
+      else numHashes / Transforms.recallBandRows(tauNum.toLong, tauDen.toLong)
+    val banded = sigs.select(col("id"),
+      explode(minhash_bands(col("sig"), bandsEff)).as("__band"))
+    banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .filter(expr("aggregate(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, 0)), " +
+        s"0, (a, b) -> a + b) * $tauDen >= $numHashes * $tauNum"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Incremental SEMANTIC dedup state fold — the embedding counterpart

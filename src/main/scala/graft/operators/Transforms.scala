@@ -227,16 +227,23 @@ object Transforms {
     val order = req("orderBy").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(order.nonEmpty, "neardedup orderBy must name at least one column " +
       "(deterministic survivor — include a unique tiebreak column)")
-    // recall-preserving banding derived from the threshold (see the
-    // stage comment): coarsest r keeping per-pair candidate recall
-    // >= ~99.9% at tau
-    val rowsPerBand =
-      if (tauNum.toLong * 8 >= tauDen.toLong * 7) 8
-      else if (tauNum.toLong * 3 >= tauDen.toLong * 2) 4
-      else if (tauNum.toLong * 3 >= tauDen.toLong) 2
-      else 1
-    NearDedupCfg(idCol, textCol, mode, n, tauNum, tauDen, rowsPerBand, order)
+    NearDedupCfg(idCol, textCol, mode, n, tauNum, tauDen,
+      recallBandRows(tauNum, tauDen), order)
   }
+
+  /** Recall-preserving LSH banding derived from the Jaccard threshold:
+    * the coarsest rows-per-band r keeping per-pair candidate recall
+    * >= ~99.9% at tau (with 128 minhashes; r ∈ {8,4,2,1}). THE single
+    * banding rule — the batch neardedup stage, the streaming fold's
+    * defaults, and the YAML mapping must all derive r from tau or a
+    * caller at a moderate threshold silently loses recall (a fixed
+    * r=4 gives only ~87% per-pair recall at tau=1/2).
+    */
+  private[graft] def recallBandRows(tauNum: Long, tauDen: Long): Int =
+    if (tauNum * 8 >= tauDen * 7) 8
+    else if (tauNum * 3 >= tauDen * 2) 4
+    else if (tauNum * 3 >= tauDen) 2
+    else 1
 
   /** Parsed quality-stage rules — shared by the batch gate and the
     * streaming runner's audit-fold mapping.

@@ -28,6 +28,24 @@ object PipelineRunner {
     */
   private val inFlightBatch = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Single monitor making the sweep gate ATOMIC: the entry snapshot +
+    * increment, the exit decrement + sweep, and every streaming-query
+    * submission all take this lock. Without it the gate is
+    * check-then-act — between `decrementAndGet() == 0` /
+    * `streams.active.isEmpty` and the unpersist loop, a pipeline or
+    * stream started on another RestServer thread could persist or
+    * localCheckpoint RDDs whose ids are not in THIS pipeline's `before`
+    * snapshot, and the sweep would drop truncated-lineage checkpoint
+    * blocks of live work (checkpoint-block-not-found, unrecoverable).
+    * Under the lock: a sweep only runs while provably alone (no
+    * in-flight batch, no active stream), and neither kind of work can
+    * BEGIN mid-sweep — a new batch pipeline blocks at its entry
+    * snapshot, a new stream blocks at submission. The sweep itself is
+    * rare (solo neardedup pipelines only), so serializing submissions
+    * against it costs nothing in practice.
+    */
+  private val sweepLock = new Object
+
   def runBatch(spark: SparkSession, spec: PipelineSpec): Unit = {
     // stages that persist internally (neardedup's signature/candidate
     // frames, connected-components checkpoints) must not outlive the
@@ -46,10 +64,12 @@ object PipelineRunner {
     // are swept by the next solo neardedup pipeline's diff-free run or
     // an explicit GraftSession.release at a known-quiet point.
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    inFlightBatch.incrementAndGet()
+    val before = sweepLock.synchronized {
+      inFlightBatch.incrementAndGet()
+      sc.getPersistentRDDs.keySet
+    }
     try Sinks.write(buildBatch(spark, spec), spec.sink)
-    finally {
+    finally sweepLock.synchronized {
       val alone = inFlightBatch.decrementAndGet() == 0
       if (spec.transformations.exists(_.kind == "neardedup") && alone &&
           spark.streams.active.isEmpty) {
@@ -82,7 +102,10 @@ object PipelineRunner {
     *    (C has no smaller-id NEIGHBOR) — the incremental rule is
     *    neighbor-minima, not component-minima; a fully-connected
     *    duplicate cluster (the common case the stage targets) dedups
-    *    identically. The pipeline's SINK path becomes the fold's
+    *    identically, and
+    *    [[graft.streaming.StreamingOps.minhashDedupReconcile]] (run at
+    *    a quiet point) rewrites the state to component-minima, closing
+    *    the divergence. The pipeline's SINK path becomes the fold's
     *    versioned state dir (read survivors with
     *    StreamingOps.latestState, is_dup = false).
     *  - `quality` → [[graft.streaming.StreamingOps.qualityAuditMaintained]]:
@@ -99,7 +122,12 @@ object PipelineRunner {
     * versioned state, not a row stream) and the sink must be a
     * file/parquet path.
     */
-  def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery = {
+  def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery =
+    // under sweepLock: a stream must not BECOME active between a solo
+    // batch pipeline's streams.active.isEmpty check and its block sweep
+    // (see the sweepLock scaladoc); query start is asynchronous and
+    // cheap, so holding the monitor across submission is fine
+    sweepLock.synchronized {
     val stateful = spec.transformations.zipWithIndex
       .filter { case (t, _) => StatefulKinds.contains(t.kind) }
     if (stateful.isEmpty)
@@ -154,7 +182,7 @@ object PipelineRunner {
           mode = cfg.mode, n = cfg.ngram, bands = 128 / cfg.rowsPerBand,
           tauNum = cfg.tauNum, tauDen = cfg.tauDen)
     }
-  }
+    }
 }
 
 /** Named-job manager mirroring the reference's REST surface

@@ -67,21 +67,32 @@ object FeatureQueries4 {
     "q110_decile_gain" -> { (s, dir) =>
       import s.implicits._
       import graft.functions.GraftFunctions._
+      import graft.operators.RankSelect
       val cust = Tables.load(s, dir, "customer")
       val qs = (1 to 9).map(_ / 10.0)
-      // parity depends on the KLL EXACT regime (k >= n, where the
-      // sketch's quantiles == quantile_disc) — derive k from the
-      // table instead of assuming it, and fail loudly past the KLL
-      // ceiling rather than silently diverging from the oracle
+      // parity depends on the cuts matching DuckDB quantile_disc: the
+      // value at 1-based rank ceil(q*n). Two exact paths, same cuts by
+      // construction: KLL INCLUSIVE in its EXACT regime (k >= n — the
+      // round-2 q54 identity) while n fits the KLL max k, and the
+      // RankSelect ladder (exact ceil(qn) selection at ANY n, one
+      // range shuffle) above the 65535 ceiling — so the query runs at
+      // every scale instead of refusing past the sketch's exact regime
       val nCust = cust.count()
-      require(nCust <= 65535L,
-        s"q110_decile_gain needs the KLL exact regime (k >= n) for its " +
-          s"oracle gate, but customer has $nCust rows > the KLL max k " +
-          "65535: gate on a stratum or drop to approximate (ungated) cuts")
-      val k = math.max(8L, nCust).toInt
-      val cuts = cust.agg(kll_sketch_agg($"c_acctbal", k).as("sk"))
-        .select(kll_quantiles($"sk", qs).as("q"))
-        .head().getSeq[Double](0)
+      val cuts: Seq[Double] =
+        if (nCust <= 65535L) {
+          val k = math.max(8L, nCust).toInt
+          cust.agg(kll_sketch_agg($"c_acctbal", k).as("sk"))
+            .select(kll_quantiles($"sk", qs).as("q"))
+            .head().getSeq[Double](0)
+        } else {
+          RankSelect.discreteQuantilesCapped(
+              cust.select($"c_acctbal".cast("double").as("v"))
+                .withColumn("g", lit(1)),
+              Seq("g"), (1 to 9).map(i => (s"q$i", i.toLong, 10L)),
+              "q", "n", 16, $"v")
+            .select($"q", $"v").collect()
+            .sortBy(_.getString(0)).map(_.getDouble(1)).toSeq
+        }
       val bucketed = cust.withColumn("decile",
         cuts.zipWithIndex.foldRight(lit(10): org.apache.spark.sql.Column) {
           case ((c, i), acc) => when($"c_acctbal" <= c, i + 1).otherwise(acc)

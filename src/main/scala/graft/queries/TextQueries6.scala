@@ -84,12 +84,18 @@ object TextQueries6 {
     val tb = Tables.load(s, dir, "documents")
       .select($"lang", explode(qualityToks).as("gt"))
       .select($"lang", (poly_hash($"gt") % NumBuckets).as("bucket"))
-    val tots = tb.agg(
-      sum(when($"lang" === "en", 1L).otherwise(0L)).as("en_toks"),
-      sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("non_toks"))
-    tb.groupBy($"bucket")
+    // ONE tokenize+aggregate pass: the class totals are the column sums
+    // of the ≤NumBuckets-row grouped frame (Σ_b en_b = en_toks exactly),
+    // so deriving them downstream of the groupBy — with the tiny grouped
+    // frame persisted — avoids a second full explode of the corpus
+    // (round-10 ADVICE; release() sweeps the persist between queries)
+    val grouped = tb.groupBy($"bucket")
       .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("en_b"),
         sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("non_b"))
+      .persist()
+    val tots = grouped.agg(
+      sum($"en_b").as("en_toks"), sum($"non_b").as("non_toks"))
+    grouped
       .crossJoin(broadcast(tots))
       .select($"bucket", $"en_b", $"non_b",
         (expr(s"($WDen * en_b) DIV en_toks") -
@@ -97,14 +103,24 @@ object TextQueries6 {
   }
 
   /** Trained weights indexed by bucket — an eager BOUNDED collect
-    * (≤ NumBuckets rows, the GlobalIndex eager-snapshot contract).
+    * (≤ NumBuckets rows, the GlobalIndex eager-snapshot contract),
+    * memoized per (session, dir): the weights are a deterministic
+    * function of the corpus, so the three consumers (clf /
+    * corpus_token_budget / corpus_ccnet) train once and score many —
+    * the only sane shape at 100 TB (GraftSession.cachedModel scaladoc
+    * carries the invalidation contract). Output is byte-identical to
+    * the uncached form by determinism of the training pass.
     */
-  private[queries] def trainedWeights(s: SparkSession, dir: String): Array[Long] = {
-    val arr = new Array[Long](NumBuckets)
-    bucketStats(s, dir).select(col("bucket"), col("w_num")).collect()
-      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-    arr
-  }
+  private[queries] def trainedWeights(s: SparkSession, dir: String): Array[Long] =
+    graft.GraftSession.cachedModel("text_quality_w", dir) {
+      val arr = new Array[Long](NumBuckets)
+      // bucketStats' internal ≤NumBuckets-row persist is swept by the
+      // standard between-query release() like every operator-internal
+      // persist (LSH signatures etc.)
+      bucketStats(s, dir).select(col("bucket"), col("w_num")).collect()
+        .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
 
   /** Per-token trained-weight contributions: one array-literal lookup
     * per token (the weight array is a SINGLE ArrayType literal, so the

@@ -283,12 +283,98 @@ object StreamingOps {
   def minhashDedupMaintained(docs: DataFrame, idCol: String,
       textCol: String, stateDir: String, name: String,
       retainVersions: Int = 2, mode: String = "word", n: Int = 3,
-      bands: Int = 32, tauNum: Int = 1,
+      bands: Int = 0, tauNum: Int = 1,
       tauDen: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    // bands = 0 ("derive from tau") is the safe default: a fixed band
+    // count independent of the threshold silently loses candidate
+    // recall at moderate tau (see minhashDedupFold) — direct API
+    // callers now get the same recall-preserving banding the YAML
+    // stage derives
     versionedStateSink(docs, stateDir, name, retainVersions) { (prev, batch) =>
       graft.operators.Dedup.minhashDedupFold(prev, batch.toDF(), idCol,
         textCol, mode, n, bands = bands, tauNum = tauNum, tauDen = tauDen)
     }
+
+  /** Batch reconcile of a [[minhashDedupMaintained]] state dir to the
+    * batch stage's COMPONENT-MINIMA semantics. The incremental fold's
+    * survivor rule is neighbor-minima ("no smaller-id near-duplicate
+    * had streamed by"): on a transitive chain A~B, B~C, A≁C where the
+    * bridge B carries the largest id, the fold keeps A AND C (C's only
+    * neighbor has a larger id) while the batch neardedup stage's
+    * connected components keep only A. This pass — run at a QUIET
+    * point — rewrites the newest state version so is_dup = (id !=
+    * component min id) over the pair graph the fold's own decision
+    * rule generates ([[graft.operators.Dedup.sigEstimatePairs]]:
+    * identical banding + signature-estimate verify, over signatures
+    * already in state — no text needed), making the state equal to
+    * what a single batch fold + CC over everything streamed would
+    * produce. The dup set only grows (the fold never marks a component
+    * minimum dup: a smaller-id neighbor implies a smaller component
+    * member). Params must match what the fold ran with (defaults
+    * mirror the fold's).
+    *
+    * Crash discipline: the swap stages through `_reconcile_staging`,
+    * parks the pre-image at `_pre_<v>`, and brackets both with a
+    * `_reconcile_pending` marker. A crash mid-swap leaves the marker;
+    * re-running this pass repairs (restores the pre-image if the
+    * version dir is missing, clears leftovers) and redoes the
+    * reconcile, while [[versionedStateSink]] REFUSES to resume folding
+    * over a pending marker — the window can never silently lose a
+    * version to the fold's below-newest fallback.
+    */
+  def minhashDedupReconcile(spark: SparkSession, stateDir: String,
+      numHashes: Int = 128, bands: Int = 0, tauNum: Int = 1,
+      tauDen: Int = 2): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(spark.streams.active.isEmpty,
+      s"minhashDedupReconcile($stateDir) must run at a quiet point: " +
+        "stop every streaming query in this session first (the pass " +
+        "rewrites the newest state version in place)")
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$stateDir/_reconcile_pending")
+    val staging = new Path(s"$stateDir/_reconcile_staging")
+    // repair a crashed prior attempt before anything else
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      val vdir = new Path(s"$stateDir/v=$v")
+      val pre = new Path(s"$stateDir/_pre_$v")
+      if (!fs.exists(vdir) && fs.exists(pre) && !fs.rename(pre, vdir))
+        throw new java.io.IOException(s"repair rename $pre -> $vdir failed")
+      fs.delete(pre, true)
+      fs.delete(staging, true)
+      fs.delete(marker, false)
+    }
+    stateVersions(spark, stateDir).lastOption.foreach { v =>
+      val vdir = new Path(s"$stateDir/v=$v")
+      val pre = new Path(s"$stateDir/_pre_$v")
+      val st = spark.read.parquet(vdir.toString)
+      val sigs = st.select(col("id"), col("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.operators.Dedup.sigEstimatePairs(
+        sigs, numHashes, bands, tauNum, tauDen)
+      val comp = graft.operators.Dedup.connectedComponents(
+        sigs.select(col("id")), pairs)
+      val reconciled = sigs.join(comp, Seq("id"))
+        .select(col("id"), col("sig"),
+          (col("component") =!= col("id")).as("is_dup"))
+      // materialize the FULL result into staging before any rename
+      // touches the live version
+      fs.delete(staging, true)
+      reconciled.write.mode("overwrite").parquet(staging.toString)
+      sigs.unpersist()
+      val out = fs.create(marker, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(vdir, pre))
+        throw new java.io.IOException(s"rename $vdir -> $pre failed")
+      if (!fs.rename(staging, vdir))
+        throw new java.io.IOException(s"rename $staging -> $vdir failed")
+      fs.delete(pre, true)
+      fs.delete(marker, false)
+    }
+  }
 
   /** Streaming SEMANTIC dedup (SemDeDup incremental): arriving vectors
     * flag against all streamed history through
@@ -712,6 +798,16 @@ object StreamingOps {
         // a still-retained version dir would be indistinguishable from
         // a replay and silently swallowed (data never folded).
         if (!identityChecked) {
+          // a reconcile pass that crashed mid-swap leaves this marker;
+          // folding over it could read a below-newest version as
+          // "latest" and silently lose the parked pre-image — refuse
+          // until the reconcile is re-run (its entry path repairs)
+          if (fs.exists(new Path(s"$stateDir/_reconcile_pending")))
+            throw new IllegalStateException(
+              s"state at $stateDir has an incomplete reconcile pass " +
+                "(_reconcile_pending marker present — a prior " +
+                "minhashDedupReconcile crashed mid-swap). Re-run the " +
+                "reconcile to repair before resuming this stream.")
           bindQueryIdentity(spark, stateDir,
             stateVersions(spark, stateDir).nonEmpty)
           identityChecked = true

@@ -132,6 +132,28 @@ class RankSelectSpec extends SparkSpec {
     assert(viaWindow.nonEmpty)
   }
 
+  test("q110 fallback: RankSelect decile cuts == KLL exact-regime cuts") {
+    // q110_decile_gain switches from KLL (exact while n <= 65535) to the
+    // RankSelect ladder above the sketch's max-k ceiling; both select the
+    // value at 1-based rank ceil(q*n) (== DuckDB quantile_disc), so the
+    // cuts — and therefore the oracle-gated output — are identical. Pin
+    // that identity on real customer data where both paths run.
+    import spark.implicits._
+    import graft.functions.GraftFunctions._
+    val cust = graft.Tables.load(spark, sf, "customer")
+    val n = cust.count()
+    val viaKll = cust
+      .agg(kll_sketch_agg($"c_acctbal", math.max(8L, n).toInt).as("sk"))
+      .select(kll_quantiles($"sk", (1 to 9).map(_ / 10.0)).as("q"))
+      .head().getSeq[Double](0)
+    val viaLadder = RankSelect.discreteQuantilesCapped(
+        cust.select($"c_acctbal".cast("double").as("v")).withColumn("g", lit(1)),
+        Seq("g"), (1 to 9).map(i => (s"q$i", i.toLong, 10L)), "q", "n", 16, $"v")
+      .select($"q", $"v").collect()
+      .sortBy(_.getString(0)).map(_.getDouble(1)).toSeq
+    assert(viaLadder == viaKll.toSeq)
+  }
+
   test("group sizes are reported and out-of-range ranks emit nothing") {
     import spark.implicits._
     val ns = RankSelect.discreteMedian(data, Seq("g"), "n", $"v", $"id")

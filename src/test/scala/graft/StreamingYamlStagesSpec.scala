@@ -97,6 +97,93 @@ class StreamingYamlStagesSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("neardedup reconcile rewrites fold state to batch component-minima on a transitive chain") {
+    import spark.implicits._
+    val in = tmp("graft_yrc_in"); val out = tmp("graft_yrc_out")
+    // The divergence fixture: A~B, B~C, A≁C with the BRIDGE carrying
+    // the largest id. A and C are word-disjoint; B shares 8 of its 16
+    // words with each (exact Jaccard 8/18 = 0.444 vs A and vs C, 0
+    // between A and C) at threshold 1/3 — comfortable margins on both
+    // sides of tau for the 128-hash signature estimate too. The fold
+    // keeps {1, 2} (doc 2's only neighbor, doc 3, has a LARGER id);
+    // batch connected components keep only {1}.
+    val aWords = (1 to 10).map(i => f"alpha$i%02d")
+    val cWords = (1 to 10).map(i => f"omega$i%02d")
+    val bWords = aWords.take(8) ++ cWords.take(8)
+    val b0 = Seq((1L, aWords.mkString(" ")), (2L, cWords.mkString(" ")))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, bWords.mkString(" "))).toDF("doc_id", "text")
+    b0.coalesce(1).write.parquet(s"$in/b0")
+    val stage = TransformSpec("neardedup", Map(
+      "id" -> "doc_id", "text" -> "text", "mode" -> "word",
+      "ngram" -> "1", "threshold" -> "1/3", "orderBy" -> "doc_id ASC"))
+    val q = PipelineRunner.runStream(spark,
+      docsSpec("yrc_stream", in, out, stage))
+    try {
+      q.processAllAvailable()
+      b1.coalesce(1).write.parquet(s"$in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    def kept() = graft.streaming.StreamingOps.latestState(spark, out)
+      .get.filter(!col("is_dup")).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept() == Seq(1L, 2L),
+      s"fold should keep {1, 2} (neighbor-minima) on the chain, got ${kept()}")
+    // the reconcile pass — same threshold the stage derived banding from
+    graft.streaming.StreamingOps.minhashDedupReconcile(
+      spark, out, tauNum = 1, tauDen = 3)
+    val batchKept = graft.operators.Transforms(b0.unionByName(b1), Seq(stage))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept() == batchKept,
+      s"reconciled survivors ${kept()} != batch survivors $batchKept")
+    assert(kept() == Seq(1L))
+    // idempotent: a second pass changes nothing
+    graft.streaming.StreamingOps.minhashDedupReconcile(
+      spark, out, tauNum = 1, tauDen = 3)
+    assert(kept() == Seq(1L))
+    GraftSession.release(spark)
+  }
+
+  test("reconcile crash repair: a pending marker restores the pre-image and the fold refuses it") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val in = tmp("graft_yrr_in"); val out = tmp("graft_yrr_out")
+    Seq((1L, "solo document unique words")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/b0")
+    val stage = TransformSpec("neardedup", Map(
+      "id" -> "doc_id", "text" -> "text", "mode" -> "word",
+      "ngram" -> "1", "threshold" -> "1/2", "orderBy" -> "doc_id ASC"))
+    val q = PipelineRunner.runStream(spark,
+      docsSpec("yrr_stream", in, out, stage))
+    try q.processAllAvailable() finally q.stop()
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = graft.streaming.StreamingOps.stateVersions(spark, out).last
+    // simulate a crash mid-swap: version parked at _pre, marker present
+    assert(fs.rename(new Path(s"$out/v=$v"), new Path(s"$out/_pre_$v")))
+    val mk = fs.create(new Path(s"$out/_reconcile_pending"), true)
+    try mk.write(v.toString.getBytes("UTF-8")) finally mk.close()
+    // the fold refuses to resume over the pending marker (a new file
+    // must arrive for foreachBatch to fire at all)
+    Seq((2L, "second solo document other vocabulary")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/b1")
+    val q2 = PipelineRunner.runStream(spark,
+      docsSpec("yrr_stream", in, out, stage))
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("_reconcile_pending")), chain(e).toString)
+    // re-running the reconcile repairs and completes
+    graft.streaming.StreamingOps.minhashDedupReconcile(spark, out)
+    assert(!fs.exists(new Path(s"$out/_reconcile_pending")))
+    assert(!fs.exists(new Path(s"$out/_pre_$v")))
+    val st = graft.streaming.StreamingOps.latestState(spark, out).get
+    assert(st.filter(!col("is_dup")).count() == 1)
+    GraftSession.release(spark)
+  }
+
   test("stage kinds with no streaming twin are refused before start") {
     val in = tmp("graft_yr_in"); val out = tmp("graft_yr_out")
     import spark.implicits._
