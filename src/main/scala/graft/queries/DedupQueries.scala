@@ -51,9 +51,24 @@ object DedupQueries {
     },
 
     "dedup_embedding" -> { (s, dir) =>
-      // tau=0.5 (this corpus has no higher-cosine pairs) -> exact blocked
-      // pass; the sign-LSH path (Dedup.embeddingPairs) is for tau>=0.9
-      Dedup.embeddingPairsExact(Tables.load(s, dir, "embeddings"),
+      // COMMITTED POLICY (round 11, VERDICT r10 task 7): the exact
+      // all-pairs pass is an AUDIT-STRATUM query — the dedup_ppjoin
+      // discipline, with the round-9 refinement that the stratum is
+      // fixed-SIZE, not fixed-fraction (a fraction's quadratic cost
+      // still grows with the corpus; a fixed-size stratum caps it at
+      // ANY scale). Stride = ceil(n/2000) over vec_id keeps ~2000
+      // id-spread vectors: at the sf0.01 gate the stride is 1 (the
+      // full corpus — the committed result is the exact pass), at 10×
+      // it audits a 2000-vector stratum while dedup_embedding_cells
+      // (same tau, nprobe=3, corpus-derived k=⌈√n⌉) is the shipped
+      // subquadratic path for full coverage. tau=0.5 stays the exact
+      // regime by necessity: sign-LSH cannot keep recall at moderate
+      // cosine (see embeddingPairsExact's scaladoc); the corpus-derived
+      // stride replays in SQL as a scalar subquery (round-9 rule).
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val stride = (emb.count() + 1999L) / 2000L
+      Dedup.embeddingPairsExact(emb.filter($"vec_id" % stride === 0),
         "vec_id", "embedding", tau = 0.5)
     },
 
@@ -189,10 +204,17 @@ object DedupQueries {
          |  CAST(j.n_chars AS BIGINT) AS survivor_chars, m.n_members
          |FROM j JOIN m USING (component) WHERE rn = 1""".stripMargin,
 
+    // the audit stratum (stride = ceil(n/2000), a no-op at the sf0.01
+    // gate where n = 500) replays as a scalar-subquery stride — the
+    // corpus-derived-constant rule
     "dedup_embedding" ->
-      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH st AS (SELECT (count(*) + 1999) // 2000 AS stride
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % (SELECT stride FROM st) = 0),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5""".stripMargin
   )
 }

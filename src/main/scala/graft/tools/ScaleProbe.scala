@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val out = "/tmp/scale10"
+    // SPARK_GRAFT_SCALE_OUT + SPARK_GRAFT_SCALE_COPIES generalize the
+    // harness past 10x (round 11: /tmp/scale100 at 100 copies for the
+    // 100x probe; the SCALE10 output tag is kept for log-diff stability)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/scale10")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -110,7 +113,10 @@ object ScaleProbe {
       "ann_graph_search", "ann_auc", "dedup_cluster_stats",
       "corpus_token_budget", "text_zipf_audit", "corpus_ccnet",
       "q115_time_to_convert", "q116_rfm", "corpus_ngram_novelty",
-      "q117_ltv_triangle")
+      "q117_ltv_triangle",
+      // round-10/11
+      "text_quality_train", "corpus_ppl_buckets", "ann_ivfpq_trained",
+      "q110_decile_gain")
     // optional arg: regex over query names — probe a targeted subset
     // without re-timing the whole heavy list (tables still replicate)
     val selected = args.headOption
