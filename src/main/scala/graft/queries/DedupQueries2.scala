@@ -122,7 +122,8 @@ object DedupQueries2 {
     "dedup_embedding_cells" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+      val k = math.ceil(math.sqrt(
+        Tables.rowCount(s, dir, "embeddings").toDouble)).toLong
       val centroids = emb.filter($"vec_id" < k)
         .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
       Dedup.embeddingPairsCells(emb, "vec_id", "embedding",

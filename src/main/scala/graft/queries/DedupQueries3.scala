@@ -49,7 +49,7 @@ object DedupQueries3 {
       import s.implicits._
       val all = Tables.load(s, dir, "documents")
       // fixed-size eval stratum: ~2000 docs at any corpus scale
-      val m = math.ceil(all.count() / 2000.0).toLong
+      val m = math.ceil(Tables.rowCount(s, dir, "documents") / 2000.0).toLong
       val docs = graft.operators.Parallelism.ensure(
         all.filter($"doc_id" % m === 0))
       val sigs = docs.select($"doc_id",

@@ -77,7 +77,7 @@ object FeatureQueries4 {
       // RankSelect ladder (exact ceil(qn) selection at ANY n, one
       // range shuffle) above the 65535 ceiling — so the query runs at
       // every scale instead of refusing past the sketch's exact regime
-      val nCust = cust.count()
+      val nCust = Tables.rowCount(s, dir, "customer")
       val cuts: Seq[Double] =
         if (nCust <= 65535L) {
           val k = math.max(8L, nCust).toInt

@@ -35,7 +35,7 @@ object RelationalQueries16 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_rfm" -> { (s, dir) =>
       import s.implicits._
-      val nCust = Tables.load(s, dir, "customer").count()
+      val nCust = Tables.rowCount(s, dir, "customer")
       require(nCust <= 20000000L,
         s"q116_rfm's global ntile windows single-task-sort the customer " +
           s"dimension, but customer has $nCust rows > the 20M guard: " +

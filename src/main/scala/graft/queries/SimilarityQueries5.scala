@@ -55,7 +55,8 @@ object SimilarityQueries5 {
     "ann_knn_graph" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+      val k = math.ceil(math.sqrt(
+        Tables.rowCount(s, dir, "embeddings").toDouble)).toLong
       val centroids = emb.filter($"vec_id" < k)
         .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
       val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)

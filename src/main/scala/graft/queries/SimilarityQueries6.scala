@@ -60,7 +60,8 @@ object SimilarityQueries6 {
     "ann_graph_search" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+      val k = math.ceil(math.sqrt(
+        Tables.rowCount(s, dir, "embeddings").toDouble)).toLong
       val centroids = emb.filter($"vec_id" < k)
         .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
       val nodes = emb.filter($"vec_id" >= NAnchors)
