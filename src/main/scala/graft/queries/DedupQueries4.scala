@@ -67,13 +67,21 @@ object DedupQueries4 {
 
     "dedup_ppjoin" -> { (s, dir) =>
       import s.implicits._
-      // deterministic 20% audit stratum: exactness costs pair volume
-      // (this corpus' shared-vocab floor keeps ~14% of all-pairs as
-      // candidates), and the operating pattern for an exact pass is
-      // auditing a stratum while minhash covers the corpus — the
-      // dedup_eval discipline. doc_id % 5 replays verbatim in SQL.
+      // deterministic FIXED-SIZE audit stratum (round 11 — the
+      // dedup_eval/dedup_embedding discipline, upgraded from the
+      // round-8 fixed 20% fraction): exactness costs pair volume, and
+      // a FRACTION's Σdf² cost still grows with the corpus (100×
+      // probe: 20% = 120k docs = 240 s cold), while stride =
+      // ceil(n/2000) caps the audited stratum at ~2000 id-spread docs
+      // at ANY scale (re-probed 100×: 9.2 s cold). At the sf0.01 gate
+      // n = 500 so the stride is 1 and the committed query audits the
+      // FULL corpus — a stronger gate than the old 20%. The stride
+      // replays as a scalar subquery (the corpus-derived-constant
+      // rule); the operating pattern stays: the exact pass audits a
+      // stratum while minhash covers the corpus.
+      val stride = (Tables.rowCount(s, dir, "documents") + 1999L) / 2000L
       val docs = Tables.load(s, dir, "documents")
-        .filter($"doc_id" % 5 === 0)
+        .filter($"doc_id" % stride === 0)
         .select($"doc_id",
           expr("filter(split(text, ' '), gx -> gx != '')").as("toks"))
       Dedup.prefixFilterJaccardPairs(docs, "doc_id", "toks",
@@ -105,11 +113,14 @@ object DedupQueries4 {
         |WHERE 5*i >= 4*nb.n""".stripMargin,
 
     "dedup_ppjoin" ->
-      """WITH sets AS (
+      """WITH st AS (SELECT (count(*) + 1999) // 2000 AS stride
+        |  FROM documents),
+        |sets AS (
         |  SELECT doc_id,
         |    list_sort(list_distinct(list_filter(string_split(text, ' '),
         |      gx -> gx <> ''))) AS toks
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents
+        |  WHERE doc_id % (SELECT stride FROM st) = 0),
         |sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS m
         |          FROM sets),
         |toks AS (SELECT doc_id, m, unnest(toks) AS tok FROM sized),
