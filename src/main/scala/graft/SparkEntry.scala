@@ -22,7 +22,7 @@ object SparkEntry {
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       TextQueries4.defs ++ TextQueries5.defs ++ TextQueries6.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
-      DedupQueries4.defs ++ DedupQueries5.defs ++
+      DedupQueries4.defs ++ DedupQueries5.defs ++ DedupQueries6.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++
       SimilarityQueries5.defs ++ SimilarityQueries6.defs ++
@@ -51,7 +51,7 @@ object SparkEntry {
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       TextQueries4.oracles ++ TextQueries5.oracles ++ TextQueries6.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
-      DedupQueries4.oracles ++ DedupQueries5.oracles ++
+      DedupQueries4.oracles ++ DedupQueries5.oracles ++ DedupQueries6.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++
       SimilarityQueries5.oracles ++ SimilarityQueries6.oracles ++
