@@ -46,16 +46,35 @@ object GraftSession {
     * mid-session, call [[invalidateModels]] (the test-suite fixtures
     * and benchmark dirs are immutable, so the default is safe).
     */
-  private val models =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  private val models = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.FutureTask[AnyRef]]()
 
   /** Train-once memoization: returns the cached snapshot for
     * (modelId, dir), running `train` at most once per key per session
     * (concurrent callers on the same key block until the first
-    * finishes; a training failure caches nothing).
+    * finishes; a training failure caches nothing — the failed task is
+    * evicted and every waiter sees the original cause).
+    *
+    * computeIfAbsent inserts only a cheap memoizing FutureTask; the
+    * training Spark job runs via `task.run()` OUTSIDE the map's bin
+    * lock, so a training pass may itself call cachedModel on another
+    * key (e.g. through Tables.rowCount) without risking the JDK's
+    * recursive-computeIfAbsent deadlock. The one remaining illegal
+    * shape is a train block recursing onto its OWN key — that is
+    * infinite recursion by definition and self-deadlocks in get().
     */
-  def cachedModel[T <: AnyRef](modelId: String, dir: String)(train: => T): T =
-    models.computeIfAbsent((modelId, dir), _ => train).asInstanceOf[T]
+  def cachedModel[T <: AnyRef](modelId: String, dir: String)(train: => T): T = {
+    val key = (modelId, dir)
+    val task = models.computeIfAbsent(key,
+      _ => new java.util.concurrent.FutureTask[AnyRef](() => train))
+    task.run() // no-op when already run/running; same-key waiters block in get()
+    try task.get().asInstanceOf[T]
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        models.remove(key, task)
+        throw e.getCause
+    }
+  }
 
   /** Drop every cached model snapshot (data-change escape hatch). */
   def invalidateModels(): Unit = models.clear()

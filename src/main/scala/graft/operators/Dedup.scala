@@ -498,6 +498,27 @@ object Dedup {
     * O(batch·bands + matching buckets), never O(history²): the band
     * join probes history's buckets with the batch's bands only.
     */
+  /** Effective LSH band count shared by the fold and the reconcile's
+    * pair pass: explicit `bands` when > 0, else the recall-preserving
+    * tau-derived banding (Transforms.recallBandRows — the single
+    * rule). Divisibility is REQUIRED: minhash_bands computes
+    * rows-per-band as numHashes/bands by integer division, so a
+    * non-divisible pair would silently ignore the tail hashes (128
+    * hashes in 12 bands uses only 120) — refuse instead.
+    */
+  private[graft] def effectiveBands(numHashes: Int, bands: Int,
+      tauNum: Int, tauDen: Int): Int = {
+    val b =
+      if (bands > 0) bands
+      else numHashes / Transforms.recallBandRows(tauNum.toLong, tauDen.toLong)
+    require(b > 0 && numHashes % b == 0,
+      s"numHashes=$numHashes does not divide into bands=$b " +
+        s"(rows/band = numHashes/bands by integer division would " +
+        s"silently drop ${if (b > 0) numHashes % b else numHashes} tail " +
+        "hashes) — use a numHashes that is a multiple of the band count")
+    b
+  }
+
   def minhashDedupFold(prev: Option[DataFrame], batch: DataFrame,
       idCol: String, textCol: String, mode: String = "word", n: Int = 3,
       numHashes: Int = 128, bands: Int = 0,
@@ -508,9 +529,7 @@ object Dedup {
     // recall at moderate thresholds (32 bands of r=4 give ~87%
     // per-pair candidate recall at tau=1/2); explicit callers may
     // still pin a banding.
-    val bandsEff =
-      if (bands > 0) bands
-      else numHashes / Transforms.recallBandRows(tauNum.toLong, tauDen.toLong)
+    val bandsEff = effectiveBands(numHashes, bands, tauNum, tauDen)
     val sigsB = Parallelism.ensure(batch)
       .select(col(idCol).as("id"),
         minhash_sig_text(col(textCol), mode, n, numHashes).as("sig"))
@@ -562,9 +581,7 @@ object Dedup {
     */
   def sigEstimatePairs(sigs: DataFrame, numHashes: Int = 128,
       bands: Int = 0, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
-    val bandsEff =
-      if (bands > 0) bands
-      else numHashes / Transforms.recallBandRows(tauNum.toLong, tauDen.toLong)
+    val bandsEff = effectiveBands(numHashes, bands, tauNum, tauDen)
     val banded = sigs.select(col("id"),
       explode(minhash_bands(col("sig"), bandsEff)).as("__band"))
     banded.as("x").join(banded.as("y"),

@@ -88,8 +88,12 @@ object DedupQueries6 {
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
           .select(lit(r.toLong).as("r"), lit(bands.toLong).as("bands"),
             $"n_true", $"n_cand", $"n_hit",
-            ($"n_hit".cast("double") / $"n_true".cast("double"))
-              .as("recall"))
+            // a stratum with zero true pairs must yield null, not an
+            // ANSI DIVIDE_BY_ZERO (the q105 degenerate-denominator
+            // class — DuckDB would quietly emit NaN instead)
+            when($"n_true" > 0,
+              $"n_hit".cast("double") / $"n_true".cast("double"))
+              .otherwise(lit(null).cast("double")).as("recall"))
       }
       perR.reduce(_ unionByName _)
     },
@@ -129,10 +133,11 @@ object DedupQueries6 {
        |    AS n_cand,
        |  CAST(sum(CASE WHEN is_true AND ${isCandSql(r)} THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_hit,
-       |  CAST(sum(CASE WHEN is_true AND ${isCandSql(r)} THEN 1 ELSE 0 END)
-       |    AS DOUBLE)
+       |  CASE WHEN sum(CASE WHEN is_true THEN 1 ELSE 0 END) = 0 THEN NULL
+       |    ELSE CAST(sum(CASE WHEN is_true AND ${isCandSql(r)} THEN 1 ELSE 0
+       |      END) AS DOUBLE)
        |    / CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE)
-       |    AS recall
+       |    END AS recall
        |FROM f""".stripMargin
 
   /** Spark-identical word-3-shingle set (the DedupQueries3 rendering). */

@@ -284,16 +284,77 @@ object StreamingOps {
       textCol: String, stateDir: String, name: String,
       retainVersions: Int = 2, mode: String = "word", n: Int = 3,
       bands: Int = 0, tauNum: Int = 1,
-      tauDen: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      tauDen: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     // bands = 0 ("derive from tau") is the safe default: a fixed band
     // count independent of the threshold silently loses candidate
     // recall at moderate tau (see minhashDedupFold) — direct API
     // callers now get the same recall-preserving banding the YAML
-    // stage derives
+    // stage derives. The EFFECTIVE banding is pinned in the state
+    // dir's _minhash_params: a resume (or a reconcile) under different
+    // candidate-generation params than the state was folded with is a
+    // correctness bug (a coarser reconcile could UNMARK
+    // previously-decided dups), so it refuses instead of drifting —
+    // the default-change hazard is now enforced, not a scaladoc note.
+    val bandsEff =
+      graft.operators.Dedup.effectiveBands(128, bands, tauNum, tauDen)
+    bindMinhashParams(docs.sparkSession, stateDir, Seq(
+      "numHashes" -> "128", "bands" -> bandsEff.toString,
+      "tau" -> s"$tauNum/$tauDen", "mode" -> mode, "n" -> n.toString))
     versionedStateSink(docs, stateDir, name, retainVersions) { (prev, batch) =>
       graft.operators.Dedup.minhashDedupFold(prev, batch.toDF(), idCol,
-        textCol, mode, n, bands = bands, tauNum = tauNum, tauDen = tauDen)
+        textCol, mode, n, bands = bandsEff, tauNum = tauNum, tauDen = tauDen)
     }
+  }
+
+  /** Pin/validate minhash candidate-generation params in a state dir.
+    * First writer records them (`_minhash_params`, staged + renamed);
+    * every later fold resume or reconcile validates the keys it knows
+    * against the stored values and REFUSES on mismatch — state folded
+    * under one banding must never be extended or reconciled under
+    * another (a coarser banding generates a candidate SUBSET, so a
+    * reconcile could silently unmark decided dups). Keys the stored
+    * file lacks (a reconcile pins only numHashes/bands/tau; the fold
+    * also knows mode/n) are appended on the next bind.
+    */
+  private[graft] def bindMinhashParams(spark: SparkSession, stateDir: String,
+      params: Seq[(String, String)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pfile = new Path(s"$stateDir/_minhash_params")
+    val stored: Map[String, String] =
+      if (!fs.exists(pfile)) Map.empty
+      else {
+        val in = fs.open(pfile)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split('\n').map(_.trim).filter(_.contains('='))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+          .toMap
+      }
+    params.foreach { case (k, v) =>
+      stored.get(k).foreach { sv =>
+        if (sv != v) throw new IllegalStateException(
+          s"state at $stateDir was built with $k=$sv but this " +
+            s"fold/reconcile requests $k=$v — candidate generation " +
+            "params must match the state's (_minhash_params) or dup " +
+            "decisions drift; rerun with the stored params or use a " +
+            "fresh stateDir.")
+      }
+    }
+    val merged = stored ++ params.filterNot { case (k, _) => stored.contains(k) }
+    if (merged != stored || stored.isEmpty) {
+      val body = (stored.toSeq ++ params.filterNot { case (k, _) =>
+        stored.contains(k) }).map { case (k, v) => s"$k=$v" }.mkString("\n")
+      val stage = new Path(s"$stateDir/_minhash_params_staging")
+      fs.delete(stage, false)
+      val out = fs.create(stage, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      fs.delete(pfile, false)
+      if (!fs.rename(stage, pfile))
+        throw new java.io.IOException(s"rename $stage -> $pfile failed")
+    }
+  }
 
   /** Batch reconcile of a [[minhashDedupMaintained]] state dir to the
     * batch stage's COMPONENT-MINIMA semantics. The incremental fold's
@@ -311,7 +372,10 @@ object StreamingOps {
     * produce. The dup set only grows (the fold never marks a component
     * minimum dup: a smaller-id neighbor implies a smaller component
     * member). Params must match what the fold ran with (defaults
-    * mirror the fold's).
+    * mirror the fold's) — ENFORCED against the state dir's
+    * `_minhash_params` via [[bindMinhashParams]], not just documented:
+    * a reconcile with coarser banding than the fold used could UNMARK
+    * previously-decided dups.
     *
     * Crash discipline: the swap stages through `_reconcile_staging`,
     * parks the pre-image at `_pre_<v>`, and brackets both with a
@@ -334,19 +398,39 @@ object StreamingOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$stateDir/_reconcile_pending")
     val staging = new Path(s"$stateDir/_reconcile_staging")
-    // repair a crashed prior attempt before anything else
+    // repair a crashed prior attempt before anything else. Repair is
+    // TOTAL: an empty or torn marker (a crash inside a legacy
+    // non-atomic create-then-write — current markers are staged +
+    // renamed) derives the version from the parked _pre_* dir instead
+    // of throwing; no pre-image at all means the live version was
+    // never touched, so dropping the marker and staging restores the
+    // quiet state.
     if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      val txt = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      val vdir = new Path(s"$stateDir/v=$v")
-      val pre = new Path(s"$stateDir/_pre_$v")
-      if (!fs.exists(vdir) && fs.exists(pre) && !fs.rename(pre, vdir))
-        throw new java.io.IOException(s"repair rename $pre -> $vdir failed")
-      fs.delete(pre, true)
+      }
+      val vOpt = txt.toLongOption.orElse {
+        Option(fs.globStatus(new Path(s"$stateDir/_pre_*"))).toSeq.flatten
+          .flatMap(s => s.getPath.getName.stripPrefix("_pre_").toLongOption)
+          .sorted.lastOption
+      }
+      vOpt.foreach { v =>
+        val vdir = new Path(s"$stateDir/v=$v")
+        val pre = new Path(s"$stateDir/_pre_$v")
+        if (!fs.exists(vdir) && fs.exists(pre) && !fs.rename(pre, vdir))
+          throw new java.io.IOException(s"repair rename $pre -> $vdir failed")
+        fs.delete(pre, true)
+      }
       fs.delete(staging, true)
       fs.delete(marker, false)
     }
+    val bandsEff =
+      graft.operators.Dedup.effectiveBands(numHashes, bands, tauNum, tauDen)
+    bindMinhashParams(spark, stateDir, Seq(
+      "numHashes" -> numHashes.toString, "bands" -> bandsEff.toString,
+      "tau" -> s"$tauNum/$tauDen"))
     stateVersions(spark, stateDir).lastOption.foreach { v =>
       val vdir = new Path(s"$stateDir/v=$v")
       val pre = new Path(s"$stateDir/_pre_$v")
@@ -354,7 +438,7 @@ object StreamingOps {
       val sigs = st.select(col("id"), col("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = graft.operators.Dedup.sigEstimatePairs(
-        sigs, numHashes, bands, tauNum, tauDen)
+        sigs, numHashes, bandsEff, tauNum, tauDen)
       val comp = graft.operators.Dedup.connectedComponents(
         sigs.select(col("id")), pairs)
       val reconciled = sigs.join(comp, Seq("id"))
@@ -365,8 +449,15 @@ object StreamingOps {
       fs.delete(staging, true)
       reconciled.write.mode("overwrite").parquet(staging.toString)
       sigs.unpersist()
-      val out = fs.create(marker, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // staged + renamed: a crash can leave the staging file or no
+      // marker at all, never a zero-length marker (and repair above is
+      // total even for legacy torn markers)
+      val mstage = new Path(s"$stateDir/_reconcile_pending_staging")
+      fs.delete(mstage, false)
+      val mout = fs.create(mstage, true)
+      try mout.write(v.toString.getBytes("UTF-8")) finally mout.close()
+      if (!fs.rename(mstage, marker))
+        throw new java.io.IOException(s"rename $mstage -> $marker failed")
       if (!fs.rename(vdir, pre))
         throw new java.io.IOException(s"rename $vdir -> $pre failed")
       if (!fs.rename(staging, vdir))

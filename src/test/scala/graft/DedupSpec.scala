@@ -128,4 +128,20 @@ class DedupSpec extends SparkSpec {
     // identical twins share every band -> recall is exact here
     assert(expected.subsetOf(found))
   }
+
+  test("effectiveBands refuses a numHashes/bands pair that drops tail hashes") {
+    import graft.operators.Dedup
+    // derived: 128 hashes at tau=1/2 -> r=2 -> 64 bands (exact)
+    assert(Dedup.effectiveBands(128, 0, 1, 2) == 64)
+    // explicit divisible banding passes through
+    assert(Dedup.effectiveBands(128, 32, 1, 2) == 32)
+    // 100 hashes at tau>=7/8 -> r=8 -> 12 bands; 100/12 rows by integer
+    // division would silently use only 96 hashes — refuse
+    val e = intercept[IllegalArgumentException](
+      Dedup.effectiveBands(100, 0, 7, 8))
+    assert(e.getMessage.contains("tail"))
+    // explicit non-divisible banding refused the same way
+    intercept[IllegalArgumentException](Dedup.effectiveBands(128, 24, 1, 2))
+    ()
+  }
 }

@@ -50,6 +50,32 @@ class ReleaseSpec extends SparkSpec {
     assert(trains == 3)
   }
 
+  test("cachedModel: a train block may call cachedModel on ANOTHER key; failures cache nothing") {
+    GraftSession.invalidateModels()
+    var inner = 0
+    // nested call on a different key: training runs OUTSIDE the map's
+    // bin lock (memoizing FutureTask), so this must neither deadlock
+    // nor throw the JDK's recursive-computeIfAbsent IllegalStateException
+    val outer = GraftSession.cachedModel("rs-outer", "/tmp/x") {
+      val n = GraftSession.cachedModel("rs-inner", "/tmp/x") {
+        inner += 1; java.lang.Long.valueOf(7L)
+      }
+      Array(n.longValue(), 1L)
+    }
+    assert(outer.toSeq == Seq(7L, 1L) && inner == 1)
+    // a training failure must evict the key so a retry can train
+    var attempts = 0
+    def flaky() = GraftSession.cachedModel("rs-flaky", "/tmp/x") {
+      attempts += 1
+      if (attempts == 1) sys.error("transient training failure")
+      java.lang.Long.valueOf(42L)
+    }
+    val e = intercept[RuntimeException](flaky())
+    assert(e.getMessage.contains("transient"))
+    assert(flaky().longValue() == 42L && attempts == 2)
+    GraftSession.invalidateModels()
+  }
+
   test("the trained quality weights are identical via cache and via a fresh training pass") {
     GraftSession.invalidateModels()
     val viaTrain = SparkEntry.queries("text_quality_train")(spark, sf)

@@ -219,4 +219,63 @@ class StreamingYamlStagesSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("final transform"))
   }
+
+  test("reconcile refuses params that diverge from the state's _minhash_params") {
+    import spark.implicits._
+    val in = tmp("graft_ypm_in"); val out = tmp("graft_ypm_out")
+    Seq((1L, "solo document unique words")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/b0")
+    val stage = TransformSpec("neardedup", Map(
+      "id" -> "doc_id", "text" -> "text", "mode" -> "word",
+      "ngram" -> "1", "threshold" -> "1/2", "orderBy" -> "doc_id ASC"))
+    val q = PipelineRunner.runStream(spark,
+      docsSpec("ypm_stream", in, out, stage))
+    try q.processAllAvailable() finally q.stop()
+    // the stage pinned tau=1/2 (bands=64); a reconcile at tau=7/8
+    // derives bands=16 — a candidate SUBSET that could unmark decided
+    // dups, so it must refuse before touching state
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingOps.minhashDedupReconcile(
+        spark, out, tauNum = 7, tauDen = 8)
+    }
+    assert(e.getMessage.contains("_minhash_params"), e.getMessage)
+    // matching params still run fine
+    graft.streaming.StreamingOps.minhashDedupReconcile(spark, out)
+    GraftSession.release(spark)
+  }
+
+  test("reconcile repair is total: an empty torn marker cannot brick the state dir") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val in = tmp("graft_ytm_in"); val out = tmp("graft_ytm_out")
+    Seq((1L, "solo document unique words")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/b0")
+    val stage = TransformSpec("neardedup", Map(
+      "id" -> "doc_id", "text" -> "text", "mode" -> "word",
+      "ngram" -> "1", "threshold" -> "1/2", "orderBy" -> "doc_id ASC"))
+    val q = PipelineRunner.runStream(spark,
+      docsSpec("ytm_stream", in, out, stage))
+    try q.processAllAvailable() finally q.stop()
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = graft.streaming.StreamingOps.stateVersions(spark, out).last
+    // case 1: zero-length marker, live version intact (a legacy writer
+    // crashed between create and write) — repair deletes the marker
+    fs.create(new Path(s"$out/_reconcile_pending"), true).close()
+    graft.streaming.StreamingOps.minhashDedupReconcile(spark, out)
+    assert(!fs.exists(new Path(s"$out/_reconcile_pending")))
+    assert(graft.streaming.StreamingOps
+      .latestState(spark, out).get.count() == 1)
+    // case 2: zero-length marker AND the version parked at _pre (crash
+    // after the park) — repair derives v from the _pre_* dir name
+    assert(fs.rename(new Path(s"$out/v=$v"), new Path(s"$out/_pre_$v")))
+    fs.create(new Path(s"$out/_reconcile_pending"), true).close()
+    graft.streaming.StreamingOps.minhashDedupReconcile(spark, out)
+    assert(!fs.exists(new Path(s"$out/_reconcile_pending")))
+    assert(!fs.exists(new Path(s"$out/_pre_$v")))
+    assert(fs.exists(new Path(s"$out/v=$v")))
+    assert(graft.streaming.StreamingOps
+      .latestState(spark, out).get.count() == 1)
+    GraftSession.release(spark)
+  }
 }
