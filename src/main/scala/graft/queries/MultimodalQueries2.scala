@@ -36,7 +36,7 @@ object MultimodalQueries2 {
     * at 1-based `pos` — valid Spark SQL AND DuckDB SQL (instr/substr
     * agree on semantics in both engines).
     */
-  private def bandInt(c: String, pos: Int): String =
+  private[queries] def bandInt(c: String, pos: Int): String =
     (0 until 4).map { k =>
       s"(instr('$HD', substr($c, ${pos + k}, 1))-1)*${1 << (4 * (3 - k))}"
     }.mkString(" + ")
@@ -45,7 +45,7 @@ object MultimodalQueries2 {
     * (persisted — the hex→int parse is 32 instr calls, once per image;
     * see the mm_dedup comment).
     */
-  private def phashBandFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def phashBandFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = graft.operators.Parallelism.ensure(
       Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
@@ -57,11 +57,17 @@ object MultimodalQueries2 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Banded candidate join + Hamming<=2 verify over a (media_id,
-    * w0..w3) frame — factored so mm_dedup_clusters can run it over
-    * hash-class representatives only.
+  /** Banded candidate join + Hamming<=maxHamming verify over a
+    * (media_id, w0..w3) frame — factored so mm_dedup_clusters can run
+    * it over hash-class representatives only, and mm_hamming_curve
+    * (MultimodalQueries3) at the pigeonhole ceiling maxHamming = 3
+    * (4 bands: ≤3 differing bits cannot touch all 4, so banding stays
+    * zero-false-negative up to exactly 3).
     */
-  private def phashPairsFrom(hx: DataFrame): DataFrame = {
+  private[queries] def phashPairsFrom(hx: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only to hamming 3 (got $maxHamming)")
     import hx.sparkSession.implicits._
     val bands = hx.select($"media_id", $"w0", $"w1", $"w2", $"w3",
       explode(expr(
@@ -79,7 +85,7 @@ object MultimodalQueries2 {
       .withColumn("hamming", expr(
         (0 until 4).map(k => s"bit_count(a$k ^ b$k)").mkString(" + "))
         .cast("long"))
-      .filter($"hamming" <= 2L)
+      .filter($"hamming" <= maxHamming.toLong)
       .select($"id_a", $"id_b", $"hamming")
   }
 
@@ -137,7 +143,7 @@ object MultimodalQueries2 {
   )
 
   // shared with MultimodalQueries' mm_phash oracle: the phash CTE chain
-  private val phashCte =
+  private[queries] val phashCte =
     """WITH img AS (SELECT doc_id AS media_id, text,
       |    length(text) AS len,
       |    n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-12 relational/event additions.
+  *
+  * `q118_survival` — Kaplan-Meier survival over user lifetimes: the
+  * churn curve every retention report needs beyond q47's cohort grid.
+  * Lifetime t_u = days between a user's first and last event (day
+  * grain); a user whose last event falls on the corpus' final global
+  * day is CENSORED (still alive at observation end — the standard
+  * right-censoring rule), everyone else is an event ("churned at t").
+  * KM: S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) with d = events at t' and
+  * n = risk set (users with lifetime ≥ t').
+  *
+  * Cross-engine float discipline: the product is an ORDERED
+  * LEFT-TO-RIGHT fold — each ratio is ONE IEEE division (exact
+  * integers in, deterministic double out) and IEEE multiplication is
+  * deterministic, so an identically-ordered fold is bit-exact on both
+  * engines (the ann_pq list_reduce rule; Spark's init-1.0 aggregate
+  * equals DuckDB's elem-1-init list_reduce because 1.0·x == x
+  * exactly). Censoring-only times contribute ratio 1 − 0/n = 1.0, a
+  * bit-exact no-op, so every emitted t rides the same product.
+  *
+  * Scale shape: one user_id-keyed groupBy (high cardinality, partial
+  * aggs), then everything else runs on the ≤(observed-days) frame —
+  * the risk-set and product self-joins touch ~30 rows however large
+  * the corpus; no windows over big frames, no driver loops.
+  *
+  * `q119_stationary` — the stationary distribution of q79's event-type
+  * transition matrix via 8 unrolled power-iteration rounds — "where
+  * does user behavior settle": the long-run occupancy of each event
+  * type. INTEGER FIXED-POINT throughout (the q90 pagerank discipline):
+  * ranks in micro-units (start 1,000,000 per state), one round is
+  * rank'_t = Σ_s (rank_s · c_{s→t}) DIV c_s — truncating BIGINT
+  * division of non-negative operands == DuckDB `//`, and integer sums
+  * are order-independent, so every round is bit-exact replayable.
+  * Truncation leaks ≤1 micro-unit per (s,t) edge per round —
+  * deterministic on both engines, not drift. Scale: the transition
+  * matrix is (event-types)²-bounded (25 rows); each round is a
+  * broadcast join + one partial-agg groupBy over it — the per-user
+  * sequencing window (high-cardinality partition key) is the only
+  * big-data pass.
+  *
+  * `q121_stickiness` — DAU/MAU(28) per day from one segment-bitmap
+  * rollup (see the entry's inline comment).
+  *
+  * `q120_seq_mining` — frequent contiguous 3-event sequences
+  * (PrefixSpan-lite at fixed depth): support of every (e1, e2, e3)
+  * event-type trigram over per-user time-ordered streams, global
+  * top-20. q98 checks ONE pattern; this MINES the pattern table.
+  * Plan: two leads over the user_id window (high-cardinality
+  * partitions), a (e1,e2,e3)-keyed count (≤|types|³ = 125 groups,
+  * map-side partials), and the global top-k is orderBy+limit →
+  * TakeOrderedAndProject (per-partition top-k, NO global sort — the
+  * text_zipf_audit discipline). Tie-break (support desc, e1, e2, e3)
+  * makes the limit a total order, so the top-20 set is deterministic.
+  */
+object RelationalQueries17 {
+
+  /** Power-iteration depth (fixed-depth contract, the q90/q70 knob). */
+  private val StatRounds = 8
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_survival" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts".cast("date").as("day"))
+      val life = ev.groupBy($"user_id")
+        .agg(min($"day").as("f"), max($"day").as("l"))
+      val maxDay = ev.agg(max($"day").as("max_day"))
+      val lt = life.crossJoin(broadcast(maxDay))
+        .select($"user_id", datediff($"l", $"f").cast("long").as("t"),
+          when($"l" < $"max_day", 1L).otherwise(0L).as("is_event"))
+      val total = lt.agg(count(lit(1)).as("n_total"))
+      // one row per observed lifetime day — ≤ observation-window days
+      // however big the corpus; everything below runs on this frame
+      val byT = lt.groupBy($"t")
+        .agg(sum($"is_event").as("d"), sum(lit(1L) - $"is_event").as("c"))
+        .persist()
+      // risk set n_t = total − (left the study strictly before t)
+      val rm = byT.as("a").join(byT.as("b"), col("b.t") < col("a.t"), "left")
+        .groupBy(col("a.t").as("t"))
+        .agg(sum(coalesce(col("b.d") + col("b.c"), lit(0L))).as("removed"))
+      // every emitted t has someone leaving AT t, so n_risk ≥ d+c ≥ 1:
+      // the ratio's denominator cannot be zero by construction
+      val km = byT.join(rm, "t").crossJoin(broadcast(total))
+        .select($"t", $"d", $"c", ($"n_total" - $"removed").as("n_risk"))
+        .withColumn("ratio",
+          lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))
+        .persist()
+      km.as("a").join(km.as("b"), col("b.t") <= col("a.t"))
+        .groupBy(col("a.t").as("t"), col("a.n_risk").as("n_risk"),
+          col("a.d").as("d"), col("a.c").as("c"))
+        .agg(array_sort(collect_list(
+          struct(col("b.t").as("tp"), col("b.ratio").as("ratio")))).as("rl"))
+        // strict left-to-right fold in t-order == DuckDB list_reduce
+        // over list(ratio ORDER BY t): 1.0·x0 == x0 exactly
+        .select($"t", $"n_risk", $"d", $"c",
+          expr("aggregate(rl, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x.ratio)")
+            .as("surv"))
+    },
+
+    "q119_stationary" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+      val pairs = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          unix_micros($"ts").as("us"), $"event_id")
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val tot = pairs.groupBy($"src").agg(sum($"c").as("ctot"))
+      val trans = pairs.join(broadcast(tot), "src")
+        .select($"src", $"dst", $"c", $"ctot")
+        .persist() // |types|²-bounded; every round probes it
+      val states = trans.select($"src".as("state"))
+        .union(trans.select($"dst".as("state"))).distinct().persist()
+      val r0 = states.select($"state", lit(1000000L).as("rank"))
+      val rK = (1 to StatRounds).foldLeft(r0) { (r, _) =>
+        val contrib = trans
+          .join(broadcast(r.withColumnRenamed("state", "src")), "src")
+          .groupBy($"dst".as("state"))
+          .agg(sum(expr("(rank * c) DIV ctot")).as("s"))
+        // keep sink-only states in the frame at rank 0 (no incoming
+        // mass this round) — the schema never narrows mid-iteration
+        states.join(broadcast(contrib), Seq("state"), "left")
+          .select($"state", coalesce($"s", lit(0L)).as("rank"))
+      }
+      rK.select($"state", $"rank".as("rank_micro"))
+    },
+
+    // `q121_stickiness` — DAU/MAU(28) stickiness per day, the product
+    // engagement ratio: daily exact distinct users over the trailing
+    // 28-day exact distinct, both re-merged from ONE (day, seg, bits)
+    // segment-bitmap rollup (the q102/q108 re-mergeability claim cashed
+    // at a second window width — the fact table is touched once; the
+    // trailing window is an explode-28 postings join, gappy days post
+    // nothing). All integers until the single stickiness division;
+    // mau28 ≥ dau ≥ 1 on every emitted day (the day posts to itself),
+    // so the denominator cannot be zero. State per window =
+    // live-keyspace/32 words — the 100 TB shape.
+    "q121_stickiness" -> { (s, dir) =>
+      import s.implicits._
+      val segDay = Tables.events(s, dir)
+        .select($"ts".cast("date").as("day"), $"user_id")
+        .select(datediff($"day", lit("1995-01-01").cast("date")).cast("long")
+          .as("dayn"), $"day",
+          expr("user_id DIV 32").as("seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("bitval"))
+        .groupBy($"dayn", $"day", $"seg")
+        .agg(expr("bit_or(bitval)").as("bits"))
+        .persist() // the DAU rollup and the 28-day posting both read it
+      val dau = segDay.groupBy($"dayn", $"day")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("dau"))
+      val posted = segDay.select($"seg", $"bits", $"dayn",
+          explode(sequence(lit(0L), lit(27L))).as("off"))
+        .select(($"dayn" + $"off").as("target_dayn"), $"seg", $"bits")
+      val days = segDay.select($"dayn".as("target_dayn")).distinct()
+      val mau = posted.join(days, "target_dayn")
+        .groupBy($"target_dayn", $"seg")
+        .agg(expr("bit_or(bits)").as("wbits"))
+        .groupBy($"target_dayn")
+        .agg(sum(expr("bit_count(wbits)")).cast("long").as("mau28"))
+      dau.join(mau, $"dayn" === $"target_dayn")
+        .select($"day", $"dau", $"mau28",
+          ($"dau".cast("double") / $"mau28".cast("double")).as("stickiness"))
+    },
+
+    "q120_seq_mining" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          unix_micros($"ts").as("us"), $"event_id")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e3".isNotNull)
+        .groupBy($"event_type".as("e1"), $"e2", $"e3")
+        .agg(count(lit(1)).as("support"))
+        .orderBy($"support".desc, $"e1".asc, $"e2".asc, $"e3".asc)
+        .limit(20)
+    }
+  )
+
+  /** One unrolled power-iteration round as a DuckDB CTE: rank'_t =
+    * Σ_s (rank_s · c) // ctot with sink-only states coalesced to 0 —
+    * the exact Spark round above.
+    */
+  private def statRoundSql(prev: String, out: String): String =
+    s"""$out AS (SELECT s.state,
+       |    CAST(coalesce(sum((r.rank * tr.c) // tr.ctot), 0) AS BIGINT)
+       |      AS rank
+       |  FROM st s
+       |  LEFT JOIN tr ON tr.dst = s.state
+       |  LEFT JOIN $prev r ON tr.src = r.state
+       |  GROUP BY s.state)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q118_survival" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |life AS (SELECT user_id, min(day) AS f, max(day) AS l
+        |  FROM ev GROUP BY user_id),
+        |mx AS (SELECT max(day) AS max_day FROM ev),
+        |lt AS (SELECT user_id,
+        |    CAST(datediff('day', f, l) AS BIGINT) AS t,
+        |    CASE WHEN l < (SELECT max_day FROM mx) THEN 1 ELSE 0 END
+        |      AS is_event
+        |  FROM life),
+        |byt AS (SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+        |    CAST(sum(1 - is_event) AS BIGINT) AS c
+        |  FROM lt GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lt),
+        |rm AS (SELECT a.t,
+        |    CAST(coalesce(sum(b.d + b.c), 0) AS BIGINT) AS removed
+        |  FROM byt a LEFT JOIN byt b ON b.t < a.t GROUP BY a.t),
+        |km AS (SELECT byt.t, byt.d, byt.c,
+        |    (SELECT n_total FROM tot) - rm.removed AS n_risk,
+        |    CAST(1 AS DOUBLE) - CAST(byt.d AS DOUBLE)
+        |      / CAST((SELECT n_total FROM tot) - rm.removed AS DOUBLE)
+        |      AS ratio
+        |  FROM byt JOIN rm ON byt.t = rm.t)
+        |SELECT a.t, a.n_risk, a.d, a.c,
+        |  list_reduce(list(b.ratio ORDER BY b.t), (ga, gb) -> ga * gb)
+        |    AS surv
+        |FROM km a JOIN km b ON b.t <= a.t
+        |GROUP BY a.t, a.n_risk, a.d, a.c""".stripMargin,
+
+    "q119_stationary" -> {
+      val rounds = (1 to StatRounds)
+        .map(i => statRoundSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+        .mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
+         |  FROM events),
+         |p AS (SELECT event_type AS src, next_type AS dst,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM seq WHERE next_type IS NOT NULL GROUP BY src, dst),
+         |t AS (SELECT src, CAST(sum(c) AS BIGINT) AS ctot FROM p GROUP BY src),
+         |tr AS (SELECT p.src, p.dst, p.c, t.ctot FROM p JOIN t USING (src)),
+         |st AS (SELECT DISTINCT src AS state FROM p
+         |  UNION SELECT DISTINCT dst FROM p),
+         |r0 AS (SELECT state, CAST(1000000 AS BIGINT) AS rank FROM st),
+         |$rounds
+         |SELECT state, rank AS rank_micro FROM r$StatRounds""".stripMargin
+    },
+
+    "q121_stickiness" ->
+      """WITH sd AS (SELECT
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS dayn,
+        |    CAST(ts AS DATE) AS day,
+        |    user_id // 32 AS seg,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events GROUP BY 1, 2, 3),
+        |dau AS (SELECT dayn, day, CAST(sum(bit_count(bits)) AS BIGINT)
+        |    AS dau FROM sd GROUP BY 1, 2),
+        |posted AS (SELECT dayn + off AS target_dayn, seg, bits
+        |  FROM sd CROSS JOIN (SELECT unnest(range(0, 28)) AS off)),
+        |days AS (SELECT DISTINCT dayn AS target_dayn FROM sd),
+        |w AS (SELECT target_dayn, seg, bit_or(bits) AS wbits
+        |  FROM posted JOIN days USING (target_dayn)
+        |  GROUP BY 1, 2),
+        |mau AS (SELECT target_dayn, CAST(sum(bit_count(wbits)) AS BIGINT)
+        |    AS mau28 FROM w GROUP BY 1)
+        |SELECT day, dau, mau28,
+        |  CAST(dau AS DOUBLE) / CAST(mau28 AS DOUBLE) AS stickiness
+        |FROM dau JOIN mau ON dau.dayn = mau.target_dayn""".stripMargin,
+
+    "q120_seq_mining" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS support
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY support DESC, e1 ASC, e2 ASC, e3 ASC
+        |LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-12 text addition: `corpus_calibration` — the calibration table
+  * of the TRAINED quality classifier (text_quality_train): bucket every
+  * scored document into score deciles and report, per decile, how often
+  * the label (lang = 'en', the training target) actually holds. The
+  * standard model-health readout — a well-ordered score has en_rate
+  * monotone in decile; a flat table means the classifier ranks noise.
+  * Closes the train → score → CALIBRATE loop the way text_langid_eval
+  * closes langid's (its AUC sibling is ann_auc).
+  *
+  * Score is THE single-definition trained score (TextQueries6
+  * .trainedContrib — the round-9 no-fork discipline), docs with zero
+  * tokens excluded ("nothing to score" must not occupy a decile).
+  * Decile assignment avoids the global ntile window (empty partition
+  * spec = global sort, the round-9 InferWindowGroupLimit lesson): the
+  * committed shape is the RankSelect boundary-row ladder over the
+  * (score, doc_id) total order — 9 cut rows via ONE range exchange,
+  * then a broadcast struct-compare assigns every doc its decile, bit-
+  * equal to `ntile(10) OVER (ORDER BY score, doc_id)` (the SQL-standard
+  * large-buckets-first sizes: n = 10q + r0 → cut_j at rank
+  * j·q + min(j, r0) — the corpus_ppl_buckets tercile formula at k=10).
+  * The oracle IS that ntile. Per-decile sums stay exact integers
+  * (s_num, n_toks); en_rate is one IEEE division; score itself is one
+  * IEEE division of exact integers so its sort order is engine-
+  * identical. Scale: score is a row-local projection at scan
+  * parallelism (weights via the session model cache); the ladder is
+  * one range exchange; the rollup has 10 groups with map-side partials.
+  */
+object TextQueries7 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_calibration" -> { (s, dir) =>
+      import s.implicits._
+      val w = TextQueries6.trainedWeights(s, dir)
+      val scored = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(TextQueries6.qualityToks).cast("long").as("n_toks"),
+          aggregate(TextQueries6.trainedContrib(w), lit(0L),
+            (acc, x) => acc + x).as("s_num"))
+        .filter($"n_toks" > 0)
+        .withColumn("score", $"s_num".cast("double") /
+          ($"n_toks".cast("double") * TextQueries6.WDen.toDouble))
+        .withColumn("g", lit(1L))
+        .persist() // RankSelect's counts pass + the assignment join
+      val cuts = graft.operators.RankSelect.selectRanks(
+        scored, Seq("g"),
+        n => { val q = n / 10; val r0 = n % 10
+          (1 to 9).map(j => s"c$j" -> (j * q + math.min(j.toLong, r0))) },
+        "cut", "n_all",
+        $"score".asc, $"doc_id".asc)
+      val kCols = (1 to 9).map(j =>
+        max(when($"cut" === s"c$j", struct($"score", $"doc_id")))
+          .as(s"k$j"))
+      val cutRow = cuts.agg(kCols.head, kCols.tail: _*)
+      // when-chain k1..k9 in cut order (first matching boundary wins)
+      val chain = (2 to 9).foldLeft(
+        when(struct($"score", $"doc_id") <= col("k1"), 1L)) { (acc, j) =>
+        acc.when(struct($"score", $"doc_id") <= col(s"k$j"), j.toLong)
+      }
+      val assigned = scored.crossJoin(broadcast(cutRow))
+        .withColumn("decile", chain.otherwise(lit(10L)))
+      assigned.groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"),
+          sum($"s_num").as("s_num_total"),
+          sum($"n_toks").as("n_toks_total"))
+        .select($"decile", $"n_docs", $"n_en",
+          ($"n_en".cast("double") / $"n_docs".cast("double")).as("en_rate"),
+          $"s_num_total", $"n_toks_total")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "corpus_calibration" ->
+      s"""WITH ${TextQueries6.trainedCtes},
+         |sc AS (SELECT g.doc_id, d.lang, g.n_toks, g.s_num,
+         |    CAST(g.s_num AS DOUBLE)
+         |      / (CAST(g.n_toks AS DOUBLE) * CAST(1000000 AS DOUBLE))
+         |      AS score
+         |  FROM gw_doc g JOIN documents d ON g.doc_id = d.doc_id
+         |  WHERE g.n_toks > 0),
+         |dd AS (SELECT lang, n_toks, s_num,
+         |    CAST(ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT)
+         |      AS decile
+         |  FROM sc)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_en,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS en_rate,
+         |  CAST(sum(s_num) AS BIGINT) AS s_num_total,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_toks_total
+         |FROM dd GROUP BY decile""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts for the round-12 queries — invariants the
+  * driver's oracle value-diff can't express (monotonicity, mass
+  * conservation, cross-query consistency).
+  */
+class Round12QueriesSpec extends SparkSpec {
+
+  test("q118_survival: KM curve is a valid survival function") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q118_survival")(spark, sf)
+      .orderBy($"t").collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    // the earliest lifetime row sees the FULL population at risk
+    assert(rows.head.getAs[Long]("n_risk") === nUsers)
+    // survival is in (0, 1] and non-increasing in t; every row's
+    // product recomputes from the published (d, n_risk) columns
+    var prev = 1.0
+    var prod = 1.0
+    rows.foreach { r =>
+      val surv = r.getAs[Double]("surv")
+      prod *= 1.0 - r.getAs[Long]("d").toDouble / r.getAs[Long]("n_risk")
+      assert(surv > 0.0 - 1e-12 && surv <= prev + 1e-12)
+      assert(surv === prod) // exact: same left-to-right fold
+      prev = surv
+    }
+    // everyone leaves the study exactly once
+    assert(rows.map(r => r.getAs[Long]("d") + r.getAs[Long]("c")).sum
+      === nUsers)
+    GraftSession.release(spark)
+  }
+
+  test("q119_stationary: micro-unit mass is conserved up to truncation and never grows") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q119_stationary")(spark, sf).collect()
+    val types = Tables.events(spark, sf)
+      .select($"event_type").distinct().count()
+    assert(out.length === types.toInt)
+    val total = out.map(_.getAs[Long]("rank_micro")).sum
+    // start mass = 1e6 per state; truncating division only LEAKS mass
+    // (every round drops < 1 micro-unit per transition edge), so the
+    // settled total is positive and never exceeds the initial mass
+    assert(total > 0L && total <= types * 1000000L)
+    assert(out.forall(_.getAs[Long]("rank_micro") >= 0L))
+    GraftSession.release(spark)
+  }
+
+  test("q120_seq_mining equals an independent in-memory recount of trigram supports") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q120_seq_mining")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("support")))
+    // independent recount: collect the (small) sf0.001 event stream
+    // and fold trigrams per user in plain Scala
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._4)).map(_._2).sliding(3)
+        .filter(_.length == 3).map(s => (s(0), s(1), s(2))).toSeq
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }
+      .take(20)
+    assert(got.toSeq === want)
+    GraftSession.release(spark)
+  }
+
+  test("q121_stickiness: bitmap DAU equals count-distinct truth; ratio bounded") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q121_stickiness")(spark, sf).collect()
+    val dauTruth = Tables.events(spark, sf)
+      .select($"ts".cast("date").as("day"), $"user_id").distinct()
+      .groupBy($"day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(rows.length === dauTruth.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") === dauTruth(r.getDate(0).toString))
+      assert(r.getAs[Long]("mau28") >= r.getAs[Long]("dau"))
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    GraftSession.release(spark)
+  }
+
+  test("ann_matryoshka: the full-dimension row is exact self-recall; prefixes stay bounded") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("ann_matryoshka")(spark, sf)
+      .orderBy($"dim").collect()
+    assert(rows.map(_.getAs[Long]("dim")).toSeq === Seq(8L, 16L, 32L, 64L))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 50L)
+      assert(r.getAs[Double]("recall") === hits.toDouble / 50.0)
+    }
+    // truth compared against itself: bit-for-bit 1.0 by construction
+    assert(rows.last.getAs[Long]("n_hits") === 50L)
+    assert(rows.last.getAs[Double]("recall") === 1.0)
+    GraftSession.release(spark)
+  }
+
+  test("corpus_calibration: deciles partition the scored corpus with ntile sizes") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("corpus_calibration")(spark, sf)
+      .orderBy($"decile").collect()
+    val scoredDocs = Tables.load(spark, sf, "documents")
+      .filter(size(filter(split($"text", " "), t => length(t) > 0)) > 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (1L to 10L))
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.sum === scoredDocs)
+    // SQL-standard ntile: sizes differ by at most 1, larger buckets first
+    assert(sizes.max - sizes.min <= 1L)
+    assert(sizes.sorted.reverse.toSeq === sizes.toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
+    }
+    GraftSession.release(spark)
+  }
+
+  test("mm_hamming_curve is monotone and its radius-2 image pairs equal mm_dedup's enumeration") {
+    import spark.implicits._
+    val curve = SparkEntry.queries("mm_hamming_curve")(spark, sf)
+      .orderBy($"radius").collect()
+      .map(r => (r.getAs[Long]("radius"), r.getAs[Long]("n_hash_pairs"),
+        r.getAs[Long]("n_img_pairs")))
+    assert(curve.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    // radius 0 between DISTINCT hashes is empty by definition
+    assert(curve.head._2 === 0L)
+    // both counts are cumulative in the radius
+    assert(curve.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    // cross-query consistency: mm_dedup enumerates exactly the image
+    // pairs within hamming 2 (including hash-identical members), so
+    // its row count must equal the curve's radius-2 weighted total
+    val dedupPairs = SparkEntry.queries("mm_dedup")(spark, sf).count()
+    assert(curve(2)._3 === dedupPairs)
+    GraftSession.release(spark)
+  }
+}
