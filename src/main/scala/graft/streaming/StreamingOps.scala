@@ -737,6 +737,33 @@ object StreamingOps {
     bitmapDistinctCount(state.filter(col("seg") >= 0L)
       .groupBy(col("seg")).agg(expr("bit_or(bits)").as("bits")))
 
+  /** Current-day stickiness from a [[slidingDistinctMaintained]] state
+    * frame — the STREAMING face of q121_stickiness' last row: (DAU of
+    * the max retained day, exact distinct over the whole retained
+    * window, dau/mau). Run the fold with windowDays = 28 for the
+    * standard DAU/MAU(28) reading — the consumer reports over whatever
+    * window the state retains (that is the fold's contract, not this
+    * reader's). Both counts re-merge the SAME state rows the fold
+    * already maintains (no event re-scan); mau ≥ dau ≥ 0, and an
+    * empty state yields (0, 0, null-as-NaN-free) — the degenerate
+    * case returns dau = mau = 0 and stickiness 0.0 by convention
+    * rather than dividing by zero (the q105 guard discipline).
+    */
+  def stickinessCurrent(state: DataFrame): (Long, Long, Double) = {
+    val live = state.filter(col("seg") >= 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxdRow = live.agg(max(col("dayn"))).head()
+      if (maxdRow.isNullAt(0)) (0L, 0L, 0.0)
+      else {
+        val maxd = maxdRow.getLong(0)
+        val dau = bitmapDistinctCount(live.filter(col("dayn") === maxd))
+        val mau = slidingDistinctCount(live)
+        (dau, mau, if (mau == 0L) 0.0 else dau.toDouble / mau.toDouble)
+      }
+    } finally { live.unpersist(); () }
+  }
+
   /** AS-OF enrichment of one micro-batch against an SCD2 dimension
     * frame (the q95 point-in-time join, factored for streaming reuse):
     * each fact row resolves the version active at its timestamp — ONE

@@ -54,4 +54,40 @@ class SlidingBitmapStreamSpec extends SparkSpec {
       (101L, 2L, 1L << 6)).toDF("dayn", "seg", "bits")
     assert(graft.streaming.StreamingOps.slidingDistinctCount(state) == 2L)
   }
+
+  test("streamed stickinessCurrent equals the batch q121 row of the final day") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stick").toString
+    val ev = Tables.events(spark, sf).select(col("ts"), col("user_id"))
+    val maxDay = ev.agg(max(expr(
+      "CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT)")))
+      .head().getLong(0)
+    val mid = maxDay - 10
+    ev.filter(expr(
+        s"CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT) <= $mid"))
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    ev.filter(expr(
+        s"CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT) > $mid"))
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$dir/in/*")
+    // windowDays = 28 is the standard DAU/MAU(28) operating point —
+    // the same window the batch q121_stickiness trailing join uses
+    val q = StreamingOps.slidingDistinctMaintained(
+      stream, "ts", "user_id", 28, s"$dir/state", "stick_spec")
+    try q.processAllAvailable() finally q.stop()
+    val state = StreamingOps.latestState(spark, s"$dir/state").get
+    val (dau, mau, stick) = StreamingOps.stickinessCurrent(state)
+    // batch truth: q121's row for the corpus' final day
+    val last = SparkEntry.queries("q121_stickiness")(spark, sf)
+      .orderBy(col("day").desc).limit(1).head()
+    assert(dau === last.getAs[Long]("dau"))
+    assert(mau === last.getAs[Long]("mau28"))
+    assert(stick === last.getAs[Double]("stickiness"))
+    // degenerate contract: empty state reads (0, 0, 0.0), no divide
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("dayn", "seg", "bits")
+    assert(StreamingOps.stickinessCurrent(empty) === ((0L, 0L, 0.0)))
+    GraftSession.release(spark)
+  }
 }
