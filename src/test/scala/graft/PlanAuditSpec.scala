@@ -638,4 +638,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(filtered.count() ==
       Tables.load(spark, sf, "documents").filter(col("lang") === "en").count())
   }
+
+  test("round-12 queries keep their committed scale shapes") {
+    // q120: global top-20 must be a per-partition TakeOrderedAndProject,
+    // never a global sort + limit (the text_zipf_audit discipline)
+    val seq = plan("q120_seq_mining")
+    assert(seq.contains("TakeOrderedAndProject"),
+      "sequence mining top-k must plan as TakeOrderedAndProject")
+    // calibration: the model-weight scoring is a row-local projection —
+    // the only exchanges are the RankSelect range ladder + the 10-group
+    // rollup; no sort-merge join may appear (cuts broadcast)
+    val cal = plan("corpus_calibration")
+    assert(!cal.contains("SortMergeJoin"),
+      "decile cut assignment must broadcast, never shuffle-join")
+    // matryoshka: anchors broadcast against the candidate scan — the
+    // cosine KERNEL pass must be a broadcast nested-loop, never a
+    // shuffled join of the big side. (The ≤50-row truth⋈top semi joins
+    // show static SortMergeJoins that AQE re-plans to broadcasts once
+    // sizes are known — the q90/q93 static-plan caveat — so only the
+    // kernel-pass shape is asserted here.)
+    val mat = plan("ann_matryoshka")
+    assert(mat.contains("BroadcastNestedLoopJoin"),
+      "anchor side must broadcast against the candidate scan")
+  }
 }
