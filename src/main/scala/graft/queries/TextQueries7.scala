@@ -34,6 +34,50 @@ import graft.Tables
 object TextQueries7 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `text_chi2_features` — χ² FEATURE SELECTION (round 12): the top-20
+    // tokens most associated with the en/non-en label by the classic
+    // document-level 2×2 chi-square — the feature-selection step that
+    // precedes training a text classifier (and the diagnostic that
+    // explains WHAT text_quality_train's weights latched onto).
+    // Contingency per token: a = en docs containing it, b = non-en docs
+    // containing it, c/d = the complements from broadcast class totals;
+    // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). Counts are exact integers;
+    // χ² is ONE fixed double expression tree (casts first, identical
+    // text both engines — deterministic IEEE, no libm), so the ranking
+    // replays bit-for-bit. Tokens present in EVERY document drop out
+    // ((c+d) = 0 — zero selection information, and the statistic is
+    // 0/0 there). Plan: explode+distinct → one token-keyed count with
+    // map-side partials, broadcast 1-row totals, global top-20 via
+    // orderBy+limit (TakeOrderedAndProject).
+    "text_chi2_features" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val tots = docs.agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("n_non"))
+      val tokDocs = docs.select($"lang",
+          explode(array_distinct(TextQueries6.qualityToks)).as("tok"))
+        .groupBy($"tok")
+        .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("a"),
+          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("b"))
+      tokDocs.crossJoin(broadcast(tots))
+        .select($"tok", $"a", $"b",
+          ($"n_en" - $"a").as("c"), ($"n_non" - $"b").as("d"),
+          ($"n_en" + $"n_non").as("nn"))
+        .filter($"c" + $"d" > 0)
+        .withColumn("chi2", expr(
+          """CAST(nn AS DOUBLE)
+            | * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+            |    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            | * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+            |    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            | / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+            |    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"""
+            .stripMargin))
+        .select($"tok", $"a", $"b", $"chi2")
+        .orderBy($"chi2".desc, $"tok".asc).limit(20)
+    },
+
     "corpus_calibration" -> { (s, dir) =>
       import s.implicits._
       val w = TextQueries6.trainedWeights(s, dir)
@@ -76,6 +120,37 @@ object TextQueries7 {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_chi2_features" ->
+      """WITH td AS (SELECT lang, unnest(list_distinct(
+        |    list_filter(string_split(text, ' '), gt -> gt <> ''))) AS tok
+        |  FROM documents),
+        |tots AS (SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_en,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_non
+        |  FROM documents),
+        |ab AS (SELECT tok,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM td GROUP BY tok),
+        |f AS (SELECT tok, a, b, n_en - a AS c, n_non - b AS d,
+        |    n_en + n_non AS nn
+        |  FROM ab CROSS JOIN tots
+        |  WHERE (n_en - a) + (n_non - b) > 0)
+        |SELECT tok, a, b,
+        |  CAST(nn AS DOUBLE)
+        |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |    / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+        |FROM f
+        |ORDER BY chi2 DESC, tok ASC LIMIT 20""".stripMargin,
+
     "corpus_calibration" ->
       s"""WITH ${TextQueries6.trainedCtes},
          |sc AS (SELECT g.doc_id, d.lang, g.n_toks, g.s_num,

@@ -764,6 +764,114 @@ object StreamingOps {
     } finally { live.unpersist(); () }
   }
 
+  /** Streaming TRANSITION-COUNT fold — the incremental face of
+    * q79_transition_matrix (and, through [[stationaryFrom]], of
+    * q119_stationary): per-user event-type transition counts
+    * maintained across micro-batches WITH cross-batch sequence
+    * STITCHING. A transition whose two events arrive in different
+    * batches exists in the batch semantics but in NEITHER batch alone,
+    * so the state carries, besides the (src, dst, c) count rows, one
+    * FRONTIER row per user — that user's last seen (type, us, eid) —
+    * and each fold stitches prev-frontier → this-batch-first-event
+    * pairs before merging counts. The two row kinds share one schema:
+    * counts are (src, dst, c, user_id = null); frontiers are
+    * (src = last type, dst = null, c = 0, user_id, us, eid).
+    *
+    * Contract: per-user (us, eid)-non-decreasing arrival across
+    * batches (the scd2/sliding class — exactly a watermark's promise);
+    * within a batch any order is fine (the fold sorts). Under it, any
+    * in-order split folds to the same state as one batch fold —
+    * TransitionStreamSpec proves 2-batch == batch q79 counts and
+    * [[stationaryFrom]] == batch q119.
+    *
+    * Scale: per batch one user-keyed window (high-cardinality
+    * partitions), one ≤|types|²-row count merge, and a user-keyed
+    * frontier upsert — state is |types|² + one row per live user.
+    */
+  def transitionCountsMaintained(events: DataFrame, stateDir: String,
+      name: String, retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(events, stateDir, name, retainVersions) { (prev, b) =>
+      import org.apache.spark.sql.expressions.Window
+      val batch = b.toDF().select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("eid").asc)
+      // NOT persisted: the sink writes the returned frame AFTER this
+      // fold returns, so an internal persist could only be released by
+      // leaking it across micro-batches — the 3 window consumers
+      // recompute one batch-local sort instead (bounded by batch size)
+      val seq = batch.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnDesc", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("eid").desc)))
+      val inBatch = seq.filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val firsts = seq.filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("ftype"))
+      val lasts = seq.filter(col("rnDesc") === 1)
+        .select(col("event_type").as("src"),
+          lit(null).cast("string").as("dst"), lit(0L).as("c"),
+          col("user_id"), col("us"), col("eid"))
+      val (prevCounts, prevFrontier) = prev match {
+        case Some(p) =>
+          (p.filter(col("user_id").isNull)
+            .select(col("src"), col("dst"), col("c")),
+            p.filter(col("user_id").isNotNull))
+        case None =>
+          val e = lasts.limit(0)
+          (e.select(col("src"), col("dst"), col("c")), e)
+      }
+      // stitch: the frontier event precedes every batch event of its
+      // user by the arrival contract, so (frontier.type -> batch first)
+      // is exactly the boundary transition the split severed
+      val boundary = prevFrontier
+        .select(col("user_id"), col("src").as("ptype"))
+        .join(firsts, "user_id")
+        .groupBy(col("ptype").as("src"), col("ftype").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val counts = prevCounts.unionByName(inBatch).unionByName(boundary)
+        .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("c"))
+        .select(col("src"), col("dst"), col("c"),
+          lit(null).cast("long").as("user_id"),
+          lit(null).cast("long").as("us"), lit(null).cast("long").as("eid"))
+      // frontier upsert: batch users advance, absent users persist
+      val frontier = lasts.unionByName(
+        prevFrontier.join(firsts.select(col("user_id")), Seq("user_id"),
+          "left_anti"))
+      counts.unionByName(frontier)
+    }
+
+  /** Stationary distribution from a [[transitionCountsMaintained]]
+    * state frame — q119_stationary's iteration run over the maintained
+    * counts (same integer fixed-point rounds, same micro-units), so a
+    * streamed corpus yields the SAME settled occupancy a batch run
+    * would (TransitionStreamSpec proves it).
+    */
+  def stationaryFrom(state: DataFrame, rounds: Int = 8): DataFrame = {
+    val pairs = state.filter(col("user_id").isNull)
+      .select(col("src"), col("dst"), col("c"))
+    val tot = pairs.groupBy(col("src")).agg(sum(col("c")).as("ctot"))
+    val trans = pairs.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"), col("c"), col("ctot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val states = trans.select(col("src").as("state"))
+      .union(trans.select(col("dst").as("state"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r0 = states.select(col("state"), lit(1000000L).as("rank"))
+    val rK = (1 to rounds).foldLeft(r0) { (r, _) =>
+      val contrib = trans
+        .join(broadcast(r.withColumnRenamed("state", "src")), "src")
+        .groupBy(col("dst").as("state"))
+        .agg(sum(expr("(rank * c) DIV ctot")).as("s"))
+      states.join(broadcast(contrib), Seq("state"), "left")
+        .select(col("state"), coalesce(col("s"), lit(0L)).as("rank"))
+    }
+    rK.select(col("state"), col("rank").as("rank_micro"))
+  }
+
   /** AS-OF enrichment of one micro-batch against an SCD2 dimension
     * frame (the q95 point-in-time join, factored for streaming reuse):
     * each fact row resolves the version active at its timestamp — ONE

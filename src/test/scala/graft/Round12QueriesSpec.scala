@@ -106,6 +106,34 @@ class Round12QueriesSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("text_chi2_features equals an independent recount of the statistic") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_chi2_features")(spark, sf).collect()
+    assert(rows.length === 20)
+    // ordering is the (chi2 desc, tok asc) total order
+    val chis = rows.map(_.getAs[Double]("chi2"))
+    assert(chis.sliding(2).forall { case Array(x, y) => x >= y })
+    // independent recount for every returned token from raw doc data
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSet))
+    val nEn = docs.count(_._1 == "en").toDouble
+    val nNon = docs.size - nEn
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val a = docs.count(d => d._1 == "en" && d._2(tok)).toDouble
+      val b = docs.count(d => d._1 != "en" && d._2(tok)).toDouble
+      assert(r.getAs[Long]("a").toDouble === a)
+      assert(r.getAs[Long]("b").toDouble === b)
+      val c = nEn - a; val d = nNon - b; val nn = nEn + nNon
+      val chi2 = nn * (a * d - b * c) * (a * d - b * c) /
+        ((a + b) * (c + d) * (a + c) * (b + d))
+      assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-9)
+    }
+    GraftSession.release(spark)
+  }
+
   test("corpus_calibration: deciles partition the scored corpus with ntile sizes") {
     import spark.implicits._
     val rows = SparkEntry.queries("corpus_calibration")(spark, sf)

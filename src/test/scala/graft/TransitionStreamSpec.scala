@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The streaming transition-count contract: cross-batch sequence
+  * stitching makes an in-order split fold to the exact batch
+  * transition matrix, and the stationary consumer settles to the
+  * batch q119 occupancy bit-for-bit.
+  */
+class TransitionStreamSpec extends SparkSpec {
+
+  import graft.streaming.StreamingOps
+
+  test("2-batch day-split fold equals the batch transition counts and stationary ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+    val maxDay = ev.agg(max(expr(
+      "CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT)")))
+      .head().getLong(0)
+    val mid = maxDay - 15
+    // day-split batches: every user's b0 events precede its b1 events,
+    // so arrival is per-user (us, eid)-non-decreasing — the contract
+    ev.filter(expr(
+        s"CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT) <= $mid"))
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    ev.filter(expr(
+        s"CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT) > $mid"))
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$dir/in/*")
+    val q = StreamingOps.transitionCountsMaintained(
+      stream, s"$dir/state", "trans_spec")
+    try q.processAllAvailable() finally q.stop()
+    val state = StreamingOps.latestState(spark, s"$dir/state").get
+    // streamed counts == the batch q79 matrix (the split severed one
+    // transition per user active on both sides; stitching restores it)
+    val streamed = state.filter(col("user_id").isNull)
+      .select(col("src"), col("dst"), col("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batchTruth = SparkEntry.queries("q79_transition_matrix")(spark, sf)
+      .select(col("cur"), col("nxt"), col("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchTruth)
+    // one frontier row per user ever seen
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(state.filter(col("user_id").isNotNull).count() === users)
+    // the stationary consumer == batch q119 bit-for-bit
+    val got = StreamingOps.stationaryFrom(state).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = SparkEntry.queries("q119_stationary")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+    GraftSession.release(spark)
+  }
+}
