@@ -478,26 +478,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Incremental minhash near-dup state fold — the LLM-ingest use of
-    * MinHash: each arriving batch of documents is flagged against ALL
-    * history without recomputing it. State = one immutable row per doc
-    * seen: (id, sig, is_dup), where is_dup was decided on arrival and
-    * never rewritten (the closed-SCD2-version discipline). A batch doc
-    * is a dup iff some SMALLER-id doc (in history or earlier in the
-    * same batch) shares an LSH band AND the signature-agreement
-    * estimate of Jaccard clears tauNum/tauDen — an integer compare
-    * (`matches·tauDen >= numHashes·tauNum`), no float boundary. The
-    * estimate (stderr ~1/sqrt(numHashes)) replaces the exact set verify
-    * deliberately: state stays ~1KB/doc signatures, never token sets or
-    * text — the property that makes the fold viable at ingest scale.
-    *
-    * Contract (mirrors Scd2.mergeFold): batches arrive in
-    * non-decreasing id order, so "smaller id" == "already in state" —
-    * folding any in-order split sequence equals one fold over
-    * everything (MinhashStreamSpec proves it). Per-batch work is
-    * O(batch·bands + matching buckets), never O(history²): the band
-    * join probes history's buckets with the batch's bands only.
-    */
   /** Effective LSH band count shared by the fold and the reconcile's
     * pair pass: explicit `bands` when > 0, else the recall-preserving
     * tau-derived banding (Transforms.recallBandRows — the single
@@ -519,6 +499,26 @@ object Dedup {
     b
   }
 
+  /** Incremental minhash near-dup state fold — the LLM-ingest use of
+    * MinHash: each arriving batch of documents is flagged against ALL
+    * history without recomputing it. State = one immutable row per doc
+    * seen: (id, sig, is_dup), where is_dup was decided on arrival and
+    * never rewritten (the closed-SCD2-version discipline). A batch doc
+    * is a dup iff some SMALLER-id doc (in history or earlier in the
+    * same batch) shares an LSH band AND the signature-agreement
+    * estimate of Jaccard clears tauNum/tauDen — an integer compare
+    * (`matches·tauDen >= numHashes·tauNum`), no float boundary. The
+    * estimate (stderr ~1/sqrt(numHashes)) replaces the exact set verify
+    * deliberately: state stays ~1KB/doc signatures, never token sets or
+    * text — the property that makes the fold viable at ingest scale.
+    *
+    * Contract (mirrors Scd2.mergeFold): batches arrive in
+    * non-decreasing id order, so "smaller id" == "already in state" —
+    * folding any in-order split sequence equals one fold over
+    * everything (MinhashStreamSpec proves it). Per-batch work is
+    * O(batch·bands + matching buckets), never O(history²): the band
+    * join probes history's buckets with the batch's bands only.
+    */
   def minhashDedupFold(prev: Option[DataFrame], batch: DataFrame,
       idCol: String, textCol: String, mode: String = "word", n: Int = 3,
       numHashes: Int = 128, bands: Int = 0,

@@ -117,21 +117,10 @@ object RelationalQueries17 {
       val tot = pairs.groupBy($"src").agg(sum($"c").as("ctot"))
       val trans = pairs.join(broadcast(tot), "src")
         .select($"src", $"dst", $"c", $"ctot")
-        .persist() // |types|²-bounded; every round probes it
-      val states = trans.select($"src".as("state"))
-        .union(trans.select($"dst".as("state"))).distinct().persist()
-      val r0 = states.select($"state", lit(1000000L).as("rank"))
-      val rK = (1 to StatRounds).foldLeft(r0) { (r, _) =>
-        val contrib = trans
-          .join(broadcast(r.withColumnRenamed("state", "src")), "src")
-          .groupBy($"dst".as("state"))
-          .agg(sum(expr("(rank * c) DIV ctot")).as("s"))
-        // keep sink-only states in the frame at rank 0 (no incoming
-        // mass this round) — the schema never narrows mid-iteration
-        states.join(broadcast(contrib), Seq("state"), "left")
-          .select($"state", coalesce($"s", lit(0L)).as("rank"))
-      }
-      rK.select($"state", $"rank".as("rank_micro"))
+      // the iteration itself is the SHARED Markov.stationaryRanks —
+      // one definition with StreamingOps.stationaryFrom, so the
+      // streamed-equals-batch contract cannot drift
+      graft.operators.Markov.stationaryRanks(trans, StatRounds)
     },
 
     // `q121_stickiness` — DAU/MAU(28) stickiness per day, the product

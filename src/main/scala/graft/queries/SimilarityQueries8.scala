@@ -52,12 +52,23 @@ object SimilarityQueries8 {
         .filter($"rk" <= TopK).select($"q_id", $"vec_id")
       val truth = topAt(s"cos_${Dims.last}")
         .persist() // compared against every prefix ranking
+      val truthN = truth.agg(count(lit(1)).as("n_truth"))
+        .persist() // the exact recall denominator, shared by all rows
+      // recall divides by the TRUE top-list size (per-anchor
+      // min(TopK, candidates) summed), not a hardcoded anchors·k —
+      // exact on any corpus; null (not a divide) if truth is empty.
+      // The full-dim row reuses truth itself: self-recall is |truth|
+      // hits by definition, no second identical ranking pass.
       Dims.map { d =>
-        truth.join(topAt(s"cos_$d"), Seq("q_id", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
+        val hits =
+          if (d == Dims.last) truthN.select($"n_truth".as("n_hits"))
+          else truth.join(topAt(s"cos_$d"), Seq("q_id", "vec_id"),
+            "left_semi").agg(count(lit(1)).as("n_hits"))
+        hits.crossJoin(broadcast(truthN))
           .select(lit(d.toLong).as("dim"), $"n_hits",
-            ($"n_hits".cast("double") /
-              lit((NAnchors * TopK).toDouble)).as("recall"))
+            when($"n_truth" > 0,
+              $"n_hits".cast("double") / $"n_truth".cast("double"))
+              .otherwise(lit(null).cast("double")).as("recall"))
       }.reduce(_ unionByName _)
     }
   )
@@ -75,7 +86,9 @@ object SimilarityQueries8 {
   private def recallRowSql(d: Int): String =
     s"""SELECT CAST($d AS BIGINT) AS dim,
        |  CAST(count(*) AS BIGINT) AS n_hits,
-       |  CAST(count(*) AS DOUBLE) / ${(NAnchors * TopK).toDouble} AS recall
+       |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+       |    ELSE CAST(count(*) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM truth) AS DOUBLE) END AS recall
        |FROM truth tt JOIN top_$d pp
        |  ON tt.q_id = pp.q_id AND tt.vec_id = pp.vec_id""".stripMargin
 

@@ -64,7 +64,13 @@ object TextQueries7 {
         .select($"tok", $"a", $"b",
           ($"n_en" - $"a").as("c"), ($"n_non" - $"b").as("d"),
           ($"n_en" + $"n_non").as("nn"))
-        .filter($"c" + $"d" > 0)
+        // every marginal must be positive or the statistic is 0/0 —
+        // the q105 degenerate-denominator class (Spark ANSI throws
+        // where DuckDB yields NaN/inf): (c+d)=0 for all-document
+        // tokens, (a+c)=0 / (b+d)=0 on single-class corpora, (a+b)=0
+        // for tokens seen only in null-lang docs
+        .filter($"c" + $"d" > 0 && $"a" + $"b" > 0 &&
+          $"a" + $"c" > 0 && $"b" + $"d" > 0)
         .withColumn("chi2", expr(
           """CAST(nn AS DOUBLE)
             | * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
@@ -139,7 +145,8 @@ object TextQueries7 {
         |f AS (SELECT tok, a, b, n_en - a AS c, n_non - b AS d,
         |    n_en + n_non AS nn
         |  FROM ab CROSS JOIN tots
-        |  WHERE (n_en - a) + (n_non - b) > 0)
+        |  WHERE (n_en - a) + (n_non - b) > 0 AND a + b > 0
+        |    AND n_en > 0 AND n_non > 0)
         |SELECT tok, a, b,
         |  CAST(nn AS DOUBLE)
         |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)

@@ -350,9 +350,22 @@ object StreamingOps {
       fs.delete(stage, false)
       val out = fs.create(stage, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      fs.delete(pfile, false)
-      if (!fs.rename(stage, pfile))
-        throw new java.io.IOException(s"rename $stage -> $pfile failed")
+      // rename WITH OVERWRITE (the bindQueryIdentity discipline): a
+      // plain delete-then-rename window would, on a crash between the
+      // two, leave NO params file at all — and an absent file is
+      // exactly what lets a later divergent-banding fold re-pin its
+      // own params instead of being refused
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          pfile.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(stage, pfile,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(pfile, false) // rename refuses an existing target
+          if (!fs.rename(stage, pfile))
+            throw new java.io.IOException(s"rename $stage -> $pfile failed")
+      }
     }
   }
 
@@ -399,39 +412,37 @@ object StreamingOps {
     val marker = new Path(s"$stateDir/_reconcile_pending")
     val staging = new Path(s"$stateDir/_reconcile_staging")
     // repair a crashed prior attempt before anything else. Repair is
-    // TOTAL: an empty or torn marker (a crash inside a legacy
-    // non-atomic create-then-write — current markers are staged +
-    // renamed) derives the version from the parked _pre_* dir instead
-    // of throwing; no pre-image at all means the live version was
-    // never touched, so dropping the marker and staging restores the
-    // quiet state.
+    // TOTAL and MARKER-TEXT-INDEPENDENT: the parked _pre_* dirs are the
+    // physical evidence of which version a crashed swap touched, so
+    // repair derives every version from the glob — never from the
+    // marker's contents (a torn legacy marker can hold a numeric
+    // PREFIX of the real version, e.g. '1' of '12', and v=1 may exist
+    // as an old retained version, so trusting parseable text could
+    // "repair" the wrong version and strand the parked pre-image).
+    // No pre-image at all means the live version was never touched,
+    // so dropping the marker and staging restores the quiet state.
     if (fs.exists(marker)) {
-      val txt = {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      }
-      val vOpt = txt.toLongOption.orElse {
-        Option(fs.globStatus(new Path(s"$stateDir/_pre_*"))).toSeq.flatten
-          .flatMap(s => s.getPath.getName.stripPrefix("_pre_").toLongOption)
-          .sorted.lastOption
-      }
-      vOpt.foreach { v =>
-        val vdir = new Path(s"$stateDir/v=$v")
-        val pre = new Path(s"$stateDir/_pre_$v")
-        if (!fs.exists(vdir) && fs.exists(pre) && !fs.rename(pre, vdir))
-          throw new java.io.IOException(s"repair rename $pre -> $vdir failed")
-        fs.delete(pre, true)
-      }
+      Option(fs.globStatus(new Path(s"$stateDir/_pre_*"))).toSeq.flatten
+        .flatMap(s => s.getPath.getName.stripPrefix("_pre_").toLongOption)
+        .foreach { v =>
+          val vdir = new Path(s"$stateDir/v=$v")
+          val pre = new Path(s"$stateDir/_pre_$v")
+          if (!fs.exists(vdir) && !fs.rename(pre, vdir))
+            throw new java.io.IOException(s"repair rename $pre -> $vdir failed")
+          fs.delete(pre, true)
+        }
       fs.delete(staging, true)
       fs.delete(marker, false)
     }
     val bandsEff =
       graft.operators.Dedup.effectiveBands(numHashes, bands, tauNum, tauDen)
-    bindMinhashParams(spark, stateDir, Seq(
-      "numHashes" -> numHashes.toString, "bands" -> bandsEff.toString,
-      "tau" -> s"$tauNum/$tauDen"))
     stateVersions(spark, stateDir).lastOption.foreach { v =>
+      // pin/validate params only when there IS state to reconcile: a
+      // no-op reconcile on an empty dir must not pre-pin its defaults
+      // and then refuse the first real fold's differing params
+      bindMinhashParams(spark, stateDir, Seq(
+        "numHashes" -> numHashes.toString, "bands" -> bandsEff.toString,
+        "tau" -> s"$tauNum/$tauDen"))
       val vdir = new Path(s"$stateDir/v=$v")
       val pre = new Path(s"$stateDir/_pre_$v")
       val st = spark.read.parquet(vdir.toString)
@@ -779,10 +790,12 @@ object StreamingOps {
     *
     * Contract: per-user (us, eid)-non-decreasing arrival across
     * batches (the scd2/sliding class — exactly a watermark's promise);
-    * within a batch any order is fine (the fold sorts). Under it, any
-    * in-order split folds to the same state as one batch fold —
-    * TransitionStreamSpec proves 2-batch == batch q79 counts and
-    * [[stationaryFrom]] == batch q119.
+    * within a batch any order is fine (the fold sorts). Events with a
+    * NULL user_id are excluded — a transition needs a sequence
+    * identity, and null doubles as the state's count-vs-frontier row
+    * discriminator. Under the contract, any in-order split folds to
+    * the same state as one batch fold — TransitionStreamSpec proves
+    * 2-batch == batch q79 counts and [[stationaryFrom]] == batch q119.
     *
     * Scale: per batch one user-keyed window (high-cardinality
     * partitions), one ≤|types|²-row count merge, and a user-keyed
@@ -793,8 +806,14 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     versionedStateSink(events, stateDir, name, retainVersions) { (prev, b) =>
       import org.apache.spark.sql.expressions.Window
-      val batch = b.toDF().select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("event_id").as("eid"))
+      // user_id IS NULL is the state's count-vs-frontier discriminator,
+      // so a null-user event must never mint a frontier row (it would
+      // be re-read as a phantom count next fold) — and semantically a
+      // transition needs a sequence identity: null-user events carry
+      // none and are excluded by contract (documented above)
+      val batch = b.toDF().filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us").asc, col("eid").asc)
       // NOT persisted: the sink writes the returned frame AFTER this
@@ -854,22 +873,10 @@ object StreamingOps {
     val pairs = state.filter(col("user_id").isNull)
       .select(col("src"), col("dst"), col("c"))
     val tot = pairs.groupBy(col("src")).agg(sum(col("c")).as("ctot"))
-    val trans = pairs.join(broadcast(tot), "src")
-      .select(col("src"), col("dst"), col("c"), col("ctot"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val states = trans.select(col("src").as("state"))
-      .union(trans.select(col("dst").as("state"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val r0 = states.select(col("state"), lit(1000000L).as("rank"))
-    val rK = (1 to rounds).foldLeft(r0) { (r, _) =>
-      val contrib = trans
-        .join(broadcast(r.withColumnRenamed("state", "src")), "src")
-        .groupBy(col("dst").as("state"))
-        .agg(sum(expr("(rank * c) DIV ctot")).as("s"))
-      states.join(broadcast(contrib), Seq("state"), "left")
-        .select(col("state"), coalesce(col("s"), lit(0L)).as("rank"))
-    }
-    rK.select(col("state"), col("rank").as("rank_micro"))
+    graft.operators.Markov.stationaryRanks(
+      pairs.join(broadcast(tot), "src")
+        .select(col("src"), col("dst"), col("c"), col("ctot")),
+      rounds)
   }
 
   /** AS-OF enrichment of one micro-batch against an SCD2 dimension

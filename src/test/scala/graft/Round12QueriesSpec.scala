@@ -95,13 +95,15 @@ class Round12QueriesSpec extends SparkSpec {
     val rows = SparkEntry.queries("ann_matryoshka")(spark, sf)
       .orderBy($"dim").collect()
     assert(rows.map(_.getAs[Long]("dim")).toSeq === Seq(8L, 16L, 32L, 64L))
+    // the full-dim row IS the truth list: its hit count is the exact
+    // recall denominator every other row divides by
+    val nTruth = rows.last.getAs[Long]("n_hits")
+    assert(nTruth === 50L) // 5 anchors × top-10 on this corpus
     rows.foreach { r =>
       val hits = r.getAs[Long]("n_hits")
-      assert(hits >= 0L && hits <= 50L)
-      assert(r.getAs[Double]("recall") === hits.toDouble / 50.0)
+      assert(hits >= 0L && hits <= nTruth)
+      assert(r.getAs[Double]("recall") === hits.toDouble / nTruth.toDouble)
     }
-    // truth compared against itself: bit-for-bit 1.0 by construction
-    assert(rows.last.getAs[Long]("n_hits") === 50L)
     assert(rows.last.getAs[Double]("recall") === 1.0)
     GraftSession.release(spark)
   }

@@ -244,6 +244,18 @@ class StreamingYamlStagesSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("a no-op reconcile on an empty state dir does not pre-pin params") {
+    import org.apache.hadoop.fs.Path
+    val out = tmp("graft_ynp_out")
+    // nothing to reconcile: must neither fail nor write _minhash_params
+    // (pre-pinning its defaults here would falsely refuse the FIRST
+    // real fold if that fold runs at a different tau)
+    graft.streaming.StreamingOps.minhashDedupReconcile(spark, out)
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$out/_minhash_params")))
+  }
+
   test("reconcile repair is total: an empty torn marker cannot brick the state dir") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
