@@ -174,6 +174,96 @@ object RelationalQueries17 {
         .agg(count(lit(1)).as("support"))
         .orderBy($"support".desc, $"e1".asc, $"e2".asc, $"e3".asc)
         .limit(20)
+    },
+
+    // `q122_holt` — Holt's LINEAR-TREND exponential smoothing per
+    // event type over the daily-volume series (q74_ewma's sibling
+    // with a trend component — the level-only EWMA lags every ramp by
+    // construction; Holt tracks it), plus the 1/2/3-day-ahead
+    // forecasts level + h·trend that are the method's whole point.
+    // α = β = 1/2 (binary fractions — 0.5·x is an exact IEEE exponent
+    // shift). Cross-engine parity by the ordered STRUCT fold: the
+    // (level, trend) pair folds left-to-right in day order — Spark
+    // aggregate(slice(2..n), struct(x₁, 0)) == DuckDB list_reduce over
+    // struct-transformed lists (elem-1 init), every operation one
+    // fixed IEEE tree (the q118 product-fold rule extended to struct
+    // state). Scale: one (type, day) rollup with map-side partials,
+    // then the fold runs on ≤|types| arrays of ≤days elements.
+    "q122_holt" -> { (s, dir) =>
+      import s.implicits._
+      // THE committed recurrence, shared textually with the oracle:
+      //   l' = 0.5·x + 0.5·(l + b)
+      //   b' = 0.25·x − 0.25·l + 0.75·b   (the β-expansion of
+      //        0.5·(l' − l) + 0.5·b — committed in EXPANDED form so
+      //        neither field references the other's result: DuckDB
+      //        1.0's list_reduce mutates a STRUCT accumulator in
+      //        place field-by-field, so a b-field reading acc.l would
+      //        see the NEW l there; the oracle therefore folds a
+      //        [l, b] LIST accumulator, and both engines evaluate
+      //        these two independent trees)
+      val upd = "named_struct(" +
+        "'l', 0.5D * e.x + 0.5D * (acc.l + acc.b), " +
+        "'b', 0.25D * e.x - 0.25D * acc.l + 0.75D * acc.b)"
+      Tables.events(s, dir)
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .groupBy($"event_type")
+        .agg(array_sort(collect_list(struct($"day", $"x"))).as("sx"))
+        .select($"event_type", size($"sx").cast("long").as("n_days"),
+          expr(s"""aggregate(slice(sx, 2, size(sx) - 1),
+            named_struct('l', element_at(sx, 1).x, 'b', CAST(0.0 AS DOUBLE)),
+            (acc, e) -> $upd)""").as("st"))
+        .select($"event_type", $"n_days",
+          $"st.l".as("level"), $"st.b".as("trend"),
+          ($"st.l" + $"st.b").as("forecast_1"),
+          ($"st.l" + lit(2.0) * $"st.b").as("forecast_2"),
+          ($"st.l" + lit(3.0) * $"st.b").as("forecast_3"))
+    },
+
+    // `q123_absorption` — ABSORBING-CHAIN conversion probability: for
+    // each starting event type, the probability of reaching 'purchase'
+    // within 8 transitions under q79's empirical kernel — the
+    // funnel-free "how convertible is a user in state s" number
+    // (q115 measures realized latency; this is the model-based
+    // reachability). Backward induction in integer fixed-point
+    // micro-units (the q119/Markov discipline): p₀ = 1e6 on the
+    // absorbing state, pₖ(s) = Σ_t c_st·pₖ₋₁(t) DIV ctot_s with ONE
+    // truncating division per (state, round) AFTER the exact integer
+    // sum (leaks less than per-edge division, deterministically on
+    // both engines); the absorbing state overrides to 1e6 every round
+    // (its empirical outgoing edges are ignored by definition).
+    // Monotone non-decreasing in k by construction. Scale: the
+    // |types|²-bounded kernel is the only state; rounds are broadcast
+    // joins + a ≤|types|-group aggregate.
+    "q123_absorption" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+      val pairs = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          unix_micros($"ts").as("us"), $"event_id")
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val tot = pairs.groupBy($"src").agg(sum($"c").as("ctot"))
+      val trans = pairs.join(broadcast(tot), "src")
+        .select($"src", $"dst", $"c", $"ctot")
+        .persist()
+      val states = trans.select($"src".as("state"))
+        .union(trans.select($"dst".as("state"))).distinct().persist()
+      val p0 = states.select($"state",
+        when($"state" === "purchase", 1000000L).otherwise(0L).as("p"))
+      val pK = (1 to StatRounds).foldLeft(p0) { (p, _) =>
+        val reach = trans
+          .join(broadcast(p.withColumnRenamed("state", "dst")), "dst")
+          .groupBy($"src".as("state"))
+          .agg(sum($"c" * $"p").as("sp"), max($"ctot").as("ct"))
+        states.join(broadcast(reach), Seq("state"), "left")
+          .select($"state",
+            when($"state" === "purchase", 1000000L)
+              .otherwise(coalesce(expr("sp DIV ct"), lit(0L))).as("p"))
+      }
+      pK.select($"state", $"p".as("p_absorb_micro"))
     }
   )
 
@@ -189,6 +279,35 @@ object RelationalQueries17 {
        |  LEFT JOIN tr ON tr.dst = s.state
        |  LEFT JOIN $prev r ON tr.src = r.state
        |  GROUP BY s.state)""".stripMargin
+
+  /** One unrolled backward-induction round: pₖ(s) = Σ_t c·pₖ₋₁(t)
+    * // ctot_s, absorbing state overridden to 1e6 — the exact Spark
+    * round in q123_absorption.
+    */
+  private def absRoundSql(prev: String, out: String): String =
+    s"""$out AS (SELECT s.state,
+       |    CASE WHEN s.state = 'purchase' THEN CAST(1000000 AS BIGINT)
+       |    ELSE CAST(coalesce(sum(tr.c * p.p) // max(tr.ctot), 0)
+       |      AS BIGINT) END AS p
+       |  FROM st s
+       |  LEFT JOIN tr ON tr.src = s.state
+       |  LEFT JOIN $prev p ON tr.dst = p.state
+       |  GROUP BY s.state)""".stripMargin
+
+  /** The shared seq → transition-kernel CTE prefix (q119 / q123). */
+  private val kernelCtes: String =
+    """seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
+      |  FROM events),
+      |p AS (SELECT event_type AS src, next_type AS dst,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY src, dst),
+      |t AS (SELECT src, CAST(sum(c) AS BIGINT) AS ctot FROM p GROUP BY src),
+      |tr AS (SELECT p.src, p.dst, p.c, t.ctot FROM p JOIN t USING (src)),
+      |st AS (SELECT DISTINCT src AS state FROM p
+      |  UNION SELECT DISTINCT dst FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q118_survival" ->
@@ -224,21 +343,50 @@ object RelationalQueries17 {
       val rounds = (1 to StatRounds)
         .map(i => statRoundSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
         .mkString(",\n")
-      s"""WITH seq AS (
-         |  SELECT user_id, event_type,
-         |    lead(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
-         |  FROM events),
-         |p AS (SELECT event_type AS src, next_type AS dst,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM seq WHERE next_type IS NOT NULL GROUP BY src, dst),
-         |t AS (SELECT src, CAST(sum(c) AS BIGINT) AS ctot FROM p GROUP BY src),
-         |tr AS (SELECT p.src, p.dst, p.c, t.ctot FROM p JOIN t USING (src)),
-         |st AS (SELECT DISTINCT src AS state FROM p
-         |  UNION SELECT DISTINCT dst FROM p),
+      s"""WITH $kernelCtes,
          |r0 AS (SELECT state, CAST(1000000 AS BIGINT) AS rank FROM st),
          |$rounds
          |SELECT state, rank AS rank_micro FROM r$StatRounds""".stripMargin
+    },
+
+    "q122_holt" -> {
+      // [l, b] LIST accumulator, NOT a struct: DuckDB 1.0's
+      // list_reduce mutates struct accumulators in place per field
+      // (the b expression would read the already-updated l) —
+      // probed; list accumulators evaluate both elements from the
+      // incoming acc. Same two expression trees as the Spark fold.
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS DOUBLE) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    list_reduce(
+         |      list_transform(list(x ORDER BY day),
+         |        gx -> [gx, CAST(0.0 AS DOUBLE)]),
+         |      (acc, e) -> [
+         |        CAST(0.5 AS DOUBLE) * e[1]
+         |          + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+         |        CAST(0.25 AS DOUBLE) * e[1]
+         |          - CAST(0.25 AS DOUBLE) * acc[1]
+         |          + CAST(0.75 AS DOUBLE) * acc[2]]) AS st
+         |  FROM daily GROUP BY event_type)
+         |SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+         |  st[1] + st[2] AS forecast_1,
+         |  st[1] + CAST(2.0 AS DOUBLE) * st[2] AS forecast_2,
+         |  st[1] + CAST(3.0 AS DOUBLE) * st[2] AS forecast_3
+         |FROM sx""".stripMargin
+    },
+
+    "q123_absorption" -> {
+      val rounds = (1 to StatRounds)
+        .map(i => absRoundSql(if (i == 1) "p0" else s"p${i - 1}", s"p$i"))
+        .mkString(",\n")
+      s"""WITH $kernelCtes,
+         |p0 AS (SELECT state,
+         |    CASE WHEN state = 'purchase' THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS p
+         |  FROM st),
+         |$rounds
+         |SELECT state, p AS p_absorb_micro FROM p$StatRounds""".stripMargin
     },
 
     "q121_stickiness" ->

@@ -108,6 +108,67 @@ class Round12QueriesSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("q122_holt equals an independent in-memory fold of the committed recurrence") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q122_holt")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2)))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val nl = 0.5 * x + 0.5 * (l + b)
+        val nb = 0.25 * x - 0.25 * l + 0.75 * b
+        l = nl; b = nb
+      }
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") === xs.length.toLong)
+      assert(r.getAs[Double]("level") === l)
+      assert(r.getAs[Double]("trend") === b)
+      assert(r.getAs[Double]("forecast_2") === l + 2.0 * b)
+    }
+    GraftSession.release(spark)
+  }
+
+  test("q123_absorption equals an independent integer backward induction") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q123_absorption")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("p_absorb_micro")).toMap
+    assert(got("purchase") === 1000000L)
+    assert(got.values.forall(p => p >= 0L && p <= 1000000L))
+    // independent recount: collect the kernel, fold 8 rounds in Scala
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    val trans = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ctot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct
+    var p = states.map(s =>
+      s -> (if (s == "purchase") 1000000L else 0L)).toMap
+    (1 to 8).foreach { _ =>
+      p = states.map { s =>
+        s -> (if (s == "purchase") 1000000L
+        else {
+          val sp = trans.filter(_._1 == s).map { case (_, d, c) =>
+            c * p(d) }.sum
+          if (ctot.contains(s)) sp / ctot(s) else 0L
+        })
+      }.toMap
+    }
+    states.foreach(s => assert(got(s) === p(s), s))
+    GraftSession.release(spark)
+  }
+
   test("text_chi2_features equals an independent recount of the statistic") {
     import spark.implicits._
     val rows = SparkEntry.queries("text_chi2_features")(spark, sf).collect()
