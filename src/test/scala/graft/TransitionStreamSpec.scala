@@ -18,15 +18,20 @@ class TransitionStreamSpec extends SparkSpec {
     val maxDay = ev.agg(max(expr(
       "CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT)")))
       .head().getLong(0)
-    val mid = maxDay - 15
-    // day-split batches: every user's b0 events precede its b1 events,
-    // so arrival is per-user (us, eid)-non-decreasing — the contract
-    ev.filter(expr(
-        s"CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT) <= $mid"))
+    // THREE day-split batches (uneven cuts): every user's earlier-batch
+    // events precede its later-batch events, so arrival is per-user
+    // (us, eid)-non-decreasing — the contract. Two interior boundaries
+    // sever TWO transitions per user active across all three spans,
+    // and a frontier row must survive an intermediate batch untouched
+    // for users silent in it — the 3-split exercises both.
+    val cuts = Seq(maxDay - 22, maxDay - 9)
+    val dayn = "CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT)"
+    ev.filter(expr(s"$dayn <= ${cuts(0)}"))
       .coalesce(1).write.parquet(s"$dir/in/b0")
-    ev.filter(expr(
-        s"CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT) > $mid"))
+    ev.filter(expr(s"$dayn > ${cuts(0)} AND $dayn <= ${cuts(1)}"))
       .coalesce(1).write.parquet(s"$dir/in/b1")
+    ev.filter(expr(s"$dayn > ${cuts(1)}"))
+      .coalesce(1).write.parquet(s"$dir/in/b2")
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$dir/in/*")
