@@ -84,6 +84,31 @@ object TextQueries7 {
         .orderBy($"chi2".desc, $"tok".asc).limit(20)
     },
 
+    // `corpus_burstiness` — token DISPERSION audit (Church & Gale
+    // 1995: content words are BURSTY — they recur within the documents
+    // that use them — while function words spread evenly; cf/df is the
+    // classic burstiness statistic): for the top-50 tokens by corpus
+    // frequency, (cf, df, max-in-one-doc, cf/df). Reads next to
+    // text_zipf_audit (rank-frequency) as the second corpus-health
+    // table: a token with high cf/df or a high in-doc peak is
+    // boilerplate/template residue, exactly what dedup and quality
+    // gates should be pointed at. All exact integers + ONE division;
+    // plan: a (doc, tok) occurrence rollup (high-cardinality keys,
+    // map-side partials), a token rollup, global top-50 via
+    // orderBy+limit (TakeOrderedAndProject).
+    "corpus_burstiness" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(TextQueries6.qualityToks).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("in_doc"))
+        .groupBy($"tok")
+        .agg(sum($"in_doc").as("cf"), count(lit(1)).as("df"),
+          max($"in_doc").as("max_in_doc"))
+        .select($"tok", $"cf", $"df", $"max_in_doc",
+          ($"cf".cast("double") / $"df".cast("double")).as("burstiness"))
+        .orderBy($"cf".desc, $"tok".asc).limit(50)
+    },
+
     "corpus_calibration" -> { (s, dir) =>
       import s.implicits._
       val w = TextQueries6.trainedWeights(s, dir)
@@ -157,6 +182,20 @@ object TextQueries7 {
         |       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
         |FROM f
         |ORDER BY chi2 DESC, tok ASC LIMIT 20""".stripMargin,
+
+    "corpus_burstiness" ->
+      """WITH occ AS (SELECT doc_id, unnest(list_filter(
+        |    string_split(text, ' '), gt -> gt <> '')) AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS in_doc
+        |  FROM occ GROUP BY doc_id, tok)
+        |SELECT tok, CAST(sum(in_doc) AS BIGINT) AS cf,
+        |  CAST(count(*) AS BIGINT) AS df,
+        |  CAST(max(in_doc) AS BIGINT) AS max_in_doc,
+        |  CAST(sum(in_doc) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS burstiness
+        |FROM dt GROUP BY tok
+        |ORDER BY cf DESC, tok ASC LIMIT 50""".stripMargin,
 
     "corpus_calibration" ->
       s"""WITH ${TextQueries6.trainedCtes},

@@ -197,6 +197,30 @@ class Round12QueriesSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("corpus_burstiness equals an independent recount of cf/df/peak") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("corpus_burstiness")(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val byTok = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val tok = r.getString(0)
+      val occ = byTok(tok)
+      val perDoc = occ.groupBy(_._2).view.mapValues(_.length.toLong)
+      assert(r.getAs[Long]("cf") === occ.length.toLong)
+      assert(r.getAs[Long]("df") === perDoc.size.toLong)
+      assert(r.getAs[Long]("max_in_doc") === perDoc.values.max)
+      assert(r.getAs[Double]("burstiness") ===
+        occ.length.toDouble / perDoc.size.toDouble)
+    }
+    // ordered by corpus frequency, ties on token
+    val cfs = rows.map(_.getAs[Long]("cf"))
+    assert(cfs.sliding(2).forall { case Array(a, b) => a >= b })
+    GraftSession.release(spark)
+  }
+
   test("corpus_calibration: deciles partition the scored corpus with ntile sizes") {
     import spark.implicits._
     val rows = SparkEntry.queries("corpus_calibration")(spark, sf)
