@@ -863,6 +863,122 @@ object StreamingOps {
       counts.unionByName(frontier)
     }
 
+  /** Streaming HOLT FORECAST fold — q122_holt's incremental face, and
+    * the third stateful-arrival pattern beside frontier stitching
+    * (transitions) and pruned windows (sliding bitmaps): OPEN-BUCKET
+    * accumulation. A calendar day's event count is only final once a
+    * LATER day arrives, so the state carries, per event type, the
+    * folded (level, trend, last closed day) MODEL row plus the
+    * still-OPEN day's partial count — a day split across micro-batches
+    * merges its counts in the open bucket and folds exactly once, when
+    * it closes. Model rows are x IS NULL; open rows carry x.
+    *
+    * The recurrence is q122's committed expanded form (α = β = 1/2:
+    * l′ = 0.5x + 0.5(l+b); b′ = 0.25x − 0.25l + 0.75b), folded in day
+    * order with the model row as the running init — so the streamed
+    * model equals the batch fold over every CLOSED day bit-for-bit
+    * (HoltStreamSpec proves it on mid-day splits).
+    *
+    * Contract: per-type NON-DECREASING day arrival (a watermark's
+    * promise): an event for a day at or before the last CLOSED day
+    * would have to re-open folded history — the fold REFUSES loudly
+    * rather than fold it wrong. Read forecasts with [[holtCurrent]].
+    * Scale: one (type, day) rollup per batch; the fold itself runs on
+    * ≤|types| arrays of the batch's closed days.
+    */
+  def holtMaintained(events: DataFrame, stateDir: String, name: String,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(events, stateDir, name, retainVersions) { (prev, b) =>
+      val delta = b.toDF()
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val (prevModel, prevOpen) = prev match {
+        case Some(p) =>
+          (p.filter(col("x").isNull)
+            .select(col("event_type"), col("l"), col("b"), col("last_day")),
+            p.filter(col("x").isNotNull)
+              .select(col("event_type"), col("day"), col("x")))
+        case None =>
+          val e = delta.limit(0)
+          (e.select(col("event_type"), lit(null).cast("double").as("l"),
+            lit(null).cast("double").as("b"),
+            lit(null).cast("date").as("last_day")),
+            e.select(col("event_type"), col("day"), col("x")))
+      }
+      // same-day counts arriving across batches merge in the open
+      // bucket — a day folds exactly once, with its FULL count. NOT
+      // persisted (the transitionCountsMaintained rule: the sink
+      // writes after the fold returns, so an internal persist could
+      // only leak across batches); each consumer recomputes one
+      // batch-bounded rollup
+      val open = prevOpen.unionByName(delta)
+        .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
+      // contract refusal: a day at or before the last CLOSED day would
+      // re-open folded history (bounded check: ≤|types| joined rows)
+      val late = open.join(prevModel, Seq("event_type"))
+        .filter(col("last_day").isNotNull && col("day") <= col("last_day"))
+        .count()
+      if (late > 0) throw new IllegalStateException(
+        s"holtMaintained($stateDir): $late (event_type, day) bucket(s) " +
+          "arrived at or before an already-CLOSED day — day arrival " +
+          "must be per-type non-decreasing (a watermark's promise); " +
+          "folding them would silently corrupt the model. Use a fresh " +
+          "stateDir to rebuild from the full corpus.")
+      val maxd = open.groupBy(col("event_type")).agg(max(col("day")).as("maxd"))
+      val toClose = open.join(maxd, "event_type")
+        .filter(col("day") < col("maxd"))
+      val stillOpen = open.join(maxd, "event_type")
+        .filter(col("day") === col("maxd"))
+        .select(col("event_type"), col("day"), col("x"))
+      val foldedCols = toClose
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("sx"))
+      // fold the newly-closed days onto the running model (or init
+      // from the first closed day when no model exists yet) — the
+      // q122 expanded recurrence, day-ordered
+      val upd = "(acc, e) -> named_struct(" +
+        "'l', 0.5D * e.x + 0.5D * (acc.l + acc.b), " +
+        "'b', 0.25D * e.x - 0.25D * acc.l + 0.75D * acc.b)"
+      val model = prevModel.join(foldedCols, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          expr(s"""CASE
+            WHEN sx IS NULL THEN named_struct('l', l, 'b', b)
+            WHEN l IS NULL THEN aggregate(slice(sx, 2, size(sx) - 1),
+              named_struct('l', element_at(sx, 1).x, 'b', CAST(0.0 AS DOUBLE)),
+              $upd)
+            ELSE aggregate(sx, named_struct('l', l, 'b', b), $upd)
+            END""").as("st"),
+          greatest(col("last_day"), expr("element_at(sx, -1).day"))
+            .as("last_day"))
+        .select(col("event_type"), lit(null).cast("date").as("day"),
+          lit(null).cast("double").as("x"),
+          col("st.l").as("l"), col("st.b").as("b"), col("last_day"))
+        .filter(col("l").isNotNull) // no model until a first day closes
+      model.unionByName(stillOpen
+        .select(col("event_type"), col("day"), col("x"),
+          lit(null).cast("double").as("l"), lit(null).cast("double").as("b"),
+          lit(null).cast("date").as("last_day")))
+    }
+
+  /** Forecast table from a [[holtMaintained]] state frame: per event
+    * type the closed-day model (level, trend, last_day), the h = 1/2/3
+    * forecasts level + h·trend, and the still-open day's partial count
+    * for forecast-vs-actual monitoring. Types whose first day has not
+    * closed yet carry no model row.
+    */
+  def holtCurrent(state: DataFrame): DataFrame = {
+    val model = state.filter(col("x").isNull)
+      .select(col("event_type"), col("last_day"),
+        col("l").as("level"), col("b").as("trend"),
+        (col("l") + col("b")).as("forecast_1"),
+        (col("l") + lit(2.0) * col("b")).as("forecast_2"),
+        (col("l") + lit(3.0) * col("b")).as("forecast_3"))
+    val open = state.filter(col("x").isNotNull)
+      .select(col("event_type"), col("day").as("open_day"),
+        col("x").as("open_x"))
+    model.join(open, Seq("event_type"), "full_outer")
+  }
+
   /** Stationary distribution from a [[transitionCountsMaintained]]
     * state frame — q119_stationary's iteration run over the maintained
     * counts (same integer fixed-point rounds, same micro-units), so a
