@@ -863,6 +863,51 @@ object StreamingOps {
       counts.unionByName(frontier)
     }
 
+  /** Streaming QUANTILE fold — per-key KLL sketches maintained across
+    * micro-batches: the p50/p99 latency-dashboard monitor kept current
+    * without re-scanning history. State is one (key, sketch) row per
+    * group; each fold sketches the batch (kll_sketch_agg) and MERGES
+    * it into the stored sketch (kll_sketch_merge) — KLL union is the
+    * mergeable-summary algebra, so like qualityAuditMaintained ANY
+    * batch split in ANY order folds to the same estimator state
+    * (split-invariance is sketch algebra, not an arrival contract;
+    * batches must partition rows — replay dedup is the shared
+    * [[versionedStateSink]] harness's job). In the exact regime
+    * (k ≥ distinct values retained) the merged sketch's INCLUSIVE
+    * quantiles equal quantile_disc — the committed q68/sketch_kll
+    * discipline — so KllStreamSpec gates streamed == batch exactly;
+    * beyond it the same state degrades to the documented ~1.7% rank
+    * error at a k·log(n) footprint, which is the whole point at
+    * 100 TB. Read back with [[kllQuantilesFrom]].
+    */
+  def kllMaintained(stream: DataFrame, keyCol: String, valCol: String,
+      stateDir: String, name: String, k: Int = 4096,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(stream, stateDir, name, retainVersions) { (prev, b) =>
+      import graft.functions.GraftFunctions.{kll_sketch_agg, kll_sketch_merge}
+      val delta = b.toDF()
+        .groupBy(col(keyCol).as("key"))
+        .agg(kll_sketch_agg(col(valCol).cast("double"), k).as("sk"))
+      prev.fold(delta) { p =>
+        p.select(col("key"), col("sk")).unionByName(delta)
+          .groupBy(col("key"))
+          .agg(kll_sketch_merge(col("sk"), k).as("sk"))
+      }
+    }
+
+  /** Per-key quantiles at `ranks` from a [[kllMaintained]] state
+    * frame: one row per (key, rank).
+    */
+  def kllQuantilesFrom(state: DataFrame,
+      ranks: Seq[Double]): DataFrame = {
+    import graft.functions.GraftFunctions.kll_quantiles
+    val rk = array(ranks.map(lit): _*)
+    state.select(col("key"),
+        posexplode(kll_quantiles(col("sk"), ranks)).as(Seq("pos", "value")))
+      .select(col("key"),
+        element_at(rk, col("pos").cast("int") + 1).as("rank"), col("value"))
+  }
+
   /** Streaming HOLT FORECAST fold — q122_holt's incremental face, and
     * the third stateful-arrival pattern beside frontier stitching
     * (transitions) and pruned windows (sliding bitmaps): OPEN-BUCKET
