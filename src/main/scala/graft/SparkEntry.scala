@@ -18,12 +18,13 @@ object SparkEntry {
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
       RelationalQueries12.defs ++ RelationalQueries13.defs ++
-      RelationalQueries14.defs ++ RelationalQueries15.defs ++ RelationalQueries16.defs ++ RelationalQueries17.defs ++ EventQueries.defs ++ EventQueries2.defs ++ EventQueries3.defs ++
+      RelationalQueries14.defs ++ RelationalQueries15.defs ++ RelationalQueries16.defs ++ RelationalQueries17.defs ++ RelationalQueries18.defs ++ EventQueries.defs ++ EventQueries2.defs ++ EventQueries3.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       TextQueries4.defs ++ TextQueries5.defs ++ TextQueries6.defs ++
-      TextQueries7.defs ++
+      TextQueries7.defs ++ TextQueries8.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
       DedupQueries4.defs ++ DedupQueries5.defs ++ DedupQueries6.defs ++
+      DedupQueries7.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++
       SimilarityQueries5.defs ++ SimilarityQueries6.defs ++
@@ -49,13 +50,14 @@ object SparkEntry {
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
       RelationalQueries12.oracles ++ RelationalQueries13.oracles ++
-      RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ RelationalQueries16.oracles ++ RelationalQueries17.oracles ++ EventQueries.oracles ++
+      RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ RelationalQueries16.oracles ++ RelationalQueries17.oracles ++ RelationalQueries18.oracles ++ EventQueries.oracles ++
       EventQueries2.oracles ++ EventQueries3.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       TextQueries4.oracles ++ TextQueries5.oracles ++ TextQueries6.oracles ++
-      TextQueries7.oracles ++
+      TextQueries7.oracles ++ TextQueries8.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
       DedupQueries4.oracles ++ DedupQueries5.oracles ++ DedupQueries6.oracles ++
+      DedupQueries7.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++
       SimilarityQueries5.oracles ++ SimilarityQueries6.oracles ++

@@ -29,6 +29,9 @@ object GraftFunctions {
     Shim.column(SignLshBuckets(Shim.expression(vec), bands, rowsPerBand))
   /** Hamming distance of two 64-bit hashes (built-in composition). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** Content-defined chunk keys: packed (hash<<31 | len) per chunk. */
+  def cdc_chunks(text: Column, w: Int = 16, mask: Int = 64): Column =
+    Shim.column(CdcChunks(Shim.expression(text), w, mask))
 
   // ---- mergeable sketch aggregates (DataSketches) ------------------------
   /** Frequent-items sketch of a string column (binary, mergeable). */

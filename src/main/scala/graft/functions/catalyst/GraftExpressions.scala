@@ -370,3 +370,94 @@ case class SignLshBuckets(child: Expression, bands: Int, rowsPerBand: Int)
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gout);""")
   override protected def withNewChildInternal(c: Expression): SignLshBuckets = copy(child = c)
 }
+
+/** Content-defined chunking (CDC) of a string: split where the rolling
+  * polynomial hash of the trailing `w` chars (base 31 mod FP, the
+  * win_fp window family) satisfies hash % `mask` == 0, the Rabin-style
+  * boundary rule that re-synchronizes after insertions/deletions —
+  * shifted copies re-chunk identically past the edit, which fixed-size
+  * shingling cannot do. Returns one packed long per chunk:
+  * key = polyP1(chunk) * 2^31 + len(chunk) (chunk hash mod P1 < 2^30,
+  * lengths < 2^31), so a single array<long> carries both identity and
+  * size and the whole kernel stays in one codegen'd pass (O(n): the
+  * window hash rolls with a precomputed B^(w-1), the chunk hash
+  * accumulates alongside). Boundary candidates are positions
+  * [w, len-1] (1-based window ends); end-of-string always closes the
+  * final chunk, so a boundary AT len would be the same cut. Empty
+  * input → empty array. The DuckDB oracle replays boundaries with the
+  * text_fingerprint nested-list_reduce idiom (fresh per-position
+  * window hashes == the rolled hash by modular identity).
+  */
+case class CdcChunks(child: Expression, w: Int, mask: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // B^(w-1) mod FP for the rolling outgoing-char removal
+  private lazy val pw: Long = {
+    var p = 1L; var i = 0
+    while (i < w - 1) { p = (p * 31L) % GraftHash.FP; i += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len == 0) return new GenericArrayData(new Array[Long](0))
+    var out = new Array[Long](8)
+    var nOut = 0
+    var hWin = 0L; var hChunk = 0L; var chunkLen = 0L
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i).toLong
+      hWin =
+        if (i < w) (hWin * 31L + c) % GraftHash.FP
+        else ((hWin - (s.charAt(i - w).toLong * pw) % GraftHash.FP
+          + GraftHash.FP) % GraftHash.FP * 31L + c) % GraftHash.FP
+      hChunk = (hChunk * 31L + c) % GraftHash.P1
+      chunkLen += 1L
+      if (i >= w - 1 && i <= len - 2 && hWin % mask == 0L) {
+        if (nOut == out.length) out = java.util.Arrays.copyOf(out, nOut * 2)
+        out(nOut) = hChunk * 2147483648L + chunkLen
+        nOut += 1
+        hChunk = 0L; chunkLen = 0L
+      }
+      i += 1
+    }
+    if (nOut == out.length) out = java.util.Arrays.copyOf(out, nOut + 1)
+    out(nOut) = hChunk * 2147483648L + chunkLen
+    nOut += 1
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      String gs = $c.toString();
+      int glen = gs.length();
+      long[] gout = new long[8];
+      int gn = 0;
+      if (glen > 0) {
+        long ghw = 0L; long ghc = 0L; long gcl = 0L;
+        for (int gi = 0; gi < glen; gi++) {
+          long gc = (long) gs.charAt(gi);
+          if (gi < $w) {
+            ghw = (ghw * 31L + gc) % ${GraftHash.FP}L;
+          } else {
+            ghw = ((ghw - ((long) gs.charAt(gi - $w) * ${pw}L)
+              % ${GraftHash.FP}L + ${GraftHash.FP}L) % ${GraftHash.FP}L
+              * 31L + gc) % ${GraftHash.FP}L;
+          }
+          ghc = (ghc * 31L + gc) % ${GraftHash.P1}L;
+          gcl += 1L;
+          if (gi >= $w - 1 && gi <= glen - 2 && ghw % ${mask}L == 0L) {
+            if (gn == gout.length) gout = java.util.Arrays.copyOf(gout, gn * 2);
+            gout[gn++] = ghc * 2147483648L + gcl;
+            ghc = 0L; gcl = 0L;
+          }
+        }
+        if (gn == gout.length) gout = java.util.Arrays.copyOf(gout, gn + 1);
+        gout[gn++] = ghc * 2147483648L + gcl;
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(gout, gn));""")
+  override protected def withNewChildInternal(c: Expression): CdcChunks = copy(child = c)
+}
