@@ -75,33 +75,10 @@ object RelationalQueries17 {
       val lt = life.crossJoin(broadcast(maxDay))
         .select($"user_id", datediff($"l", $"f").cast("long").as("t"),
           when($"l" < $"max_day", 1L).otherwise(0L).as("is_event"))
-      val total = lt.agg(count(lit(1)).as("n_total"))
-      // one row per observed lifetime day — ≤ observation-window days
-      // however big the corpus; everything below runs on this frame
-      val byT = lt.groupBy($"t")
-        .agg(sum($"is_event").as("d"), sum(lit(1L) - $"is_event").as("c"))
-        .persist()
-      // risk set n_t = total − (left the study strictly before t)
-      val rm = byT.as("a").join(byT.as("b"), col("b.t") < col("a.t"), "left")
-        .groupBy(col("a.t").as("t"))
-        .agg(sum(coalesce(col("b.d") + col("b.c"), lit(0L))).as("removed"))
-      // every emitted t has someone leaving AT t, so n_risk ≥ d+c ≥ 1:
-      // the ratio's denominator cannot be zero by construction
-      val km = byT.join(rm, "t").crossJoin(broadcast(total))
-        .select($"t", $"d", $"c", ($"n_total" - $"removed").as("n_risk"))
-        .withColumn("ratio",
-          lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))
-        .persist()
-      km.as("a").join(km.as("b"), col("b.t") <= col("a.t"))
-        .groupBy(col("a.t").as("t"), col("a.n_risk").as("n_risk"),
-          col("a.d").as("d"), col("a.c").as("c"))
-        .agg(array_sort(collect_list(
-          struct(col("b.t").as("tp"), col("b.ratio").as("ratio")))).as("rl"))
-        // strict left-to-right fold in t-order == DuckDB list_reduce
-        // over list(ratio ORDER BY t): 1.0·x0 == x0 exactly
-        .select($"t", $"n_risk", $"d", $"c",
-          expr("aggregate(rl, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x.ratio)")
-            .as("surv"))
+      // the KM tail (risk sets + ordered product fold) is the SHARED
+      // operators.Survival.kmCurve — one definition with the streaming
+      // survivalFrom consumer, so streamed == batch cannot drift
+      graft.operators.Survival.kmCurve(lt)
     },
 
     "q119_stationary" -> { (s, dir) =>

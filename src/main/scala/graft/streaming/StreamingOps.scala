@@ -908,6 +908,106 @@ object StreamingOps {
         element_at(rk, col("pos").cast("int") + 1).as("rank"), col("value"))
   }
 
+  /** Streaming LIFETIME fold — q118_survival's incremental face:
+    * state is ONE (user_id, f, l) row per user (first/last active
+    * day), merged per batch by min(f)/max(l). Min and max are
+    * idempotent AND commutative, so like qualityAuditMaintained ANY
+    * row partition in ANY order folds to the same state —
+    * split-invariance is arithmetic, no arrival contract (the
+    * easiest class: survival needs only the lifetime ENDPOINTS, and
+    * endpoints fold under min/max whatever order events arrive).
+    * Null user_id groups fold as their own key exactly as the batch
+    * groupBy does — no quarantine needed. Read the Kaplan-Meier
+    * curve with [[survivalFrom]]; state is O(users) rows of three
+    * fields (the scd2/dedup-fold bound), per-batch work one
+    * user-keyed partial-agg groupBy + the state merge.
+    * SurvivalStreamSpec proves an arbitrary interleaved split folds
+    * to the batch q118 curve bit-for-bit.
+    */
+  def lifetimesMaintained(events: DataFrame, stateDir: String,
+      name: String, retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(events, stateDir, name, retainVersions) { (prev, b) =>
+      val delta = b.toDF()
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      prev.fold(delta) { p =>
+        p.unionByName(delta).groupBy(col("user_id"))
+          .agg(min(col("f")).as("f"), max(col("l")).as("l"))
+      }
+    }
+
+  /** Kaplan-Meier survival curve from a [[lifetimesMaintained]] state
+    * frame: lifetimes + right-censoring at the observed max day, then
+    * the SHARED `operators.Survival.kmCurve` (one definition with
+    * batch q118_survival — the Markov.stationaryRanks discipline).
+    * Work after the user-bounded state scan is observation-days
+    * bounded.
+    */
+  def survivalFrom(state: DataFrame): DataFrame = {
+    val maxDay = state.agg(max(col("l")).as("max_day"))
+    val lt = state.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("l"), col("f")).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("is_event"))
+    graft.operators.Survival.kmCurve(lt)
+  }
+
+  /** Streaming FUNNEL fold — q46_funnel's incremental face: state is
+    * the funnel frame itself, one (user_id, t_view, t_click,
+    * t_purchase) row per user who has VIEWED (epoch-micros longs,
+    * nullable down the chain). The chained stage mins are NOT plain
+    * min-merges — t_click = min click STRICTLY AFTER t_view — so this
+    * is the frontier class, not the bitmap class: under per-user
+    * NON-DECREASING event-time arrival (a watermark's promise, the
+    * scd2/transition contract) each stage time is immutable once set
+    * (events that could lower it would have to arrive in the past),
+    * and a null stage fills from the current batch exactly when the
+    * first qualifying event streams by — so the fold equals batch q46
+    * over everything streamed (FunnelStreamSpec proves it on a 3-way
+    * time split). Null-user events are excluded by contract (a funnel
+    * needs a subject identity; the transitionCountsMaintained rule).
+    * Per-batch work: three stage-filtered partial-agg groupBys joined
+    * against the state — O(batch + affected users); state O(viewers).
+    */
+  def funnelMaintained(events: DataFrame, stateDir: String,
+      name: String, retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(events, stateDir, name, retainVersions) { (prev, b) =>
+      val ev = b.toDF().filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val st = prev.getOrElse {
+        ev.limit(0).select(col("user_id"),
+          lit(null).cast("long").as("t_view"),
+          lit(null).cast("long").as("t_click"),
+          lit(null).cast("long").as("t_purchase"))
+      }
+      val bv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("bv"))
+      // a state row always has t_view set; a bv-only row opens one
+      val base = st.join(bv, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("t_view"), col("bv")).as("t_view"),
+          col("t_click"), col("t_purchase"))
+      val qc = ev.filter(col("event_type") === "click")
+        .join(base.select(col("user_id"), col("t_view")), "user_id")
+        .filter(col("us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("qc"))
+      val withC = base.join(qc, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"),
+          coalesce(col("t_click"), col("qc")).as("t_click"),
+          col("t_purchase"))
+      val qp = ev.filter(col("event_type") === "purchase")
+        .join(withC.select(col("user_id"), col("t_click")), "user_id")
+        .filter(col("us") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("qp"))
+      withC.join(qp, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          coalesce(col("t_purchase"), col("qp")).as("t_purchase"))
+    }
+
   /** Streaming HOLT FORECAST fold — q122_holt's incremental face, and
     * the third stateful-arrival pattern beside frontier stitching
     * (transitions) and pruned windows (sliding bitmaps): OPEN-BUCKET
