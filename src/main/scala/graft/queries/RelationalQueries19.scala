@@ -57,16 +57,21 @@ object RelationalQueries19 {
         .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .agg(count(lit(1)).as("cnt"))
         .select($"src", $"dst")
+      // dst-partitioned edges + BROADCAST frontier (the q90/q93 rule:
+      // partition the persisted big side by the AGGREGATION key —
+      // hash(dst) satisfies clustering on (seed, node=dst), so each
+      // round's min-groupBy runs exchange-free on the relaxed side
+      // once AQE re-checks against the materialized cache)
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
-        .repartition($"src")
+        .repartition($"dst")
         .persist()
       val seeds = Seq(2L, 4L, 6L, 8L, 10L, 12L).toDF("seed")
       val d0 = seeds.select($"seed", $"seed".as("node"), lit(0L).as("dist"))
       val dF = (1 to 4).foldLeft(d0) { (dist, _) =>
         val d = dist.persist() // consumed twice per round (q91 lesson)
         val relaxed = edges
-          .join(d.select($"node".as("src"), $"seed", $"dist")
-            .hint("SHUFFLE_HASH"), "src")
+          .join(broadcast(d.select($"node".as("src"), $"seed", $"dist")),
+            "src")
           .select($"seed", $"dst".as("node"), ($"dist" + 1L).as("dist"))
         d.union(relaxed)
           .groupBy($"seed", $"node").agg(min($"dist").as("dist"))
