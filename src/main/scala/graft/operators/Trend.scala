@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Daily-series trend analytics over a `(day, y)` frame (exact BIGINT
+  * cents per day) — the ONE definition shared by the batch queries
+  * (q124_changepoint / q125_ols_trend / q127_bootstrap_trend) and the
+  * streaming `StreamingOps.dailyCentsMaintained` consumers (the
+  * Survival.kmCurve discipline: a shared kernel makes streamed ==
+  * batch impossible to drift). All inputs are exact integers; every
+  * double is produced by ONE fixed arithmetic tree (see each query's
+  * scaladoc for the cross-engine argument). Everything here runs on
+  * the days-bounded frame — callers own the one corpus-scale rollup.
+  */
+object Trend {
+
+  /** Single mean-shift changepoint: top-1 split by between-segment
+    * gain (q124's tail). Input (day, y); one row out.
+    */
+  def changepoint(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val idx = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s1", sum(col("y"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    idx.crossJoin(broadcast(tot))
+      .filter(col("i") < col("n"))
+      .withColumn("n1", col("i"))
+      .withColumn("n2", col("n") - col("i"))
+      .withColumn("mean_left",
+        col("s1").cast("double") / col("n1").cast("double"))
+      .withColumn("mean_right",
+        (col("s") - col("s1")).cast("double") / col("n2").cast("double"))
+      .withColumn("diff", col("mean_left") - col("mean_right"))
+      .withColumn("gain",
+        (col("n1").cast("double") * col("n2").cast("double")
+          / col("n").cast("double")) * (col("diff") * col("diff")))
+      .select(col("day").as("split_day"), col("i").as("t"),
+        col("n1").as("n_left"), col("n2").as("n_right"),
+        col("mean_left"), col("mean_right"), col("gain"))
+      .orderBy(col("gain").desc, col("t").asc)
+      .limit(1)
+  }
+
+  /** Closed-form OLS slope/intercept/R² on the day index (q125's
+    * tail). Input (day, y); one row out.
+    */
+  def olsTrend(daily: DataFrame): DataFrame = {
+    val idx = daily
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))).cast("long"))
+    val m = idx.agg(
+      count(lit(1)).as("n"),
+      sum(col("i")).as("sx"),
+      sum(col("i") * col("i")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(col("i") * col("y")).as("sxy"),
+      // y² can exceed 2^63 in cents² at corpus scale: exact decimal
+      // sum (== DuckDB HUGEINT), one cast to double at the END
+      sum(col("y").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+        .as("sy2"))
+    m.withColumn("nd", col("n").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("syd", col("sy").cast("double"))
+      .withColumn("sxx",
+        col("nd") * col("sx2").cast("double") - col("sxd") * col("sxd"))
+      .withColumn("sxyc",
+        col("nd") * col("sxy").cast("double") - col("sxd") * col("syd"))
+      .withColumn("syy",
+        col("nd") * col("sy2").cast("double") - col("syd") * col("syd"))
+      .withColumn("slope",
+        when(col("sxx") > 0.0, col("sxyc") / col("sxx")).otherwise(lit(null)))
+      .select(
+        col("n").as("n_days"),
+        col("slope").as("slope_cents_per_day"),
+        when(col("sxx") > 0.0,
+          (col("syd") - col("slope") * col("sxd")) / col("nd"))
+          .otherwise(lit(null)).as("intercept_cents"),
+        when(col("sxx") > 0.0 && col("syy") > 0.0,
+          (col("sxyc") * col("sxyc")) / (col("sxx") * col("syy")))
+          .otherwise(lit(null)).as("r2"))
+  }
+
+  /** Deterministic pair-bootstrap CI for the OLS slope (q127's tail):
+    * `b` resamples with committed-constant hash draw indices, exact
+    * per-resample moment sums, ceil-rank CI. Input (day, y); one row.
+    */
+  def bootstrapTrend(daily: DataFrame, b: Int): DataFrame = {
+    val idx = daily
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .select(col("i"), col("y"))
+      .persist() // days-bounded; drawn into by every resample
+    val tot = idx.agg(count(lit(1)).as("n"))
+    val draws = idx.select(col("i").as("j"))
+      .crossJoin(broadcast(tot))
+      .select(col("j"), col("n"),
+        explode(sequence(lit(1L), lit(b.toLong))).as("b"))
+      .select(col("b"),
+        ((lit(2654435761L) * col("b") + lit(1013904223L) * col("j"))
+          % col("n") + 1L).as("i"))
+    val slopes = draws.join(idx, "i")
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("m"), sum(col("i")).as("sx"),
+        sum(col("i") * col("i")).as("sx2"), sum(col("y")).as("sy"),
+        sum(col("i") * col("y")).as("sxy"))
+      .withColumn("md", col("m").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("sxx",
+        col("md") * col("sx2").cast("double") - col("sxd") * col("sxd"))
+      .withColumn("slope",
+        when(col("sxx") > 0.0,
+          (col("md") * col("sxy").cast("double")
+            - col("sxd") * col("sy").cast("double")) / col("sxx"))
+          .otherwise(lit(null)))
+      .filter(col("slope").isNotNull)
+    slopes
+      .agg(array_sort(collect_list(col("slope"))).as("sl"))
+      .select(size(col("sl")).cast("long").as("n_resamples"),
+        element_at(col("sl"),
+          greatest(ceil(lit(0.025) * size(col("sl"))), lit(1)).cast("int"))
+          .as("slope_lo"),
+        element_at(col("sl"), ceil(lit(0.975) * size(col("sl"))).cast("int"))
+          .as("slope_hi"))
+  }
+}
