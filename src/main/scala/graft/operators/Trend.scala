@@ -117,11 +117,16 @@ object Trend {
       .filter(col("slope").isNotNull)
     slopes
       .agg(array_sort(collect_list(col("slope"))).as("sl"))
+      // empty-resample guard: if EVERY resample is degenerate (all
+      // slopes null — e.g. one distinct order day) the array is empty
+      // and element_at would throw under ANSI where the oracle yields
+      // null — emit null bounds instead (oracle CASE-guards identically)
       .select(size(col("sl")).cast("long").as("n_resamples"),
-        element_at(col("sl"),
-          greatest(ceil(lit(0.025) * size(col("sl"))), lit(1)).cast("int"))
+        when(size(col("sl")) > 0, element_at(col("sl"),
+          greatest(ceil(lit(0.025) * size(col("sl"))), lit(1)).cast("int")))
           .as("slope_lo"),
-        element_at(col("sl"), ceil(lit(0.975) * size(col("sl"))).cast("int"))
+        when(size(col("sl")) > 0,
+          element_at(col("sl"), ceil(lit(0.975) * size(col("sl"))).cast("int")))
           .as("slope_hi"))
   }
 }

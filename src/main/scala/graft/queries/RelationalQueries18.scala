@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -52,29 +51,11 @@ object RelationalQueries18 {
       val daily = Tables.load(s, dir, "orders")
         .groupBy($"o_orderdate".cast("date").as("day"))
         .agg(sum(centsCol).as("y"))
-      // everything below runs on the days-bounded frame: the single
-      // unpartitioned window is ~#days rows however big the corpus
-      val w = Window.orderBy($"day")
-      val idx = daily
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("s1", sum($"y")
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val tot = daily.agg(count(lit(1)).as("n"), sum($"y").as("s"))
-      val g = idx.crossJoin(broadcast(tot))
-        .filter($"i" < $"n")
-        .withColumn("n1", $"i")
-        .withColumn("n2", $"n" - $"i")
-        .withColumn("mean_left", $"s1".cast("double") / $"n1".cast("double"))
-        .withColumn("mean_right",
-          ($"s" - $"s1").cast("double") / $"n2".cast("double"))
-        .withColumn("diff", $"mean_left" - $"mean_right")
-        .withColumn("gain",
-          ($"n1".cast("double") * $"n2".cast("double") / $"n".cast("double"))
-            * ($"diff" * $"diff"))
-      g.select($"day".as("split_day"), $"i".as("t"), $"n1".as("n_left"),
-          $"n2".as("n_right"), $"mean_left", $"mean_right", $"gain")
-        .orderBy($"gain".desc, $"t".asc)
-        .limit(1)
+      // everything after the rollup runs on the days-bounded frame via
+      // the SHARED operators.Trend kernel (one definition with the
+      // streaming StreamingOps.dailyCentsMaintained consumer — the
+      // Survival.kmCurve discipline)
+      graft.operators.Trend.changepoint(daily)
     },
 
     "q125_ols_trend" -> { (s, dir) =>
@@ -82,34 +63,7 @@ object RelationalQueries18 {
       val daily = Tables.load(s, dir, "orders")
         .groupBy($"o_orderdate".cast("date").as("day"))
         .agg(sum(centsCol).as("y"))
-      val idx = daily
-        .withColumn("i", row_number().over(Window.orderBy($"day")).cast("long"))
-      val m = idx.agg(
-        count(lit(1)).as("n"),
-        sum($"i").as("sx"),
-        sum($"i" * $"i").as("sx2"),
-        sum($"y").as("sy"),
-        sum($"i" * $"y").as("sxy"),
-        // y² can exceed 2^63 in cents² at corpus scale: exact decimal
-        // sum (== DuckDB HUGEINT), one cast to double at the END
-        sum($"y".cast("decimal(38,0)") * $"y".cast("decimal(38,0)"))
-          .as("sy2"))
-      m.withColumn("nd", $"n".cast("double"))
-        .withColumn("sxd", $"sx".cast("double"))
-        .withColumn("syd", $"sy".cast("double"))
-        .withColumn("sxx", $"nd" * $"sx2".cast("double") - $"sxd" * $"sxd")
-        .withColumn("sxyc", $"nd" * $"sxy".cast("double") - $"sxd" * $"syd")
-        .withColumn("syy", $"nd" * $"sy2".cast("double") - $"syd" * $"syd")
-        .withColumn("slope",
-          when($"sxx" > 0.0, $"sxyc" / $"sxx").otherwise(lit(null)))
-        .select(
-          $"n".as("n_days"),
-          $"slope".as("slope_cents_per_day"),
-          when($"sxx" > 0.0, ($"syd" - $"slope" * $"sxd") / $"nd")
-            .otherwise(lit(null)).as("intercept_cents"),
-          when($"sxx" > 0.0 && $"syy" > 0.0,
-            ($"sxyc" * $"sxyc") / ($"sxx" * $"syy"))
-            .otherwise(lit(null)).as("r2"))
+      graft.operators.Trend.olsTrend(daily)
     }
   )
 

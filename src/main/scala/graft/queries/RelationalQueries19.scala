@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -88,37 +87,10 @@ object RelationalQueries19 {
       val daily = Tables.load(s, dir, "orders")
         .groupBy($"o_orderdate".cast("date").as("day"))
         .agg(sum(centsCol).as("y"))
-      val idx = daily
-        .withColumn("i", row_number().over(Window.orderBy($"day")).cast("long"))
-        .select($"i", $"y")
-        .persist() // days-bounded; drawn into by every resample
-      val tot = idx.agg(count(lit(1)).as("n"))
-      val draws = idx.select($"i".as("j"))
-        .crossJoin(broadcast(tot))
-        .select($"j", $"n", explode(sequence(lit(1L), lit(B.toLong))).as("b"))
-        .select($"b",
-          ((lit(2654435761L) * $"b" + lit(1013904223L) * $"j") % $"n" + 1L)
-            .as("i"))
-      val slopes = draws.join(idx, "i")
-        .groupBy($"b")
-        .agg(count(lit(1)).as("m"), sum($"i").as("sx"),
-          sum($"i" * $"i").as("sx2"), sum($"y").as("sy"),
-          sum($"i" * $"y").as("sxy"))
-        .withColumn("md", $"m".cast("double"))
-        .withColumn("sxd", $"sx".cast("double"))
-        .withColumn("sxx", $"md" * $"sx2".cast("double") - $"sxd" * $"sxd")
-        .withColumn("slope",
-          when($"sxx" > 0.0,
-            ($"md" * $"sxy".cast("double") - $"sxd" * $"sy".cast("double"))
-              / $"sxx").otherwise(lit(null)))
-        .filter($"slope".isNotNull)
-      slopes
-        .agg(array_sort(collect_list($"slope")).as("sl"))
-        .select(size($"sl").cast("long").as("n_resamples"),
-          element_at($"sl", greatest(ceil(lit(0.025) * size($"sl")), lit(1))
-            .cast("int")).as("slope_lo"),
-          element_at($"sl", ceil(lit(0.975) * size($"sl")).cast("int"))
-            .as("slope_hi"))
+      // the draw grid + per-resample moments + ceil-rank CI are the
+      // SHARED operators.Trend kernel (one definition with the
+      // streaming dailyCentsMaintained consumer)
+      graft.operators.Trend.bootstrapTrend(daily, B)
     }
   )
 
@@ -184,9 +156,13 @@ object RelationalQueries19 {
          |    ELSE NULL END AS slope FROM sl),
          |arr AS (SELECT list(slope ORDER BY slope) AS sl
          |  FROM sl2 WHERE slope IS NOT NULL)
-         |SELECT CAST(len(sl) AS BIGINT) AS n_resamples,
-         |  sl[CAST(greatest(ceil(0.025 * len(sl)), 1) AS INT)] AS slope_lo,
-         |  sl[CAST(ceil(0.975 * len(sl)) AS INT)] AS slope_hi
+         |SELECT CAST(coalesce(len(sl), 0) AS BIGINT) AS n_resamples,
+         |  CASE WHEN coalesce(len(sl), 0) > 0
+         |    THEN sl[CAST(greatest(ceil(0.025 * len(sl)), 1) AS INT)]
+         |    ELSE NULL END AS slope_lo,
+         |  CASE WHEN coalesce(len(sl), 0) > 0
+         |    THEN sl[CAST(ceil(0.975 * len(sl)) AS INT)]
+         |    ELSE NULL END AS slope_hi
          |FROM arr""".stripMargin
   )
 }

@@ -322,8 +322,15 @@ object StreamingOps {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pfile = new Path(s"$stateDir/_minhash_params")
+    // params pinned over a dir with NO committed state version are
+    // STALE (a fold that failed before its first batch commit, or a
+    // construction-time pin of a query that never started): no dup
+    // decision was ever made under them, so a later fold with
+    // different banding must re-pin, not be refused — the same rule
+    // minhashDedupReconcile applies by only binding when state exists
     val stored: Map[String, String] =
-      if (!fs.exists(pfile)) Map.empty
+      if (!fs.exists(pfile) ||
+          stateVersions(spark, stateDir).isEmpty) Map.empty
       else {
         val in = fs.open(pfile)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -953,6 +960,56 @@ object StreamingOps {
         when(col("l") < col("max_day"), 1L).otherwise(0L).as("is_event"))
     graft.operators.Survival.kmCurve(lt)
   }
+
+  /** Streaming DAILY-REVENUE fold — the incremental face of the
+    * q124/q125/q127 trend family: state is ONE (day, y) row per order
+    * day, y the exact BIGINT cent sum (the money discipline: decimal
+    * cast per row BEFORE the fold, so partial sums are exact integers
+    * and order-independent). Sum is commutative and associative, so
+    * like [[lifetimesMaintained]] ANY row partition in ANY order folds
+    * to the same state — no arrival contract. Read trend analytics
+    * with [[olsTrendFrom]] / [[changepointFrom]] /
+    * [[bootstrapTrendFrom]], each delegating to the SHARED
+    * [[graft.operators.Trend]] kernel (one definition with the batch
+    * queries — the Survival.kmCurve discipline). State is
+    * observation-days bounded; per-batch work one day-keyed
+    * partial-agg groupBy + the days-bounded state merge.
+    * TrendStreamSpec proves an arbitrary split folds to the batch
+    * q124/q125/q127 rows bit-for-bit.
+    */
+  def dailyCentsMaintained(orders: DataFrame, stateDir: String,
+      name: String, retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(orders, stateDir, name, retainVersions) { (prev, b) =>
+      val delta = b.toDF()
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(15,2)") * 100)
+          .cast("long")).as("y"))
+      prev.fold(delta) { p =>
+        p.unionByName(delta).groupBy(col("day")).agg(sum(col("y")).as("y"))
+      }
+    }
+
+  /** Closed-form OLS trend from a [[dailyCentsMaintained]] state frame
+    * — the batch q125 row over everything streamed, via the shared
+    * `operators.Trend.olsTrend`.
+    */
+  def olsTrendFrom(state: DataFrame): DataFrame =
+    graft.operators.Trend.olsTrend(state)
+
+  /** Top-1 mean-shift changepoint from a [[dailyCentsMaintained]]
+    * state frame — the batch q124 row, via the shared
+    * `operators.Trend.changepoint`.
+    */
+  def changepointFrom(state: DataFrame): DataFrame =
+    graft.operators.Trend.changepoint(state)
+
+  /** Deterministic pair-bootstrap slope CI from a
+    * [[dailyCentsMaintained]] state frame — the batch q127 row, via
+    * the shared `operators.Trend.bootstrapTrend`.
+    */
+  def bootstrapTrendFrom(state: DataFrame, b: Int = 64): DataFrame =
+    graft.operators.Trend.bootstrapTrend(state, b)
 
   /** Streaming FUNNEL fold — q46_funnel's incremental face: state is
     * the funnel frame itself, one (user_id, t_view, t_click,

@@ -23,17 +23,24 @@ class FunnelStreamSpec extends SparkSpec {
     // uneven cuts so stages regularly straddle batch boundaries
     val dayn = "CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT)"
     val cuts = Seq(maxDay - 22, maxDay - 9)
+    // explicit write-then-processAllAvailable steps (the round-8
+    // watermark-spec discipline): maxFilesPerTrigger does NOT reliably
+    // split pre-written files, and merged triggers would degrade this
+    // to not exercising cross-batch stage chaining at all
     ev.filter(expr(s"$dayn <= ${cuts(0)}"))
       .coalesce(1).write.parquet(s"$dir/in/b0")
-    ev.filter(expr(s"$dayn > ${cuts(0)} AND $dayn <= ${cuts(1)}"))
-      .coalesce(1).write.parquet(s"$dir/in/b1")
-    ev.filter(expr(s"$dayn > ${cuts(1)}"))
-      .coalesce(1).write.parquet(s"$dir/in/b2")
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$dir/in/*")
     val q = StreamingOps.funnelMaintained(stream, s"$dir/state", "funnel_spec")
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      ev.filter(expr(s"$dayn > ${cuts(0)} AND $dayn <= ${cuts(1)}"))
+        .coalesce(1).write.parquet(s"$dir/in/b1")
+      q.processAllAvailable()
+      ev.filter(expr(s"$dayn > ${cuts(1)}"))
+        .coalesce(1).write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
     val state = StreamingOps.latestState(spark, s"$dir/state").get
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))

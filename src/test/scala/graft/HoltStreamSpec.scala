@@ -23,18 +23,26 @@ class HoltStreamSpec extends SparkSpec {
     // counts span b0/b1 and must merge in the open bucket before
     // folding; cut 2 is a clean day boundary
     val d1 = maxDay - 12
+    // explicit write-then-processAllAvailable steps (the round-8
+    // watermark-spec discipline): maxFilesPerTrigger does NOT reliably
+    // split pre-written files into separate triggers, and two files in
+    // one trigger would merge b0+b1 — the split day would fold without
+    // exercising the open-bucket stitch this spec exists to prove
     ev.filter(expr(s"$dayN < $d1 OR ($dayN = $d1 AND hour(ts) < 12)"))
       .coalesce(1).write.parquet(s"$dir/in/b0")
-    ev.filter(expr(s"($dayN = $d1 AND hour(ts) >= 12) OR " +
-        s"($dayN > $d1 AND $dayN <= ${maxDay - 5})"))
-      .coalesce(1).write.parquet(s"$dir/in/b1")
-    ev.filter(expr(s"$dayN > ${maxDay - 5}"))
-      .coalesce(1).write.parquet(s"$dir/in/b2")
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$dir/in/*")
     val q = StreamingOps.holtMaintained(stream, s"$dir/state", "holt_spec")
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      ev.filter(expr(s"($dayN = $d1 AND hour(ts) >= 12) OR " +
+          s"($dayN > $d1 AND $dayN <= ${maxDay - 5})"))
+        .coalesce(1).write.parquet(s"$dir/in/b1")
+      q.processAllAvailable()
+      ev.filter(expr(s"$dayN > ${maxDay - 5}"))
+        .coalesce(1).write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
     val cur = StreamingOps.holtCurrent(
       StreamingOps.latestState(spark, s"$dir/state").get).collect()
       .map(r => r.getString(0) -> r).toMap
@@ -75,15 +83,20 @@ class HoltStreamSpec extends SparkSpec {
     val maxDay = ev.agg(max(expr(dayN))).head().getLong(0)
     ev.filter(expr(s"$dayN <= $maxDay"))
       .coalesce(1).write.parquet(s"$dir/in/b0")
-    // b1 replays an OLD day after most days have closed
-    ev.filter(expr(s"$dayN = ${maxDay - 20}"))
-      .coalesce(1).write.parquet(s"$dir/in/b1")
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$dir/in/*")
     val q = StreamingOps.holtMaintained(stream, s"$dir/state", "holt_late")
+    // explicit stepping: b0 must fold CLEANLY in its own trigger first
+    // (one trigger for both files would double-merge the replayed day
+    // into the open bucket with no refusal — a silently vacuous test)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // b1 replays an OLD day after most days have closed
+        ev.filter(expr(s"$dayN = ${maxDay - 20}"))
+          .coalesce(1).write.parquet(s"$dir/in/b1")
+        q.processAllAvailable()
+      } finally q.stop()
     }
     assert(e.getMessage.contains("CLOSED day") ||
       Option(e.getCause).exists(_.getMessage.contains("CLOSED day")),

@@ -83,4 +83,32 @@ class MinhashStreamSpec extends SparkSpec {
     assert(canon(finalState) == full)
     GraftSession.release(spark)
   }
+
+  test("params pinned over an EMPTY state dir are stale — a divergent fold re-pins instead of being refused") {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhpin").toString
+    val state = s"$dir/state"
+    // simulate a fold that pinned at construction and died before its
+    // first batch commit: params present, zero committed versions
+    StreamingOps.bindMinhashParams(spark, state, Seq(
+      "numHashes" -> "128", "bands" -> "64", "tau" -> "1/4",
+      "mode" -> "word", "n" -> "3"))
+    assert(StreamingOps.stateVersions(spark, state).isEmpty)
+    // a later fold with DIFFERENT banding on the still-empty dir must
+    // not be refused — no dup decision was ever made under the stale
+    // params (divergence over COMMITTED state still refuses, pinned
+    // by the existing reconcile spec)
+    docs.coalesce(1).write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingOps.minhashDedupMaintained(
+      stream, "doc_id", "text", state, "mh_repin_spec",
+      tauNum = 1, tauDen = 2)
+    try q.processAllAvailable() finally q.stop()
+    assert(canon(StreamingOps.latestState(spark, state).get) == full)
+    // the stale pin was replaced by the fold's effective params
+    val txt = scala.io.Source.fromFile(s"$state/_minhash_params").mkString
+    assert(txt.contains("tau=1/2"), txt)
+    GraftSession.release(spark)
+  }
 }

@@ -26,18 +26,25 @@ class TransitionStreamSpec extends SparkSpec {
     // for users silent in it — the 3-split exercises both.
     val cuts = Seq(maxDay - 22, maxDay - 9)
     val dayn = "CAST(datediff(to_date(ts), DATE '1995-01-01') AS BIGINT)"
+    // explicit write-then-processAllAvailable steps (the round-8
+    // watermark-spec discipline): maxFilesPerTrigger does NOT reliably
+    // split pre-written files, and merged triggers would degrade this
+    // to not exercising cross-batch frontier stitching at all
     ev.filter(expr(s"$dayn <= ${cuts(0)}"))
       .coalesce(1).write.parquet(s"$dir/in/b0")
-    ev.filter(expr(s"$dayn > ${cuts(0)} AND $dayn <= ${cuts(1)}"))
-      .coalesce(1).write.parquet(s"$dir/in/b1")
-    ev.filter(expr(s"$dayn > ${cuts(1)}"))
-      .coalesce(1).write.parquet(s"$dir/in/b2")
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(s"$dir/in/*")
     val q = StreamingOps.transitionCountsMaintained(
       stream, s"$dir/state", "trans_spec")
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      ev.filter(expr(s"$dayn > ${cuts(0)} AND $dayn <= ${cuts(1)}"))
+        .coalesce(1).write.parquet(s"$dir/in/b1")
+      q.processAllAvailable()
+      ev.filter(expr(s"$dayn > ${cuts(1)}"))
+        .coalesce(1).write.parquet(s"$dir/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
     val state = StreamingOps.latestState(spark, s"$dir/state").get
     // streamed counts == the batch q79 matrix (the split severed one
     // transition per user active on both sides; stitching restores it)
