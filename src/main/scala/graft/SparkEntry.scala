@@ -24,7 +24,7 @@ object SparkEntry {
       TextQueries7.defs ++ TextQueries8.defs ++
       DedupQueries.defs ++ DedupQueries2.defs ++ DedupQueries3.defs ++
       DedupQueries4.defs ++ DedupQueries5.defs ++ DedupQueries6.defs ++
-      DedupQueries7.defs ++
+      DedupQueries7.defs ++ DedupQueries8.defs ++
       SimilarityQueries.defs ++ SimilarityQueries2.defs ++
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++
       SimilarityQueries5.defs ++ SimilarityQueries6.defs ++
@@ -57,7 +57,7 @@ object SparkEntry {
       TextQueries7.oracles ++ TextQueries8.oracles ++
       DedupQueries.oracles ++ DedupQueries2.oracles ++ DedupQueries3.oracles ++
       DedupQueries4.oracles ++ DedupQueries5.oracles ++ DedupQueries6.oracles ++
-      DedupQueries7.oracles ++
+      DedupQueries7.oracles ++ DedupQueries8.oracles ++
       SimilarityQueries.oracles ++ SimilarityQueries2.oracles ++
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++
       SimilarityQueries5.oracles ++ SimilarityQueries6.oracles ++

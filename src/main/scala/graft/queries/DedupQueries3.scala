@@ -127,11 +127,31 @@ object DedupQueries3 {
   )
 
   /** Spark-identical word-3-shingle set (shared with DedupQueries). */
-  private val shingles3 =
+  private[queries] val shingles3 =
     """list_distinct(list_transform(range(0, len(string_split(text, ' ')) - 2),
       | gi -> string_split(text, ' ')[CAST(gi + 1 AS INT)] || ' ' ||
       |   string_split(text, ' ')[CAST(gi + 2 AS INT)] || ' ' ||
       |   string_split(text, ' ')[CAST(gi + 3 AS INT)]))""".stripMargin
+
+  /** The committed 128-hash minhash family over a `sh` shingle-list
+    * column, replayed in DuckDB SQL — ONE definition shared by the
+    * dedup_eval / dedup_banding_curve / dedup_incremental oracles
+    * (token hash = base-31 polynomial mod 1073741789, h_j = (a_j·h +
+    * b_j) mod 1000000007 with the Knuth/LCG mixing constants; every
+    * product < 2^63, an asserted invariant since DuckDB THROWS on
+    * BIGINT overflow). Pre-stripped: splice mid-line, never at a `||`
+    * line start (the round-10 double-strip trap).
+    */
+  private[queries] val minhashSigList =
+    """list_transform(range(0, 128), gj ->
+      |    coalesce(list_min(list_transform(sh, gt ->
+      |      ((CASE WHEN (2654435761 * (gj + 1)) % 1000000007 = 0 THEN 1
+      |             ELSE (2654435761 * (gj + 1)) % 1000000007 END)
+      |       * list_reduce(list_transform(range(1, length(gt) + 1),
+      |           gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
+      |         (ga, gc) -> (ga * 31 + gc) % 1073741789)
+      |       + (1013904223 * (gj + 7)) % 1000000007) % 1000000007)),
+      |    1000000007))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_eval" ->
@@ -139,15 +159,7 @@ object DedupQueries3 {
          |  WHERE doc_id % (SELECT CAST(ceil(count(*) / 2000.0) AS BIGINT)
          |                  FROM documents) = 0),
          |sig AS (SELECT doc_id,
-         |  list_transform(range(0, 128), gj ->
-         |    coalesce(list_min(list_transform(sh, gt ->
-         |      ((CASE WHEN (2654435761 * (gj + 1)) % 1000000007 = 0 THEN 1
-         |             ELSE (2654435761 * (gj + 1)) % 1000000007 END)
-         |       * list_reduce(list_transform(range(1, length(gt) + 1),
-         |           gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
-         |         (ga, gc) -> (ga * 31 + gc) % 1073741789)
-         |       + (1013904223 * (gj + 7)) % 1000000007) % 1000000007)),
-         |    1000000007)) AS sig
+         |  $minhashSigList AS sig
          |  FROM s),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    len(list_intersect(a.sh, b.sh)) AS i,

@@ -155,15 +155,7 @@ object DedupQueries6 {
          |  WHERE doc_id % (SELECT CAST(ceil(count(*) / 2000.0) AS BIGINT)
          |                  FROM documents) = 0),
          |sig AS (SELECT doc_id,
-         |  list_transform(range(0, 128), gj ->
-         |    coalesce(list_min(list_transform(sh, gt ->
-         |      ((CASE WHEN (2654435761 * (gj + 1)) % 1000000007 = 0 THEN 1
-         |             ELSE (2654435761 * (gj + 1)) % 1000000007 END)
-         |       * list_reduce(list_transform(range(1, length(gt) + 1),
-         |           gi -> CAST(ord(substr(gt, CAST(gi AS INT), 1)) AS BIGINT)),
-         |         (ga, gc) -> (ga * 31 + gc) % 1073741789)
-         |       + (1013904223 * (gj + 7)) % 1000000007) % 1000000007)),
-         |    1000000007)) AS sig
+         |  ${DedupQueries3.minhashSigList} AS sig
          |  FROM s),
          |f AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    (2 * len(list_intersect(a.sh, b.sh)) >=

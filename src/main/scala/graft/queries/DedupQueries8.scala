@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Round-13 dedup addition: CROSS-SNAPSHOT (incremental-crawl) dedup
+  * as a batch operator chain — the operational 100 TB shape "dedup
+  * crawl N+1 against the already-deduped corpus WITHOUT re-pairing
+  * the old corpus".
+  *
+  * `dedup_incremental` — the documents table is split at the id
+  * midpoint into an OLD crawl (prior snapshot) and a NEW crawl; the
+  * old crawl folds once into pinned prior state (one immutable
+  * (id, sig, is_dup) row per doc — [[Dedup.minhashDedupFold]]'s state
+  * contract, ~1KB/doc signatures, never text), then the new crawl
+  * folds AGAINST that state: per-band bucket probe of history by the
+  * batch's bands only, smaller-id-decided (`is_dup` iff some
+  * smaller-id doc — prior snapshot or earlier in the new crawl —
+  * shares an LSH band AND the 128-hash signature-agreement estimate
+  * clears tau = 1/2 as the integer compare `agree·2 >= 128`). The
+  * output is the NEW crawl's per-doc decisions — the "how much of
+  * this crawl is redundant" report.
+  *
+  * Scale shape: per-snapshot work is O(batch·bands + matching
+  * buckets), NEVER O(old · new) — the band join broadcasts the
+  * batch side so the history-sized signature pool streams through
+  * exchange-free (the fold's committed plan, pinned in
+  * MinhashStreamSpec's broadcast test); the old corpus is never
+  * re-paired against itself. CrossSnapshotSpec proves
+  * fold(old)+batch(new) == batch(old∪new) ACROSS a parquet
+  * round-trip of the pinned state — the minhashDedupFold
+  * split-equivalence extended over the batch/snapshot boundary.
+  *
+  * Oracle exactness: the decision rule replays in DuckDB — the
+  * shared committed minhash family ([[DedupQueries3.minhashSigList]]),
+  * VALUE-slice band membership at the fold's τ-derived banding
+  * (tau = 1/2 → r = 2, 64 bands — Transforms.recallBandRows, the
+  * single rule), and the integer agreement compare. Band membership
+  * replays as slice equality; minhash_bands' hashed keys are a
+  * SUPERSET of value matches (same input → same key), and a
+  * collision-added candidate still must clear the 64/128 agreement
+  * estimate — on this corpus (planted dups at J~0.9, baseline J~0)
+  * the estimate margin makes the two candidate sets decision-
+  * equivalent, the dedup_minhash capture-probability argument.
+  */
+object DedupQueries8 {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      // snapshot boundary: the id midpoint — corpus-derived (the
+      // round-9 rule: driver-side agg here, scalar subquery in SQL)
+      val mid = docs.agg(expr("(min(doc_id) + max(doc_id)) DIV 2"))
+        .head().getLong(0)
+      // prior snapshot state, folded once and PINNED (persist: the
+      // second fold consumes it as band pool, sig pool and state union)
+      val prior = Dedup.minhashDedupFold(None,
+          docs.filter($"doc_id" <= mid), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val state = Dedup.minhashDedupFold(Some(prior),
+        docs.filter($"doc_id" > mid), "doc_id", "text")
+      state.filter($"id" > mid)
+        .select($"id".as("doc_id"), $"is_dup".cast("long").as("is_dup"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the fold's decision rule over ALL smaller ids (history ∪
+    // earlier-in-batch — split-invariant by construction, which is
+    // exactly why the oracle needs no snapshot boundary beyond the
+    // output filter): value-slice band match at r=2/64 bands AND the
+    // integer 64-of-128 agreement estimate
+    "dedup_incremental" ->
+      s"""WITH s AS (SELECT doc_id, ${DedupQueries3.shingles3} AS sh
+         |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |  ${DedupQueries3.minhashSigList} AS sig
+         |  FROM s),
+         |mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS m
+         |  FROM documents)
+         |SELECT sa.doc_id,
+         |  CAST(CASE WHEN bool_or(
+         |    len(list_filter(range(0, 64), gg ->
+         |      sa.sig[CAST(gg * 2 + 1 AS INT)] = sb.sig[CAST(gg * 2 + 1 AS INT)]
+         |      AND sa.sig[CAST(gg * 2 + 2 AS INT)] = sb.sig[CAST(gg * 2 + 2 AS INT)]
+         |    )) > 0
+         |    AND len(list_filter(range(0, 128), gk ->
+         |      sa.sig[CAST(gk + 1 AS INT)] = sb.sig[CAST(gk + 1 AS INT)]
+         |    )) * 2 >= 128) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM sig sa JOIN sig sb ON sb.doc_id < sa.doc_id
+         |WHERE sa.doc_id > (SELECT m FROM mid)
+         |GROUP BY sa.doc_id""".stripMargin
+  )
+}
