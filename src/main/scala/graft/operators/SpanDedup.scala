@@ -75,4 +75,85 @@ object SpanDedup {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** The Lee et al. 2022 EXACT-SUBSTRING rule proper: remove only
+    * MAXIMAL duplicated runs of at least `minRun` tokens, instead of
+    * every covered token. [[removeDuplicateSpans]] marks each token
+    * covered by any cross-document duplicated n-gram — but the paper's
+    * standard removes merged maximal duplicated substrings over a
+    * length threshold (~50 tokens), so incidental short phrase overlap
+    * survives and only genuinely copied passages (boilerplate blocks,
+    * licence headers, quoted articles) are cut. Covered positions
+    * coalesce into maximal runs with the gaps-and-islands key
+    * (pos − row_number over the per-doc position order — q56's idiom;
+    * adjacent covered positions share a constant key), runs gate on
+    * `count >= minRun`, and only gated runs' tokens drop from the
+    * rebuilt text.
+    *
+    * Scale shape: identical to removeDuplicateSpans plus one per-doc
+    * window over COVERED positions only (high-cardinality partition
+    * key — no low-card window cliff) and one (doc, run)-keyed
+    * partial-agg count. Returns one row per input document:
+    * (idCol, clean_text, n_total, n_kept, n_removed, n_runs_removed,
+    * max_run) — the last two are the audit columns an operator reads
+    * to tune the threshold.
+    */
+  def removeDuplicateRuns(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2, minRun: Int = 50): DataFrame = {
+    require(n >= 1 && minDocs >= 2 && minRun >= n,
+      s"need n>=1, minDocs>=2, minRun>=n; got $n, $minDocs, $minRun")
+    val base = Parallelism.ensure(docs)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = base.filter(size(col("__ws")) >= n)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), " +
+          s"i -> struct(i AS start, array_join(slice(__ws, i + 1, $n), ' ') AS ng))"))
+        .as("g"))
+      .select(col("__id"), col("g.start").as("__start"), col("g.ng").as("__ng"))
+    val dup = occ.groupBy(col("__ng"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__ng"))
+    val covered = occ.join(dup, "__ng")
+      .select(col("__id"),
+        explode(expr(s"sequence(__start, __start + ${n - 1})")).as("__pos"))
+      .distinct()
+    // maximal runs: adjacent covered positions share (pos - rn); the
+    // per-doc window runs over covered positions only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos"))
+    val runs = covered
+      .withColumn("__rk", col("__pos") - row_number().over(w))
+    // consumed twice (gate + removal join): persist the runs frame
+    val gated = runs.groupBy(col("__id"), col("__rk"))
+      .agg(count(lit(1)).as("__len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val longRuns = gated.filter(col("__len") >= minRun)
+    val removed = runs.join(longRuns.select(col("__id"), col("__rk")),
+      Seq("__id", "__rk"))
+    val toks = base.select(col("__id"),
+      posexplode(col("__ws")).as(Seq("__pos", "__tok")))
+    val kept = toks
+      .join(removed.select(col("__id"), col("__pos")),
+        Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(__pos, __tok))), r -> r.__tok)"), " ").as("clean_text"))
+    val audit = gated.groupBy(col("__id"))
+      .agg(sum(when(col("__len") >= minRun, 1L).otherwise(0L))
+          .as("n_runs_removed"),
+        max(col("__len")).as("max_run"))
+    base.select(col("__id"), size(col("__ws")).cast("long").as("n_total"))
+      .join(kept, Seq("__id"), "left")
+      .join(audit, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_runs_removed"), lit(0L)).as("n_runs_removed"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
 }

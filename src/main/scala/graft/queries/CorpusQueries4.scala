@@ -21,6 +21,21 @@ object CorpusQueries4 {
         n = 5, minDocs = 2)
     },
 
+    // the Lee et al. 2022 exact-substring rule PROPER (round 13):
+    // only MAXIMAL duplicated runs of >= 50 tokens are removed —
+    // covered 5-grams coalesce into runs via the gaps-and-islands key
+    // (q56's idiom), short incidental phrase overlap survives. The
+    // 50-token threshold is the paper's standard and a real split on
+    // this corpus (probed at sf0.01: 71 maximal runs, max 93, 21 runs
+    // >= 50 across 21 docs). n_runs_removed/max_run are the audit
+    // columns a pipeline owner reads to tune the threshold.
+    "corpus_substring_dedup" -> { (s, dir) =>
+      import graft.operators.SpanDedup
+      SpanDedup.removeDuplicateRuns(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2, minRun = 50)
+    },
+
     // pairwise corpus comparison: vocabulary Jaccard between sources —
     // distinct (source, token) table (O(vocab), partial-distinct
     // collapse), self-joined on token for intersections, sizes joined
@@ -127,6 +142,64 @@ object CorpusQueries4 {
         |  coalesce(k.n_kept, 0) AS n_kept,
         |  CAST(len(ws.w) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed
         |FROM ws LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    // the span_dedup chain + gaps-and-islands run coalescing: only
+    // runs of >= 50 covered positions remove their tokens
+    "corpus_substring_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT doc_id, g.st AS st, g.ng AS ng
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      range(0, greatest(len(w) - 4, 0)),
+        |      i -> {'st': i,
+        |            'ng': array_to_string(list_slice(w, i + 1, i + 5), ' ')}))
+        |      AS g
+        |    FROM ws)),
+        |dup AS (
+        |  SELECT ng FROM occ GROUP BY ng
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT occ.doc_id, unnest(range(st, st + 5)) AS pos
+        |    FROM occ JOIN dup USING (ng))),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS rk
+        |  FROM covered),
+        |rl AS (
+        |  SELECT doc_id, rk, CAST(count(*) AS BIGINT) AS run_len
+        |  FROM runs GROUP BY doc_id, rk),
+        |rem AS (
+        |  SELECT r.doc_id, r.pos
+        |  FROM runs r JOIN rl ON rl.doc_id = r.doc_id AND rl.rk = r.rk
+        |  WHERE rl.run_len >= 50),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, w[i + 1] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM ws)),
+        |kept AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(t.tok ORDER BY t.pos), ' ') AS clean_text
+        |  FROM toks t LEFT JOIN rem c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL
+        |  GROUP BY t.doc_id),
+        |audit AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN run_len >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_runs_removed,
+        |    CAST(max(run_len) AS BIGINT) AS max_run
+        |  FROM rl GROUP BY doc_id)
+        |SELECT ws.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(len(ws.w) AS BIGINT) AS n_total,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  CAST(len(ws.w) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed,
+        |  coalesce(a.n_runs_removed, 0) AS n_runs_removed,
+        |  coalesce(a.max_run, 0) AS max_run
+        |FROM ws LEFT JOIN kept k USING (doc_id)
+        |LEFT JOIN audit a USING (doc_id)""".stripMargin,
 
     "corpus_vocab_overlap" ->
       """WITH v AS (
