@@ -49,94 +49,128 @@ import graft.functions.GraftFunctions.cosine_sim
   */
 object SimilarityQueries6 {
 
-  private val NAnchors = 5
+  private[queries] val NAnchors = 5
   // probed at sf0.01: convergence by step 4; 6 keeps margin without
   // paying 8 rounds of fixed per-step scheduling latency
-  private val Steps = 6
-  private val Beam = 8
-  private val Degree = 6
+  private[queries] val Steps = 6
+  private[queries] val Beam = 8
+  private[queries] val Degree = 6
+
+  /** The shared graph-ANN pieces: node set, the ann_knn_graph edge
+    * build restricted to nodes, anchors, coarse centroids — ONE
+    * definition for ann_graph_search and the round-13 hierarchical
+    * entry (ann_hier_search): nodes and edges persisted (both are
+    * re-consumed per beam step), released by the caller's
+    * clearCache-between-queries contract.
+    */
+  private[queries] case class GraphParts(nodes: DataFrame, edges: DataFrame,
+    anchors: DataFrame, centroids: DataFrame)
+
+  private[queries] def buildGraph(s: SparkSession, dir: String): GraphParts = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val k = math.ceil(math.sqrt(
+      Tables.rowCount(s, dir, "embeddings").toDouble)).toLong
+    val centroids = emb.filter($"vec_id" < k)
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
+    val nodes = emb.filter($"vec_id" >= NAnchors)
+      .select($"vec_id", $"embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ann_knn_graph build, restricted to the node set
+    val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)
+    val ranked = nodes.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"cid",
+        cosine_sim($"embedding", $"cv").as("cc"))
+      .withColumn("crk", row_number().over(wA))
+    val stored = ranked.filter($"crk" === 1)
+      .select($"vec_id".as("nbr_id"), $"embedding".as("nv"), $"cid")
+    val probes = ranked.filter($"crk" <= 2)
+      .select($"vec_id", $"embedding".as("pv"), $"cid")
+    val wK = Window.partitionBy($"vec_id").orderBy($"ecos".desc, $"nbr_id".asc)
+    val edges = probes.join(stored, "cid")
+      .filter($"vec_id" =!= $"nbr_id")
+      .select($"vec_id", $"nbr_id", cosine_sim($"pv", $"nv").as("ecos"))
+      .withColumn("rk", row_number().over(wK))
+      .filter($"rk" <= Degree)
+      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors = emb.filter($"vec_id" < NAnchors)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    GraphParts(nodes, edges, anchors, centroids)
+  }
+
+  /** The width-Beam, Steps-step beam loop over a GraphParts graph from
+    * an initial (q_id, node, ncos) frontier — returns the final
+    * frontier. Checkpointed-loop discipline inside (constraints off,
+    * eager localCheckpoint per step: the frontier is referenced twice
+    * per step — self-union + probe. A coalesce(1) before the
+    * checkpoint measured SLOWER, 2.70 → 3.14 s: coalesce fuses into
+    * the stage and runs the whole window + rank on one task — AQE
+    * already coalesces the tiny shuffle).
+    */
+  private[queries] def beamLoop(s: SparkSession, g: GraphParts,
+      frontier0: DataFrame): DataFrame = {
+    import s.implicits._
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = s.conf.get(cpKey)
+    val wB = Window.partitionBy($"q_id").orderBy($"ncos".desc, $"node".asc)
+    var frontier = frontier0
+    s.conf.set(cpKey, "false")
+    try for (_ <- 1 to Steps) {
+      val nbrs = broadcast(frontier).as("f")
+        .join(g.edges.as("e"), $"f.node" === $"e.src")
+        .join(g.nodes.select($"vec_id".as("nid"), $"embedding".as("nv")).as("n"),
+          $"e.dst" === $"n.nid")
+        .join(broadcast(g.anchors).as("a"), $"f.q_id" === $"a.q_id")
+        .select($"f.q_id".as("q_id"), $"n.nid".as("node"),
+          cosine_sim($"a.qv", $"n.nv").as("ncos"))
+      // candidates ⊇ frontier, deduped exactly (a node reached twice
+      // scores the SAME cosine, so distinct collapses bit-equal rows);
+      // next frontier = top-Beam — the top-1 can never worsen
+      frontier = frontier.unionByName(nbrs).distinct()
+        .withColumn("__rn", row_number().over(wB))
+        .filter($"__rn" <= Beam)
+        .select($"q_id", $"node", $"ncos")
+        .localCheckpoint(true)
+    } finally s.conf.set(cpKey, cpPrev)
+    frontier
+  }
+
+  /** Exact per-anchor top-1 among graph nodes — the eval side shared
+    * by the graph-search queries.
+    */
+  private[queries] def exactTop1(s: SparkSession, g: GraphParts): DataFrame = {
+    import s.implicits._
+    val wE = Window.partitionBy($"q_id").orderBy($"xcos".desc, $"vec_id".asc)
+    g.nodes.crossJoin(broadcast(g.anchors))
+      .select($"q_id", $"vec_id", cosine_sim($"embedding", $"qv").as("xcos"))
+      .withColumn("rn", row_number().over(wE)).filter($"rn" === 1)
+      .select($"q_id", $"vec_id".as("exact_id"), $"xcos".as("exact_cos"))
+  }
+
+  /** Centroid (coarse-quantizer) entry: the Beam nearest centroid
+    * vectors that are themselves graph nodes — the IVF+graph hop
+    * (probed round 9: a fixed single entry strands every anchor).
+    */
+  private[queries] def centroidEntry(s: SparkSession, g: GraphParts): DataFrame = {
+    import s.implicits._
+    val wEntry = Window.partitionBy($"q_id").orderBy($"ec".desc, $"cid".asc)
+    g.anchors.crossJoin(broadcast(g.centroids.filter($"cid" >= NAnchors)))
+      .select($"q_id", $"cid", cosine_sim($"qv", $"cv").as("ec"))
+      .withColumn("__rn", row_number().over(wEntry))
+      .filter($"__rn" <= Beam)
+      .select($"q_id", $"cid".as("node"), $"ec".as("ncos"))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> { (s, dir) =>
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-      val k = math.ceil(math.sqrt(
-        Tables.rowCount(s, dir, "embeddings").toDouble)).toLong
-      val centroids = emb.filter($"vec_id" < k)
-        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
-      val nodes = emb.filter($"vec_id" >= NAnchors)
-        .select($"vec_id", $"embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the ann_knn_graph build, restricted to the node set
-      val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)
-      val ranked = nodes.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"embedding", $"cid",
-          cosine_sim($"embedding", $"cv").as("cc"))
-        .withColumn("crk", row_number().over(wA))
-      val stored = ranked.filter($"crk" === 1)
-        .select($"vec_id".as("nbr_id"), $"embedding".as("nv"), $"cid")
-      val probes = ranked.filter($"crk" <= 2)
-        .select($"vec_id", $"embedding".as("pv"), $"cid")
-      val wK = Window.partitionBy($"vec_id").orderBy($"ecos".desc, $"nbr_id".asc)
-      val edges = probes.join(stored, "cid")
-        .filter($"vec_id" =!= $"nbr_id")
-        .select($"vec_id", $"nbr_id", cosine_sim($"pv", $"nv").as("ecos"))
-        .withColumn("rk", row_number().over(wK))
-        .filter($"rk" <= Degree)
-        .select($"vec_id".as("src"), $"nbr_id".as("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val anchors = emb.filter($"vec_id" < NAnchors)
-        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
-      // query-adaptive entry — the IVF+graph design real systems use:
-      // the initial frontier is the Beam nearest CENTROID vectors that
-      // are themselves graph nodes (cid >= NAnchors; centroids are
-      // corpus vectors here), so the walk starts in the query's region
-      // (probed: a fixed min-id entry strands every anchor in a local
-      // optimum; the centroid entry is the coarse-quantizer hop)
-      val wEntry = Window.partitionBy($"q_id").orderBy($"ec".desc, $"cid".asc)
-      var frontier = anchors.crossJoin(broadcast(
-          centroids.filter($"cid" >= NAnchors)))
-        .select($"q_id", $"cid", cosine_sim($"qv", $"cv").as("ec"))
-        .withColumn("__rn", row_number().over(wEntry))
-        .filter($"__rn" <= Beam)
-        .select($"q_id", $"cid".as("node"), $"ec".as("ncos"))
-      // checkpointed-loop discipline: constraints off while iterating
-      // (stale checkpoint constraints crash the analyzer under unions)
-      val cpKey = "spark.sql.constraintPropagation.enabled"
-      val cpPrev = s.conf.get(cpKey)
+      val g = buildGraph(s, dir)
+      val frontier = beamLoop(s, g, centroidEntry(s, g))
       val wB = Window.partitionBy($"q_id").orderBy($"ncos".desc, $"node".asc)
-      s.conf.set(cpKey, "false")
-      try for (_ <- 1 to Steps) {
-        val nbrs = broadcast(frontier).as("f")
-          .join(edges.as("e"), $"f.node" === $"e.src")
-          .join(nodes.select($"vec_id".as("nid"), $"embedding".as("nv")).as("n"),
-            $"e.dst" === $"n.nid")
-          .join(broadcast(anchors).as("a"), $"f.q_id" === $"a.q_id")
-          .select($"f.q_id".as("q_id"), $"n.nid".as("node"),
-            cosine_sim($"a.qv", $"n.nv").as("ncos"))
-        // candidates ⊇ frontier, deduped exactly (a node reached twice
-        // scores the SAME cosine, so distinct collapses bit-equal rows);
-        // next frontier = top-Beam — the top-1 can never worsen
-        frontier = frontier.unionByName(nbrs).distinct()
-          .withColumn("__rn", row_number().over(wB))
-          .filter($"__rn" <= Beam)
-          .select($"q_id", $"node", $"ncos")
-          // frontier is referenced twice per step (self-union + probe):
-          // eager localCheckpoint keeps the lineage O(1) (the CC loop
-          // discipline; the frame is anchors × Beam rows). A coalesce(1)
-          // before the checkpoint measured SLOWER (2.70 → 3.14 s):
-          // coalesce fuses into the stage and runs the whole window +
-          // rank on one task — AQE already coalesces the tiny shuffle.
-          .localCheckpoint(true)
-      } finally s.conf.set(cpKey, cpPrev)
-      val wE = Window.partitionBy($"q_id").orderBy($"xcos".desc, $"vec_id".asc)
-      val exact = nodes.crossJoin(broadcast(anchors))
-        .select($"q_id", $"vec_id", cosine_sim($"embedding", $"qv").as("xcos"))
-        .withColumn("rn", row_number().over(wE)).filter($"rn" === 1)
-        .select($"q_id", $"vec_id".as("exact_id"), $"xcos".as("exact_cos"))
       frontier.withColumn("__rn", row_number().over(wB))
         .filter($"__rn" === 1)
-        .join(exact, "q_id")
+        .join(exactTop1(s, g), "q_id")
         .select($"q_id", $"node".as("final_id"), $"ncos".as("final_cos"),
           $"exact_id", $"exact_cos",
           ($"node" === $"exact_id").as("hit"))
@@ -170,32 +204,35 @@ object SimilarityQueries6 {
     }
   )
 
-  private def dot(x: String, y: String) =
+  private[queries] def dot(x: String, y: String) =
     s"""list_reduce(list_transform(range(1, len($x) + 1),
        | gi -> CAST($x[CAST(gi AS INT)] AS DOUBLE) * CAST($y[CAST(gi AS INT)] AS DOUBLE)),
        | (gx, gy) -> gx + gy)""".stripMargin
-  private def cos(a: String, b: String): String =
+  private[queries] def cos(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
-  /** The beam unrolled: w_i keeps the top-Beam of frontier ∪ scored
-    * out-neighbors (row_number: cos DESC, node ASC — the lowest-id tie
-    * rule; DISTINCT collapses bit-equal re-reached nodes), and a
-    * stabilized frontier is a fixed point.
+  /** The beam unrolled: <prefix>_i keeps the top-Beam of frontier ∪
+    * scored out-neighbors (row_number: cos DESC, node ASC — the
+    * lowest-id tie rule; DISTINCT collapses bit-equal re-reached
+    * nodes), and a stabilized frontier is a fixed point. Reads the
+    * `edges` / `a` / `embeddings` CTE names; the prefix parameterizes
+    * the chain so one oracle can run two entry variants
+    * (ann_hier_search).
     */
-  private def walkCtes: String = (1 to Steps).map { i =>
-    s"""w$i AS (SELECT q_id, node, c FROM (
+  private[queries] def walkCtes(prefix: String): String = (1 to Steps).map { i =>
+    s"""$prefix$i AS (SELECT q_id, node, c FROM (
        |    SELECT q_id, node, c,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY c DESC, node ASC) AS rn
        |    FROM (
        |      SELECT DISTINCT q_id, node, c FROM (
-       |        SELECT q_id, node, c FROM w${i - 1}
+       |        SELECT q_id, node, c FROM $prefix${i - 1}
        |        UNION ALL
        |        SELECT f.q_id, e.dst AS node,
        |          ${cos("a.qv", "v.embedding")} AS c
-       |        FROM w${i - 1} f
+       |        FROM $prefix${i - 1} f
        |        JOIN edges e ON e.src = f.node
-       |        JOIN embeddings v ON v.vec_id = e.dst
+       |        JOIN nodes v ON v.vec_id = e.dst
        |        JOIN a ON a.q_id = f.q_id)))
        |  WHERE rn <= $Beam)""".stripMargin
   }.mkString(",\n")
@@ -235,7 +272,7 @@ object SimilarityQueries6 {
          |        ORDER BY ${cos("a.qv", "c.cv")} DESC, c.cid) AS rn
          |    FROM a CROSS JOIN cen c WHERE c.cid >= $NAnchors)
          |  WHERE rn <= $Beam),
-         |$walkCtes,
+         |${walkCtes("w")},
          |fin AS (SELECT q_id, node, c FROM (
          |    SELECT q_id, node, c, row_number() OVER (PARTITION BY q_id
          |      ORDER BY c DESC, node ASC) AS rn FROM w$Steps)
