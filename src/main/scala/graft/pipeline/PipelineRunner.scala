@@ -219,6 +219,14 @@ class PipelineManager(spark: SparkSession) {
     case _ => None
   }
 
+  /** Refusal/lateness counters recorded by the job's stateful fold
+    * (StreamingOps.foldCounters) — empty for batch jobs and streams
+    * that are not versioned-state folds. Named jobs pass their name
+    * straight through to the fold, so the keying lines up.
+    */
+  def foldCounters(name: String): Map[String, Long] =
+    graft.streaming.StreamingOps.foldCounters(name)
+
   private val jobs = TrieMap.empty[String, Status]
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val submittedAt = TrieMap.empty[String, Long]

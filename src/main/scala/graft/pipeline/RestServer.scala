@@ -86,7 +86,7 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
               // progress (beyond the reference's JobInfo — the numbers
               // an operator of a LIVE stream needs from a status poll)
               val prog = manager.lastProgress(name)
-                .map(p => s""","lastProgress":${progressJson(p)}""")
+                .map(p => s""","lastProgress":${progressJson(name, p)}""")
                 .getOrElse("")
               s"${jstr(name)}:{" +
                 s""""name":${jstr(ji.name)},"status":${jstr(ji.status)},""" +
@@ -95,7 +95,7 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
           respond(ex, 200, body)
         case ("GET", JobProgressPath(name)) =>
           manager.lastProgress(decodePath(name)) match {
-            case Some(p) => respond(ex, 200, progressJson(p))
+            case Some(p) => respond(ex, 200, progressJson(decodePath(name), p))
             case None => respond(ex, 404,
               s"""{"error":${jstr(s"no streaming progress for: ${decodePath(name)}")}}""")
           }
@@ -165,10 +165,20 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else d.toString
 
-  private def progressJson(p: manager.ProgressInfo): String =
+  /** Progress JSON = Spark's own batch metrics + the job's fold
+    * counters (refusal/lateness pressure recorded driver-side by the
+    * stateful folds — see StreamingOps.foldCounters; `{}` for jobs
+    * that are not versioned-state folds). Keys render sorted so the
+    * document is deterministic.
+    */
+  private def progressJson(name: String, p: manager.ProgressInfo): String = {
+    val ctr = manager.foldCounters(name).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")
     s"""{"batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
       s""""inputRowsPerSecond":${jnum(p.inputRowsPerSecond)},""" +
-      s""""processedRowsPerSecond":${jnum(p.processedRowsPerSecond)}}"""
+      s""""processedRowsPerSecond":${jnum(p.processedRowsPerSecond)},""" +
+      s""""counters":{$ctr}}"""
+  }
 
   /** Captured name segments come from getPath, which ALREADY
     * percent-decoded them once (matching Spring's @PathVariable) —
@@ -200,7 +210,7 @@ object RestServer {
     RouteDoc("get", "/api/pipelines/jobs/{name}/status",
       "Whether the named pipeline is running", Seq("name" -> "path")),
     RouteDoc("get", "/api/pipelines/jobs/{name}/progress",
-      "Last micro-batch progress of a live streaming job (404 for batch/unknown jobs)",
+      "Last micro-batch progress of a live streaming job plus its fold's refusal/lateness counters (404 for batch/unknown jobs)",
       Seq("name" -> "path")),
     RouteDoc("get", "/api/pipelines/count",
       "Number of running pipelines"),

@@ -1120,6 +1120,11 @@ object StreamingOps {
       val late = open.join(prevModel, Seq("event_type"))
         .filter(col("last_day").isNotNull && col("day") <= col("last_day"))
         .count()
+      // counted even when 0 so the key is visible as a live baseline
+      // on the progress endpoint; a non-zero count is recorded BEFORE
+      // the refusal throws, so the reading that killed the query stays
+      // observable afterwards
+      bumpFoldCounter(name, "late_buckets", late)
       if (late > 0) throw new IllegalStateException(
         s"holtMaintained($stateDir): $late (event_type, day) bucket(s) " +
           "arrived at or before an already-CLOSED day — day arrival " +
@@ -1332,13 +1337,27 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.hadoop.fs.Path
     require(retainVersions >= 1)
+    // a resubmitted job reuses its name: stale counters from the prior
+    // run would misread as this run's refusal pressure
+    resetFoldCounters(name)
     stream.writeStream.queryName(name.replaceAll("\\W", "_"))
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch(new ((Dataset[org.apache.spark.sql.Row], Long) => Unit) {
         // the identity check is constant for a query run: do the FS
         // round-trips (checkpoint metadata + marker) once, not per batch
         @volatile private var identityChecked = false
-        def apply(batch: Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
+        def apply(batch: Dataset[org.apache.spark.sql.Row], id: Long): Unit =
+          try applyInner(batch, id)
+          catch {
+            // every loud contract refusal (late data, checkpoint reset,
+            // pending reconcile, divergent params) passes through here:
+            // count it so an operator watching the REST progress
+            // endpoint sees refusal pressure, not just a dead query
+            case e: IllegalStateException =>
+              bumpFoldCounter(name, "refusals", 1L); throw e
+          }
+        private def applyInner(batch: Dataset[org.apache.spark.sql.Row],
+            id: Long): Unit = {
         val spark = batch.sparkSession
         val fs = new Path(stateDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1386,11 +1405,41 @@ object StreamingOps {
           // prune versions older than the newest `retainVersions`
           stateVersions(spark, stateDir).dropRight(retainVersions)
             .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
+          bumpFoldCounter(name, "batches_folded", 1L)
         }
         ()
         }
       }).start()
   }
+
+  /** Driver-side per-job fold counters — the operational face of the
+    * folds' loud-refusal contracts: foreachBatch closures run on the
+    * driver, so each fold can record lateness/refusal pressure here
+    * and the REST progress endpoint (RestServer → PipelineManager)
+    * surfaces it next to Spark's own batch metrics. Keys so far:
+    * `batches_folded` (every versionedStateSink fold), `refusals`
+    * (any IllegalStateException contract refusal), `late_buckets`
+    * (holtMaintained: (type, day) buckets at or before a closed day —
+    * recorded before the refusal throws, so the count that killed the
+    * query is visible after it). Counters reset when a query with the
+    * same name is re-constructed (restart semantics).
+    */
+  private val foldCountersMap = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[String, Long]]
+
+  private[graft] def bumpFoldCounter(name: String, key: String,
+      by: Long): Unit = {
+    val m = foldCountersMap.getOrElseUpdate(name,
+      scala.collection.concurrent.TrieMap.empty[String, Long])
+    m.synchronized { m.update(key, m.getOrElse(key, 0L) + by) }
+  }
+
+  /** Snapshot of a job's fold counters (empty for non-fold jobs). */
+  def foldCounters(name: String): Map[String, Long] =
+    foldCountersMap.get(name).map(_.toMap).getOrElse(Map.empty)
+
+  private def resetFoldCounters(name: String): Unit =
+    foldCountersMap.remove(name)
 
   /** Bind a state/output directory to its streaming checkpoint's
     * identity (shared by [[versionedStateSink]] and [[scd2EnrichedTo]]):

@@ -101,6 +101,13 @@ class HoltStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("CLOSED day") ||
       Option(e.getCause).exists(_.getMessage.contains("CLOSED day")),
       e.getMessage)
+    // the refusal is observable after the fact on the fold counters
+    // (the REST progress endpoint's source): the late-bucket reading
+    // that killed the query plus the refusal itself
+    val ctr = StreamingOps.foldCounters("holt_late")
+    assert(ctr.getOrElse("late_buckets", 0L) >= 1L, ctr.toString)
+    assert(ctr.getOrElse("refusals", 0L) >= 1L, ctr.toString)
+    assert(ctr.getOrElse("batches_folded", 0L) >= 1L, ctr.toString)
     GraftSession.release(spark)
   }
 }

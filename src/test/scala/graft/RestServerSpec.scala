@@ -102,6 +102,17 @@ class RestServerSpec extends SparkSpec {
         prog._2.contains("\"numInputRows\":") &&
         prog._2.contains("\"inputRowsPerSecond\":") &&
         prog._2.contains("\"processedRowsPerSecond\":"), prog._2)
+      // the counters object is always present ({} for a non-fold
+      // stream); a fold job's refusal/lateness pressure renders here —
+      // inject counters under this job's name to pin the rendering
+      assert(prog._2.contains("\"counters\":{"), prog._2)
+      graft.streaming.StreamingOps.bumpFoldCounter(
+        "rest-stream", "late_buckets", 3L)
+      graft.streaming.StreamingOps.bumpFoldCounter(
+        "rest-stream", "refusals", 1L)
+      val prog2 = get(port, "/api/pipelines/jobs/rest-stream/progress")._2
+      assert(prog2.contains(
+        "\"counters\":{\"late_buckets\":3,\"refusals\":1}"), prog2)
       // the jobs listing now embeds the same progress object
       val jb2 = get(port, "/api/pipelines/jobs")._2
       assert(jb2.contains("\"lastProgress\":{\"batchId\":"), jb2)
