@@ -64,6 +64,38 @@ object DedupQueries8 {
         docs.filter($"doc_id" > mid), "doc_id", "text")
       state.filter($"id" > mid)
         .select($"id".as("doc_id"), $"is_dup".cast("long").as("is_dup"))
+    },
+
+    // `dedup_incremental_sem` — the SEMANTIC twin: crawl N+1's vectors
+    // against the pinned SemDeDup fold state (Dedup.semanticDedupFold:
+    // nearest-centroid cell assignment — argmax cosine, ties to the
+    // lowest cid — then is_dup iff some SMALLER-id vector in the SAME
+    // cell clears strict-fold cosine >= tau). Centroids are the
+    // deterministic first-⌈√n⌉ vectors (the ann_graph_search
+    // convention); tau = 0.4 is the corpus-probed operating point
+    // (0.5 flags nothing on this corpus, 0.3 flags 44% — 0.4 keeps 8
+    // of 250 new-crawl vectors, a real split). Same-cell-only compare
+    // is the fold's committed rule; recall below the cluster scale is
+    // the documented embeddingPairsCells trade (nprobe=1 here — the
+    // state stores ONE cell per vector). Scale shape: per-snapshot
+    // work is O(batch · cell occupancy), history streams through one
+    // cell-keyed join with the batch side broadcast.
+    "dedup_incremental_sem" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(
+        Tables.rowCount(s, dir, "embeddings").toDouble)).toLong
+      val cen = emb.filter($"vec_id" < k)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
+      val mid = emb.agg(expr("(min(vec_id) + max(vec_id)) DIV 2"))
+        .head().getLong(0)
+      val prior = Dedup.semanticDedupFold(None,
+          emb.filter($"vec_id" <= mid), "vec_id", "embedding", cen, 0.4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val state = Dedup.semanticDedupFold(Some(prior),
+        emb.filter($"vec_id" > mid), "vec_id", "embedding", cen, 0.4)
+      state.filter($"id" > mid)
+        .select($"id".as("vec_id"), $"is_dup".cast("long").as("is_dup"))
     }
   )
 
@@ -92,6 +124,36 @@ object DedupQueries8 {
          |    )) * 2 >= 128) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM sig sa JOIN sig sb ON sb.doc_id < sa.doc_id
          |WHERE sa.doc_id > (SELECT m FROM mid)
-         |GROUP BY sa.doc_id""".stripMargin
+         |GROUP BY sa.doc_id""".stripMargin,
+
+    // the fold rule over all smaller ids (split-invariant, as above):
+    // argmax-cell assignment (cos DESC, cid ASC), same-cell LEFT join
+    // (a cell minimum has no partner and must stay a row), strict-fold
+    // cosine >= 0.4
+    "dedup_incremental_sem" ->
+      s"""WITH cen AS MATERIALIZED (
+         |  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+         |                  FROM embeddings)),
+         |asg AS MATERIALIZED (SELECT vec_id, cell, embedding FROM (
+         |    SELECT e.vec_id, c.cid AS cell, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${SimilarityQueries6.cos("e.embedding", "c.cv")}
+         |          DESC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cen c)
+         |  WHERE rn = 1),
+         |mid AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS m
+         |  FROM embeddings)
+         |SELECT xa.vec_id,
+         |  CAST(CASE WHEN coalesce(bool_or(
+         |    ${SimilarityQueries6.cos("xa.embedding", "ya.embedding")}
+         |      >= CAST(0.4 AS DOUBLE)), false)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM asg xa
+         |LEFT JOIN asg ya
+         |  ON ya.cell = xa.cell AND ya.vec_id < xa.vec_id
+         |WHERE xa.vec_id > (SELECT m FROM mid)
+         |GROUP BY xa.vec_id""".stripMargin
   )
 }

@@ -48,4 +48,28 @@ class CrossSnapshotSpec extends SparkSpec {
       "pinned history must stream through without a sort-merge exchange")
     GraftSession.release(spark)
   }
+
+  test("semantic fold(old) persisted + batch(new) == batch(old ∪ new)") {
+    import org.apache.spark.sql.functions.expr
+    val dir = java.nio.file.Files.createTempDirectory("graft_xsnap_s").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    val cen = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+    val mid = emb.agg(expr("(min(vec_id) + max(vec_id)) DIV 2"))
+      .head().getLong(0)
+    Dedup.semanticDedupFold(None, emb.filter(col("vec_id") <= mid),
+        "vec_id", "embedding", cen, 0.4)
+      .write.parquet(s"$dir/prior")
+    val prior = spark.read.parquet(s"$dir/prior")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val incremental = Dedup.semanticDedupFold(Some(prior),
+      emb.filter(col("vec_id") > mid), "vec_id", "embedding", cen, 0.4)
+    val oneShot = Dedup.semanticDedupFold(None, emb,
+      "vec_id", "embedding", cen, 0.4)
+    assert(canon(incremental) === canon(oneShot))
+    GraftSession.release(spark)
+  }
 }
