@@ -67,29 +67,49 @@ object SimilarityQueries9 {
         .filter($"rk" <= UpperDeg)
         .select($"src", $"dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val entry = upper.agg(min($"uid").as("uid")).head().getLong(0)
+      // the greedy walk is a DRIVER LADDER (the ann_diversify
+      // contract): inherently sequential (each hop depends on the
+      // last), over a BOUNDED working set — upper vectors are ~√n
+      // rows (~10⁵ at n=10¹⁰, a few MB) and upper edges |U|·deg rows;
+      // a 4-round DataFrame loop measured ~2 s of pure per-step
+      // scheduling at 10× for 5-row frames. Arithmetic matches the
+      // oracle exactly: strict left-fold cosines (the CosineSim
+      // contract), argmax ties to the lowest node id.
+      val upperRows = upper.orderBy($"uid").collect()
+      val uIds = upperRows.map(_.getLong(0))
+      val uVecs = upperRows.map(_.getSeq[Float](1))
+      val uIdx = uIds.zipWithIndex.toMap
+      val uNbr: Map[Long, Array[Long]] = uedges.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (srcId, a) => srcId -> a.map(_._2) }
+      def strictCos(a: Seq[Float], b: Seq[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val entryId = uIds.head // min uid: collected in ascending order
+      val walkEnds = g.anchors.collect().map { r =>
+        val qId = r.getLong(0); val qv = r.getSeq[Float](1)
+        var node = entryId
+        var c = strictCos(qv, uVecs(uIdx(node)))
+        for (_ <- 1 to GreedySteps) {
+          // argmax of {current} ∪ upper out-neighbors, ties to the
+          // LOWEST id (ascending scan with strict >) — a stalled walk
+          // is a fixed point
+          uNbr.getOrElse(node, Array.empty[Long]).sorted.foreach { nb =>
+            val cn = strictCos(qv, uVecs(uIdx(nb)))
+            if (cn > c || (cn == c && nb < node)) { c = cn; node = nb }
+          }
+        }
+        (qId, node, c)
+      }.toSeq
+      val cur = s.createDataFrame(walkEnds).toDF("q_id", "node", "c")
       val wG = Window.partitionBy($"q_id").orderBy($"c".desc, $"node".asc)
-      var cur = g.anchors
-        .crossJoin(broadcast(upper.filter($"uid" === entry)))
-        .select($"q_id", $"uid".as("node"), cosine_sim($"qv", $"uv").as("c"))
-      val cpKey = "spark.sql.constraintPropagation.enabled"
-      val cpPrev = s.conf.get(cpKey)
-      s.conf.set(cpKey, "false")
-      try for (_ <- 1 to GreedySteps) {
-        val nbrs = broadcast(cur).as("f")
-          .join(uedges.as("e"), $"f.node" === $"e.src")
-          .join(upper.as("u"), $"e.dst" === $"u.uid")
-          .join(broadcast(g.anchors).as("a"), $"f.q_id" === $"a.q_id")
-          .select($"f.q_id".as("q_id"), $"u.uid".as("node"),
-            cosine_sim($"a.qv", $"u.uv").as("c"))
-        // greedy = width-1 beam: argmax of {current} ∪ upper
-        // neighbors; a stalled walk is a fixed point
-        cur = cur.unionByName(nbrs).distinct()
-          .withColumn("__rn", row_number().over(wG))
-          .filter($"__rn" === 1)
-          .select($"q_id", $"node", $"c")
-          .localCheckpoint(true)
-      } finally s.conf.set(cpKey, cpPrev)
       // seed the base beam from the walk's end point + its base
       // out-neighbors (upper ⊆ base nodes, so both are valid)
       val seedNbrs = broadcast(cur).as("f")
@@ -102,14 +122,21 @@ object SimilarityQueries9 {
         .withColumn("__rn", row_number().over(wG))
         .filter($"__rn" <= Beam)
         .select($"q_id", $"node", $"c".as("ncos"))
-      val finH = SimilarityQueries6.beamLoop(s, g, seed)
-      val finC = SimilarityQueries6.beamLoop(s, g,
-        SimilarityQueries6.centroidEntry(s, g))
+      // BOTH variants ride one tagged beam loop (the variant key
+      // partitions every window), paying the 6 iterative rounds once
+      val fin = SimilarityQueries6.beamLoop(s, g,
+        seed.select(lit("hier").as("variant"), $"q_id", $"node", $"ncos")
+          .unionByName(SimilarityQueries6.centroidEntry(s, g)
+            .select(lit("centroid").as("variant"), $"q_id", $"node",
+              $"ncos")),
+        keys = Seq("variant", "q_id"))
       val exact = exactOf(s, g)
       val centroidCost = g.centroids.filter($"cid" >= NAnchors).count()
       val hierCost = 1L + GreedySteps.toLong * UpperDeg + Degree
-      evalRow(s, "centroid", finC, exact, centroidCost)
-        .unionByName(evalRow(s, "hier", finH, exact, hierCost))
+      evalRow(s, "centroid",
+          fin.filter($"variant" === "centroid"), exact, centroidCost)
+        .unionByName(evalRow(s, "hier",
+          fin.filter($"variant" === "hier"), exact, hierCost))
     }
   )
 
