@@ -60,7 +60,13 @@ object RelationalQueries19 {
       // partition the persisted big side by the AGGREGATION key —
       // hash(dst) satisfies clustering on (seed, node=dst), so each
       // round's min-groupBy runs exchange-free on the relaxed side
-      // once AQE re-checks against the materialized cache)
+      // once AQE re-checks against the materialized cache). The
+      // frontier is bounded by |seeds|·|V|: at graph cardinalities
+      // where that crosses the driver's broadcast budget, drop the
+      // broadcast hint and let the relax join run SHUFFLE_HASH
+      // against the dst-partitioned edges — the same manual knob as
+      // pagerankRound.broadcastRanks / kcorePeelRound (the
+      // GraphRoundFallbackSpec-proven equality family)
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
         .repartition($"dst")
         .persist()

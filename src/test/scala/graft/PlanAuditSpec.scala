@@ -661,4 +661,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(mat.contains("BroadcastNestedLoopJoin"),
       "anchor side must broadcast against the candidate scan")
   }
+
+  test("round-13 queries keep their committed scale shapes") {
+    // dq_profile: all six columns' aggregates fold in ONE pass over
+    // the fact table — every unpivot branch reads the persisted 1-row
+    // agg (InMemoryTableScan), so the parquet scan runs once at
+    // runtime however many branches print its lineage statically
+    val prof = plan("dq_profile")
+    assert("InMemoryTableScan".r.findAllIn(prof).length == 6,
+      "each profile row must re-read the cached agg, not the table")
+    // q128_backtest: one fact-table rollup, then days-bounded work —
+    // no join anywhere (the per-cutoff folds run on a collected array)
+    val bt = plan("q128_backtest")
+    assert(!bt.contains("Join"), "backtest must not join — array folds only")
+    assert(bt.contains("partial_sum"),
+      "the daily rollup must partial-aggregate below the exchange")
+    // dedup_incremental: the snapshot probe broadcasts the new-crawl
+    // side; pinned history streams with no sort-merge exchange (the
+    // minhashDedupFold plan, asserted end-to-end through the query)
+    val inc = plan("dedup_incremental")
+    assert(inc.contains("BroadcastHashJoin") && !inc.contains("SortMergeJoin"),
+      "the incremental band probe must broadcast the batch side")
+  }
 }
