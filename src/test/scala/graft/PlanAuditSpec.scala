@@ -663,13 +663,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("round-13 queries keep their committed scale shapes") {
-    // dq_profile: all six columns' aggregates fold in ONE pass over
-    // the fact table — every unpivot branch reads the persisted 1-row
-    // agg (InMemoryTableScan), so the parquet scan runs once at
-    // runtime however many branches print its lineage statically
+    // dq_profile: six COLUMN-PRUNED scans (same parquet bytes as one
+    // full scan; each ReadSchema carries exactly its own column, so
+    // no branch drags the full row width through its distinct agg)
     val prof = plan("dq_profile")
-    assert("InMemoryTableScan".r.findAllIn(prof).length == 6,
-      "each profile row must re-read the cached agg, not the table")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(prof).toSeq
+    assert(schemas.length == 6 && schemas.forall(!_.contains(",")),
+      s"each profile branch must scan exactly one column: $schemas")
     // q128_backtest: one fact-table rollup, then days-bounded work —
     // no join anywhere (the per-cutoff folds run on a collected array)
     val bt = plan("q128_backtest")
