@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-13 relational additions (2): seasonal forecasting and causal
+  * lift estimation.
+  *
+  * `q129_winters` — additive HOLT-WINTERS (level + trend + weekly
+  * season, α = β = γ = 1/2) per event type, the q122 fold extended
+  * with a 7-slot season queue: state is a 9-element double ARRAY
+  * [l, b, s1..s7] (s1 = the incoming day's season), initialized from
+  * the first 7 days (l₀ = their strict-fold mean, sᵢ = xᵢ − l₀,
+  * b₀ = 0) and folded over days 8..n in day order. Every recurrence
+  * is committed in EXPANDED per-slot form (the round-12 DuckDB
+  * struct-mutation rule, applied to arrays: no slot's expression
+  * references another slot's RESULT):
+  *   l′ = 0.5(x − s1) + 0.5(l + b)
+  *   b′ = 0.25(x − s1) − 0.25 l + 0.75 b
+  *   s′ = 0.25 x + 0.75 s1 − 0.25 l − 0.25 b
+  * and the queue rotates [l′, b′, s2..s7, s′]. DuckDB folds the SAME
+  * trees with list_reduce over [init-state] ++ per-day [x,0,...]
+  * elements (elem-1 init carries the derived init state — the q122
+  * idiom generalized past element-1-as-first-observation). Output:
+  * one row per (event_type, h ∈ 1..7) with the h-step-ahead forecast
+  * l + h·b + s_h — the table a capacity planner reads. Types with
+  * < 8 days exit (no season to fit). Scale: one (type, day) rollup;
+  * folds run on ≤|types| day-bounded arrays.
+  *
+  * `q130_did` — DIFFERENCE-IN-DIFFERENCES revenue lift: treated =
+  * BUILDING-segment customers, post = order date after the corpus
+  * midpoint day (corpus-derived epoch-day (min+max) DIV 2 — the
+  * round-9 rule: driver-side here, scalar subquery in SQL). ONE
+  * conditional aggregate over the broadcast-joined fact table — 4
+  * exact BIGINT cent sums + 4 counts, then per-cell means and
+  * DiD = (m_t_post − m_t_pre) − (m_c_post − m_c_pre) as fixed double
+  * trees (the q105 family; empty cells → null, both engines). No
+  * groupBy at all: the single-row aggregate partial-combines
+  * map-side and the plan never shuffles more than 8 numbers.
+  */
+object RelationalQueries21 {
+
+  private def centsCol = (col("o_totalprice").cast("decimal(15,2)") * 100)
+    .cast("long")
+  private val centsSql =
+    "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_winters" -> { (s, dir) =>
+      import s.implicits._
+      val upd = """(acc, x) -> array(
+        0.5D * (x - element_at(acc, 3))
+          + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+        0.25D * (x - element_at(acc, 3))
+          - 0.25D * element_at(acc, 1) + 0.75D * element_at(acc, 2),
+        element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),
+        element_at(acc, 7), element_at(acc, 8), element_at(acc, 9),
+        0.25D * x + 0.75D * element_at(acc, 3)
+          - 0.25D * element_at(acc, 1) - 0.25D * element_at(acc, 2))"""
+      Tables.events(s, dir)
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .groupBy($"event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(day, x))), " +
+          "r -> r.x)").as("xs"))
+        .select($"event_type", size($"xs").cast("long").as("n_days"), $"xs")
+        .filter($"n_days" >= 8)
+        .withColumn("l0", expr("aggregate(slice(xs, 1, 7), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D"))
+        .withColumn("st", expr(s"""aggregate(
+          slice(xs, 8, CAST(n_days - 7 AS INT)),
+          array(l0, CAST(0.0 AS DOUBLE),
+            element_at(xs, 1) - l0, element_at(xs, 2) - l0,
+            element_at(xs, 3) - l0, element_at(xs, 4) - l0,
+            element_at(xs, 5) - l0, element_at(xs, 6) - l0,
+            element_at(xs, 7) - l0),
+          $upd)"""))
+        .select($"event_type", $"n_days",
+          explode(expr("sequence(1L, 7L)")).as("h"), $"st")
+        .select($"event_type", $"n_days", $"h",
+          expr("element_at(st, 1)").as("level"),
+          expr("element_at(st, 2)").as("trend"),
+          expr("element_at(st, CAST(h + 2 AS INT))").as("s_h"),
+          expr("element_at(st, 1) + CAST(h AS DOUBLE) * element_at(st, 2)" +
+            " + element_at(st, CAST(h + 2 AS INT))").as("forecast"))
+    },
+
+    "q130_did" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+        .select($"c_custkey", ($"c_mktsegment" === "BUILDING").as("treated"))
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate".cast("date").as("day"), centsCol.as("y"))
+        .withColumn("d", datediff($"day", lit("1970-01-01").cast("date")))
+      val cut = o.agg(expr("(min(d) + max(d)) DIV 2")).head().getLong(0)
+      val j = o.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"treated", ($"d" > cut).as("post"), $"y")
+      def cell(t: Boolean, p: Boolean, f: String) = {
+        val m = $"treated" === t && $"post" === p
+        if (f == "n") sum(when(m, 1L).otherwise(0L))
+        else sum(when(m, $"y").otherwise(0L))
+      }
+      j.agg(
+          cell(true, false, "n").as("n_t_pre"),
+          cell(true, true, "n").as("n_t_post"),
+          cell(false, false, "n").as("n_c_pre"),
+          cell(false, true, "n").as("n_c_post"),
+          cell(true, false, "s").as("s_t_pre"),
+          cell(true, true, "s").as("s_t_post"),
+          cell(false, false, "s").as("s_c_pre"),
+          cell(false, true, "s").as("s_c_post"))
+        .select($"n_t_pre", $"n_t_post", $"n_c_pre", $"n_c_post",
+          mean("s_t_pre", "n_t_pre").as("m_t_pre"),
+          mean("s_t_post", "n_t_post").as("m_t_post"),
+          mean("s_c_pre", "n_c_pre").as("m_c_pre"),
+          mean("s_c_post", "n_c_post").as("m_c_post"),
+          (mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")
+            - (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre")))
+            .as("did_cents"))
+    }
+  )
+
+  /** Null-guarded cell mean (the q105 degenerate-denominator class):
+    * exact BIGINT cent sum, ONE double division.
+    */
+  private def mean(sc: String, nc: String) =
+    when(col(nc) > 0L, col(sc).cast("double") / col(nc).cast("double"))
+
+  val oracles: Map[String, String] = Map(
+    "q129_winters" -> {
+      val zeros = Seq.fill(8)("CAST(0.0 AS DOUBLE)").mkString(", ")
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS DOUBLE) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    list(x ORDER BY day) AS xs
+         |  FROM daily GROUP BY event_type),
+         |ini AS (SELECT event_type, n_days, xs,
+         |    list_reduce(xs[1:7], (ga, gx) -> ga + gx)
+         |      / CAST(7.0 AS DOUBLE) AS l0
+         |  FROM sx WHERE n_days >= 8),
+         |st AS (SELECT event_type, n_days,
+         |    list_reduce(
+         |      list_concat(
+         |        [[l0, CAST(0.0 AS DOUBLE),
+         |          xs[1] - l0, xs[2] - l0, xs[3] - l0, xs[4] - l0,
+         |          xs[5] - l0, xs[6] - l0, xs[7] - l0]],
+         |        list_transform(xs[8:CAST(n_days AS INT)],
+         |          gx -> [gx, $zeros])),
+         |      (acc, e) -> [
+         |        CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+         |          + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+         |        CAST(0.25 AS DOUBLE) * (e[1] - acc[3])
+         |          - CAST(0.25 AS DOUBLE) * acc[1]
+         |          + CAST(0.75 AS DOUBLE) * acc[2],
+         |        acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+         |        CAST(0.25 AS DOUBLE) * e[1]
+         |          + CAST(0.75 AS DOUBLE) * acc[3]
+         |          - CAST(0.25 AS DOUBLE) * acc[1]
+         |          - CAST(0.25 AS DOUBLE) * acc[2]]) AS st
+         |  FROM ini)
+         |SELECT event_type, n_days, h,
+         |  st[1] AS level, st[2] AS trend,
+         |  st[CAST(h + 2 AS INT)] AS s_h,
+         |  st[1] + CAST(h AS DOUBLE) * st[2] + st[CAST(h + 2 AS INT)]
+         |    AS forecast
+         |FROM st CROSS JOIN
+         |  (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h)""".stripMargin
+    },
+
+    "q130_did" ->
+      s"""WITH o AS (SELECT o_custkey, $centsSql AS y,
+         |    datediff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS d
+         |  FROM orders),
+         |cut AS (SELECT (min(d) + max(d)) // 2 AS cut FROM o),
+         |j AS (SELECT (c.c_mktsegment = 'BUILDING') AS treated,
+         |    (o.d > (SELECT cut FROM cut)) AS post, o.y
+         |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |g AS (SELECT
+         |  CAST(sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_t_pre,
+         |  CAST(sum(CASE WHEN treated AND post THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_t_post,
+         |  CAST(sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_c_pre,
+         |  CAST(sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_c_post,
+         |  CAST(sum(CASE WHEN treated AND NOT post THEN y ELSE 0 END)
+         |    AS BIGINT) AS s_t_pre,
+         |  CAST(sum(CASE WHEN treated AND post THEN y ELSE 0 END)
+         |    AS BIGINT) AS s_t_post,
+         |  CAST(sum(CASE WHEN NOT treated AND NOT post THEN y ELSE 0 END)
+         |    AS BIGINT) AS s_c_pre,
+         |  CAST(sum(CASE WHEN NOT treated AND post THEN y ELSE 0 END)
+         |    AS BIGINT) AS s_c_post
+         |  FROM j)
+         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |  CASE WHEN n_t_pre > 0
+         |    THEN CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+         |    END AS m_t_pre,
+         |  CASE WHEN n_t_post > 0
+         |    THEN CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+         |    END AS m_t_post,
+         |  CASE WHEN n_c_pre > 0
+         |    THEN CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)
+         |    END AS m_c_pre,
+         |  CASE WHEN n_c_post > 0
+         |    THEN CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+         |    END AS m_c_post,
+         |  (CASE WHEN n_t_post > 0
+         |    THEN CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) END
+         |   - CASE WHEN n_t_pre > 0
+         |    THEN CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) END)
+         |  - (CASE WHEN n_c_post > 0
+         |    THEN CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) END
+         |   - CASE WHEN n_c_pre > 0
+         |    THEN CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) END)
+         |    AS did_cents
+         |FROM g""".stripMargin
+  )
+}
