@@ -7,8 +7,14 @@ import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
 /** One-pass dataset profiling — the "dataset card" primitive every
   * training-data pipeline publishes next to its corpus: per column,
   * row/null/distinct counts plus min/max, computed in a single
-  * aggregate over one scan (profiling that rescans per column is how
-  * 100 TB audits become 100 scans).
+  * aggregate over one scan. The single pass is the SOURCE-AGNOSTIC
+  * contract: this profiles arbitrary frames (a JDBC cursor, a derived
+  * frame worth one materialization), where a rescan-per-column
+  * strategy would re-run the upstream 100 times. The cost is the
+  * multi-distinct Expand (n · (#cols+1) rows through the agg); when
+  * the input IS a columnar table, per-column PRUNED scans read the
+  * same bytes and shuffle far less — that shape is dq_profile
+  * (measured 4× at 10× on orders), not this operator.
   *
   * Output is long-format (column, metric, value) with values rendered
   * as strings through exact integer/string paths only — no float

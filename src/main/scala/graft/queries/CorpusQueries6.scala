@@ -79,6 +79,32 @@ object CorpusQueries6 {
       s.createDataFrame(bpeTrain(s, dir)._2).toDF("round", "n_tokens")
     },
 
+    // TOKENIZER FERTILITY per language (round 13) — the number a
+    // multilingual-tokenizer report leads with: BPE tokens per
+    // whitespace word under the trained merges, by lang (high
+    // fertility = the tokenizer fragments that language, its
+    // documents pay more context budget per word). Per-lang (lang,
+    // word) counts join the trained vocab segmentation (words under
+    // 2 chars never merge — fertility 1 by definition, the training
+    // filter's contract); exact integer token sums, ONE division per
+    // lang row. Scale: the (lang, word) rollup is the only
+    // corpus-touch; the segmentation side is vocab-bounded.
+    "corpus_bpe_fertility" -> { (s, dir) =>
+      import s.implicits._
+      val seg = bpeTrain(s, dir, keepFinal = true)._3.get
+        .select($"w", size(split($"wstr", Sep)).cast("long").as("bl"))
+      Tables.load(s, dir, "documents")
+        .select($"lang", explode(split($"text", " ")).as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+        .join(seg, Seq("w"), "left")
+        .groupBy($"lang")
+        .agg(sum($"c" * coalesce($"bl", lit(1L))).as("t_bpe"),
+          sum($"c").as("t_words"))
+        .select($"lang", $"t_bpe", $"t_words",
+          ($"t_bpe".cast("double") / $"t_words".cast("double"))
+            .as("fertility"))
+    },
+
     // Word-association mining (the word2vec/SGNS co-occurrence
     // preprocessing step): skip-bigram counts within a +-2 token
     // window, scored by the PMI ASSOCIATION RATIO in rational form —
@@ -172,14 +198,23 @@ object CorpusQueries6 {
     * persists and the superseded one drops (the q91 round-frame
     * discipline); all per-round work is VOCAB-bounded.
     */
-  private def bpeTrain(s: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long)], Seq[(Int, Long)]) = {
+  /** Runs MergeRounds of BPE training. With keepFinal the third
+    * element is the FINAL persisted segmentation frame (w, wstr,
+    * freq) — corpus_bpe_fertility joins per-lang word counts against
+    * it; released by the between-queries clearCache contract.
+    * Without it every internal frame unpersists eagerly and the
+    * third element is empty.
+    */
+  private[queries] def bpeTrain(s: SparkSession, dir: String,
+      keepFinal: Boolean = false)
+      : (Seq[(Int, String, String, Long)], Seq[(Int, Long)],
+         Option[org.apache.spark.sql.DataFrame]) = {
     import s.implicits._
     val words0 = Tables.load(s, dir, "documents")
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .select(expr("array_join(transform(sequence(1, length(w)), " +
+      .select($"w", expr("array_join(transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)), chr(31))").as("wstr"), $"freq")
       .persist()
     def tokenTotal(seg: org.apache.spark.sql.DataFrame): Long =
@@ -220,8 +255,9 @@ object CorpusQueries6 {
       if (seg ne words0) seg.unpersist() // dropping the superseded round
       seg = nxt
     }
-    seg.unpersist(); words0.unpersist()
-    (merges.toSeq, tokens.toSeq)
+    if (!keepFinal) seg.unpersist()
+    if (seg ne words0) words0.unpersist()
+    (merges.toSeq, tokens.toSeq, if (keepFinal) Some(seg) else None)
   }
 
   /** One unrolled BPE round (pair counts -> 1-row argmax -> greedy
@@ -242,10 +278,10 @@ object CorpusQueries6 {
        |b$r AS (SELECT a, b, cnt FROM p$r
        |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
        |words$r AS (
-       |  SELECT list_reduce(ss, (acc, s2) -> CASE
+       |  SELECT w, list_reduce(ss, (acc, s2) -> CASE
        |      WHEN string_split(acc, chr(31))[-1] = b$r.a AND s2 = b$r.b
        |      THEN acc || s2 ELSE acc || chr(31) || s2 END) AS wstr, freq
-       |  FROM (SELECT string_split(wstr, chr(31)) AS ss, freq
+       |  FROM (SELECT w, string_split(wstr, chr(31)) AS ss, freq
        |        FROM words${r - 1}), b$r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -255,7 +291,8 @@ object CorpusQueries6 {
         s"SELECT CAST($r AS INT) AS round, a, b, cnt FROM b$r")
         .mkString("\nUNION ALL ")
       s"""WITH words0 AS (
-         |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+         |  SELECT w,
+         |    array_to_string(list_transform(range(1, length(w) + 1),
          |      gi -> substr(w, CAST(gi AS INT), 1)), chr(31)) AS wstr,
          |    CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -272,13 +309,43 @@ object CorpusQueries6 {
            |    AS n_tokens FROM words$r""".stripMargin)
         .mkString("\nUNION ALL ")
       s"""WITH words0 AS (
-         |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+         |  SELECT w,
+         |    array_to_string(list_transform(range(1, length(w) + 1),
          |      gi -> substr(w, CAST(gi AS INT), 1)), chr(31)) AS wstr,
          |    CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE length(w) >= 2 GROUP BY w),
          |$rounds
          |$sel""".stripMargin
+    },
+
+    // the trained segmentation re-derived by the shared unrolled
+    // rounds, joined to per-lang word counts; sub-2-char words miss
+    // the vocab and coalesce to 1 token
+    "corpus_bpe_fertility" -> {
+      val rounds = (1 to MergeRounds).map(bpeRoundCte).mkString(",\n")
+      s"""WITH words0 AS (
+         |  SELECT w,
+         |    array_to_string(list_transform(range(1, length(w) + 1),
+         |      gi -> substr(w, CAST(gi AS INT), 1)), chr(31)) AS wstr,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |$rounds,
+         |seg AS (SELECT w,
+         |    CAST(len(string_split(wstr, chr(31))) AS BIGINT) AS bl
+         |  FROM words$MergeRounds),
+         |lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  GROUP BY lang, w)
+         |SELECT lang,
+         |  CAST(sum(c * coalesce(bl, 1)) AS BIGINT) AS t_bpe,
+         |  CAST(sum(c) AS BIGINT) AS t_words,
+         |  CAST(sum(c * coalesce(bl, 1)) AS DOUBLE)
+         |    / CAST(sum(c) AS DOUBLE) AS fertility
+         |FROM lw LEFT JOIN seg USING (w)
+         |GROUP BY lang""".stripMargin
     },
 
     "corpus_bpe" ->

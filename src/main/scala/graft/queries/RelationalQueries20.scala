@@ -16,7 +16,12 @@ import graft.Tables
   * the same total bytes as a single full scan, and each column's
   * distinct agg shuffles only that column's narrow 2-way expand —
   * the all-in-one-agg form's 7-projection Expand shuffled n·7
-  * full-width rows and measured 4× slower at 10×.
+  * full-width rows and measured 4× slower at 10×. This is the
+  * COLUMNAR-TABLE face of profiling; `operators.Profile`
+  * (corpus_profile) keeps the single-pass shape because it profiles
+  * ARBITRARY frames — a non-rescannable source (JDBC cursor, a
+  * derived frame worth one materialization) must profile in one
+  * pass, and only a columnar table makes per-column scans free.
   *
   * `q128_backtest` — ROLLING-ORIGIN forecast backtest of the q122
   * Holt recurrence on daily order revenue: for each of the last 8

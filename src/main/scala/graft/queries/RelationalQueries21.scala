@@ -86,6 +86,58 @@ object RelationalQueries21 {
             " + element_at(st, CAST(h + 2 AS INT))").as("forecast"))
     },
 
+    // `q131_mwu` — exact tie-aware MANN-WHITNEY U: do BUILDING-segment
+    // orders rank higher in value than the rest? The rank-based
+    // two-sample test next to q105's mean z-test and q106's KS —
+    // robust to the revenue distribution's shape. All arithmetic
+    // integer until the final z: min-ranks + per-tie-group counts give
+    // integral 2·avg-rank = 2r + cnt − 1 (the ann_auc idiom), 2U₁ =
+    // Σ(2·avgrank) − n₁(n₁+1) exact BIGINT; the tie-corrected variance
+    // term Σ(t³ − t) is an exact BIGINT sum (t³ < 2^63 is an asserted
+    // invariant — DuckDB THROWS on overflow, the minhash-constants
+    // rule); z is ONE fixed double tree (sqrt is correctly-rounded
+    // IEEE), degenerate variance → null on both engines. Scale: one
+    // global rank window over order values — the documented
+    // single-total-order eval class (samples at extreme scale); the
+    // customer join broadcasts.
+    "q131_mwu" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.load(s, dir, "customer")
+        .select($"c_custkey", ($"c_mktsegment" === "BUILDING").as("grp1"))
+      val j = Tables.load(s, dir, "orders")
+        .select($"o_custkey", centsCol.as("y"))
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      val ranked = j
+        .withColumn("r", rank().over(Window.orderBy($"y".asc)).cast("long"))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy($"y")).cast("long"))
+        .withColumn("avg2", lit(2L) * $"r" + $"cnt" - lit(1L))
+      val ties = j.groupBy($"y").agg(count(lit(1)).as("t"))
+        .agg(sum($"t" * $"t" * $"t" - $"t").as("tsum"))
+      ranked.agg(
+          sum(when($"grp1", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"grp1", 1L).otherwise(0L)).as("n2"),
+          sum(when($"grp1", $"avg2")).as("r2_1"))
+        .crossJoin(broadcast(ties))
+        .select($"n1", $"n2",
+          ($"r2_1" - $"n1" * ($"n1" + lit(1L))).as("u1_x2"), $"tsum")
+        // tie-corrected Var = n1·n2/12·((n+1) − T/(n(n−1))) as ONE
+        // committed tree; all-tied data drives it to 0 — null z
+        // rather than an ANSI double DIVIDE_BY_ZERO (the q105 class)
+        .withColumn("var12",
+          when($"n1" > 0 && $"n2" > 0 && ($"n1" + $"n2") > 1,
+            ($"n1".cast("double") * $"n2".cast("double") / lit(12.0)) *
+              (($"n1" + $"n2" + lit(1L)).cast("double") -
+                $"tsum".cast("double") /
+                  (($"n1" + $"n2").cast("double") *
+                    ($"n1" + $"n2" - lit(1L)).cast("double")))))
+        .select($"n1", $"n2", $"u1_x2", $"tsum",
+          when($"var12" > 0.0,
+            ($"u1_x2" - $"n1" * $"n2").cast("double") /
+              (lit(2.0) * sqrt($"var12"))).as("z"))
+    },
+
     "q130_did" -> { (s, dir) =>
       import s.implicits._
       val cust = Tables.load(s, dir, "customer")
@@ -168,6 +220,38 @@ object RelationalQueries21 {
          |FROM st CROSS JOIN
          |  (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h)""".stripMargin
     },
+
+    "q131_mwu" ->
+      s"""WITH j AS (SELECT (c.c_mktsegment = 'BUILDING') AS grp1,
+         |    $centsSql AS y
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |rk AS (SELECT grp1,
+         |    CAST(rank() OVER (ORDER BY y ASC) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY y) AS BIGINT) AS cnt
+         |  FROM j),
+         |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM j GROUP BY y)),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN grp1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN grp1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN grp1 THEN 2 * r + cnt - 1 END) AS BIGINT)
+         |      AS r2_1
+         |  FROM rk),
+         |u AS (SELECT n1, n2, r2_1 - n1 * (n1 + 1) AS u1_x2, tsum
+         |  FROM g CROSS JOIN ties),
+         |v AS (SELECT n1, n2, u1_x2, tsum,
+         |    CASE WHEN n1 > 0 AND n2 > 0 AND (n1 + n2) > 1 THEN
+         |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+         |        (CAST(n1 + n2 + 1 AS DOUBLE) -
+         |          CAST(tsum AS DOUBLE) /
+         |            (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+         |      END AS var12
+         |  FROM u)
+         |SELECT n1, n2, u1_x2, tsum,
+         |  CASE WHEN var12 > 0.0
+         |    THEN CAST(u1_x2 - n1 * n2 AS DOUBLE) / (2.0 * sqrt(var12))
+         |    END AS z
+         |FROM v""".stripMargin,
 
     "q130_did" ->
       s"""WITH o AS (SELECT o_custkey, $centsSql AS y,
