@@ -123,9 +123,14 @@ object SpanDedup {
     // per-doc window runs over covered positions only
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__pos"))
+    // runs is consumed twice (the gate rollup + the removal join):
+    // persist it, or the whole covered-position pipeline — the n-gram
+    // explode, the dup groupBy, the cover join + distinct and the
+    // per-doc window — recomputes for the second consumer
     val runs = covered
       .withColumn("__rk", col("__pos") - row_number().over(w))
-    // consumed twice (gate + removal join): persist the runs frame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gated is itself read twice (threshold filter + the audit rollup)
     val gated = runs.groupBy(col("__id"), col("__rk"))
       .agg(count(lit(1)).as("__len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

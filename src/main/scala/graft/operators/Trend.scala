@@ -86,12 +86,20 @@ object Trend {
   /** Deterministic pair-bootstrap CI for the OLS slope (q127's tail):
     * `b` resamples with committed-constant hash draw indices, exact
     * per-resample moment sums, ceil-rank CI. Input (day, y); one row.
+    * `persistDays` caches the indexed series for the double consume
+    * (draw grid + join side) — right when `daily` is a fact-table
+    * rollup (batch q127; released by the between-queries sweep), but
+    * a LONG-LIVED caller reading a cheap state frame repeatedly
+    * (StreamingOps.bootstrapTrendFrom) passes false: each call would
+    * otherwise leak one cached frame into executor storage with no
+    * release() between calls (the round-6 old-gen-pressure class).
     */
-  def bootstrapTrend(daily: DataFrame, b: Int): DataFrame = {
-    val idx = daily
+  def bootstrapTrend(daily: DataFrame, b: Int,
+      persistDays: Boolean = true): DataFrame = {
+    val idx0 = daily
       .withColumn("i", row_number().over(Window.orderBy(col("day"))).cast("long"))
       .select(col("i"), col("y"))
-      .persist() // days-bounded; drawn into by every resample
+    val idx = if (persistDays) idx0.persist() else idx0
     val tot = idx.agg(count(lit(1)).as("n"))
     val draws = idx.select(col("i").as("j"))
       .crossJoin(broadcast(tot))

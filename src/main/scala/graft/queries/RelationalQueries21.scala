@@ -105,9 +105,12 @@ object RelationalQueries21 {
       import org.apache.spark.sql.expressions.Window
       val cust = Tables.load(s, dir, "customer")
         .select($"c_custkey", ($"c_mktsegment" === "BUILDING").as("grp1"))
+      // consumed twice (rank window + tie rollup): persist, or the
+      // fact scan + broadcast join run twice (the round-4 rule)
       val j = Tables.load(s, dir, "orders")
         .select($"o_custkey", centsCol.as("y"))
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ranked = j
         .withColumn("r", rank().over(Window.orderBy($"y".asc)).cast("long"))
         .withColumn("cnt",

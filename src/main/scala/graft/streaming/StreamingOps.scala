@@ -327,10 +327,18 @@ object StreamingOps {
     // construction-time pin of a query that never started): no dup
     // decision was ever made under them, so a later fold with
     // different banding must re-pin, not be refused — the same rule
-    // minhashDedupReconcile applies by only binding when state exists
+    // minhashDedupReconcile applies by only binding when state exists.
+    // A crashed reconcile's PARKED pre-image counts as state: between
+    // its rename(v -> _pre_v) and the staged swap, v=* dirs are gone
+    // but _pre_* holds REAL committed decisions — treating that
+    // window as empty would let a divergent bind overwrite the pin
+    // and a later repair+reconcile run coarser banding over it
+    val parkedState = fs.exists(new Path(s"$stateDir/_reconcile_pending")) ||
+      Option(fs.globStatus(new Path(s"$stateDir/_pre_*")))
+        .exists(_.nonEmpty)
     val stored: Map[String, String] =
       if (!fs.exists(pfile) ||
-          stateVersions(spark, stateDir).isEmpty) Map.empty
+          (stateVersions(spark, stateDir).isEmpty && !parkedState)) Map.empty
       else {
         val in = fs.open(pfile)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1006,10 +1014,13 @@ object StreamingOps {
 
   /** Deterministic pair-bootstrap slope CI from a
     * [[dailyCentsMaintained]] state frame — the batch q127 row, via
-    * the shared `operators.Trend.bootstrapTrend`.
+    * the shared `operators.Trend.bootstrapTrend`. persistDays = false:
+    * the state frame is a cheap days-bounded parquet read and this
+    * helper is called repeatedly from long-lived sessions with no
+    * release() between calls — a per-call persist would leak.
     */
   def bootstrapTrendFrom(state: DataFrame, b: Int = 64): DataFrame =
-    graft.operators.Trend.bootstrapTrend(state, b)
+    graft.operators.Trend.bootstrapTrend(state, b, persistDays = false)
 
   /** Streaming FUNNEL fold — q46_funnel's incremental face: state is
     * the funnel frame itself, one (user_id, t_view, t_click,

@@ -111,4 +111,22 @@ class MinhashStreamSpec extends SparkSpec {
     assert(txt.contains("tau=1/2"), txt)
     GraftSession.release(spark)
   }
+
+  test("a crashed reconcile's parked pre-image counts as state — divergent params still refuse") {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhpark").toString
+    val state = s"$dir/state"
+    StreamingOps.bindMinhashParams(spark, state, Seq(
+      "numHashes" -> "128", "bands" -> "64", "tau" -> "1/4"))
+    // the reconcile crash window: v=* renamed away to _pre_*, pending
+    // marker present, ZERO committed version dirs — the pre-image
+    // holds REAL decisions, so the pin must NOT be treated as stale
+    new java.io.File(s"$state/_pre_0").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/_reconcile_pending"), "0")
+    val e = intercept[IllegalStateException] {
+      StreamingOps.bindMinhashParams(spark, state, Seq("bands" -> "32"))
+    }
+    assert(e.getMessage.contains("bands=64"), e.getMessage)
+  }
 }
