@@ -51,4 +51,44 @@ object Survival {
         expr("aggregate(rl, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x.ratio)")
           .as("surv"))
   }
+
+  /** STRATIFIED Kaplan-Meier: [[kmCurve]] per `group` value in one
+    * pass — every join/rollup gains the group key, the float
+    * discipline is unchanged (per-group ratios fold in t order), and
+    * a group's curve equals kmCurve over that group's rows alone
+    * (SurvivalStreamSpec pins the equality). kmCurve itself stays a
+    * separate ungrouped path so q118's committed plan never moves.
+    * The per-group totals frame broadcasts (group-cardinality
+    * bounded); everything else is (group, t)-keyed partial-agg work.
+    */
+  def kmCurveBy(lt: DataFrame, group: String): DataFrame = {
+    val total = lt.groupBy(col(group))
+      .agg(count(lit(1)).as("n_total"))
+    val byT = lt.groupBy(col(group), col("t"))
+      .agg(sum(col("is_event")).as("d"),
+        sum(lit(1L) - col("is_event")).as("c"))
+      .persist()
+    val rm = byT.as("a").join(byT.as("b"),
+        col(s"b.$group") === col(s"a.$group") && col("b.t") < col("a.t"),
+        "left")
+      .groupBy(col(s"a.$group").as(group), col("a.t").as("t"))
+      .agg(sum(coalesce(col("b.d") + col("b.c"), lit(0L))).as("removed"))
+    val km = byT.join(rm, Seq(group, "t"))
+      .join(broadcast(total), group)
+      .select(col(group), col("t"), col("d"), col("c"),
+        (col("n_total") - col("removed")).as("n_risk"))
+      .withColumn("ratio",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      .persist()
+    km.as("a").join(km.as("b"),
+        col(s"b.$group") === col(s"a.$group") && col("b.t") <= col("a.t"))
+      .groupBy(col(s"a.$group").as(group), col("a.t").as("t"),
+        col("a.n_risk").as("n_risk"), col("a.d").as("d"),
+        col("a.c").as("c"))
+      .agg(array_sort(collect_list(
+        struct(col("b.t").as("tp"), col("b.ratio").as("ratio")))).as("rl"))
+      .select(col(group), col("t"), col("n_risk"), col("d"), col("c"),
+        expr("aggregate(rl, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x.ratio)")
+          .as("surv"))
+  }
 }

@@ -86,6 +86,35 @@ object RelationalQueries21 {
             " + element_at(st, CAST(h + 2 AS INT))").as("forecast"))
     },
 
+    // `q132_cohort_km` — STRATIFIED Kaplan-Meier: the q118 survival
+    // curve per acquisition cohort (first-seen WEEK — the q117
+    // epoch-anchored 7-day grain), the standard "is retention
+    // improving across signup cohorts" read. Lifetimes/censoring are
+    // q118's rules per user; the curve is the shared
+    // operators.Survival.kmCurveBy — kmCurve with the cohort key on
+    // every join/rollup, per-cohort strict t-ordered ratio products
+    // (the 1.0·x IEEE identity), one row per (cohort_week, t). Scale:
+    // subject-level aggregation once over the fact table; everything
+    // after is (cohort, lifetime)-bounded; the per-cohort totals
+    // broadcast.
+    "q132_cohort_km" -> { (s, dir) =>
+      import s.implicits._
+      val epoch = lit("1995-01-01").cast("date")
+      val ev = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("day"))
+      val life = ev.groupBy($"user_id")
+        .agg(min($"day").as("f"), max($"day").as("l"))
+      val mx = ev.agg(max($"day").as("max_day"))
+      val lt = life.crossJoin(broadcast(mx))
+        .select(
+          date_add(epoch,
+            (expr("CAST(datediff(f, DATE '1995-01-01') DIV 7 AS BIGINT)")
+              * 7).cast("int")).as("cohort_week"),
+          datediff($"l", $"f").cast("long").as("t"),
+          when($"l" < $"max_day", 1L).otherwise(0L).as("is_event"))
+      graft.operators.Survival.kmCurveBy(lt, "cohort_week")
+    },
+
     // `q131_mwu` — exact tie-aware MANN-WHITNEY U: do BUILDING-segment
     // orders rank higher in value than the rest? The rank-based
     // two-sample test next to q105's mean z-test and q106's KS —
@@ -223,6 +252,46 @@ object RelationalQueries21 {
          |FROM st CROSS JOIN
          |  (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h)""".stripMargin
     },
+
+    // q118's oracle with the cohort key on every CTE; per-cohort
+    // ratio products fold in t order (elem-1 init == 1.0·x)
+    "q132_cohort_km" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |life AS (SELECT user_id, min(day) AS f, max(day) AS l
+        |  FROM ev GROUP BY user_id),
+        |mx AS (SELECT max(day) AS max_day FROM ev),
+        |lt AS (SELECT
+        |    DATE '1995-01-01' + CAST(
+        |      (datediff('day', DATE '1995-01-01', f) // 7) * 7 AS INT)
+        |      AS cohort_week,
+        |    CAST(datediff('day', f, l) AS BIGINT) AS t,
+        |    CASE WHEN l < (SELECT max_day FROM mx) THEN 1 ELSE 0 END
+        |      AS is_event
+        |  FROM life),
+        |byt AS (SELECT cohort_week, t,
+        |    CAST(sum(is_event) AS BIGINT) AS d,
+        |    CAST(sum(1 - is_event) AS BIGINT) AS c
+        |  FROM lt GROUP BY cohort_week, t),
+        |tot AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM lt GROUP BY cohort_week),
+        |rm AS (SELECT a.cohort_week, a.t,
+        |    CAST(coalesce(sum(b.d + b.c), 0) AS BIGINT) AS removed
+        |  FROM byt a LEFT JOIN byt b
+        |    ON b.cohort_week = a.cohort_week AND b.t < a.t
+        |  GROUP BY a.cohort_week, a.t),
+        |km AS (SELECT byt.cohort_week, byt.t, byt.d, byt.c,
+        |    tot.n_total - rm.removed AS n_risk,
+        |    CAST(1 AS DOUBLE) - CAST(byt.d AS DOUBLE)
+        |      / CAST(tot.n_total - rm.removed AS DOUBLE) AS ratio
+        |  FROM byt
+        |  JOIN rm ON byt.cohort_week = rm.cohort_week AND byt.t = rm.t
+        |  JOIN tot ON byt.cohort_week = tot.cohort_week)
+        |SELECT a.cohort_week, a.t, a.n_risk, a.d, a.c,
+        |  list_reduce(list(b.ratio ORDER BY b.t), (ga, gb) -> ga * gb)
+        |    AS surv
+        |FROM km a JOIN km b
+        |  ON b.cohort_week = a.cohort_week AND b.t <= a.t
+        |GROUP BY a.cohort_week, a.t, a.n_risk, a.d, a.c""".stripMargin,
 
     "q131_mwu" ->
       s"""WITH j AS (SELECT (c.c_mktsegment = 'BUILDING') AS grp1,

@@ -40,4 +40,31 @@ class SurvivalStreamSpec extends SparkSpec {
     assert(got === want) // surv doubles bit-equal: same kernel, same fold
     GraftSession.release(spark)
   }
+
+  test("stratified kmCurveBy equals kmCurve run on each stratum alone") {
+    import spark.implicits._
+    import graft.operators.Survival
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val life = ev.groupBy($"user_id")
+      .agg(min($"day").as("f"), max($"day").as("l"))
+    val mx = ev.agg(max($"day").as("max_day"))
+    val lt = life.crossJoin(org.apache.spark.sql.functions.broadcast(mx))
+      .select(($"user_id" % 3).as("g"),
+        datediff($"l", $"f").cast("long").as("t"),
+        when($"l" < $"max_day", 1L).otherwise(0L).as("is_event"))
+      .persist()
+    def canonRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq
+        .map(r => (0 until r.length).map(r.get)).sortBy(_.toString)
+    val grouped = Survival.kmCurveBy(lt, "g")
+    (0L to 2L).foreach { g =>
+      // bit-equal per stratum: the grouped path must not change the
+      // ratio fold order or the risk-set arithmetic
+      assert(canonRows(grouped.filter($"g" === g).drop("g")) ===
+        canonRows(Survival.kmCurve(lt.filter($"g" === g).drop("g"))),
+        s"stratum $g diverged")
+    }
+    GraftSession.release(spark)
+  }
 }
