@@ -16,6 +16,52 @@ import org.apache.spark.sql.functions._
   */
 object Trend {
 
+  /** The committed Holt-Winters recurrence (α = β = γ = 1/2, weekly
+    * season) over a 9-element [l, b, s1..s7] double-array accumulator
+    * — ONE definition shared by batch q129_winters and the streaming
+    * `StreamingOps.wintersMaintained` fold. Every slot is an EXPANDED
+    * independent tree (the round-12 struct-mutation rule applied to
+    * arrays): l′ = 0.5(x−s1)+0.5(l+b); b′ = 0.25(x−s1)−0.25l+0.75b;
+    * s′ = 0.25x+0.75s1−0.25l−0.25b; the season queue rotates.
+    */
+  val wintersUpd: String = """(acc, x) -> array(
+    0.5D * (x - element_at(acc, 3))
+      + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+    0.25D * (x - element_at(acc, 3))
+      - 0.25D * element_at(acc, 1) + 0.75D * element_at(acc, 2),
+    element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),
+    element_at(acc, 7), element_at(acc, 8), element_at(acc, 9),
+    0.25D * x + 0.75D * element_at(acc, 3)
+      - 0.25D * element_at(acc, 1) - 0.25D * element_at(acc, 2))"""
+
+  /** Init + fold of the Winters state over a day-ordered xs double
+    * array with ≥ 7 elements: l₀ = strict-fold mean of the first 7,
+    * sᵢ = xᵢ − l₀, b₀ = 0, then the recurrence over elements 8..n
+    * (none when n = 7 — the init IS the model).
+    */
+  def wintersFoldSql(xs: String): String =
+    s"""aggregate(
+      slice($xs, 8, CAST(size($xs) - 7 AS INT)),
+      array(
+        aggregate(slice($xs, 1, 7), CAST(0.0 AS DOUBLE),
+          (a, x) -> a + x) / 7.0D,
+        CAST(0.0 AS DOUBLE),
+        element_at($xs, 1) - aggregate(slice($xs, 1, 7),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
+        element_at($xs, 2) - aggregate(slice($xs, 1, 7),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
+        element_at($xs, 3) - aggregate(slice($xs, 1, 7),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
+        element_at($xs, 4) - aggregate(slice($xs, 1, 7),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
+        element_at($xs, 5) - aggregate(slice($xs, 1, 7),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
+        element_at($xs, 6) - aggregate(slice($xs, 1, 7),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
+        element_at($xs, 7) - aggregate(slice($xs, 1, 7),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D),
+      $wintersUpd)"""
+
   /** Single mean-shift changepoint: top-1 split by between-segment
     * gain (q124's tail). Input (day, y); one row out.
     */

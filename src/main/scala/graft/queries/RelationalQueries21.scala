@@ -49,15 +49,8 @@ object RelationalQueries21 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_winters" -> { (s, dir) =>
       import s.implicits._
-      val upd = """(acc, x) -> array(
-        0.5D * (x - element_at(acc, 3))
-          + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
-        0.25D * (x - element_at(acc, 3))
-          - 0.25D * element_at(acc, 1) + 0.75D * element_at(acc, 2),
-        element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),
-        element_at(acc, 7), element_at(acc, 8), element_at(acc, 9),
-        0.25D * x + 0.75D * element_at(acc, 3)
-          - 0.25D * element_at(acc, 1) - 0.25D * element_at(acc, 2))"""
+      // the SHARED operators.Trend Winters kernel (one definition
+      // with the streaming wintersMaintained fold)
       Tables.events(s, dir)
         .groupBy($"event_type", $"ts".cast("date").as("day"))
         .agg(count(lit(1)).cast("double").as("x"))
@@ -66,16 +59,8 @@ object RelationalQueries21 {
           "r -> r.x)").as("xs"))
         .select($"event_type", size($"xs").cast("long").as("n_days"), $"xs")
         .filter($"n_days" >= 8)
-        .withColumn("l0", expr("aggregate(slice(xs, 1, 7), " +
-          "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D"))
-        .withColumn("st", expr(s"""aggregate(
-          slice(xs, 8, CAST(n_days - 7 AS INT)),
-          array(l0, CAST(0.0 AS DOUBLE),
-            element_at(xs, 1) - l0, element_at(xs, 2) - l0,
-            element_at(xs, 3) - l0, element_at(xs, 4) - l0,
-            element_at(xs, 5) - l0, element_at(xs, 6) - l0,
-            element_at(xs, 7) - l0),
-          $upd)"""))
+        .withColumn("st",
+          expr(graft.operators.Trend.wintersFoldSql("xs")))
         .select($"event_type", $"n_days",
           explode(expr("sequence(1L, 7L)")).as("h"), $"st")
         .select($"event_type", $"n_days", $"h",

@@ -1197,6 +1197,115 @@ object StreamingOps {
     model.join(open, Seq("event_type"), "full_outer")
   }
 
+  /** Streaming HOLT-WINTERS fold — q129_winters' incremental face:
+    * [[holtMaintained]]'s open-bucket pattern extended with a 7-slot
+    * season queue AND an INIT buffer. State rows per event type share
+    * one union schema: a MODEL row ((l, b, s1..s7) array + last
+    * closed day), the still-OPEN day's partial count, and — before 7
+    * days have closed — PENDING closed-day rows the init cannot fit
+    * yet. Each fold merges same-day partials (a mid-day batch split
+    * folds once with its full count), closes every day a later day
+    * supersedes, and then: types WITH a model fold the newly-closed
+    * days in day order via the SHARED
+    * [[graft.operators.Trend.wintersUpd]] recurrence; types WITHOUT
+    * one accumulate pending days until 7 have closed and then run the
+    * SHARED [[graft.operators.Trend.wintersFoldSql]] init+fold — so
+    * the streamed model equals the batch q129 fold over every closed
+    * day bit-for-bit (WintersStreamSpec proves it on mid-day splits).
+    *
+    * Contract: a day at or before the last FOLDED day refuses loudly
+    * (the holt rule; `late_buckets`/`refusals` counters record it).
+    * Pre-model lateness needs NO refusal: pending days are unfolded,
+    * so the day-sort at init self-heals any arrival order — the fold
+    * refuses only what it cannot repair. Read forecasts with
+    * [[wintersCurrent]]. Scale: one (type, day) rollup per batch; the
+    * folds run on ≤|types| arrays of the batch's closed days; state
+    * is ≤|types| model rows + ≤|types|·8 day rows.
+    */
+  def wintersMaintained(events: DataFrame, stateDir: String, name: String,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(events, stateDir, name, retainVersions) { (prev, b) =>
+      val delta = b.toDF()
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val (prevModel, prevDays) = prev match {
+        case Some(p) =>
+          (p.filter(col("st").isNotNull)
+            .select(col("event_type"), col("st"), col("last_day")),
+            p.filter(col("st").isNull)
+              .select(col("event_type"), col("day"), col("x")))
+        case None =>
+          val e = delta.limit(0)
+          (e.select(col("event_type"),
+            lit(null).cast("array<double>").as("st"),
+            lit(null).cast("date").as("last_day")),
+            e.select(col("event_type"), col("day"), col("x")))
+      }
+      // same-day partials merge across batches (the holt open-bucket
+      // rule); pending pre-model days ride in the same pool
+      val open = prevDays.unionByName(delta)
+        .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
+      val late = open.join(prevModel, Seq("event_type"))
+        .filter(col("last_day").isNotNull && col("day") <= col("last_day"))
+        .count()
+      bumpFoldCounter(name, "late_buckets", late)
+      if (late > 0) throw new IllegalStateException(
+        s"wintersMaintained($stateDir): $late (event_type, day) bucket(s) " +
+          "arrived at or before an already-FOLDED day — day arrival " +
+          "must be per-type non-decreasing once a model exists; " +
+          "folding them would silently corrupt the model. Use a fresh " +
+          "stateDir to rebuild from the full corpus.")
+      val maxd = open.groupBy(col("event_type")).agg(max(col("day")).as("maxd"))
+      val withMax = open.join(maxd, "event_type")
+      val toClose = withMax.filter(col("day") < col("maxd"))
+      val stillOpen = withMax.filter(col("day") === col("maxd"))
+        .select(col("event_type"), col("day"), col("x"))
+      val closedArr = toClose.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, x))), " +
+          "r -> r.x)").as("xs"), max(col("day")).as("mx"))
+      val joined = prevModel.join(closedArr, Seq("event_type"), "full_outer")
+      // model rows: continue the fold, or init once >= 7 days closed
+      val model = joined
+        .select(col("event_type"),
+          expr(s"""CASE
+            WHEN xs IS NULL THEN st
+            WHEN st IS NOT NULL THEN aggregate(xs, st,
+              ${graft.operators.Trend.wintersUpd})
+            WHEN size(xs) >= 7 THEN ${graft.operators.Trend.wintersFoldSql("xs")}
+            ELSE NULL END""").as("st"),
+          greatest(col("last_day"), col("mx")).as("last_day"))
+        .filter(col("st").isNotNull)
+        .select(col("event_type"), lit(null).cast("date").as("day"),
+          lit(null).cast("double").as("x"), col("st"), col("last_day"))
+      // pre-model types with < 7 closed days keep them PENDING
+      val pendingTypes = joined
+        .filter(col("st").isNull && col("xs").isNotNull && size(col("xs")) < 7)
+        .select(col("event_type"))
+      val pending = toClose
+        .join(pendingTypes, "event_type")
+        .select(col("event_type"), col("day"), col("x"))
+      model.unionByName(
+        stillOpen.unionByName(pending)
+          .select(col("event_type"), col("day"), col("x"),
+            lit(null).cast("array<double>").as("st"),
+            lit(null).cast("date").as("last_day")))
+    }
+
+  /** Forecast table from a [[wintersMaintained]] state frame: per
+    * (event_type, h ∈ 1..7) the h-step-ahead forecast
+    * l + h·b + s_h — q129_winters' output tree over the maintained
+    * model. Types whose 7th day has not closed yet carry no rows.
+    */
+  def wintersCurrent(state: DataFrame): DataFrame =
+    state.filter(col("st").isNotNull)
+      .select(col("event_type"), col("last_day"),
+        explode(expr("sequence(1L, 7L)")).as("h"), col("st"))
+      .select(col("event_type"), col("last_day"), col("h"),
+        expr("element_at(st, 1)").as("level"),
+        expr("element_at(st, 2)").as("trend"),
+        expr("element_at(st, 1) + CAST(h AS DOUBLE) * element_at(st, 2)" +
+          " + element_at(st, CAST(h + 2 AS INT))").as("forecast"))
+
   /** Stationary distribution from a [[transitionCountsMaintained]]
     * state frame — q119_stationary's iteration run over the maintained
     * counts (same integer fixed-point rounds, same micro-units), so a
