@@ -179,20 +179,46 @@ object Transforms {
       import cfg._
       require(idCol == "id" || !df.columns.contains("id"),
         "neardedup reserves the column name `id` unless it IS the id column")
-      val pairs = Dedup.minhashPairsText(df, idCol, textCol, mode, ngram,
-          bands = 128 / rowsPerBand,
+      // INCREMENTAL (cross-snapshot) mode: a `stateDir` property makes
+      // the batch stage fold this run's rows against the pinned state
+      // prior runs (or the streaming fold) built there, and emit THIS
+      // batch's survivors — the nightly-crawl shape. Same id-order
+      // survivor contract as the streaming stage (and the id-order
+      // check doubles as the replay guard), so orderBy must be the
+      // ascending id.
+      if (t.properties.contains("stateDir")) {
+        val orderOk = order match {
+          case Seq(one) =>
+            val p = one.split("\\s+")
+            p.head == idCol &&
+              (p.length == 1 || p.last.equalsIgnoreCase("ASC"))
+          case _ => false
+        }
+        require(orderOk,
+          s"incremental neardedup requires orderBy = `$idCol` " +
+            s"(ascending id — the fold's smaller-id-wins contract), got " +
+            s"`${order.mkString(", ")}`: any other survivor order needs " +
+            "future knowledge and cannot fold across snapshots")
+        graft.streaming.StreamingOps.minhashDedupSnapshot(
+          df, idCol, textCol, t.properties("stateDir").toString,
+          mode = mode, n = ngram, bands = 128 / rowsPerBand,
           tauNum = tauNum, tauDen = tauDen)
-        .select(col("id_a"), col("id_b"))
-      // rename the id back BEFORE the survivor window so orderBy can
-      // reference it under the user's column name
-      val comp = Dedup.connectedComponents(
-          df.withColumnRenamed(idCol, "id"), pairs)
-        .withColumnRenamed("id", idCol)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("component")).orderBy(parseSortCols(order): _*)
-      comp.withColumn("__graft_nd_rn", row_number().over(w))
-        .filter(col("__graft_nd_rn") === 1)
-        .drop("__graft_nd_rn", "component")
+      } else {
+        val pairs = Dedup.minhashPairsText(df, idCol, textCol, mode, ngram,
+            bands = 128 / rowsPerBand,
+            tauNum = tauNum, tauDen = tauDen)
+          .select(col("id_a"), col("id_b"))
+        // rename the id back BEFORE the survivor window so orderBy can
+        // reference it under the user's column name
+        val comp = Dedup.connectedComponents(
+            df.withColumnRenamed(idCol, "id"), pairs)
+          .withColumnRenamed("id", idCol)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component")).orderBy(parseSortCols(order): _*)
+        comp.withColumn("__graft_nd_rn", row_number().over(w))
+          .filter(col("__graft_nd_rn") === 1)
+          .drop("__graft_nd_rn", "component")
+      }
 
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }

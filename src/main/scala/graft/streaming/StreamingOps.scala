@@ -493,6 +493,77 @@ object StreamingOps {
     }
   }
 
+  /** BATCH face of [[minhashDedupMaintained]] — cross-snapshot
+    * (incremental-crawl) dedup as a pipeline stage: fold ONE batch
+    * (crawl N+1) against the pinned state a prior batch or stream
+    * built under `stateDir`, commit the updated state as the next
+    * version, and return the batch's SURVIVORS (rows whose id was not
+    * flagged against history or earlier-in-batch). Shares everything
+    * with the streaming fold: the state layout (v=N parquet of
+    * (id, sig, is_dup)), the `_minhash_params` pin (divergent banding
+    * refuses), the pending-reconcile refusal, and
+    * [[graft.operators.Dedup.minhashDedupFold]] itself — so
+    * fold(old) + snapshot(new) == batch(old ∪ new) by
+    * CrossSnapshotSpec's equivalence.
+    *
+    * Exactly-once without streaming batch ids: the fold's
+    * NON-DECREASING id contract doubles as the replay guard — a
+    * re-run of the same crawl (or any out-of-order snapshot) has
+    * min(batch id) ≤ max(state id) and REFUSES loudly instead of
+    * double-folding. State writes stage through `_staging_<v>` +
+    * rename; versions beyond `retainVersions` prune.
+    */
+  def minhashDedupSnapshot(batch: DataFrame, idCol: String,
+      textCol: String, stateDir: String, mode: String = "word", n: Int = 3,
+      bands: Int = 0, tauNum: Int = 1, tauDen: Int = 2,
+      retainVersions: Int = 2): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$stateDir/_reconcile_pending")))
+      throw new IllegalStateException(
+        s"state at $stateDir has an incomplete reconcile pass " +
+          "(_reconcile_pending marker present) — re-run " +
+          "minhashDedupReconcile to repair before folding a snapshot.")
+    val bandsEff =
+      graft.operators.Dedup.effectiveBands(128, bands, tauNum, tauDen)
+    bindMinhashParams(spark, stateDir, Seq(
+      "numHashes" -> "128", "bands" -> bandsEff.toString,
+      "tau" -> s"$tauNum/$tauDen", "mode" -> mode, "n" -> n.toString))
+    val versions = stateVersions(spark, stateDir)
+    val prev = versions.lastOption
+      .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+    prev.foreach { p =>
+      val maxPrev = p.agg(max(col("id"))).head()
+      val minBatch = batch.agg(min(col(idCol).cast("long"))).head()
+      if (!maxPrev.isNullAt(0) && !minBatch.isNullAt(0) &&
+          minBatch.getLong(0) <= maxPrev.getLong(0))
+        throw new IllegalStateException(
+          s"minhashDedupSnapshot($stateDir): batch min id " +
+            s"${minBatch.getLong(0)} <= state max id ${maxPrev.getLong(0)} " +
+            "— snapshots must arrive in non-decreasing id order (the " +
+            "fold's smaller-id-decided contract), and a replayed crawl " +
+            "looks exactly like this. Nothing was folded.")
+    }
+    val st = graft.operators.Dedup.minhashDedupFold(prev, batch, idCol,
+      textCol, mode, n, bands = bandsEff, tauNum = tauNum, tauDen = tauDen)
+    val vNew = versions.lastOption.getOrElse(-1L) + 1L
+    val staging = new Path(s"$stateDir/_staging_$vNew")
+    fs.delete(staging, true)
+    st.write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, new Path(s"$stateDir/v=$vNew")))
+      throw new java.io.IOException(s"rename $staging -> v=$vNew failed")
+    stateVersions(spark, stateDir).dropRight(retainVersions)
+      .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
+    // survivors of THIS batch, read from the committed version (never
+    // the pre-write lineage): history rows don't re-emit
+    val committed = spark.read.parquet(s"$stateDir/v=$vNew")
+    batch.join(
+      committed.filter(!col("is_dup")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Streaming SEMANTIC dedup (SemDeDup incremental): arriving vectors
     * flag against all streamed history through
     * [[graft.operators.Dedup.semanticDedupFold]] — broadcast-centroid

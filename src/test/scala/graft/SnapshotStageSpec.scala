@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Transforms}
+import graft.pipeline.TransformSpec
+
+/** The incremental (cross-snapshot) neardedup BATCH stage: sequential
+  * snapshot folds reproduce the one-shot fold's survivor set, the
+  * state versions accumulate, a replayed crawl refuses via the
+  * id-order guard, and divergent banding refuses via the params pin.
+  */
+class SnapshotStageSpec extends SparkSpec {
+
+  import graft.streaming.StreamingOps
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text")).persist()
+
+  private def ndSpec(stateDir: String, extra: (String, Any)*) =
+    TransformSpec("neardedup", Map[String, Any](
+      "id" -> "doc_id", "text" -> "text", "orderBy" -> "doc_id",
+      "stateDir" -> stateDir) ++ extra)
+
+  test("two sequential snapshot stages equal the one-shot fold's survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val mid = docs.agg(expr("(min(doc_id) + max(doc_id)) DIV 2"))
+      .head().getLong(0)
+    val s1 = Transforms.apply(docs.filter(col("doc_id") <= mid),
+      Seq(ndSpec(s"$dir/state")))
+    val s2 = Transforms.apply(docs.filter(col("doc_id") > mid),
+      Seq(ndSpec(s"$dir/state")))
+    val got = (s1.select(col("doc_id")).collect() ++
+      s2.select(col("doc_id")).collect()).map(_.getLong(0)).sorted.toSeq
+    val want = Dedup.minhashDedupFold(None, docs, "doc_id", "text")
+      .filter(!col("is_dup")).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want)
+    // two committed state versions, newest holds every doc's decision
+    assert(StreamingOps.stateVersions(spark, s"$dir/state") === Seq(0L, 1L))
+    assert(StreamingOps.latestState(spark, s"$dir/state").get.count() ===
+      docs.count())
+    GraftSession.release(spark)
+  }
+
+  test("a replayed crawl refuses via the id-order guard; divergent banding refuses via the pin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_r").toString
+    Transforms.apply(docs, Seq(ndSpec(s"$dir/state")))
+    // same crawl again: min batch id <= max state id -> loud refusal,
+    // nothing double-folds
+    val e = intercept[IllegalStateException] {
+      Transforms.apply(docs, Seq(ndSpec(s"$dir/state")))
+    }
+    assert(e.getMessage.contains("non-decreasing id order"), e.getMessage)
+    assert(StreamingOps.stateVersions(spark, s"$dir/state") === Seq(0L))
+    // a later snapshot under different banding is refused by the pin
+    val e2 = intercept[IllegalStateException] {
+      StreamingOps.minhashDedupSnapshot(
+        docs.select(col("doc_id") + 1000000L as "doc_id", col("text")),
+        "doc_id", "text", s"$dir/state", tauNum = 7, tauDen = 8)
+    }
+    assert(e2.getMessage.contains("_minhash_params"), e2.getMessage)
+    // the incremental stage demands the ascending-id survivor order
+    intercept[IllegalArgumentException] {
+      Transforms.apply(docs, Seq(TransformSpec("neardedup",
+        Map[String, Any]("id" -> "doc_id", "text" -> "text",
+          "orderBy" -> "doc_id DESC", "stateDir" -> s"$dir/state2"))))
+    }
+    GraftSession.release(spark)
+  }
+}
