@@ -109,15 +109,19 @@ object SimilarityQueries6 {
     * already coalesces the tiny shuffle).
     */
   private[queries] def beamLoop(s: SparkSession, g: GraphParts,
-      frontier0: DataFrame, keys: Seq[String] = Seq("q_id")): DataFrame = {
+      frontier0: DataFrame, keys: Seq[String] = Seq("q_id"),
+      width: org.apache.spark.sql.Column = null): DataFrame = {
     import s.implicits._
+    val widthCol = Option(width).getOrElse(lit(Beam))
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = s.conf.get(cpKey)
     // extra key columns (e.g. a variant tag) ride through the loop:
     // windows partition per (keys...), so several independent beams
     // share ONE set of iterative rounds instead of paying the fixed
     // per-round scheduling latency per beam (ann_hier_search runs its
-    // two entry variants in one loop — 6.65 → ~4 s at 10×)
+    // two entry variants in one loop — 6.65 → ~4 s at 10×). `width`
+    // may be an expression over the key columns so variants can run
+    // DIFFERENT beam widths in the same loop (ann_ef_curve).
     val wB = Window.partitionBy(keys.map(col): _*)
       .orderBy($"ncos".desc, $"node".asc)
     var frontier = frontier0
@@ -132,10 +136,10 @@ object SimilarityQueries6 {
           Seq($"n.nid".as("node"), cosine_sim($"a.qv", $"n.nv").as("ncos")): _*)
       // candidates ⊇ frontier, deduped exactly (a node reached twice
       // scores the SAME cosine, so distinct collapses bit-equal rows);
-      // next frontier = top-Beam — the top-1 can never worsen
+      // next frontier = top-width — the top-1 can never worsen
       frontier = frontier.unionByName(nbrs).distinct()
         .withColumn("__rn", row_number().over(wB))
-        .filter($"__rn" <= Beam)
+        .filter($"__rn" <= widthCol)
         .select(keys.map(col) ++ Seq($"node", $"ncos"): _*)
         .localCheckpoint(true)
     } finally s.conf.set(cpKey, cpPrev)
@@ -225,7 +229,8 @@ object SimilarityQueries6 {
     * the chain so one oracle can run two entry variants
     * (ann_hier_search).
     */
-  private[queries] def walkCtes(prefix: String): String = (1 to Steps).map { i =>
+  private[queries] def walkCtes(prefix: String,
+      width: Int = Beam): String = (1 to Steps).map { i =>
     s"""$prefix$i AS (SELECT q_id, node, c FROM (
        |    SELECT q_id, node, c,
        |      row_number() OVER (PARTITION BY q_id
@@ -240,7 +245,7 @@ object SimilarityQueries6 {
        |        JOIN edges e ON e.src = f.node
        |        JOIN nodes v ON v.vec_id = e.dst
        |        JOIN a ON a.q_id = f.q_id)))
-       |  WHERE rn <= $Beam)""".stripMargin
+       |  WHERE rn <= $width)""".stripMargin
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(

@@ -137,8 +137,52 @@ object SimilarityQueries9 {
           fin.filter($"variant" === "centroid"), exact, centroidCost)
         .unionByName(evalRow(s, "hier",
           fin.filter($"variant" === "hier"), exact, hierCost))
+    },
+
+    // `ann_ef_curve` — the BEAM-WIDTH recall curve (HNSW's ef-search
+    // knob, measured): recall@1 of the ann_graph_search walk at
+    // ef ∈ {1, 2, 4, 8} — both the centroid-entry width and the beam
+    // width — against the exact top-1, on the same degree-6 graph.
+    // Completes the eval family (nprobe_curve = the IVF knob,
+    // banding_curve = the LSH knob, hamming_curve = the phash knob;
+    // this is the graph knob): a pipeline owner reads it to pick the
+    // cheapest ef whose recall is acceptable (this corpus: 2/5, 3/5,
+    // 4/5, 5/5 — the textbook monotone trade). All four widths ride
+    // ONE tagged beam loop — the per-variant width is an expression
+    // over the variant key, so four curves cost one set of iterative
+    // rounds; oracle = four width-parameterized walkCtes chains.
+    "ann_ef_curve" -> { (s, dir) =>
+      import s.implicits._
+      val g = SimilarityQueries6.buildGraph(s, dir)
+      val wEntry = Window.partitionBy($"q_id").orderBy($"ec".desc, $"cid".asc)
+      val ce = g.anchors.crossJoin(broadcast(
+          g.centroids.filter($"cid" >= NAnchors)))
+        .select($"q_id", $"cid", cosine_sim($"qv", $"cv").as("ec"))
+        .withColumn("__rn", row_number().over(wEntry))
+        .filter($"__rn" <= Beam)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val frontier0 = Efs.map { ef =>
+        ce.filter($"__rn" <= ef)
+          .select(lit(ef.toLong).as("ef"), $"q_id",
+            $"cid".as("node"), $"ec".as("ncos"))
+      }.reduce(_ unionByName _)
+      val fin = SimilarityQueries6.beamLoop(s, g, frontier0,
+        keys = Seq("ef", "q_id"), width = col("ef"))
+      val exact = exactOf(s, g)
+      val wB = Window.partitionBy($"ef", $"q_id")
+        .orderBy($"ncos".desc, $"node".asc)
+      fin.withColumn("__rn", row_number().over(wB)).filter($"__rn" === 1)
+        .join(exact, "q_id")
+        .groupBy($"ef")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when($"node" === $"exact_id", 1L).otherwise(0L)).as("n_hits"))
+        .select($"ef", $"n_queries", $"n_hits",
+          ($"n_hits".cast("double") / $"n_queries".cast("double"))
+            .as("recall"))
     }
   )
+
+  private val Efs = Seq(1, 2, 4, 8)
 
   /** Exact per-anchor top-1 (shared SimilarityQueries6 kernel),
     * persisted: both variant evals consume it.
@@ -284,6 +328,71 @@ object SimilarityQueries9 {
          |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall,
          |  CAST(${1 + GreedySteps * UpperDeg + Degree} AS BIGINT)
          |    AS entry_cost
-         |FROM finh h JOIN exact x ON h.q_id = x.q_id""".stripMargin
+         |FROM finh h JOIN exact x ON h.q_id = x.q_id""".stripMargin,
+
+    // the shared graph CTEs + one ranked-entry CTE + four
+    // width-parameterized walk chains
+    "ann_ef_curve" -> {
+      val chains = Efs.map { ef =>
+        s"""e${ef}_0 AS (SELECT q_id, cid AS node, ec AS c FROM ce
+           |  WHERE rn <= $ef),
+           |${walkCtes(s"e${ef}_", ef)}""".stripMargin
+      }.mkString(",\n")
+      val evals = Efs.map { ef =>
+        s"""SELECT CAST($ef AS BIGINT) AS ef,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(sum(CASE WHEN w.node = x.exact_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN w.node = x.exact_id THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+           |FROM (SELECT q_id, node FROM (
+           |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY c DESC, node ASC) AS rn
+           |    FROM e${ef}_${SimilarityQueries6.Steps})
+           |  WHERE rn = 1) w
+           |JOIN exact x ON w.q_id = x.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cen AS MATERIALIZED (
+         |  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+         |                  FROM embeddings)),
+         |nodes AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+         |          WHERE vec_id >= $NAnchors),
+         |cc AS (SELECT n.vec_id, n.embedding, c.cid,
+         |    ${cos("n.embedding", "c.cv")} AS csim
+         |  FROM nodes n CROSS JOIN cen c),
+         |rkd AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS crk
+         |  FROM cc),
+         |stored AS (SELECT vec_id AS nbr_id, embedding AS nv, cid
+         |  FROM rkd WHERE crk = 1),
+         |probes AS (SELECT vec_id, embedding AS pv, cid
+         |  FROM rkd WHERE crk <= 2),
+         |edges AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT p.vec_id AS src, s.nbr_id AS dst,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${cos("p.pv", "s.nv")} DESC, s.nbr_id) AS rk
+         |    FROM probes p JOIN stored s USING (cid)
+         |    WHERE p.vec_id != s.nbr_id)
+         |  WHERE rk <= $Degree),
+         |a AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NAnchors),
+         |ce AS MATERIALIZED (SELECT q_id, cid, ec, rn FROM (
+         |    SELECT a.q_id, c.cid, ${cos("a.qv", "c.cv")} AS ec,
+         |      row_number() OVER (PARTITION BY a.q_id
+         |        ORDER BY ${cos("a.qv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM a CROSS JOIN cen c WHERE c.cid >= $NAnchors)
+         |  WHERE rn <= ${SimilarityQueries6.Beam}),
+         |$chains,
+         |exact AS (SELECT q_id, vec_id AS exact_id FROM (
+         |    SELECT a.q_id, n.vec_id,
+         |      row_number() OVER (PARTITION BY a.q_id
+         |        ORDER BY ${cos("n.embedding", "a.qv")} DESC, n.vec_id) AS rn
+         |    FROM nodes n CROSS JOIN a)
+         |  WHERE rn = 1)
+         |$evals""".stripMargin
+    }
   )
 }
