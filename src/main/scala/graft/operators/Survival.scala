@@ -62,6 +62,9 @@ object Survival {
     * bounded); everything else is (group, t)-keyed partial-agg work.
     */
   def kmCurveBy(lt: DataFrame, group: String): DataFrame = {
+    // every group join is NULL-SAFE (<=>): a nullable stratum column
+    // must produce the null stratum's full curve, not silently drop
+    // its rows (plain equality never matches null = null)
     val total = lt.groupBy(col(group))
       .agg(count(lit(1)).as("n_total"))
     val byT = lt.groupBy(col(group), col("t"))
@@ -69,19 +72,22 @@ object Survival {
         sum(lit(1L) - col("is_event")).as("c"))
       .persist()
     val rm = byT.as("a").join(byT.as("b"),
-        col(s"b.$group") === col(s"a.$group") && col("b.t") < col("a.t"),
+        col(s"b.$group") <=> col(s"a.$group") && col("b.t") < col("a.t"),
         "left")
       .groupBy(col(s"a.$group").as(group), col("a.t").as("t"))
       .agg(sum(coalesce(col("b.d") + col("b.c"), lit(0L))).as("removed"))
-    val km = byT.join(rm, Seq(group, "t"))
-      .join(broadcast(total), group)
-      .select(col(group), col("t"), col("d"), col("c"),
-        (col("n_total") - col("removed")).as("n_risk"))
+    val km = byT.as("x").join(rm.as("r"),
+        col(s"r.$group") <=> col(s"x.$group") && col("r.t") === col("x.t"))
+      .join(broadcast(total).as("n"),
+        col(s"n.$group") <=> col(s"x.$group"))
+      .select(col(s"x.$group").as(group), col("x.t").as("t"),
+        col("x.d").as("d"), col("x.c").as("c"),
+        (col("n.n_total") - col("r.removed")).as("n_risk"))
       .withColumn("ratio",
         lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
       .persist()
     km.as("a").join(km.as("b"),
-        col(s"b.$group") === col(s"a.$group") && col("b.t") <= col("a.t"))
+        col(s"b.$group") <=> col(s"a.$group") && col("b.t") <= col("a.t"))
       .groupBy(col(s"a.$group").as(group), col("a.t").as("t"),
         col("a.n_risk").as("n_risk"), col("a.d").as("d"),
         col("a.c").as("c"))

@@ -187,18 +187,7 @@ object Transforms {
       // check doubles as the replay guard), so orderBy must be the
       // ascending id.
       if (t.properties.contains("stateDir")) {
-        val orderOk = order match {
-          case Seq(one) =>
-            val p = one.split("\\s+")
-            p.head == idCol &&
-              (p.length == 1 || p.last.equalsIgnoreCase("ASC"))
-          case _ => false
-        }
-        require(orderOk,
-          s"incremental neardedup requires orderBy = `$idCol` " +
-            s"(ascending id — the fold's smaller-id-wins contract), got " +
-            s"`${order.mkString(", ")}`: any other survivor order needs " +
-            "future knowledge and cannot fold across snapshots")
+        requireAscendingIdOrder(cfg, "incremental")
         graft.streaming.StreamingOps.minhashDedupSnapshot(
           df, idCol, textCol, t.properties("stateDir").toString,
           mode = mode, n = ngram, bands = 128 / rowsPerBand,
@@ -230,6 +219,26 @@ object Transforms {
   private[graft] case class NearDedupCfg(idCol: String, textCol: String,
       mode: String, ngram: Int, tauNum: Int, tauDen: Int,
       rowsPerBand: Int, order: Seq[String])
+
+  /** The ascending-id survivor-order contract shared by the STREAMING
+    * neardedup stage and the incremental BATCH stage — one definition
+    * so the two fold surfaces refuse identically (the round-10 rule).
+    */
+  private[graft] def requireAscendingIdOrder(cfg: NearDedupCfg,
+      surface: String): Unit = {
+    val orderOk = cfg.order match {
+      case Seq(one) =>
+        val p = one.split("\\s+")
+        p.head == cfg.idCol &&
+          (p.length == 1 || p.last.equalsIgnoreCase("ASC"))
+      case _ => false
+    }
+    require(orderOk,
+      s"$surface neardedup requires orderBy = `${cfg.idCol}` " +
+        s"(ascending id — the fold's smaller-id-wins contract), got " +
+        s"`${cfg.order.mkString(", ")}`: any other survivor order " +
+        "needs future knowledge and cannot fold incrementally")
+  }
 
   private[graft] def parseNearDedup(props: Map[String, Any]): NearDedupCfg = {
     def req(k: String) = props.getOrElse(k, throw new IllegalArgumentException(

@@ -37,30 +37,23 @@ object Trend {
   /** Init + fold of the Winters state over a day-ordered xs double
     * array with ≥ 7 elements: l₀ = strict-fold mean of the first 7,
     * sᵢ = xᵢ − l₀, b₀ = 0, then the recurrence over elements 8..n
-    * (none when n = 7 — the init IS the model).
+    * (none when n = 7 — the init IS the model). Every slot's l₀ is
+    * GENERATED from one expression constant so the 8 textual
+    * occurrences cannot drift (re-evaluation is immaterial: the fold
+    * runs on ≤|types| day-bounded arrays).
     */
-  def wintersFoldSql(xs: String): String =
+  def wintersFoldSql(xs: String): String = {
+    val l0 = s"aggregate(slice($xs, 1, 7), CAST(0.0 AS DOUBLE), " +
+      "(a, x) -> a + x) / 7.0D"
+    val seasons = (1 to 7)
+      .map(i => s"element_at($xs, $i) - $l0").mkString(",\n        ")
     s"""aggregate(
       slice($xs, 8, CAST(size($xs) - 7 AS INT)),
-      array(
-        aggregate(slice($xs, 1, 7), CAST(0.0 AS DOUBLE),
-          (a, x) -> a + x) / 7.0D,
+      array($l0,
         CAST(0.0 AS DOUBLE),
-        element_at($xs, 1) - aggregate(slice($xs, 1, 7),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
-        element_at($xs, 2) - aggregate(slice($xs, 1, 7),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
-        element_at($xs, 3) - aggregate(slice($xs, 1, 7),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
-        element_at($xs, 4) - aggregate(slice($xs, 1, 7),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
-        element_at($xs, 5) - aggregate(slice($xs, 1, 7),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
-        element_at($xs, 6) - aggregate(slice($xs, 1, 7),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D,
-        element_at($xs, 7) - aggregate(slice($xs, 1, 7),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 7.0D),
+        $seasons),
       $wintersUpd)"""
+  }
 
   /** Single mean-shift changepoint: top-1 split by between-segment
     * gain (q124's tail). Input (day, y); one row out.

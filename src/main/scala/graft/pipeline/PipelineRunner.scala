@@ -165,18 +165,7 @@ object PipelineRunner {
           upstream, rules, stateDir, spec.name)
       case "neardedup" =>
         val cfg = Transforms.parseNearDedup(stage.properties)
-        val orderOk = cfg.order match {
-          case Seq(one) =>
-            val p = one.split("\\s+")
-            p.head == cfg.idCol &&
-              (p.length == 1 || p.last.equalsIgnoreCase("ASC"))
-          case _ => false
-        }
-        require(orderOk,
-          s"streaming neardedup requires orderBy = `${cfg.idCol}` " +
-            s"(ascending id — the fold's smaller-id-wins contract), got " +
-            s"`${cfg.order.mkString(", ")}`: any other survivor order " +
-            "needs future knowledge and cannot stream")
+        Transforms.requireAscendingIdOrder(cfg, "streaming")
         graft.streaming.StreamingOps.minhashDedupMaintained(
           upstream, cfg.idCol, cfg.textCol, stateDir, spec.name,
           mode = cfg.mode, n = cfg.ngram, bands = 128 / cfg.rowsPerBand,

@@ -221,6 +221,44 @@ object SimilarityQueries6 {
   private[queries] def cos(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
+  /** The shared graph-build CTE block (cen/nodes/cc/rkd/stored/
+    * probes/edges/a) — ONE definition for the three graph-search
+    * oracles (ann_graph_search / ann_hier_search / ann_ef_curve), the
+    * SQL face of [[buildGraph]]. `materialized` marks the
+    * multi-referenced CTEs AS MATERIALIZED — required when several
+    * walk chains would otherwise inline ~20 parquet scans and exhaust
+    * DuckDB 1.0's file handles (the round-13 lesson).
+    */
+  private[queries] def graphCtes(materialized: Boolean): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""cen AS$m (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+       |  FROM embeddings
+       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+       |                  FROM embeddings)),
+       |nodes AS$m (SELECT vec_id, embedding FROM embeddings
+       |          WHERE vec_id >= $NAnchors),
+       |cc AS (SELECT n.vec_id, n.embedding, c.cid,
+       |    ${cos("n.embedding", "c.cv")} AS csim
+       |  FROM nodes n CROSS JOIN cen c),
+       |rkd AS (SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cid) AS crk
+       |  FROM cc),
+       |stored AS (SELECT vec_id AS nbr_id, embedding AS nv, cid
+       |  FROM rkd WHERE crk = 1),
+       |probes AS (SELECT vec_id, embedding AS pv, cid
+       |  FROM rkd WHERE crk <= 2),
+       |edges AS$m (SELECT src, dst FROM (
+       |    SELECT p.vec_id AS src, s.nbr_id AS dst,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cos("p.pv", "s.nv")} DESC, s.nbr_id) AS rk
+       |    FROM probes p JOIN stored s USING (cid)
+       |    WHERE p.vec_id != s.nbr_id)
+       |  WHERE rk <= $Degree),
+       |a AS$m (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $NAnchors)""".stripMargin
+  }
+
   /** The beam unrolled: <prefix>_i keeps the top-Beam of frontier ∪
     * scored out-neighbors (row_number: cos DESC, node ASC — the
     * lowest-id tie rule; DISTINCT collapses bit-equal re-reached
@@ -250,32 +288,7 @@ object SimilarityQueries6 {
 
   val oracles: Map[String, String] = Map(
     "ann_graph_search" ->
-      s"""WITH cen AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
-         |  FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
-         |                  FROM embeddings)),
-         |nodes AS (SELECT vec_id, embedding FROM embeddings
-         |          WHERE vec_id >= $NAnchors),
-         |cc AS (SELECT n.vec_id, n.embedding, c.cid,
-         |    ${cos("n.embedding", "c.cv")} AS csim
-         |  FROM nodes n CROSS JOIN cen c),
-         |rkd AS (SELECT vec_id, embedding, cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cid) AS crk
-         |  FROM cc),
-         |stored AS (SELECT vec_id AS nbr_id, embedding AS nv, cid
-         |  FROM rkd WHERE crk = 1),
-         |probes AS (SELECT vec_id, embedding AS pv, cid
-         |  FROM rkd WHERE crk <= 2),
-         |edges AS (SELECT src, dst FROM (
-         |    SELECT p.vec_id AS src, s.nbr_id AS dst,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${cos("p.pv", "s.nv")} DESC, s.nbr_id) AS rk
-         |    FROM probes p JOIN stored s USING (cid)
-         |    WHERE p.vec_id != s.nbr_id)
-         |  WHERE rk <= $Degree),
-         |a AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-         |      WHERE vec_id < $NAnchors),
+      s"""WITH ${graphCtes(materialized = false)},
          |w0 AS (SELECT q_id, cid AS node, ec AS c
          |  FROM (SELECT a.q_id, c.cid,
          |      ${cos("a.qv", "c.cv")} AS ec,

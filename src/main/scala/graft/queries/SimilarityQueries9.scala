@@ -231,32 +231,7 @@ object SimilarityQueries9 {
 
   val oracles: Map[String, String] = Map(
     "ann_hier_search" ->
-      s"""WITH cen AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
-         |  FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
-         |                  FROM embeddings)),
-         |nodes AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
-         |          WHERE vec_id >= $NAnchors),
-         |cc AS (SELECT n.vec_id, n.embedding, c.cid,
-         |    ${cos("n.embedding", "c.cv")} AS csim
-         |  FROM nodes n CROSS JOIN cen c),
-         |rkd AS (SELECT vec_id, embedding, cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cid) AS crk
-         |  FROM cc),
-         |stored AS (SELECT vec_id AS nbr_id, embedding AS nv, cid
-         |  FROM rkd WHERE crk = 1),
-         |probes AS (SELECT vec_id, embedding AS pv, cid
-         |  FROM rkd WHERE crk <= 2),
-         |edges AS MATERIALIZED (SELECT src, dst FROM (
-         |    SELECT p.vec_id AS src, s.nbr_id AS dst,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${cos("p.pv", "s.nv")} DESC, s.nbr_id) AS rk
-         |    FROM probes p JOIN stored s USING (cid)
-         |    WHERE p.vec_id != s.nbr_id)
-         |  WHERE rk <= $Degree),
-         |a AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-         |      WHERE vec_id < $NAnchors),
+      s"""WITH ${SimilarityQueries6.graphCtes(materialized = true)},
          |upper AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS uid, embedding AS uv
          |  FROM nodes
          |  WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
@@ -352,33 +327,7 @@ object SimilarityQueries9 {
            |  WHERE rn = 1) w
            |JOIN exact x ON w.q_id = x.q_id""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH cen AS MATERIALIZED (
-         |  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
-         |  FROM embeddings
-         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
-         |                  FROM embeddings)),
-         |nodes AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
-         |          WHERE vec_id >= $NAnchors),
-         |cc AS (SELECT n.vec_id, n.embedding, c.cid,
-         |    ${cos("n.embedding", "c.cv")} AS csim
-         |  FROM nodes n CROSS JOIN cen c),
-         |rkd AS (SELECT vec_id, embedding, cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cid) AS crk
-         |  FROM cc),
-         |stored AS (SELECT vec_id AS nbr_id, embedding AS nv, cid
-         |  FROM rkd WHERE crk = 1),
-         |probes AS (SELECT vec_id, embedding AS pv, cid
-         |  FROM rkd WHERE crk <= 2),
-         |edges AS MATERIALIZED (SELECT src, dst FROM (
-         |    SELECT p.vec_id AS src, s.nbr_id AS dst,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${cos("p.pv", "s.nv")} DESC, s.nbr_id) AS rk
-         |    FROM probes p JOIN stored s USING (cid)
-         |    WHERE p.vec_id != s.nbr_id)
-         |  WHERE rk <= $Degree),
-         |a AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qv
-         |  FROM embeddings WHERE vec_id < $NAnchors),
+      s"""WITH ${SimilarityQueries6.graphCtes(materialized = true)},
          |ce AS MATERIALIZED (SELECT q_id, cid, ec, rn FROM (
          |    SELECT a.q_id, c.cid, ${cos("a.qv", "c.cv")} AS ec,
          |      row_number() OVER (PARTITION BY a.q_id

@@ -495,23 +495,36 @@ object StreamingOps {
 
   /** BATCH face of [[minhashDedupMaintained]] — cross-snapshot
     * (incremental-crawl) dedup as a pipeline stage: fold ONE batch
-    * (crawl N+1) against the pinned state a prior batch or stream
-    * built under `stateDir`, commit the updated state as the next
-    * version, and return the batch's SURVIVORS (rows whose id was not
-    * flagged against history or earlier-in-batch). Shares everything
-    * with the streaming fold: the state layout (v=N parquet of
+    * (crawl N+1) against the pinned state PRIOR SNAPSHOT RUNS built
+    * under `stateDir`, commit the updated state as the next version,
+    * and return the batch's SURVIVORS (rows whose id was not flagged
+    * against history or earlier-in-batch). Shares everything with the
+    * streaming fold: the state layout (v=N parquet of
     * (id, sig, is_dup)), the `_minhash_params` pin (divergent banding
     * refuses), the pending-reconcile refusal, and
     * [[graft.operators.Dedup.minhashDedupFold]] itself — so
     * fold(old) + snapshot(new) == batch(old ∪ new) by
     * CrossSnapshotSpec's equivalence.
     *
+    * OWNERSHIP: a state dir belongs to exactly ONE harness. The
+    * streaming sink versions by BATCH ID; this versions by last+1 —
+    * interleaving them would mint a version a resumed stream's next
+    * micro-batch id collides with, and the sink's replay check would
+    * silently SKIP that batch. The snapshot therefore refuses a dir
+    * carrying a streaming `_checkpoint`, marks its own dirs
+    * `_snapshot_owned`, and [[versionedStateSink]] refuses those.
+    *
     * Exactly-once without streaming batch ids: the fold's
-    * NON-DECREASING id contract doubles as the replay guard — a
-    * re-run of the same crawl (or any out-of-order snapshot) has
-    * min(batch id) ≤ max(state id) and REFUSES loudly instead of
-    * double-folding. State writes stage through `_staging_<v>` +
-    * rename; versions beyond `retainVersions` prune.
+    * NON-DECREASING id contract doubles as the replay guard — BUT an
+    * exact re-run of the newest crawl (a sink failure after the state
+    * committed, or a plan built twice) is detected and returns the
+    * committed survivors IDEMPOTENTLY instead of refusing; only a
+    * genuinely out-of-order (or partially overlapping) snapshot
+    * refuses. State writes stage through `_staging_<v>` + rename;
+    * versions beyond `retainVersions` prune. The survivors frame
+    * eagerly localCheckpoints: its source version dir is mutable
+    * state a LATER snapshot may prune, so the result must not stay a
+    * lazy scan of it.
     */
   def minhashDedupSnapshot(batch: DataFrame, idCol: String,
       textCol: String, stateDir: String, mode: String = "word", n: Int = 3,
@@ -526,6 +539,14 @@ object StreamingOps {
         s"state at $stateDir has an incomplete reconcile pass " +
           "(_reconcile_pending marker present) — re-run " +
           "minhashDedupReconcile to repair before folding a snapshot.")
+    if (fs.exists(new Path(s"$stateDir/_checkpoint")))
+      throw new IllegalStateException(
+        s"state at $stateDir was built by a STREAMING fold (it has a " +
+          "_checkpoint): snapshot versioning (last+1) would collide " +
+          "with the stream's batch-id versions and a resumed stream " +
+          "would silently skip a micro-batch. Keep one harness per " +
+          "state dir; to switch to snapshots, copy the newest version " +
+          "into a fresh dir.")
     val bandsEff =
       graft.operators.Dedup.effectiveBands(128, bands, tauNum, tauDen)
     bindMinhashParams(spark, stateDir, Seq(
@@ -534,17 +555,36 @@ object StreamingOps {
     val versions = stateVersions(spark, stateDir)
     val prev = versions.lastOption
       .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+    def survivorsFrom(v: Long): DataFrame = {
+      val committed = spark.read.parquet(s"$stateDir/v=$v")
+      batch.join(
+          committed.filter(!col("is_dup")).select(col("id").as(idCol)),
+          Seq(idCol), "left_semi")
+        .localCheckpoint(true)
+    }
     prev.foreach { p =>
       val maxPrev = p.agg(max(col("id"))).head()
       val minBatch = batch.agg(min(col(idCol).cast("long"))).head()
       if (!maxPrev.isNullAt(0) && !minBatch.isNullAt(0) &&
-          minBatch.getLong(0) <= maxPrev.getLong(0))
+          minBatch.getLong(0) <= maxPrev.getLong(0)) {
+        // exact re-run of the NEWEST committed crawl? (same id set at
+        // or above its min) -> idempotent: return its survivors, fold
+        // nothing. Anything else is genuinely out of order.
+        val minB = minBatch.getLong(0)
+        val stateIds = p.filter(col("id") >= minB).select(col("id"))
+        val batchIds = batch.select(col(idCol).cast("long").as("id"))
+        val isReplay =
+          stateIds.unionByName(batchIds).distinct().count() ==
+            batchIds.distinct().count() &&
+          stateIds.count() == batchIds.distinct().count()
+        if (isReplay) return survivorsFrom(versions.last)
         throw new IllegalStateException(
-          s"minhashDedupSnapshot($stateDir): batch min id " +
-            s"${minBatch.getLong(0)} <= state max id ${maxPrev.getLong(0)} " +
-            "— snapshots must arrive in non-decreasing id order (the " +
-            "fold's smaller-id-decided contract), and a replayed crawl " +
-            "looks exactly like this. Nothing was folded.")
+          s"minhashDedupSnapshot($stateDir): batch min id $minB <= " +
+            s"state max id ${maxPrev.getLong(0)} and the batch is NOT " +
+            "an exact re-run of the newest crawl — snapshots must " +
+            "arrive in non-decreasing id order (the fold's " +
+            "smaller-id-decided contract). Nothing was folded.")
+      }
     }
     val st = graft.operators.Dedup.minhashDedupFold(prev, batch, idCol,
       textCol, mode, n, bands = bandsEff, tauNum = tauNum, tauDen = tauDen)
@@ -554,14 +594,17 @@ object StreamingOps {
     st.write.mode("overwrite").parquet(staging.toString)
     if (!fs.rename(staging, new Path(s"$stateDir/v=$vNew")))
       throw new java.io.IOException(s"rename $staging -> v=$vNew failed")
+    // mark ownership so a streaming fold refuses this dir (see above)
+    val owned = new Path(s"$stateDir/_snapshot_owned")
+    if (!fs.exists(owned)) {
+      val out = fs.create(owned, true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+    }
     stateVersions(spark, stateDir).dropRight(retainVersions)
       .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
     // survivors of THIS batch, read from the committed version (never
     // the pre-write lineage): history rows don't re-emit
-    val committed = spark.read.parquet(s"$stateDir/v=$vNew")
-    batch.join(
-      committed.filter(!col("is_dup")).select(col("id").as(idCol)),
-      Seq(idCol), "left_semi")
+    survivorsFrom(vNew)
   }
 
   /** Streaming SEMANTIC dedup (SemDeDup incremental): arriving vectors
@@ -1189,36 +1232,9 @@ object StreamingOps {
             lit(null).cast("date").as("last_day")),
             e.select(col("event_type"), col("day"), col("x")))
       }
-      // same-day counts arriving across batches merge in the open
-      // bucket — a day folds exactly once, with its FULL count. NOT
-      // persisted (the transitionCountsMaintained rule: the sink
-      // writes after the fold returns, so an internal persist could
-      // only leak across batches); each consumer recomputes one
-      // batch-bounded rollup
-      val open = prevOpen.unionByName(delta)
-        .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
-      // contract refusal: a day at or before the last CLOSED day would
-      // re-open folded history (bounded check: ≤|types| joined rows)
-      val late = open.join(prevModel, Seq("event_type"))
-        .filter(col("last_day").isNotNull && col("day") <= col("last_day"))
-        .count()
-      // counted even when 0 so the key is visible as a live baseline
-      // on the progress endpoint; a non-zero count is recorded BEFORE
-      // the refusal throws, so the reading that killed the query stays
-      // observable afterwards
-      bumpFoldCounter(name, "late_buckets", late)
-      if (late > 0) throw new IllegalStateException(
-        s"holtMaintained($stateDir): $late (event_type, day) bucket(s) " +
-          "arrived at or before an already-CLOSED day — day arrival " +
-          "must be per-type non-decreasing (a watermark's promise); " +
-          "folding them would silently corrupt the model. Use a fresh " +
-          "stateDir to rebuild from the full corpus.")
-      val maxd = open.groupBy(col("event_type")).agg(max(col("day")).as("maxd"))
-      val toClose = open.join(maxd, "event_type")
-        .filter(col("day") < col("maxd"))
-      val stillOpen = open.join(maxd, "event_type")
-        .filter(col("day") === col("maxd"))
-        .select(col("event_type"), col("day"), col("x"))
+      val (toClose, stillOpen) = closeOpenDays(prevOpen, delta,
+        prevModel.select(col("event_type"), col("last_day")),
+        name, "holtMaintained", stateDir)
       val foldedCols = toClose
         .groupBy(col("event_type"))
         .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("sx"))
@@ -1248,6 +1264,42 @@ object StreamingOps {
           lit(null).cast("double").as("l"), lit(null).cast("double").as("b"),
           lit(null).cast("date").as("last_day")))
     }
+
+  /** The OPEN-BUCKET close/merge/guard step shared by
+    * [[holtMaintained]] and [[wintersMaintained]] — the part of the
+    * two folds that must stay in lockstep: merge same-day partials
+    * from the previous state's day rows and the batch delta (a day
+    * split across micro-batches folds exactly once, with its full
+    * count), REFUSE any (type, day) bucket at or before the model's
+    * last closed day (recorded on the `late_buckets` counter BEFORE
+    * the throw so the reading that killed the query stays
+    * observable), then split the pool into newly-CLOSED days (every
+    * day a later day supersedes) and the still-open per-type max day.
+    * Nothing here persists (the transitionCountsMaintained rule: the
+    * sink writes after the fold returns).
+    */
+  private def closeOpenDays(prevDays: DataFrame, delta: DataFrame,
+      lastDays: DataFrame, name: String, caller: String,
+      stateDir: String): (DataFrame, DataFrame) = {
+    val open = prevDays.unionByName(delta)
+      .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
+    val late = open.join(lastDays, Seq("event_type"))
+      .filter(col("last_day").isNotNull && col("day") <= col("last_day"))
+      .count()
+    bumpFoldCounter(name, "late_buckets", late)
+    if (late > 0) throw new IllegalStateException(
+      s"$caller($stateDir): $late (event_type, day) bucket(s) " +
+        "arrived at or before an already-CLOSED day — day arrival " +
+        "must be per-type non-decreasing (a watermark's promise); " +
+        "folding them would silently corrupt the model. Use a fresh " +
+        "stateDir to rebuild from the full corpus.")
+    val maxd = open.groupBy(col("event_type")).agg(max(col("day")).as("maxd"))
+    val withMax = open.join(maxd, "event_type")
+    (withMax.filter(col("day") < col("maxd"))
+       .select(col("event_type"), col("day"), col("x")),
+     withMax.filter(col("day") === col("maxd"))
+       .select(col("event_type"), col("day"), col("x")))
+  }
 
   /** Forecast table from a [[holtMaintained]] state frame: per event
     * type the closed-day model (level, trend, last_day), the h = 1/2/3
@@ -1312,25 +1364,11 @@ object StreamingOps {
             lit(null).cast("date").as("last_day")),
             e.select(col("event_type"), col("day"), col("x")))
       }
-      // same-day partials merge across batches (the holt open-bucket
-      // rule); pending pre-model days ride in the same pool
-      val open = prevDays.unionByName(delta)
-        .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
-      val late = open.join(prevModel, Seq("event_type"))
-        .filter(col("last_day").isNotNull && col("day") <= col("last_day"))
-        .count()
-      bumpFoldCounter(name, "late_buckets", late)
-      if (late > 0) throw new IllegalStateException(
-        s"wintersMaintained($stateDir): $late (event_type, day) bucket(s) " +
-          "arrived at or before an already-FOLDED day — day arrival " +
-          "must be per-type non-decreasing once a model exists; " +
-          "folding them would silently corrupt the model. Use a fresh " +
-          "stateDir to rebuild from the full corpus.")
-      val maxd = open.groupBy(col("event_type")).agg(max(col("day")).as("maxd"))
-      val withMax = open.join(maxd, "event_type")
-      val toClose = withMax.filter(col("day") < col("maxd"))
-      val stillOpen = withMax.filter(col("day") === col("maxd"))
-        .select(col("event_type"), col("day"), col("x"))
+      // same-day partials merge across batches (the shared open-bucket
+      // step); pending pre-model days ride in the same pool
+      val (toClose, stillOpen) = closeOpenDays(prevDays, delta,
+        prevModel.select(col("event_type"), col("last_day")),
+        name, "wintersMaintained", stateDir)
       val closedArr = toClose.groupBy(col("event_type"))
         .agg(expr("transform(array_sort(collect_list(struct(day, x))), " +
           "r -> r.x)").as("xs"), max(col("day")).as("mx"))
@@ -1569,6 +1607,17 @@ object StreamingOps {
                 "(_reconcile_pending marker present — a prior " +
                 "minhashDedupReconcile crashed mid-swap). Re-run the " +
                 "reconcile to repair before resuming this stream.")
+          // a dir built by batch SNAPSHOT folds versions by last+1,
+          // not by batch id: folding a stream over it would read
+          // colliding version dirs as replays and silently skip
+          // micro-batches — one harness per state dir
+          if (fs.exists(new Path(s"$stateDir/_snapshot_owned")))
+            throw new IllegalStateException(
+              s"state at $stateDir was built by minhashDedupSnapshot " +
+                "(batch snapshot folds): its version numbers are not " +
+                "streaming batch ids, so resuming a stream here would " +
+                "silently skip micro-batches. Use a fresh stateDir " +
+                "(or keep folding snapshots).")
           bindQueryIdentity(spark, stateDir,
             stateVersions(spark, stateDir).nonEmpty)
           identityChecked = true

@@ -42,16 +42,23 @@ class SnapshotStageSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
-  test("a replayed crawl refuses via the id-order guard; divergent banding refuses via the pin") {
+  test("replay/ordering/banding/ownership guards hold") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_r").toString
-    Transforms.apply(docs, Seq(ndSpec(s"$dir/state")))
-    // same crawl again: min batch id <= max state id -> loud refusal,
-    // nothing double-folds
+    val first = Transforms.apply(docs, Seq(ndSpec(s"$dir/state")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    // an EXACT re-run of the newest crawl (a sink failure after the
+    // state committed, or a plan built twice) is IDEMPOTENT: same
+    // survivors back, nothing double-folds, no new version
+    val again = Transforms.apply(docs, Seq(ndSpec(s"$dir/state")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === first)
+    assert(StreamingOps.stateVersions(spark, s"$dir/state") === Seq(0L))
+    // a PARTIAL overlap is a genuine ordering violation -> refusal
     val e = intercept[IllegalStateException] {
-      Transforms.apply(docs, Seq(ndSpec(s"$dir/state")))
+      StreamingOps.minhashDedupSnapshot(
+        docs.limit(10), "doc_id", "text", s"$dir/state")
     }
     assert(e.getMessage.contains("non-decreasing id order"), e.getMessage)
-    assert(StreamingOps.stateVersions(spark, s"$dir/state") === Seq(0L))
     // a later snapshot under different banding is refused by the pin
     val e2 = intercept[IllegalStateException] {
       StreamingOps.minhashDedupSnapshot(
@@ -65,6 +72,33 @@ class SnapshotStageSpec extends SparkSpec {
         Map[String, Any]("id" -> "doc_id", "text" -> "text",
           "orderBy" -> "doc_id DESC", "stateDir" -> s"$dir/state2"))))
     }
+    GraftSession.release(spark)
+  }
+
+  test("one harness per state dir: snapshot refuses a stream's dir and vice versa") {
+    // a dir carrying a streaming _checkpoint: snapshot versioning
+    // (last+1) would collide with the stream's batch-id versions
+    val sdir = java.nio.file.Files.createTempDirectory("graft_snap_o").toString
+    new java.io.File(s"$sdir/state/_checkpoint").mkdirs()
+    val e = intercept[IllegalStateException] {
+      StreamingOps.minhashDedupSnapshot(docs, "doc_id", "text",
+        s"$sdir/state")
+    }
+    assert(e.getMessage.contains("STREAMING fold"), e.getMessage)
+    // a snapshot-owned dir: a stream folding over it would read the
+    // last+1 versions as already-folded batch ids and skip data
+    val sdir2 = java.nio.file.Files.createTempDirectory("graft_snap_o2").toString
+    Transforms.apply(docs, Seq(ndSpec(s"$sdir2/state")))
+    docs.coalesce(1).write.parquet(s"$sdir2/in/b0")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$sdir2/in/*")
+    val q = StreamingOps.minhashDedupMaintained(
+      stream, "doc_id", "text", s"$sdir2/state", "snap_owned_spec")
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e2.getMessage.contains("minhashDedupSnapshot") ||
+      Option(e2.getCause).exists(_.getMessage.contains("minhashDedupSnapshot")),
+      e2.getMessage)
     GraftSession.release(spark)
   }
 }

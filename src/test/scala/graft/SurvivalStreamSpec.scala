@@ -49,8 +49,10 @@ class SurvivalStreamSpec extends SparkSpec {
     val life = ev.groupBy($"user_id")
       .agg(min($"day").as("f"), max($"day").as("l"))
     val mx = ev.agg(max($"day").as("max_day"))
+    // stratum 2 maps to NULL: a nullable group column must yield the
+    // null stratum's full curve (null-safe group joins), not drop it
     val lt = life.crossJoin(org.apache.spark.sql.functions.broadcast(mx))
-      .select(($"user_id" % 3).as("g"),
+      .select(when($"user_id" % 3 =!= 2, $"user_id" % 3).as("g"),
         datediff($"l", $"f").cast("long").as("t"),
         when($"l" < $"max_day", 1L).otherwise(0L).as("is_event"))
       .persist()
@@ -58,11 +60,15 @@ class SurvivalStreamSpec extends SparkSpec {
       df.collect().toSeq
         .map(r => (0 until r.length).map(r.get)).sortBy(_.toString)
     val grouped = Survival.kmCurveBy(lt, "g")
-    (0L to 2L).foreach { g =>
+    Seq[Option[Long]](Some(0L), Some(1L), None).foreach { g =>
+      def pick(df: org.apache.spark.sql.DataFrame) = g match {
+        case Some(v) => df.filter($"g" === v)
+        case None => df.filter($"g".isNull)
+      }
       // bit-equal per stratum: the grouped path must not change the
       // ratio fold order or the risk-set arithmetic
-      assert(canonRows(grouped.filter($"g" === g).drop("g")) ===
-        canonRows(Survival.kmCurve(lt.filter($"g" === g).drop("g"))),
+      assert(canonRows(pick(grouped).drop("g")) ===
+        canonRows(Survival.kmCurve(pick(lt).drop("g"))),
         s"stratum $g diverged")
     }
     GraftSession.release(spark)

@@ -107,8 +107,8 @@ class WintersStreamSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
     }
-    assert(e.getMessage.contains("FOLDED day") ||
-      Option(e.getCause).exists(_.getMessage.contains("FOLDED day")),
+    assert(e.getMessage.contains("CLOSED day") ||
+      Option(e.getCause).exists(_.getMessage.contains("CLOSED day")),
       e.getMessage)
     val ctr = StreamingOps.foldCounters("hw_late")
     assert(ctr.getOrElse("late_buckets", 0L) >= 1L, ctr.toString)
