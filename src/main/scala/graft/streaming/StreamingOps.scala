@@ -563,27 +563,32 @@ object StreamingOps {
         .localCheckpoint(true)
     }
     prev.foreach { p =>
-      val maxPrev = p.agg(max(col("id"))).head()
-      val minBatch = batch.agg(min(col(idCol).cast("long"))).head()
-      if (!maxPrev.isNullAt(0) && !minBatch.isNullAt(0) &&
-          minBatch.getLong(0) <= maxPrev.getLong(0)) {
+      // the order guard compares ids in the id column's NATIVE
+      // ordering — the same `<` the fold's smaller-id rule uses
+      // (string ids compare lexicographically on both)
+      val minB = batch.agg(min(col(idCol)).as("m")).head()
+      val overlap =
+        if (minB.isNullAt(0)) 0L
+        else p.filter(col("id") >= lit(minB.get(0))).count()
+      if (overlap > 0) {
         // exact re-run of the NEWEST committed crawl? (same id set at
         // or above its min) -> idempotent: return its survivors, fold
         // nothing. Anything else is genuinely out of order.
-        val minB = minBatch.getLong(0)
-        val stateIds = p.filter(col("id") >= minB).select(col("id"))
-        val batchIds = batch.select(col(idCol).cast("long").as("id"))
+        val stateIds = p.filter(col("id") >= lit(minB.get(0)))
+          .select(col("id"))
+        val batchIds = batch.select(col(idCol).as("id"))
         val isReplay =
           stateIds.unionByName(batchIds).distinct().count() ==
             batchIds.distinct().count() &&
           stateIds.count() == batchIds.distinct().count()
         if (isReplay) return survivorsFrom(versions.last)
         throw new IllegalStateException(
-          s"minhashDedupSnapshot($stateDir): batch min id $minB <= " +
-            s"state max id ${maxPrev.getLong(0)} and the batch is NOT " +
-            "an exact re-run of the newest crawl — snapshots must " +
-            "arrive in non-decreasing id order (the fold's " +
-            "smaller-id-decided contract). Nothing was folded.")
+          s"minhashDedupSnapshot($stateDir): batch min id " +
+            s"${minB.get(0)} is at or below $overlap already-folded " +
+            "state id(s) and the batch is NOT an exact re-run of the " +
+            "newest crawl — snapshots must arrive in non-decreasing " +
+            "id order (the fold's smaller-id-decided contract). " +
+            "Nothing was folded.")
       }
     }
     val st = graft.operators.Dedup.minhashDedupFold(prev, batch, idCol,

@@ -14,7 +14,8 @@ class ExamplesSpec extends SparkSpec {
 
   test("every shipped example parses against the real YAML schema") {
     for (f <- Seq("csv_to_parquet.yaml", "quality_gated_dedup.yaml",
-      "streaming_directory_watch.yaml", "near_dedup_curation.yaml")) {
+      "streaming_directory_watch.yaml", "near_dedup_curation.yaml",
+      "incremental_crawl_dedup.yaml")) {
       val cfg = ConfigParser.parseFile(s"$dir/$f")
       assert(cfg.pipelines.nonEmpty, s"$f parsed to no pipelines")
       assert(cfg.pipelines.forall(p =>
@@ -59,6 +60,54 @@ class ExamplesSpec extends SparkSpec {
     assert(mgr.submit(spec) == mgr.Completed)
     val back = spark.read.parquet(out).collect()
     assert(back.map(_.getAs[String]("doc_id")).sorted.toSeq == Seq("2", "3", "4"))
+    GraftSession.release(spark)
+  }
+
+  test("the incremental-crawl example folds two crawls against one state dir") {
+    val in1 = Files.createTempDirectory("graft_ic1").toString
+    val in2 = Files.createTempDirectory("graft_ic2").toString
+    val out1 = Files.createTempDirectory("graft_ico1").toString
+    val out2 = Files.createTempDirectory("graft_ico2").toString
+    val state = Files.createTempDirectory("graft_ics").toString + "/state"
+    // zero-padded ids keep the CSV's STRING id order == numeric order
+    // (the fold's smaller-id rule compares the id column as-is).
+    // crawl 1: docs 001/002 are near-copies (1 word of 12 differs);
+    // crawl 2: doc 003 near-copies the crawl-1 SURVIVOR, 004 is new —
+    // only 004 may survive crawl 2
+    val base12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    Files.writeString(java.nio.file.Paths.get(s"$in1/c1.csv"),
+      "doc_id,text\n" +
+        s"001,$base12 mu\n" +
+        s"002,$base12 municipality\n" +
+        "003,one two three four five six seven eight nine ten eleven twelve\n")
+    Files.writeString(java.nio.file.Paths.get(s"$in2/c2.csv"),
+      "doc_id,text\n" +
+        s"004,$base12 mutation\n" +
+        "005,completely different words in this document than any other here\n")
+    val base = ConfigParser.parseFile(s"$dir/incremental_crawl_dedup.yaml")
+      .pipelines.head
+    def run(in: String, out: String) = {
+      val spec = base.copy(
+        source = base.source.copy(properties =
+          base.source.properties + ("path" -> in)),
+        transformations = Seq(base.transformations.head.copy(
+          properties = base.transformations.head.properties +
+            ("stateDir" -> state))),
+        sink = base.sink.copy(properties =
+          base.sink.properties + ("path" -> out)))
+      val mgr = new PipelineManager(spark)
+      assert(mgr.submit(spec) == mgr.Completed)
+      spark.read.parquet(out).collect()
+        .map(_.getAs[String]("doc_id")).sorted.toSeq
+    }
+    // crawl 1: the smaller id of the near-dup pair survives (the
+    // fold's smaller-id-wins rule), the singleton passes
+    assert(run(in1, out1) === Seq("001", "003"))
+    // crawl 2: 004 matches crawl-1 history and drops WITHOUT
+    // re-pairing the old corpus; only the new doc survives
+    assert(run(in2, out2) === Seq("005"))
+    assert(graft.streaming.StreamingOps
+      .stateVersions(spark, state) === Seq(0L, 1L))
     GraftSession.release(spark)
   }
 
