@@ -71,6 +71,74 @@ object RelationalQueries21 {
             " + element_at(st, CAST(h + 2 AS INT))").as("forecast"))
     },
 
+    // `q133_changepoints` — BINARY SEGMENTATION depth 2: q124 finds
+    // the single best mean-shift split; this recurses once — split
+    // the daily-revenue series at the best t₁, then take the better
+    // of the two within-segment best splits as t₂ (the standard
+    // multi-changepoint greedy). All candidate gains are the q124
+    // fixed double tree over EXACT integer slice sums (cents fold as
+    // BIGINT; the per-candidate sums come from one strict aggregate
+    // over the collected days-bounded array — join-free like
+    // q128_backtest); argmaxes are rank-1 windows with (gain DESC,
+    // t ASC) bit-tie rules. Output: one row per changepoint with its
+    // segment bounds and gain. Scale: one fact rollup; the candidate
+    // grid is ≤2·#days rows of array folds.
+    "q133_changepoints" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(sum(centsCol).as("y"))
+        .agg(array_sort(collect_list(struct($"day", $"y"))).as("a"))
+        .select($"a", size($"a").cast("long").as("n"))
+        .filter($"n" >= 4) // two splits need >= 2 points per side
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // candidate gain for splitting [lo, hi] at t (all 1-based,
+      // inclusive): the q124 tree over exact slice sums
+      def gainCols(df: DataFrame) = df
+        .withColumn("s1", expr("aggregate(slice(a, CAST(lo AS INT), " +
+          "CAST(t - lo + 1 AS INT)), 0L, (acc, e) -> acc + e.y)"))
+        .withColumn("s2", expr("aggregate(slice(a, CAST(t + 1 AS INT), " +
+          "CAST(hi - t AS INT)), 0L, (acc, e) -> acc + e.y)"))
+        .withColumn("n1", $"t" - $"lo" + 1L)
+        .withColumn("n2", $"hi" - $"t")
+        .withColumn("mean_left", $"s1".cast("double") / $"n1".cast("double"))
+        .withColumn("mean_right", $"s2".cast("double") / $"n2".cast("double"))
+        .withColumn("diff", $"mean_left" - $"mean_right")
+        .withColumn("gain",
+          ($"n1".cast("double") * $"n2".cast("double")
+            / ($"n1" + $"n2").cast("double")) * ($"diff" * $"diff"))
+      val w = Window.partitionBy($"lo", $"hi").orderBy($"gain".desc, $"t".asc)
+      // pass 1: best split of the whole series
+      val c1 = gainCols(daily
+          .select($"a", $"n", lit(1L).as("lo"), $"n".as("hi"),
+            explode(expr("sequence(1L, n - 1)")).as("t")))
+        .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+        .select($"a", $"n", $"t".as("t1"), $"gain".as("g1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pass 2: best split within each side of t1 (a side with < 2
+      // points offers no split and contributes no candidates)
+      val sides = c1.select($"a", $"n", $"t1", $"g1",
+          lit(1L).as("lo"), $"t1".as("hi"))
+        .unionByName(c1.select($"a", $"n", $"t1", $"g1",
+          ($"t1" + 1L).as("lo"), $"n".as("hi")))
+        .filter($"hi" - $"lo" >= 1L)
+        .select($"a", $"n", $"t1", $"g1", $"lo", $"hi",
+          explode(expr("sequence(lo, hi - 1)")).as("t"))
+      val c2 = gainCols(sides)
+        .withColumn("__rn", row_number().over(
+          Window.orderBy($"gain".desc, $"t".asc)))
+        .filter($"__rn" === 1)
+      // emit both changepoints with their segment bounds
+      c1.select(lit(1L).as("rank"), lit(1L).as("seg_lo"), $"n".as("seg_hi"),
+          $"t1".as("t"), expr("element_at(a, CAST(t1 AS INT)).day")
+            .as("split_day"), $"g1".as("gain"))
+        .unionByName(c2.select(lit(2L).as("rank"), $"lo".as("seg_lo"),
+          $"hi".as("seg_hi"), $"t",
+          expr("element_at(a, CAST(t AS INT)).day").as("split_day"),
+          $"gain"))
+    },
+
     // `q132_cohort_km` — STRATIFIED Kaplan-Meier: the q118 survival
     // curve per acquisition cohort (first-seen WEEK — the q117
     // epoch-anchored 7-day grain), the standard "is retention
@@ -236,6 +304,60 @@ object RelationalQueries21 {
          |    AS forecast
          |FROM st CROSS JOIN
          |  (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h)""".stripMargin
+    },
+
+    // the same candidate-gain tree evaluated over list slices; both
+    // argmaxes are (gain DESC, t ASC) LIMIT 1
+    "q133_changepoints" -> {
+      // exact integer slice sum + the q124 fixed double tree — ONE
+      // Scala fragment interpolated into both passes so the candidate
+      // arithmetic cannot drift between them
+      val gains =
+        """list_reduce(list_transform(
+          |      a[CAST(lo AS INT):CAST(t AS INT)], ge -> ge.y),
+          |      (gx, gy) -> gx + gy) AS s1,
+          |    list_reduce(list_transform(
+          |      a[CAST(t + 1 AS INT):CAST(hi AS INT)], ge -> ge.y),
+          |      (gx, gy) -> gx + gy) AS s2,
+          |    t - lo + 1 AS n1, hi - t AS n2""".stripMargin
+      val tree =
+        """(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          |      / CAST(n1 + n2 AS DOUBLE))
+          |      * ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+          |      AS gain""".stripMargin
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(sum($centsSql) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |arr AS (SELECT list({'day': day, 'y': y} ORDER BY day) AS a,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM daily),
+         |base AS (SELECT a, n FROM arr WHERE n >= 4),
+         |cand1 AS (SELECT a, n, CAST(1 AS BIGINT) AS lo, n AS hi, t
+         |  FROM base, unnest(range(1, n)) AS s(t)),
+         |g1 AS (SELECT a, n, lo, hi, t, s1, s2, n1, n2,
+         |    $tree
+         |  FROM (SELECT *, $gains FROM cand1)),
+         |b1 AS (SELECT * FROM g1 ORDER BY gain DESC, t ASC LIMIT 1),
+         |sides AS (
+         |  SELECT a, n, CAST(1 AS BIGINT) AS lo, t AS hi FROM b1
+         |  UNION ALL SELECT a, n, t + 1, n FROM b1),
+         |cand2 AS (SELECT a, n, lo, hi, u AS t
+         |  FROM (SELECT * FROM sides WHERE hi - lo >= 1),
+         |    unnest(range(lo, hi)) AS s(u)),
+         |g2 AS (SELECT a, n, lo, hi, t, s1, s2, n1, n2,
+         |    $tree
+         |  FROM (SELECT *, $gains FROM cand2)),
+         |b2 AS (SELECT * FROM g2 ORDER BY gain DESC, t ASC LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, CAST(1 AS BIGINT) AS seg_lo,
+         |  n AS seg_hi, t, a[CAST(t AS INT)].day AS split_day, gain
+         |FROM b1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), lo, hi, t,
+         |  a[CAST(t AS INT)].day, gain
+         |FROM b2""".stripMargin
     },
 
     // q118's oracle with the cohort key on every CTE; per-cohort
