@@ -178,33 +178,33 @@ object RelationalQueries21 {
     // term Σ(t³ − t) is an exact BIGINT sum (t³ < 2^63 is an asserted
     // invariant — DuckDB THROWS on overflow, the minhash-constants
     // rule); z is ONE fixed double tree (sqrt is correctly-rounded
-    // IEEE), degenerate variance → null on both engines. Scale: one
-    // global rank window over order values — the documented
-    // single-total-order eval class (samples at extreme scale); the
-    // customer join broadcasts.
+    // IEEE), degenerate variance → null on both engines. Scale
+    // (round 14 — VERDICT r13 task 2): NO global rank window. Every
+    // per-row quantity is constant within its tie group, so one
+    // groupBy(y) rollup carries (n_y, n1_y) and the min-rank is
+    // 1 + the EXCLUSIVE prefix sum of n_y over y order —
+    // operators.PrefixSum's range-exchange + per-partition-offset
+    // scan (O(partitions) driver state), identical arithmetic:
+    // Σ_group1(2r + cnt − 1) = Σ_y n1_y·(2(1 + C(<y)) + n_y − 1).
+    // The tie term folds in the SAME rollup, so the fact table is
+    // scanned once and nothing persists; the customer join broadcasts.
     "q131_mwu" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val cust = Tables.load(s, dir, "customer")
         .select($"c_custkey", ($"c_mktsegment" === "BUILDING").as("grp1"))
-      // consumed twice (rank window + tie rollup): persist, or the
-      // fact scan + broadcast join run twice (the round-4 rule)
-      val j = Tables.load(s, dir, "orders")
+      val g = Tables.load(s, dir, "orders")
         .select($"o_custkey", centsCol.as("y"))
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ranked = j
-        .withColumn("r", rank().over(Window.orderBy($"y".asc)).cast("long"))
-        .withColumn("cnt",
-          count(lit(1)).over(Window.partitionBy($"y")).cast("long"))
-        .withColumn("avg2", lit(2L) * $"r" + $"cnt" - lit(1L))
-      val ties = j.groupBy($"y").agg(count(lit(1)).as("t"))
-        .agg(sum($"t" * $"t" * $"t" - $"t").as("tsum"))
-      ranked.agg(
-          sum(when($"grp1", 1L).otherwise(0L)).as("n1"),
-          sum(when(!$"grp1", 1L).otherwise(0L)).as("n2"),
-          sum(when($"grp1", $"avg2")).as("r2_1"))
-        .crossJoin(broadcast(ties))
+        .groupBy($"y")
+        .agg(count(lit(1)).as("ny"),
+          sum(when($"grp1", 1L).otherwise(0L)).as("n1y"))
+      graft.operators.PrefixSum.exclusive(g, "ny", "cless", $"y".asc)
+        .agg(
+          sum($"n1y").as("n1"),
+          sum($"ny" - $"n1y").as("n2"),
+          sum($"n1y" * (lit(2L) * (lit(1L) + $"cless") + $"ny" - lit(1L)))
+            .as("r2_1"),
+          sum($"ny" * $"ny" * $"ny" - $"ny").as("tsum"))
         .select($"n1", $"n2",
           ($"r2_1" - $"n1" * ($"n1" + lit(1L))).as("u1_x2"), $"tsum")
         // tie-corrected Var = n1·n2/12·((n+1) − T/(n(n−1))) as ONE
@@ -361,7 +361,11 @@ object RelationalQueries21 {
     },
 
     // q118's oracle with the cohort key on every CTE; per-cohort
-    // ratio products fold in t order (elem-1 init == 1.0·x)
+    // ratio products fold in t order (elem-1 init == 1.0·x). Cohort
+    // joins are null-safe (IS NOT DISTINCT FROM) to match kmCurveBy's
+    // <=> group joins — cohort_week is non-null here (derived from
+    // min(day) per user), but a null stratum must not silently get
+    // removed=0 / drop from the curve if a future fixture mints one.
     "q132_cohort_km" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |life AS (SELECT user_id, min(day) AS f, max(day) AS l
@@ -384,20 +388,24 @@ object RelationalQueries21 {
         |rm AS (SELECT a.cohort_week, a.t,
         |    CAST(coalesce(sum(b.d + b.c), 0) AS BIGINT) AS removed
         |  FROM byt a LEFT JOIN byt b
-        |    ON b.cohort_week = a.cohort_week AND b.t < a.t
+        |    ON b.cohort_week IS NOT DISTINCT FROM a.cohort_week
+        |      AND b.t < a.t
         |  GROUP BY a.cohort_week, a.t),
         |km AS (SELECT byt.cohort_week, byt.t, byt.d, byt.c,
         |    tot.n_total - rm.removed AS n_risk,
         |    CAST(1 AS DOUBLE) - CAST(byt.d AS DOUBLE)
         |      / CAST(tot.n_total - rm.removed AS DOUBLE) AS ratio
         |  FROM byt
-        |  JOIN rm ON byt.cohort_week = rm.cohort_week AND byt.t = rm.t
-        |  JOIN tot ON byt.cohort_week = tot.cohort_week)
+        |  JOIN rm ON byt.cohort_week IS NOT DISTINCT FROM rm.cohort_week
+        |    AND byt.t = rm.t
+        |  JOIN tot
+        |    ON byt.cohort_week IS NOT DISTINCT FROM tot.cohort_week)
         |SELECT a.cohort_week, a.t, a.n_risk, a.d, a.c,
         |  list_reduce(list(b.ratio ORDER BY b.t), (ga, gb) -> ga * gb)
         |    AS surv
         |FROM km a JOIN km b
-        |  ON b.cohort_week = a.cohort_week AND b.t <= a.t
+        |  ON b.cohort_week IS NOT DISTINCT FROM a.cohort_week
+        |    AND b.t <= a.t
         |GROUP BY a.cohort_week, a.t, a.n_risk, a.d, a.c""".stripMargin,
 
     "q131_mwu" ->

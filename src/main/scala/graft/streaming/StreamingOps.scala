@@ -520,11 +520,21 @@ object StreamingOps {
     * committed, or a plan built twice) is detected and returns the
     * committed survivors IDEMPOTENTLY instead of refusing; only a
     * genuinely out-of-order (or partially overlapping) snapshot
-    * refuses. State writes stage through `_staging_<v>` + rename;
-    * versions beyond `retainVersions` prune. The survivors frame
-    * eagerly localCheckpoints: its source version dir is mutable
-    * state a LATER snapshot may prune, so the result must not stay a
-    * lazy scan of it.
+    * refuses. Each committed version carries a `_crawl_min` marker
+    * (the folded batch's min id, renamed atomically with the version)
+    * so the replay check compares against the FULL newest-crawl id
+    * set — a strict suffix-subset of the newest crawl (batch {11}
+    * after crawl {10,11}) is partial overlap and REFUSES. Versions
+    * written before the marker existed fall back to the
+    * at-or-above-batch-min heuristic, which accepts a suffix-subset
+    * replay idempotently (documented legacy behavior). State writes
+    * stage through `_staging_<v>` + rename; versions beyond
+    * `retainVersions` prune. The input batch localCheckpoints at
+    * entry so the min-id guard, replay counts, the fold and the
+    * survivor semi-join all see ONE consistent snapshot of a possibly
+    * mutable source directory; the survivors frame eagerly
+    * localCheckpoints too (its source version dir is mutable state a
+    * LATER snapshot may prune).
     */
   def minhashDedupSnapshot(batch: DataFrame, idCol: String,
       textCol: String, stateDir: String, mode: String = "word", n: Int = 3,
@@ -555,61 +565,107 @@ object StreamingOps {
     val versions = stateVersions(spark, stateDir)
     val prev = versions.lastOption
       .map(v => spark.read.parquet(s"$stateDir/v=$v"))
-    def survivorsFrom(v: Long): DataFrame = {
-      val committed = spark.read.parquet(s"$stateDir/v=$v")
-      batch.join(
-          committed.filter(!col("is_dup")).select(col("id").as(idCol)),
-          Seq(idCol), "left_semi")
-        .localCheckpoint(true)
+    def readCrawlMin(v: Long): Option[String] = {
+      val m = new Path(s"$stateDir/v=$v/_crawl_min")
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(txt.trim).filter(_.nonEmpty)
+      }
     }
-    prev.foreach { p =>
+    // ONE consistent snapshot of the input for the whole guard+fold
+    // lifetime: a file-source batch would otherwise be re-scanned by
+    // every separate action below (min-id guard, replay counts, the
+    // fold, the survivor semi-join), and a source directory gaining a
+    // file between the min-id action and the fold could slip rows
+    // below the checked min past the id-order guard.
+    val snap = batch.localCheckpoint(true)
+    try {
+      def survivorsFrom(v: Long): DataFrame = {
+        val committed = spark.read.parquet(s"$stateDir/v=$v")
+        snap.join(
+            committed.filter(!col("is_dup")).select(col("id").as(idCol)),
+            Seq(idCol), "left_semi")
+          .localCheckpoint(true)
+      }
       // the order guard compares ids in the id column's NATIVE
       // ordering — the same `<` the fold's smaller-id rule uses
       // (string ids compare lexicographically on both)
-      val minB = batch.agg(min(col(idCol)).as("m")).head()
-      val overlap =
-        if (minB.isNullAt(0)) 0L
-        else p.filter(col("id") >= lit(minB.get(0))).count()
-      if (overlap > 0) {
-        // exact re-run of the NEWEST committed crawl? (same id set at
-        // or above its min) -> idempotent: return its survivors, fold
-        // nothing. Anything else is genuinely out of order.
-        val stateIds = p.filter(col("id") >= lit(minB.get(0)))
-          .select(col("id"))
-        val batchIds = batch.select(col(idCol).as("id"))
-        val isReplay =
-          stateIds.unionByName(batchIds).distinct().count() ==
-            batchIds.distinct().count() &&
-          stateIds.count() == batchIds.distinct().count()
-        if (isReplay) return survivorsFrom(versions.last)
-        throw new IllegalStateException(
-          s"minhashDedupSnapshot($stateDir): batch min id " +
-            s"${minB.get(0)} is at or below $overlap already-folded " +
-            "state id(s) and the batch is NOT an exact re-run of the " +
-            "newest crawl — snapshots must arrive in non-decreasing " +
-            "id order (the fold's smaller-id-decided contract). " +
-            "Nothing was folded.")
+      val minB = snap.agg(min(col(idCol)).as("m")).head()
+      prev.foreach { p =>
+        val overlap =
+          if (minB.isNullAt(0)) 0L
+          else p.filter(col("id") >= lit(minB.get(0))).count()
+        if (overlap > 0) {
+          // exact re-run of the NEWEST committed crawl? -> idempotent:
+          // return its survivors, fold nothing. The newest crawl's id
+          // set is everything at-or-above its committed _crawl_min
+          // marker; a batch matching only a SUFFIX of it is partial
+          // overlap and refuses. Legacy versions without the marker
+          // fall back to at-or-above-batch-min (suffix-subset replays
+          // pass there — see scaladoc).
+          val idType = p.schema("id").dataType
+          val crawlFloor = readCrawlMin(versions.last)
+            .map(cm => lit(cm).cast(idType))
+            .getOrElse(lit(minB.get(0)))
+          val stateIds = p.filter(col("id") >= crawlFloor).select(col("id"))
+          val batchIds = snap.select(col(idCol).as("id"))
+          val isReplay =
+            stateIds.unionByName(batchIds).distinct().count() ==
+              batchIds.distinct().count() &&
+            stateIds.count() == batchIds.distinct().count()
+          if (isReplay) return survivorsFrom(versions.last)
+          throw new IllegalStateException(
+            s"minhashDedupSnapshot($stateDir): batch min id " +
+              s"${minB.get(0)} is at or below $overlap already-folded " +
+              "state id(s) and the batch is NOT an exact re-run of the " +
+              "newest crawl — snapshots must arrive in non-decreasing " +
+              "id order (the fold's smaller-id-decided contract). " +
+              "Nothing was folded.")
+        }
+      }
+      val st = graft.operators.Dedup.minhashDedupFold(prev, snap, idCol,
+        textCol, mode, n, bands = bandsEff, tauNum = tauNum, tauDen = tauDen)
+      val vNew = versions.lastOption.getOrElse(-1L) + 1L
+      val staging = new Path(s"$stateDir/_staging_$vNew")
+      fs.delete(staging, true)
+      st.write.mode("overwrite").parquet(staging.toString)
+      // crawl-boundary marker rides the staging dir so the rename
+      // commits it atomically with the version. An EMPTY batch (null
+      // min) carries the prior boundary forward: the newest-crawl id
+      // set did not change.
+      val markerVal: Option[String] =
+        if (!minB.isNullAt(0)) Some(minB.get(0).toString)
+        else versions.lastOption.flatMap(readCrawlMin)
+      markerVal.foreach { mv =>
+        val mout = fs.create(new Path(s"$staging/_crawl_min"), true)
+        try mout.write(mv.getBytes("UTF-8")) finally mout.close()
+      }
+      if (!fs.rename(staging, new Path(s"$stateDir/v=$vNew")))
+        throw new java.io.IOException(s"rename $staging -> v=$vNew failed")
+      // mark ownership so a streaming fold refuses this dir (see above)
+      val owned = new Path(s"$stateDir/_snapshot_owned")
+      if (!fs.exists(owned)) {
+        val out = fs.create(owned, true)
+        try out.write("1".getBytes("UTF-8")) finally out.close()
+      }
+      stateVersions(spark, stateDir).dropRight(retainVersions)
+        .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
+      // survivors of THIS batch, read from the committed version (never
+      // the pre-write lineage): history rows don't re-emit
+      survivorsFrom(vNew)
+    } finally {
+      // drop the entry snapshot's RDD storage: every consumer above
+      // eagerly materialized (head/count/localCheckpoint), so nothing
+      // returned still reads it
+      snap.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
       }
     }
-    val st = graft.operators.Dedup.minhashDedupFold(prev, batch, idCol,
-      textCol, mode, n, bands = bandsEff, tauNum = tauNum, tauDen = tauDen)
-    val vNew = versions.lastOption.getOrElse(-1L) + 1L
-    val staging = new Path(s"$stateDir/_staging_$vNew")
-    fs.delete(staging, true)
-    st.write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(staging, new Path(s"$stateDir/v=$vNew")))
-      throw new java.io.IOException(s"rename $staging -> v=$vNew failed")
-    // mark ownership so a streaming fold refuses this dir (see above)
-    val owned = new Path(s"$stateDir/_snapshot_owned")
-    if (!fs.exists(owned)) {
-      val out = fs.create(owned, true)
-      try out.write("1".getBytes("UTF-8")) finally out.close()
-    }
-    stateVersions(spark, stateDir).dropRight(retainVersions)
-      .foreach(v => fs.delete(new Path(s"$stateDir/v=$v"), true))
-    // survivors of THIS batch, read from the committed version (never
-    // the pre-write lineage): history rows don't re-emit
-    survivorsFrom(vNew)
   }
 
   /** Streaming SEMANTIC dedup (SemDeDup incremental): arriving vectors

@@ -72,8 +72,8 @@ class ExamplesSpec extends SparkSpec {
     // zero-padded ids keep the CSV's STRING id order == numeric order
     // (the fold's smaller-id rule compares the id column as-is).
     // crawl 1: docs 001/002 are near-copies (1 word of 12 differs);
-    // crawl 2: doc 003 near-copies the crawl-1 SURVIVOR, 004 is new —
-    // only 004 may survive crawl 2
+    // crawl 2: doc 004 near-copies the crawl-1 survivor, 005 is new —
+    // only 005 may survive crawl 2 (003 is a crawl-1 singleton)
     val base12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
     Files.writeString(java.nio.file.Paths.get(s"$in1/c1.csv"),
       "doc_id,text\n" +

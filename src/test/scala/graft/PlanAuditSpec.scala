@@ -683,4 +683,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(inc.contains("BroadcastHashJoin") && !inc.contains("SortMergeJoin"),
       "the incremental band probe must broadcast the batch side")
   }
+
+  test("q131 MWU ranks without the single-partition global window") {
+    // round 14 (VERDICT r13 task 2): rank() OVER (ORDER BY y) with no
+    // partition key moves every order row through ONE task; the
+    // committed plan is a tie-group rollup + PrefixSum's range
+    // exchange, so no Window may appear at all (q53/q58 contract)
+    val p = plan("q131_mwu")
+    assert(!p.contains("Window"),
+      "q131 must not plan a Window — the min-rank is a tie-rollup " +
+        "prefix sum (operators.PrefixSum), not a global rank window")
+    assert(p.contains("Scan ExistingRDD"),
+      "PrefixSum's partition-local rescan must feed the final aggregate")
+  }
 }

@@ -162,4 +162,28 @@ class RankSelectSpec extends SparkSpec {
     val none = RankSelect.selectRank(data, Seq("g"), n => n + 1, "n", $"v", $"id")
     assert(none.count() == 0)
   }
+
+  test("property: PrefixSum.exclusive equals the window running sum") {
+    // the q131 plan's kernel (round 14): exclusive prefix over a total
+    // order at full parallelism == sum() OVER (ORDER BY ... ROWS
+    // BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) on unique keys
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val rowsGen = Gen.nonEmptyListOf(Gen.choose(0L, 50L)).map(_.take(80))
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(rowsGen) { ms =>
+        val df = ms.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+          .toDF("k", "m").repartition(5)
+        val want = df
+          .withColumn("p", coalesce(sum($"m").over(
+            Window.orderBy($"k").rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .select($"k", $"p").as[(Long, Long)].collect().toMap
+        val got = graft.operators.PrefixSum
+          .exclusive(df, "m", "p", $"k".asc)
+          .select($"k", $"p").as[(Long, Long)].collect().toMap
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
 }

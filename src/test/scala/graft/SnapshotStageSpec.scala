@@ -59,6 +59,18 @@ class SnapshotStageSpec extends SparkSpec {
         docs.limit(10), "doc_id", "text", s"$dir/state")
     }
     assert(e.getMessage.contains("non-decreasing id order"), e.getMessage)
+    // a strict SUFFIX-SUBSET of the newest crawl (batch {11} after
+    // crawl {10,11}) is partial overlap, NOT a replay: the version's
+    // _crawl_min marker compares against the FULL crawl id set
+    // (round 14 — ADVICE r13 finding 2)
+    val mid = docs.agg(expr("(min(doc_id) + max(doc_id)) DIV 2"))
+      .head().getLong(0)
+    val e1b = intercept[IllegalStateException] {
+      StreamingOps.minhashDedupSnapshot(
+        docs.filter(col("doc_id") > mid), "doc_id", "text", s"$dir/state")
+    }
+    assert(e1b.getMessage.contains("non-decreasing id order"), e1b.getMessage)
+    assert(StreamingOps.stateVersions(spark, s"$dir/state") === Seq(0L))
     // a later snapshot under different banding is refused by the pin
     val e2 = intercept[IllegalStateException] {
       StreamingOps.minhashDedupSnapshot(
