@@ -687,13 +687,15 @@ class PlanAuditSpec extends SparkSpec {
   test("q131 MWU ranks without the single-partition global window") {
     // round 14 (VERDICT r13 task 2): rank() OVER (ORDER BY y) with no
     // partition key moves every order row through ONE task; the
-    // committed plan is a tie-group rollup + PrefixSum's range
-    // exchange, so no Window may appear at all (q53/q58 contract)
+    // committed plan is a tie-group rollup + PrefixSum — every
+    // DATA-sized window must be partitioned by the range bucket, and
+    // the only empty-partition window may scan the per-BUCKET totals
+    // (rows = partition count, bounded by cluster parallelism)
     val p = plan("q131_mwu")
-    assert(!p.contains("Window"),
-      "q131 must not plan a Window — the min-rank is a tie-rollup " +
-        "prefix sum (operators.PrefixSum), not a global rank window")
-    assert(p.contains("Scan ExistingRDD"),
-      "PrefixSum's partition-local rescan must feed the final aggregate")
+    assert(p.contains("windowspecdefinition(__ps_b"),
+      "the prefix scan must be a window PARTITIONED by the range bucket")
+    assert(!"windowspecdefinition\\(y#".r.findFirstIn(p).isDefined,
+      "no window over the data may have an empty partition spec — " +
+        "that is the single-task global sort PrefixSum exists to avoid")
   }
 }
