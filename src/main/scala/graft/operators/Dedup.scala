@@ -568,6 +568,171 @@ object Dedup {
     prev.map(_.unionByName(stateB)).getOrElse(stateB)
   }
 
+  /** SURVIVOR-POOL incremental near-dup fold (round 14 — VERDICT r13
+    * task 1): the greedy keep-first rule. A doc is a dup iff some
+    * smaller-id SURVIVOR (is_dup = false) shares an LSH band AND the
+    * signature-agreement estimate clears tau — history's dup rows are
+    * never probed, so a 100-member duplicate class contributes ONE
+    * band row per band to the pool and candidate work is
+    * dup-class-LINEAR ([[minhashDedupFold]]'s any-smaller-id rule
+    * enumerates every (new-doc, class-member) candidate, which is
+    * quadratic in duplicate depth — the committed form read 29.3 s at
+    * 100x from exactly this).
+    *
+    * The rule is the sequential greedy over id order ("dedup crawl
+    * N+1 against the already-DEDUPED corpus"): processing ids
+    * ascending, keep x unless a kept doc flags it. Two properties
+    * follow. (1) RETENTION: every dropped doc matched a KEPT doc —
+    * the any-smaller-id rule can drop a doc whose only partner was
+    * itself dropped (chain A~B~C, A~̸C: it drops C with no kept
+    * representative; this rule keeps C). (2) SPLIT-INVARIANCE: x's
+    * decision depends only on smaller-id decisions, so folding any
+    * in-order batch split equals one fold over everything
+    * (SurvivorFoldSpec proves both on a bridge fixture).
+    *
+    * Execution is round-based, not sequential: each round (a) flags
+    * every undecided doc with a verified match against the current
+    * survivor pool (history survivors + promotions so far — the batch
+    * side broadcasts, the pool streams exchange-free like the base
+    * fold), (b) PROMOTES every unflagged doc that is the minimum
+    * undecided id in ALL of its band buckets — no smaller undecided
+    * doc can ever flag it (a flagging partner must share a bucket),
+    * and step (a) already cleared it against every smaller survivor —
+    * and (c) re-probes the remaining undecided against the JUST
+    * promoted minima, so a fresh duplicate class (min promotes,
+    * members flag) fully decides in ONE round instead of two.
+    * Promoted docs can never match each other (two P members sharing
+    * a bucket would contradict both being bucket minima), so (c)
+    * cannot flag a promotion. The smallest undecided id always
+    * decides, so rounds are bounded by the longest undecided
+    * dependency chain — 1-2 on real corpora. Per round ONE round-state
+    * frame localCheckpoints (all decision flags are chained
+    * batch-bounded broadcast joins — the job count per round is what
+    * kills iterative operators, the CC discipline); history is
+    * re-scanned once per round (scan-linear, rounds bounded);
+    * constraint propagation off. Round frames stay referenced by the
+    * returned lazy state (the Dedup-wide caller-releases contract).
+    */
+  def minhashDedupFoldSurvivors(prev: Option[DataFrame], batch: DataFrame,
+      idCol: String, textCol: String, mode: String = "word", n: Int = 3,
+      numHashes: Int = 128, bands: Int = 0,
+      tauNum: Int = 1, tauDen: Int = 2, maxRounds: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val bandsEff = effectiveBands(numHashes, bands, tauNum, tauDen)
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.get(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+      val sigsB = Parallelism.ensure(batch)
+        .select(col(idCol).as("id"),
+          minhash_sig_text(col(textCol), mode, n, numHashes).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def bandsOf(df: DataFrame) = df.select(col("id"),
+        explode(minhash_bands(col("sig"), bandsEff)).as("__band"))
+      val agreeExpr = expr(
+        "aggregate(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, 0)), " +
+          s"0, (a, b) -> a + b) * $tauDen >= $numHashes * $tauNum")
+      // the history survivor pool is LAZY and re-scanned per round
+      // (rounds are bounded); batch-bounded decision frames broadcast
+      val histSurv = prev.map(_.filter(!col("is_dup"))
+        .select(col("id"), col("sig")))
+      // verified-match ids of `probe` docs against a survivor pool —
+      // the base fold's committed plan shape: probe side broadcasts,
+      // the pool streams through exchange-free
+      def matchedVs(probe: DataFrame, pool: DataFrame): DataFrame = {
+        val cand = broadcast(bandsOf(probe).as("x"))
+          .join(bandsOf(pool).as("y"),
+            col("x.__band") === col("y.__band") &&
+              col("y.id") < col("x.id"))
+          .select(col("x.id").as("id_b"), col("y.id").as("id_a"))
+          .distinct()
+        broadcast(cand)
+          .join(pool.select(col("id").as("id_a"), col("sig").as("__sa")),
+            "id_a")
+          .join(broadcast(probe
+            .select(col("id").as("id_b"), col("sig").as("__sb"))), "id_b")
+          .filter(agreeExpr)
+          .select(col("id_b").as("id")).distinct()
+      }
+      var undecided = sigsB.localCheckpoint(true)
+      var survFrames = List.empty[DataFrame] // per-round (id, sig) promotions
+      var dupFrames = List.empty[DataFrame]  // per-round flagged ids
+      var rounds = 0
+      var remaining = undecided.count()
+      while (remaining > 0) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"minhashDedupFoldSurvivors: undecided docs remain after " +
+            s"$maxRounds rounds — the batch holds a band-collision " +
+            "chain deeper than maxRounds; raise maxRounds")
+        val poolSigs = (histSurv.toSeq ++ survFrames)
+          .reduceOption(_ unionByName _)
+        // (a) flagged against the current pool. Each decision frame
+        // CHECKPOINTS before feeding the next: chaining them lazily
+        // into one plan makes Catalyst's sizeInBytes statistics
+        // multiply through the self-referencing joins until the
+        // BigInt estimates reach millions of digits and the PLANNER
+        // (not the jobs) burns minutes in BigInteger.multiply —
+        // observed live at 10x before these checkpoints
+        val dupNow = poolSigs.map(p => matchedVs(undecided, p)
+            .localCheckpoint(true))
+          .getOrElse(undecided.select(col("id")).limit(0))
+        // (b) promotions: minimum undecided id in EVERY occupied band
+        // bucket (a smaller flagging partner would share one), and not
+        // itself flagged this round
+        val ub = bandsOf(undecided)
+        val bucketMin = ub.groupBy(col("__band"))
+          .agg(min(col("id")).as("__bmin"))
+        val promoteIds = ub.join(bucketMin, "__band")
+          .groupBy(col("id")).agg(min(col("__bmin")).as("__m"))
+          .filter(col("__m") === col("id")).select(col("id"))
+          .join(dupNow.select(col("id").as("__dd")),
+            col("id") === col("__dd"), "left_anti")
+          .localCheckpoint(true)
+        val promoSigs = undecided
+          .join(broadcast(promoteIds.select(col("id").as("__pp"))),
+            col("id") === col("__pp"), "left_semi")
+        // (c) second probe vs the just-promoted minima: a fresh class
+        // decides fully this round (promotions cannot match each other
+        // — two bucket-sharing minima contradict)
+        val dup2 = matchedVs(undecided, promoSigs).localCheckpoint(true)
+        val round = undecided
+          .join(broadcast(dupNow.withColumn("__d", lit(true))), Seq("id"),
+            "left")
+          .join(broadcast(dup2.withColumn("__d2", lit(true))), Seq("id"),
+            "left")
+          .join(broadcast(promoteIds.withColumn("__p", lit(true))),
+            Seq("id"), "left")
+          .select(col("id"), col("sig"),
+            when(coalesce(col("__d"), lit(false)) ||
+              coalesce(col("__d2"), lit(false)), lit("d"))
+              .when(coalesce(col("__p"), lit(false)), lit("s"))
+              .otherwise(lit("u")).as("__st"))
+          .localCheckpoint(true)
+        if (sys.env.contains("GRAFT_SURV_DEBUG"))
+          // scalastyle:off println
+          System.err.println(s"[survfold] round $rounds: " +
+            round.groupBy(col("__st")).count().collect().toSeq)
+          // scalastyle:on println
+        survFrames = survFrames :+
+          round.filter(col("__st") === "s").select(col("id"), col("sig"))
+        dupFrames = dupFrames :+
+          round.filter(col("__st") === "d").select(col("id"))
+        undecided = round.filter(col("__st") === "u")
+          .select(col("id"), col("sig"))
+        remaining = undecided.count()
+      }
+      val dupIds = dupFrames.reduceOption(_ unionByName _)
+        .getOrElse(sigsB.select(col("id")).limit(0))
+      val stateB = sigsB
+        .join(broadcast(dupIds.withColumn("__d", lit(true))
+          .select(col("id"), col("__d"))), Seq("id"), "left")
+        .select(col("id"), col("sig"),
+          coalesce(col("__d"), lit(false)).as("is_dup"))
+      prev.map(_.unionByName(stateB)).getOrElse(stateB)
+    } finally spark.conf.set(cpKey, cpPrev)
+  }
+
   /** Near-dup candidate pairs from minhash SIGNATURES alone — the exact
     * decision rule [[minhashDedupFold]] applies per batch (band-bucket
     * candidate generation + integer signature-agreement estimate

@@ -66,6 +66,35 @@ object DedupQueries8 {
         .select($"id".as("doc_id"), $"is_dup".cast("long").as("is_dup"))
     },
 
+    // `dedup_incremental_survivors` — the SURVIVOR-POOL form (round 14,
+    // VERDICT r13 task 1): the greedy keep-first rule via
+    // [[Dedup.minhashDedupFoldSurvivors]] — a doc is dup iff a smaller-id
+    // SURVIVOR band-matches it and clears the agreement estimate, so
+    // history's dup rows are never probed and a duplicate class of any
+    // depth contributes ONE representative to the band pool (the
+    // committed full-history form above is duplicate-depth-quadratic at
+    // 100x — 29.3 s; this is the scan-linear operational shape). The
+    // greedy rule is split-invariant for in-order crawls (a doc's
+    // decision reads only smaller-id decisions), so the oracle needs no
+    // snapshot boundary beyond the output filter: one global greedy fold
+    // over the id-ordered match graph. It also carries the retention
+    // guarantee the neighbor rule lacks: every dropped doc matched a
+    // KEPT doc (on an A~B~C, A≁C chain this keeps C; the base fold
+    // drops it with no kept representative).
+    "dedup_incremental_survivors" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val mid = docs.agg(expr("(min(doc_id) + max(doc_id)) DIV 2"))
+        .head().getLong(0)
+      val prior = Dedup.minhashDedupFoldSurvivors(None,
+          docs.filter($"doc_id" <= mid), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val state = Dedup.minhashDedupFoldSurvivors(Some(prior),
+        docs.filter($"doc_id" > mid), "doc_id", "text")
+      state.filter($"id" > mid)
+        .select($"id".as("doc_id"), $"is_dup".cast("long").as("is_dup"))
+    },
+
     // `dedup_incremental_sem` — the SEMANTIC twin: crawl N+1's vectors
     // against the pinned SemDeDup fold state (Dedup.semanticDedupFold:
     // nearest-centroid cell assignment — argmax cosine, ties to the
@@ -125,6 +154,57 @@ object DedupQueries8 {
          |FROM sig sa JOIN sig sb ON sb.doc_id < sa.doc_id
          |WHERE sa.doc_id > (SELECT m FROM mid)
          |GROUP BY sa.doc_id""".stripMargin,
+
+    // the greedy keep-first rule: the same per-pair match predicate as
+    // dedup_incremental (value-slice band + 64/128 agreement — the
+    // hashed-key-superset parity argument carries unchanged, because
+    // both engines fold the SAME match graph), then one id-ordered
+    // list_reduce with a survivor-LIST accumulator (list state — the
+    // round-12 struct-mutation rule) whose element 1 is the derived
+    // empty-acc init (the round-13 idiom). Each element encodes
+    // [doc_id, partner...]; a doc appends itself iff none of its
+    // smaller matched partners is already a survivor; final is_dup =
+    // not in the survivor list. The fold NEVER returns `acc` bare:
+    // DuckDB 1.0's CASE WHEN .. THEN acc inside list_reduce ALIASES
+    // the accumulator and corrupts it on the next iteration (probed:
+    // a 4-element fold lost its first survivor) — route the identity
+    // branch through list_concat(acc, []) instead. Split-invariance
+    // makes the mid boundary an output filter only, exactly as
+    // dedup_incremental.
+    "dedup_incremental_survivors" ->
+      s"""WITH s AS (SELECT doc_id, ${DedupQueries3.shingles3} AS sh
+         |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |  ${DedupQueries3.minhashSigList} AS sig
+         |  FROM s),
+         |mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS m
+         |  FROM documents),
+         |pr AS (SELECT sa.doc_id AS a, sb.doc_id AS b
+         |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+         |  WHERE len(list_filter(range(0, 64), gg ->
+         |      sa.sig[CAST(gg * 2 + 1 AS INT)] = sb.sig[CAST(gg * 2 + 1 AS INT)]
+         |      AND sa.sig[CAST(gg * 2 + 2 AS INT)] = sb.sig[CAST(gg * 2 + 2 AS INT)]
+         |    )) > 0
+         |    AND len(list_filter(range(0, 128), gk ->
+         |      sa.sig[CAST(gk + 1 AS INT)] = sb.sig[CAST(gk + 1 AS INT)]
+         |    )) * 2 >= 128),
+         |dl AS (SELECT d.doc_id AS i,
+         |    coalesce(list(pr.a) FILTER (pr.a IS NOT NULL),
+         |      CAST([] AS BIGINT[])) AS ps
+         |  FROM documents d LEFT JOIN pr ON pr.b = d.doc_id
+         |  GROUP BY d.doc_id),
+         |fold AS (SELECT list_reduce(
+         |    list_concat([CAST([] AS BIGINT[])],
+         |      list(list_concat([i], ps) ORDER BY i)),
+         |    (acc, d) -> list_concat(acc,
+         |      CASE WHEN list_has_any(acc, d[2:])
+         |           THEN CAST([] AS BIGINT[]) ELSE [d[1]] END)) AS st
+         |  FROM dl)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN list_contains((SELECT st FROM fold), d.doc_id)
+         |       THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM documents d
+         |WHERE d.doc_id > (SELECT m FROM mid)""".stripMargin,
 
     // the fold rule over all smaller ids (split-invariant, as above):
     // argmax-cell assignment (cos DESC, cid ASC), same-cell LEFT join

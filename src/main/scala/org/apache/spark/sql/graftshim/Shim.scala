@@ -12,4 +12,39 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager localCheckpoint that DISCARDS the origin plan's statistics.
+    *
+    * `Dataset.localCheckpoint` rewrites the ORIGIN plan's stats onto
+    * the new LogicalRDD (LogicalRDD.rewriteStatsAndConstraints), so an
+    * iterative operator whose round plan joins its own checkpointed
+    * frames k times inherits sizeInBytes ≈ prev^k — repeated squaring
+    * across rounds. By round 5-6 the BigInt estimates carry MILLIONS
+    * of digits and the PLANNER (not the jobs) burns minutes inside
+    * BigInteger.multiply while merely checkpointing (observed live:
+    * Dedup.minhashDedupFoldSurvivors at 10x, main thread pinned in
+    * Toom-Cook multiplication under SizeInBytesOnlyStatsPlanVisitor).
+    * This wrapper materializes the checkpoint once, then rebuilds the
+    * LogicalRDD with a FIXED declared size, cutting the growth chain.
+    * Use it for every checkpoint inside a loop whose next iteration
+    * joins the result more than once; the declared size only matters
+    * to join-strategy choice (callers there broadcast() explicitly,
+    * and AQE re-plans exchanges from runtime sizes anyway).
+    */
+  def freshStatsCheckpoint(df: org.apache.spark.sql.DataFrame,
+      sizeInBytes: BigInt = BigInt(1) << 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    val ck = df.localCheckpoint(true)
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val spark = ck.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val fresh = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(spark,
+          Some(Statistics(sizeInBytes = sizeInBytes)), None)
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, fresh)
+      case _ => ck
+    }
+  }
 }
