@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
 import graft.functions.GraftFunctions._
 
 /** Deduplication family (SURVEY.md §2.3), designed for 100 TB:
@@ -605,13 +606,22 @@ object Dedup {
     * a bucket would contradict both being bucket minima), so (c)
     * cannot flag a promotion. The smallest undecided id always
     * decides, so rounds are bounded by the longest undecided
-    * dependency chain — 1-2 on real corpora. Per round ONE round-state
-    * frame localCheckpoints (all decision flags are chained
-    * batch-bounded broadcast joins — the job count per round is what
-    * kills iterative operators, the CC discipline); history is
-    * re-scanned once per round (scan-linear, rounds bounded);
-    * constraint propagation off. Round frames stay referenced by the
-    * returned lazy state (the Dedup-wide caller-releases contract).
+    * dependency chain — 1-2 on real corpora. Every in-loop checkpoint
+    * goes through [[Shim.freshStatsCheckpoint]], NOT plain
+    * localCheckpoint: localCheckpoint re-inherits the origin plan's
+    * multiplied sizeInBytes, and because each round's frames feed the
+    * next round's self-referencing joins the stats grow by repeated
+    * squaring — by a few rounds the BigInt estimates carry millions of
+    * digits and the PLANNER burns unbounded single-core CPU in
+    * BigInteger.multiply (observed live at 10x: main thread pinned in
+    * Toom-Cook multiplication under SizeInBytesOnlyStatsPlanVisitor;
+    * DNF at sf0.1 with plain localCheckpoint). The fixed declared size
+    * is safe here: every join in the loop broadcasts explicitly and
+    * AQE re-plans exchanges from runtime sizes. SurvivorFoldSpec pins
+    * the bounded-stats invariant. History is re-scanned once per round
+    * (scan-linear, rounds bounded); constraint propagation off. Round
+    * frames stay referenced by the returned lazy state (the Dedup-wide
+    * caller-releases contract).
     */
   def minhashDedupFoldSurvivors(prev: Option[DataFrame], batch: DataFrame,
       idCol: String, textCol: String, mode: String = "word", n: Int = 3,
@@ -654,7 +664,7 @@ object Dedup {
           .filter(agreeExpr)
           .select(col("id_b").as("id")).distinct()
       }
-      var undecided = sigsB.localCheckpoint(true)
+      var undecided = Shim.freshStatsCheckpoint(sigsB)
       var survFrames = List.empty[DataFrame] // per-round (id, sig) promotions
       var dupFrames = List.empty[DataFrame]  // per-round flagged ids
       var rounds = 0
@@ -668,14 +678,13 @@ object Dedup {
         val poolSigs = (histSurv.toSeq ++ survFrames)
           .reduceOption(_ unionByName _)
         // (a) flagged against the current pool. Each decision frame
-        // CHECKPOINTS before feeding the next: chaining them lazily
-        // into one plan makes Catalyst's sizeInBytes statistics
-        // multiply through the self-referencing joins until the
-        // BigInt estimates reach millions of digits and the PLANNER
-        // (not the jobs) burns minutes in BigInteger.multiply —
-        // observed live at 10x before these checkpoints
-        val dupNow = poolSigs.map(p => matchedVs(undecided, p)
-            .localCheckpoint(true))
+        // checkpoints with FRESH (fixed) stats before feeding the
+        // next: a plain localCheckpoint re-inherits the origin plan's
+        // multiplied sizeInBytes and the self-referencing joins square
+        // the estimates every round until the planner drowns in
+        // BigInteger.multiply (see the scaladoc above / Shim).
+        val dupNow = poolSigs.map(p =>
+            Shim.freshStatsCheckpoint(matchedVs(undecided, p)))
           .getOrElse(undecided.select(col("id")).limit(0))
         // (b) promotions: minimum undecided id in EVERY occupied band
         // bucket (a smaller flagging partner would share one), and not
@@ -683,20 +692,20 @@ object Dedup {
         val ub = bandsOf(undecided)
         val bucketMin = ub.groupBy(col("__band"))
           .agg(min(col("id")).as("__bmin"))
-        val promoteIds = ub.join(bucketMin, "__band")
+        val promoteIds = Shim.freshStatsCheckpoint(ub
+          .join(bucketMin, "__band")
           .groupBy(col("id")).agg(min(col("__bmin")).as("__m"))
           .filter(col("__m") === col("id")).select(col("id"))
           .join(dupNow.select(col("id").as("__dd")),
-            col("id") === col("__dd"), "left_anti")
-          .localCheckpoint(true)
+            col("id") === col("__dd"), "left_anti"))
         val promoSigs = undecided
           .join(broadcast(promoteIds.select(col("id").as("__pp"))),
             col("id") === col("__pp"), "left_semi")
         // (c) second probe vs the just-promoted minima: a fresh class
         // decides fully this round (promotions cannot match each other
         // — two bucket-sharing minima contradict)
-        val dup2 = matchedVs(undecided, promoSigs).localCheckpoint(true)
-        val round = undecided
+        val dup2 = Shim.freshStatsCheckpoint(matchedVs(undecided, promoSigs))
+        val round = Shim.freshStatsCheckpoint(undecided
           .join(broadcast(dupNow.withColumn("__d", lit(true))), Seq("id"),
             "left")
           .join(broadcast(dup2.withColumn("__d2", lit(true))), Seq("id"),
@@ -707,8 +716,7 @@ object Dedup {
             when(coalesce(col("__d"), lit(false)) ||
               coalesce(col("__d2"), lit(false)), lit("d"))
               .when(coalesce(col("__p"), lit(false)), lit("s"))
-              .otherwise(lit("u")).as("__st"))
-          .localCheckpoint(true)
+              .otherwise(lit("u")).as("__st")))
         if (sys.env.contains("GRAFT_SURV_DEBUG"))
           // scalastyle:off println
           System.err.println(s"[survfold] round $rounds: " +
