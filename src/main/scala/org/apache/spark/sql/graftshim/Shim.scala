@@ -21,15 +21,20 @@ object Shim {
     * frames k times inherits sizeInBytes ≈ prev^k — repeated squaring
     * across rounds. By round 5-6 the BigInt estimates carry MILLIONS
     * of digits and the PLANNER (not the jobs) burns minutes inside
-    * BigInteger.multiply while merely checkpointing (observed live:
-    * Dedup.minhashDedupFoldSurvivors at 10x, main thread pinned in
-    * Toom-Cook multiplication under SizeInBytesOnlyStatsPlanVisitor).
+    * BigInteger.multiply while merely checkpointing (observed live in
+    * the pre-round-16 promotion-loop form of
+    * Dedup.minhashDedupFoldSurvivors at 10x: main thread pinned in
+    * Toom-Cook multiplication under SizeInBytesOnlyStatsPlanVisitor;
+    * the fold is round-free now, but any future checkpointed loop
+    * re-enters this class).
     * This wrapper materializes the checkpoint once, then rebuilds the
     * LogicalRDD with a FIXED declared size, cutting the growth chain.
     * Use it for every checkpoint inside a loop whose next iteration
     * joins the result more than once; the declared size only matters
     * to join-strategy choice (callers there broadcast() explicitly,
     * and AQE re-plans exchanges from runtime sizes anyway).
+    * ShimStatsSpec pins the fixed-stats contract (and the inherited
+    * blowup it prevents).
     */
   def freshStatsCheckpoint(df: org.apache.spark.sql.DataFrame,
       sizeInBytes: BigInt = BigInt(1) << 20): org.apache.spark.sql.DataFrame = {
@@ -44,7 +49,15 @@ object Shim {
           lr.outputOrdering, lr.isStreaming, lr.stream)(spark,
           Some(Statistics(sizeInBytes = sizeInBytes)), None)
         org.apache.spark.sql.classic.Dataset.ofRows(spark, fresh)
-      case _ => ck
+      case other =>
+        // a future Spark may stop planning localCheckpoint as a bare
+        // LogicalRDD — falling back silently would quietly re-admit the
+        // inherited-stats blowup class, so make the regression loud
+        System.err.println(
+          s"[graft][WARN] freshStatsCheckpoint: post-checkpoint plan is " +
+            s"${other.getClass.getSimpleName}, not LogicalRDD — declared " +
+            "stats NOT applied; inherited estimates may grow in loops")
+        ck
     }
   }
 }

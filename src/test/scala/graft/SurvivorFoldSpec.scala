@@ -73,6 +73,25 @@ class SurvivorFoldSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("distributed path == small-batch fast path (forced via smallBatchDocs=0)") {
+    import spark.implicits._
+    // the chain + a deep class + singletons, one shot: the forced
+    // distributed path (sig collapse + bucket kernels + CC + component
+    // sweeps) must decide exactly what the single-task sweep decides
+    val copy = (1 to 12).map(i => f"gamma$i%02d").mkString(" ")
+    val docs = chain.unionByName(
+      ((10L to 17L).map(i => (i, copy)) ++ Seq(
+        (20L, (1 to 12).map(i => f"delta$i%02d").mkString(" "))))
+        .toDF("doc_id", "text"))
+    val fast = Dedup.minhashDedupFoldSurvivors(None, docs, "doc_id", "text",
+      mode = "word", n = 1, tauNum = 1, tauDen = 3)
+    val dist = Dedup.minhashDedupFoldSurvivors(None, docs, "doc_id", "text",
+      mode = "word", n = 1, tauNum = 1, tauDen = 3, smallBatchDocs = 0L)
+    assert(canon(dist) === canon(fast))
+    assert(canon(dist).filter(!_._2).map(_._1) === Seq(1L, 3L, 10L, 20L))
+    GraftSession.release(spark)
+  }
+
   test("every dropped doc has a verified KEPT partner (retention invariant)") {
     // on the real corpus: base-fold chains may strand docs; the greedy
     // rule may not — check via the pair rule itself
