@@ -161,4 +161,48 @@ object SpanDedup {
         coalesce(col("n_runs_removed"), lit(0L)).as("n_runs_removed"),
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
+
+  /** LINE-level exact dedup — C4/CCNet's other granularity (round 16,
+    * VERDICT r13 task 6): every distinct line keeps only its FIRST
+    * occurrence in (doc id, line position) order across the whole
+    * corpus; all later occurrences are removed and each document's
+    * text is rebuilt from its surviving lines in order. This is the
+    * boilerplate killer for headers/footers/navigation chrome that
+    * repeats verbatim across pages where n-gram spans are overkill.
+    *
+    * Scale shape — linear in total lines, no document pair ever
+    * compared: one groupBy(line) with a map-side partial min(struct)
+    * picks each line's first occurrence, one line-keyed join flags
+    * occurrences, one per-doc groupBy rebuilds (state bounded by
+    * document length). The shuffle key is the line STRING (exactly the
+    * oracle's grouping — no hash-collision caveat); at 100 TB the
+    * per-line payload stays bounded by line width.
+    *
+    * Returns one row per document:
+    * (doc_id, clean_text, n_lines, n_kept, n_removed).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val occ = Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
+    val first = occ.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    occ.join(first, "line")
+      .select(col("doc_id"), col("pos"), col("line"),
+        (col("doc_id") === col("f.doc_id") &&
+          col("pos") === col("f.pos")).as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the when() leaves for removed
+        // lines; struct sort restores document order
+        array_join(transform(array_sort(
+            collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+          x => x.getField("line")), delim).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_lines"),
+        col("n_kept"), (col("n_lines") - col("n_kept")).as("n_removed"))
+  }
 }

@@ -36,6 +36,28 @@ object CorpusQueries4 {
         n = 5, minDocs = 2, minRun = 50)
     },
 
+    // LINE-level exact dedup (round 16 — C4/CCNet's other half next to
+    // the span rules above): every distinct line keeps only its FIRST
+    // (doc, position) occurrence corpus-wide; later occurrences drop
+    // and the text rebuilds from surviving lines. The corpus has no
+    // physical newlines, so lines are DERIVED deterministically first:
+    // 12-token segments joined by \n (the corpus_chunk fixed-grid
+    // idiom) — exact duplicate docs and grid-aligned shared runs make
+    // a real split (probed at sf0.01: 110 of 2477 lines removed across
+    // 38 docs). SpanDedup.dedupLines is the operator; its shuffle key
+    // is the line STRING, exactly the oracle's grouping.
+    "corpus_line_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SpanDedup
+      val lined = Tables.load(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", array_join(transform(
+            sequence(lit(0), ((size($"toks") - 1) / 12).cast("int")),
+            g => array_join(slice($"toks", g * 12 + 1, lit(12)), " ")),
+          "\n").as("lined"))
+      SpanDedup.dedupLines(lined, "doc_id", "lined")
+    },
+
     // pairwise corpus comparison: vocabulary Jaccard between sources —
     // distinct (source, token) table (O(vocab), partial-distinct
     // collapse), self-joined on token for intersections, sizes joined
@@ -200,6 +222,32 @@ object CorpusQueries4 {
         |  coalesce(a.max_run, 0) AS max_run
         |FROM ws LEFT JOIN kept k USING (doc_id)
         |LEFT JOIN audit a USING (doc_id)""".stripMargin,
+
+    // same derived 12-token grid; first occurrence = row_number 1 over
+    // (doc_id, pos) — identical to the operator's min(struct) rule.
+    // coalesce the all-removed render (array_to_string over an empty
+    // FILTERed list is NULL where Spark's array_join gives '')
+    "corpus_line_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST(g AS INT) AS pos,
+        |    array_to_string(list_slice(w, CAST(g * 12 + 1 AS INT),
+        |      CAST(g * 12 + 12 AS INT)), ' ') AS line
+        |  FROM ws, unnest(range(0, (len(w) - 1) // 12 + 1)) AS t(g)),
+        |r AS (
+        |  SELECT doc_id, pos, line,
+        |    CASE WHEN row_number()
+        |        OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM seg)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(line ORDER BY pos)
+        |    FILTER (keep = 1), chr(10)), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(keep) AS BIGINT) AS n_removed
+        |FROM r GROUP BY doc_id""".stripMargin,
 
     "corpus_vocab_overlap" ->
       """WITH v AS (

@@ -187,7 +187,9 @@ object RelationalQueries21 {
     // scan (O(partitions) driver state), identical arithmetic:
     // Σ_group1(2r + cnt − 1) = Σ_y n1_y·(2(1 + C(<y)) + n_y − 1).
     // The tie term folds in the SAME rollup, so the fact table is
-    // scanned once and nothing persists; the customer join broadcasts.
+    // scanned once; the customer join broadcasts. (PrefixSum itself
+    // persists its bucketed frame internally — two passes over it —
+    // released by the caller-releases sweep, not by this query.)
     "q131_mwu" -> { (s, dir) =>
       import s.implicits._
       val cust = Tables.load(s, dir, "customer")
@@ -205,8 +207,13 @@ object RelationalQueries21 {
           sum($"n1y" * (lit(2L) * (lit(1L) + $"cless") + $"ny" - lit(1L)))
             .as("r2_1"),
           sum($"ny" * $"ny" * $"ny" - $"ny").as("tsum"))
+        // guard the empty-group case: the oracle's conditional sum is
+        // NULL over zero group-1 rows where Spark's sum-of-zeros is 0 —
+        // null out r2_1 (hence u1_x2) when n1 = 0 so both engines emit
+        // NULL on degenerate data
         .select($"n1", $"n2",
-          ($"r2_1" - $"n1" * ($"n1" + lit(1L))).as("u1_x2"), $"tsum")
+          (when($"n1" > 0, $"r2_1") - $"n1" * ($"n1" + lit(1L)))
+            .as("u1_x2"), $"tsum")
         // tie-corrected Var = n1·n2/12·((n+1) − T/(n(n−1))) as ONE
         // committed tree; all-tied data drives it to 0 — null z
         // rather than an ANSI double DIVIDE_BY_ZERO (the q105 class)

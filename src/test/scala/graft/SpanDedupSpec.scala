@@ -92,4 +92,43 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2L)._3 === 30L)
     assert(out(3L)._2 === 0L)
   }
+
+  test("line dedup keeps only the first occurrence of planted boilerplate") {
+    import spark.implicits._
+    val nav = "home | products | about us | contact"
+    val docs = Seq(
+      (1L, s"$nav\nwelcome to the first page\nunique body one"),
+      (2L, s"$nav\nunique body two"),
+      (3L, s"unique body three\n$nav"),
+      (4L, "totally original page with no chrome")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1 holds the first occurrence — everything survives
+    assert(out(1L) === ((s"$nav\nwelcome to the first page\nunique body one",
+      3L, 3L, 0L)))
+    // later occurrences drop, surviving lines keep document order
+    assert(out(2L) === (("unique body two", 2L, 1L, 1L)))
+    assert(out(3L) === (("unique body three", 2L, 1L, 1L)))
+    assert(out(4L) === (("totally original page with no chrome", 1L, 1L, 0L)))
+    GraftSession.release(spark)
+  }
+
+  test("line dedup: a doc that is all boilerplate rebuilds to empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "repeated line"),
+      (2L, "repeated line"),
+      (3L, "repeated line\nrepeated line")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(4)))).toMap
+    assert(out(1L) === (("repeated line", 0L)))
+    assert(out(2L) === (("", 1L)))
+    // within-doc repetition drops too (pos 0 of doc 1 is the keeper)
+    assert(out(3L) === (("", 2L)))
+    GraftSession.release(spark)
+  }
 }
