@@ -24,7 +24,7 @@ object Trend {
     * arrays): l′ = 0.5(x−s1)+0.5(l+b); b′ = 0.25(x−s1)−0.25l+0.75b;
     * s′ = 0.25x+0.75s1−0.25l−0.25b; the season queue rotates.
     */
-  val wintersUpd: String = """(acc, x) -> array(
+  private val updArray: String = """array(
     0.5D * (x - element_at(acc, 3))
       + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
     0.25D * (x - element_at(acc, 3))
@@ -33,6 +33,21 @@ object Trend {
     element_at(acc, 7), element_at(acc, 8), element_at(acc, 9),
     0.25D * x + 0.75D * element_at(acc, 3)
       - 0.25D * element_at(acc, 1) - 0.25D * element_at(acc, 2))"""
+
+  val wintersUpd: String = s"(acc, x) -> $updArray"
+
+  /** [[wintersUpd]] extended with a one-step-ahead FORECAST tail: the
+    * accumulator is [l, b, s1..s7] ++ (forecasts so far), and each
+    * step appends l + b + s1 — the model's prediction for the incoming
+    * day, read BEFORE folding it — so position j of the tail is the
+    * one-step forecast for the j-th folded day. Built from the same
+    * `updArray` text as [[wintersUpd]], so the 9 state slots cannot
+    * drift between the plain and residual folds. All reads come from
+    * the incoming `acc` (the round-12 list-accumulator rule).
+    */
+  val wintersResidUpd: String = s"""(acc, x) -> concat($updArray,
+    slice(acc, 10, CAST(size(acc) - 9 AS INT)),
+    array(element_at(acc, 1) + element_at(acc, 2) + element_at(acc, 3)))"""
 
   /** Init + fold of the Winters state over a day-ordered xs double
     * array with ≥ 7 elements: l₀ = strict-fold mean of the first 7,
@@ -53,6 +68,47 @@ object Trend {
         CAST(0.0 AS DOUBLE),
         $seasons),
       $wintersUpd)"""
+  }
+
+  /** [[wintersFoldSql]] with the [[wintersResidUpd]] recurrence: the
+    * result is [l, b, s1..s7] ++ one-step forecasts for days 8..n —
+    * slice(·, 1, 9) is exactly the plain fold's model, slice(·, 10, …)
+    * aligns with xs positions 8..n.
+    */
+  def wintersResidSql(xs: String): String = {
+    val l0 = s"aggregate(slice($xs, 1, 7), CAST(0.0 AS DOUBLE), " +
+      "(a, x) -> a + x) / 7.0D"
+    val seasons = (1 to 7)
+      .map(i => s"element_at($xs, $i) - $l0").mkString(",\n        ")
+    s"""aggregate(
+      slice($xs, 8, CAST(size($xs) - 7 AS INT)),
+      array($l0,
+        CAST(0.0 AS DOUBLE),
+        $seasons),
+      $wintersResidUpd)"""
+  }
+
+  /** MAD anomaly flags over a one-step-residual frame
+    * (event_type, day, x, fc, resid) — the tail SHARED by batch
+    * q134_winters_resid and the streaming
+    * `StreamingOps.wintersResiduals` reader. The threshold is the
+    * RATIONAL k·MAD rule (k = 5 by default, no 1.4826σ scaling — libm-
+    * free, so both engines replay it): MAD is the ceil(m/2)-th
+    * smallest |resid| (the q68 quantile_disc rank rule), selected from
+    * one sorted double array — bit-stable across engines. mad = 0
+    * (over half the residuals exactly zero) flags every nonzero
+    * residual; deterministic on both sides.
+    */
+  def madFlags(resid: DataFrame, k: Double = 5.0): DataFrame = {
+    val mads = resid.groupBy(col("event_type"))
+      .agg(expr("array_sort(collect_list(abs(resid)))").as("sr"))
+      .select(col("event_type"),
+        expr("element_at(sr, CAST((size(sr) + 1) DIV 2 AS INT))").as("mad"))
+    resid.join(broadcast(mads), "event_type")
+      .select(col("event_type"), col("day"), col("x"), col("fc"),
+        col("resid"), col("mad"),
+        (abs(col("resid")) > lit(k) * col("mad"))
+          .cast("long").as("is_anomaly"))
   }
 
   /** Single mean-shift changepoint: top-1 split by between-segment

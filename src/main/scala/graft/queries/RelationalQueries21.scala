@@ -71,6 +71,39 @@ object RelationalQueries21 {
             " + element_at(st, CAST(h + 2 AS INT))").as("forecast"))
     },
 
+    // `q134_winters_resid` — WINTERS RESIDUAL ANOMALIES (round 16 —
+    // VERDICT r13 task 4's batch twin): per (event_type, day 8..n) the
+    // one-step-ahead residual x − (l + b + s1 read BEFORE folding the
+    // day — Trend.wintersResidUpd shares q129's recurrence text with a
+    // forecast tail, so model slots cannot drift), flagged by the
+    // rational k·MAD rule (Trend.madFlags: MAD = ceil(m/2)-th smallest
+    // |resid| from one sorted array — bit-stable, no libm). The
+    // streaming face is StreamingOps.wintersResiduals over the fc rows
+    // wintersMaintained accumulates. Scale: one (type, day) rollup,
+    // folds on ≤|types| day-bounded arrays, MAD join broadcasts.
+    "q134_winters_resid" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables.events(s, dir)
+        .groupBy($"event_type", $"ts".cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .groupBy($"event_type")
+        .agg(expr("array_sort(collect_list(struct(day, x)))").as("dx"))
+        .select($"event_type",
+          expr("transform(dx, r -> r.day)").as("ds"),
+          expr("transform(dx, r -> r.x)").as("xs"))
+        .filter(size($"xs") >= 8)
+        .withColumn("stfc",
+          expr(graft.operators.Trend.wintersResidSql("xs")))
+        .select($"event_type", $"ds", $"xs",
+          posexplode(expr("slice(stfc, 10, CAST(size(stfc) - 9 AS INT))"))
+            .as(Seq("j0", "fc")))
+        .select($"event_type",
+          expr("element_at(ds, CAST(j0 + 8 AS INT))").as("day"),
+          expr("element_at(xs, CAST(j0 + 8 AS INT))").as("x"), $"fc")
+        .withColumn("resid", $"x" - $"fc")
+      graft.operators.Trend.madFlags(base)
+    },
+
     // `q133_changepoints` — BINARY SEGMENTATION depth 2: q124 finds
     // the single best mean-shift split; this recurses once — split
     // the daily-revenue series at the best t₁, then take the better
@@ -311,6 +344,61 @@ object RelationalQueries21 {
          |    AS forecast
          |FROM st CROSS JOIN
          |  (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h)""".stripMargin
+    },
+
+    // q129's list_reduce fold with the forecast-tail accumulator: each
+    // step appends acc[1]+acc[2]+acc[3] (the pre-fold one-step
+    // forecast) after the 9 updated slots — all reads from the
+    // incoming acc (the round-12 LIST-accumulator rule). Tail index gi
+    // aligns with xs position 7+gi and stfc position 9+gi.
+    "q134_winters_resid" -> {
+      val zeros = Seq.fill(8)("CAST(0.0 AS DOUBLE)").mkString(", ")
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS DOUBLE) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    list(x ORDER BY day) AS xs, list(day ORDER BY day) AS ds
+         |  FROM daily GROUP BY event_type),
+         |ini AS (SELECT event_type, n_days, ds, xs,
+         |    list_reduce(xs[1:7], (ga, gx) -> ga + gx)
+         |      / CAST(7.0 AS DOUBLE) AS l0
+         |  FROM sx WHERE n_days >= 8),
+         |st AS (SELECT event_type, n_days, ds, xs,
+         |    list_reduce(
+         |      list_concat(
+         |        [[l0, CAST(0.0 AS DOUBLE),
+         |          xs[1] - l0, xs[2] - l0, xs[3] - l0, xs[4] - l0,
+         |          xs[5] - l0, xs[6] - l0, xs[7] - l0]],
+         |        list_transform(xs[8:CAST(n_days AS INT)],
+         |          gx -> [gx, $zeros])),
+         |      (acc, e) -> list_concat(list_concat([
+         |        CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+         |          + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+         |        CAST(0.25 AS DOUBLE) * (e[1] - acc[3])
+         |          - CAST(0.25 AS DOUBLE) * acc[1]
+         |          + CAST(0.75 AS DOUBLE) * acc[2],
+         |        acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+         |        CAST(0.25 AS DOUBLE) * e[1]
+         |          + CAST(0.75 AS DOUBLE) * acc[3]
+         |          - CAST(0.25 AS DOUBLE) * acc[1]
+         |          - CAST(0.25 AS DOUBLE) * acc[2]],
+         |        acc[10:len(acc)]),
+         |        [acc[1] + acc[2] + acc[3]])) AS stfc
+         |  FROM ini),
+         |r AS (SELECT event_type,
+         |    ds[CAST(gi + 7 AS INT)] AS day,
+         |    xs[CAST(gi + 7 AS INT)] AS x,
+         |    stfc[CAST(gi + 9 AS INT)] AS fc,
+         |    xs[CAST(gi + 7 AS INT)] - stfc[CAST(gi + 9 AS INT)] AS resid
+         |  FROM st, unnest(range(1, CAST(n_days - 6 AS BIGINT))) AS t(gi)),
+         |md AS (SELECT event_type,
+         |    list_sort(list(abs(resid)))[CAST((count(*) + 1) // 2 AS INT)]
+         |      AS mad
+         |  FROM r GROUP BY event_type)
+         |SELECT r.event_type, r.day, r.x, r.fc, r.resid, md.mad,
+         |  CAST(CASE WHEN abs(r.resid) > CAST(5.0 AS DOUBLE) * md.mad
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM r JOIN md USING (event_type)""".stripMargin
     },
 
     // the same candidate-gain tree evaluated over list slices; both

@@ -1387,7 +1387,11 @@ object StreamingOps {
     * one union schema: a MODEL row ((l, b, s1..s7) array + last
     * closed day), the still-OPEN day's partial count, and — before 7
     * days have closed — PENDING closed-day rows the init cannot fit
-    * yet. Each fold merges same-day partials (a mid-day batch split
+    * yet, plus (round 16) one RESIDUAL row per folded day (`fc`
+    * non-null: the one-step forecast recorded from the model BEFORE
+    * that day folded — [[wintersResiduals]] reads these; growth is one
+    * row per closed day per type; pre-fc state layouts refuse loudly).
+    * Each fold merges same-day partials (a mid-day batch split
     * folds once with its full count), closes every day a later day
     * supersedes, and then: types WITH a model fold the newly-closed
     * days in day order via the SHARED
@@ -1412,18 +1416,30 @@ object StreamingOps {
       val delta = b.toDF()
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
         .agg(count(lit(1)).cast("double").as("x"))
-      val (prevModel, prevDays) = prev match {
+      val (prevModel, prevDays, prevResid) = prev match {
         case Some(p) =>
+          // round-16 layout: residual rows (fc non-null) ride beside
+          // model and open/pending day rows. A pre-fc state cannot be
+          // upgraded in place (its residual history was never kept) —
+          // refuse loudly instead of silently resuming without it.
+          if (!p.columns.contains("fc")) throw new IllegalStateException(
+            s"wintersMaintained($stateDir): legacy winters state " +
+              "layout (no fc column) — residual history is absent; " +
+              "rebuild from a fresh stateDir")
           (p.filter(col("st").isNotNull)
             .select(col("event_type"), col("st"), col("last_day")),
-            p.filter(col("st").isNull)
-              .select(col("event_type"), col("day"), col("x")))
+            p.filter(col("st").isNull && col("fc").isNull)
+              .select(col("event_type"), col("day"), col("x")),
+            p.filter(col("fc").isNotNull)
+              .select(col("event_type"), col("day"), col("x"), col("fc")))
         case None =>
           val e = delta.limit(0)
           (e.select(col("event_type"),
             lit(null).cast("array<double>").as("st"),
             lit(null).cast("date").as("last_day")),
-            e.select(col("event_type"), col("day"), col("x")))
+            e.select(col("event_type"), col("day"), col("x")),
+            e.select(col("event_type"), col("day"), col("x"),
+              lit(null).cast("double").as("fc")))
       }
       // same-day partials merge across batches (the shared open-bucket
       // step); pending pre-model days ride in the same pool
@@ -1431,22 +1447,46 @@ object StreamingOps {
         prevModel.select(col("event_type"), col("last_day")),
         name, "wintersMaintained", stateDir)
       val closedArr = toClose.groupBy(col("event_type"))
-        .agg(expr("transform(array_sort(collect_list(struct(day, x))), " +
-          "r -> r.x)").as("xs"), max(col("day")).as("mx"))
-      val joined = prevModel.join(closedArr, Seq("event_type"), "full_outer")
-      // model rows: continue the fold, or init once >= 7 days closed
-      val model = joined
+        .agg(expr("array_sort(collect_list(struct(day, x)))").as("dx"),
+          max(col("day")).as("mx"))
         .select(col("event_type"),
-          expr(s"""CASE
+          expr("transform(dx, r -> r.day)").as("ds"),
+          expr("transform(dx, r -> r.x)").as("xs"), col("mx"))
+      val joined = prevModel.join(closedArr, Seq("event_type"), "full_outer")
+      // the RESIDUAL fold (Trend.wintersResidUpd): slots 1..9 are the
+      // plain model — identical text, cannot drift — and the tail
+      // carries one-step-ahead forecasts for each day folded THIS
+      // batch (for init types, days 8..k only: the first 7 are the
+      // init window and have no prediction). folded is ≤|types| rows —
+      // recomputed per consumer rather than persisted (the
+      // versionedStateSink no-internal-persist rule).
+      val folded = joined
+        .withColumn("stfc", expr(s"""CASE
             WHEN xs IS NULL THEN st
             WHEN st IS NOT NULL THEN aggregate(xs, st,
-              ${graft.operators.Trend.wintersUpd})
-            WHEN size(xs) >= 7 THEN ${graft.operators.Trend.wintersFoldSql("xs")}
-            ELSE NULL END""").as("st"),
-          greatest(col("last_day"), col("mx")).as("last_day"))
-        .filter(col("st").isNotNull)
+              ${graft.operators.Trend.wintersResidUpd})
+            WHEN size(xs) >= 7
+              THEN ${graft.operators.Trend.wintersResidSql("xs")}
+            ELSE NULL END"""))
+      val model = folded
+        .filter(col("stfc").isNotNull)
         .select(col("event_type"), lit(null).cast("date").as("day"),
-          lit(null).cast("double").as("x"), col("st"), col("last_day"))
+          lit(null).cast("double").as("x"),
+          expr("slice(stfc, 1, 9)").as("st"),
+          greatest(col("last_day"), col("mx")).as("last_day"),
+          lit(null).cast("double").as("fc"))
+      // newly-folded days append their residual rows: tail position j
+      // aligns with xs index (size(xs) - tail length) + j
+      val newResid = folded
+        .filter(col("stfc").isNotNull && size(col("stfc")) > 9)
+        .select(col("event_type"), col("ds"), col("xs"),
+          expr("size(xs) - (size(stfc) - 9)").as("off"),
+          posexplode(expr("slice(stfc, 10, CAST(size(stfc) - 9 AS INT))"))
+            .as(Seq("j0", "fc")))
+        .select(col("event_type"),
+          expr("element_at(ds, CAST(off + j0 + 1 AS INT))").as("day"),
+          expr("element_at(xs, CAST(off + j0 + 1 AS INT))").as("x"),
+          col("fc"))
       // pre-model types with < 7 closed days keep them PENDING
       val pendingTypes = joined
         .filter(col("st").isNull && col("xs").isNotNull && size(col("xs")) < 7)
@@ -1458,7 +1498,12 @@ object StreamingOps {
         stillOpen.unionByName(pending)
           .select(col("event_type"), col("day"), col("x"),
             lit(null).cast("array<double>").as("st"),
-            lit(null).cast("date").as("last_day")))
+            lit(null).cast("date").as("last_day"),
+            lit(null).cast("double").as("fc")))
+        .unionByName(prevResid.unionByName(newResid)
+          .select(col("event_type"), col("day"), col("x"),
+            lit(null).cast("array<double>").as("st"),
+            lit(null).cast("date").as("last_day"), col("fc")))
     }
 
   /** Forecast table from a [[wintersMaintained]] state frame: per
@@ -1475,6 +1520,22 @@ object StreamingOps {
         expr("element_at(st, 2)").as("trend"),
         expr("element_at(st, 1) + CAST(h AS DOUBLE) * element_at(st, 2)" +
           " + element_at(st, CAST(h + 2 AS INT))").as("forecast"))
+
+  /** Residual ANOMALY table from a [[wintersMaintained]] state frame
+    * (round 16 — VERDICT r13 task 4): every folded day's one-step
+    * residual (recorded at fold time from the model that had not yet
+    * seen the day — state rows with a non-null `fc`) flagged by the
+    * shared [[graft.operators.Trend.madFlags]] rational k·MAD rule.
+    * The batch twin q134_winters_resid computes the identical table
+    * from the raw events (same recurrence text, same MAD tail);
+    * WintersStreamSpec pins streamed fc/resid == the in-memory
+    * recurrence on a mid-day-split stream.
+    */
+  def wintersResiduals(state: DataFrame, k: Double = 5.0): DataFrame =
+    graft.operators.Trend.madFlags(
+      state.filter(col("fc").isNotNull)
+        .select(col("event_type"), col("day"), col("x"), col("fc"),
+          (col("x") - col("fc")).as("resid")), k)
 
   /** Stationary distribution from a [[transitionCountsMaintained]]
     * state frame — q119_stationary's iteration run over the maintained

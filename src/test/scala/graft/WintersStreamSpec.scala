@@ -50,8 +50,11 @@ class WintersStreamSpec extends SparkSpec {
     val models = state.filter(col("st").isNotNull).collect()
       .map(r => r.getString(0) ->
         ((r.getSeq[Double](3), r.getDate(4).toString))).toMap
-    val opens = state.filter(col("st").isNull).collect()
+    val opens = state.filter(col("st").isNull && col("fc").isNull).collect()
       .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    val resids = state.filter(col("fc").isNotNull).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getDouble(5)))).toMap
     // in-memory truth: the shared recurrence over closed days (all but
     // the final day, which never closes)
     import spark.implicits._
@@ -66,13 +69,19 @@ class WintersStreamSpec extends SparkSpec {
       assert(closed.length >= 7, s"fixture needs >= 7 closed days for $t")
       val l0 = closed.take(7).foldLeft(0.0)(_ + _) / 7.0
       var st = Array(l0, 0.0) ++ closed.take(7).map(_ - l0)
-      closed.drop(7).foreach { x =>
+      val expResid = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      sorted.dropRight(1).drop(7).foreach { case (_, day, x) =>
         val l = st(0); val bb = st(1); val s1 = st(2)
+        expResid(day) = (x, l + bb + s1) // one-step forecast BEFORE folding
         st = Array(
           0.5 * (x - s1) + 0.5 * (l + bb),
           0.25 * (x - s1) - 0.25 * l + 0.75 * bb) ++
           st.slice(3, 9) :+ (0.25 * x + 0.75 * s1 - 0.25 * l - 0.25 * bb)
       }
+      // residual rows: one per folded day, (x, fc) bit-equal to the
+      // in-memory recurrence's pre-fold forecast
+      val gotResid = resids.collect { case ((tt, d), v) if tt == t => d -> v }
+      assert(gotResid === expResid.toMap, s"$t residual rows diverged")
       val (gotSt, gotLast) = models(t)
       assert(gotSt.toSeq === st.toSeq, s"$t model diverged")
       assert(gotLast === sorted.dropRight(1).last._2, t)
@@ -86,6 +95,21 @@ class WintersStreamSpec extends SparkSpec {
         .filter(col("event_type") === t && col("h") === 3L)
         .head().getAs[Double]("forecast")
       assert(f3 === st(0) + 3.0 * st(1) + st(4), t)
+      // the residual READER applies the rational k·MAD rule over the
+      // accumulated fc rows — replay it in memory
+      val rr = StreamingOps.wintersResiduals(state)
+        .filter(col("event_type") === t).collect()
+        .map(r => r.getDate(1).toString ->
+          ((r.getDouble(4), r.getLong(6)))).toMap
+      val sortedAbs = expResid.values
+        .map(v => math.abs(v._1 - v._2)).toArray.sorted
+      val mad = sortedAbs((sortedAbs.length + 1) / 2 - 1)
+      expResid.foreach { case (d, (x, fc)) =>
+        val res = x - fc
+        assert(rr(d)._1 === res, s"$t $d resid")
+        assert(rr(d)._2 === (if (math.abs(res) > 5.0 * mad) 1L else 0L),
+          s"$t $d flag")
+      }
     }
     GraftSession.release(spark)
   }
