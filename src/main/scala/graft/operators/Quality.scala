@@ -13,8 +13,16 @@ object Quality {
 
   sealed trait Rule {
     def name: String
+    /** Per-row violation predicate for row-local rules (None for
+      * Unique — a duplicate is a property of the table, not a row).
+      * The audit aggregate derives from it, so the count and the
+      * dead-letter routing split can never disagree on what violates.
+      */
+    def rowViolates: Option[Column]
     /** Aggregate column counting this rule's violations (0 = clean). */
-    def agg: Column
+    def agg: Column = count(when(rowViolates.getOrElse(
+      throw new IllegalStateException(
+        s"rule $name has no row predicate and must override agg")), 1))
     /** Row-local rules have ADDITIVE violation counts — auditing each
       * split and summing equals auditing the whole. That is what lets
       * [[graft.streaming.StreamingOps.qualityAuditMaintained]] fold
@@ -27,33 +35,34 @@ object Quality {
   /** Column must not contain nulls. */
   case class NotNull(column: String) extends Rule {
     val name = s"null_$column"
-    def agg: Column = count(when(col(column).isNull, 1))
+    def rowViolates: Option[Column] = Some(col(column).isNull)
   }
 
   /** String column must not contain empty values. */
   case class NonEmpty(column: String) extends Rule {
     val name = s"empty_$column"
-    def agg: Column = count(when(length(col(column)) === 0, 1))
+    def rowViolates: Option[Column] = Some(length(col(column)) === 0)
   }
 
   /** Column values must come from the allowed set (null is a violation). */
   case class InSet(column: String, allowed: Seq[String]) extends Rule {
     val name = s"domain_$column"
-    def agg: Column = count(when(
-      col(column).isNull || !col(column).isin(allowed.map(lit): _*), 1))
+    def rowViolates: Option[Column] = Some(
+      col(column).isNull || !col(column).isin(allowed.map(lit): _*))
   }
 
   /** Numeric column must lie in [lo, hi] (null is a violation). */
   case class Bounds(column: String, lo: Double, hi: Double) extends Rule {
     val name = s"bounds_$column"
-    def agg: Column = count(when(
-      col(column).isNull || col(column) < lo || col(column) > hi, 1))
+    def rowViolates: Option[Column] = Some(
+      col(column).isNull || col(column) < lo || col(column) > hi)
   }
 
   /** Column must be unique across the table (violations = extra rows). */
   case class Unique(column: String) extends Rule {
     val name = s"dup_$column"
-    def agg: Column = count(col(column)) - count_distinct(col(column))
+    def rowViolates: Option[Column] = None
+    override def agg: Column = count(col(column)) - count_distinct(col(column))
     override def rowLocal: Boolean = false
   }
 

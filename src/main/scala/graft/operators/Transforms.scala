@@ -109,15 +109,52 @@ object Transforms {
     case "quality" =>
       val props = t.properties
       val rules = parseQualityRules(props)
-      val maxV = props.getOrElse("maxViolations", "0").toString.toLong
-      val row = Quality.audit(df, rules).head()
-      val breached = rules.map(r => r.name -> row.getAs[Long](r.name))
-        .filter(_._2 > maxV)
-      if (breached.nonEmpty) throw new IllegalStateException(
-        "quality gate failed: " +
-          breached.map { case (n, v) => s"$n=$v" }.mkString(", ") +
-          s" (maxViolations=$maxV, rows=${row.getAs[Long]("n_rows")})")
-      df
+      props.getOrElse("onViolation", "fail").toString match {
+        case "fail" =>
+          val maxV = props.getOrElse("maxViolations", "0").toString.toLong
+          val row = Quality.audit(df, rules).head()
+          val breached = rules.map(r => r.name -> row.getAs[Long](r.name))
+            .filter(_._2 > maxV)
+          if (breached.nonEmpty) throw new IllegalStateException(
+            "quality gate failed: " +
+              breached.map { case (n, v) => s"$n=$v" }.mkString(", ") +
+              s" (maxViolations=$maxV, rows=${row.getAs[Long]("n_rows")})")
+          df
+        // DEAD-LETTER ROUTING (round 16 — VERDICT r13 task 7): instead
+        // of failing the whole pipeline, violating ROWS divert to
+        // `deadLetterPath` (parquet, append — re-runs accumulate) with
+        // a `violated_rules` audit column naming every rule each row
+        // broke, and only clean rows continue downstream. Row-local
+        // rules only: a table-level rule (unique) cannot blame a row.
+        // maxViolations does not apply — routing IS the policy. The
+        // dead-letter write is EAGER (a gate decides before the sink
+        // runs); the flagged frame persists for its two consumers and
+        // is released by the pipeline's run sweep.
+        case "route" =>
+          val path = props.getOrElse("deadLetterPath",
+            throw new IllegalArgumentException(
+              "quality onViolation=route requires a `deadLetterPath` " +
+                "property")).toString
+          val nonLocal = rules.filterNot(_.rowLocal).map(_.name)
+          require(nonLocal.isEmpty,
+            s"quality rules [${nonLocal.mkString(", ")}] are not " +
+              "row-local — onViolation=route cannot blame a row for a " +
+              "table-level rule; use onViolation=fail for those")
+          val flagged0 = df.withColumn("__graft_viol0",
+              array(rules.map(r =>
+                when(r.rowViolates.get, lit(r.name))): _*))
+            .withColumn("__graft_viol",
+              expr("filter(__graft_viol0, x -> x IS NOT NULL)"))
+            .drop("__graft_viol0")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          flagged0.filter(size(col("__graft_viol")) > 0)
+            .withColumnRenamed("__graft_viol", "violated_rules")
+            .write.mode("append").parquet(path)
+          flagged0.filter(size(col("__graft_viol")) === 0)
+            .drop("__graft_viol")
+        case other => throw new IllegalArgumentException(
+          s"quality onViolation must be `fail` or `route`, got `$other`")
+      }
 
     case "identity" => df
     // deterministic exact dedup stage (round 8, beyond the reference):

@@ -367,6 +367,47 @@ class PipelineSpecTest extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("quality onViolation=route partitions clean/reject and dead-letters the rest") {
+    import graft.operators.Transforms
+    import graft.pipeline.TransformSpec
+    import spark.implicits._
+    val dlq = java.nio.file.Files.createTempDirectory("graft_dlq").toString + "/dead"
+    val df = Seq(("a", 10L), ("b", 20L), (null, 500L), ("d", -3L),
+      (null, 2000L)).toDF("k", "v")
+    val rules = Seq(
+      Map("kind" -> "not_null", "column" -> "k"),
+      Map("kind" -> "bounds", "column" -> "v", "lo" -> "0", "hi" -> "1000"))
+    val clean = Transforms.apply(df, Seq(TransformSpec("quality", Map(
+      "rules" -> rules, "onViolation" -> "route", "deadLetterPath" -> dlq))))
+    // only fully-clean rows continue downstream
+    assert(clean.select($"k", $"v").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet === Set(("a", 10L), ("b", 20L)))
+    assert(clean.columns.toSeq === Seq("k", "v"),
+      "no audit columns may leak into the clean branch")
+    // the dead-letter parquet holds exactly the rejects, each blaming
+    // every rule it broke
+    val dead = spark.read.parquet(dlq).collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1),
+        r.getSeq[String](2).sorted)).toSet
+    assert(dead === Set(
+      (None, 500L, Seq("null_k")),
+      (Some("d"), -3L, Seq("bounds_v")),
+      (None, 2000L, Seq("bounds_v", "null_k"))))
+    // a table-level rule cannot route rows — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Transforms.apply(df, Seq(TransformSpec("quality", Map(
+        "rules" -> Seq(Map("kind" -> "unique", "column" -> "k")),
+        "onViolation" -> "route", "deadLetterPath" -> dlq))))
+    }
+    assert(e.getMessage.contains("row-local"))
+    // route without a deadLetterPath refuses
+    intercept[IllegalArgumentException] {
+      Transforms.apply(df, Seq(TransformSpec("quality", Map(
+        "rules" -> rules, "onViolation" -> "route"))))
+    }
+    GraftSession.release(spark)
+  }
+
   test("manager count/isRunning/stopAll mirror the controller surface") {
     val in = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$in/x.txt"), "a\nb\n")
