@@ -25,6 +25,10 @@ object GraftFunctions {
     Shim.column(MinHashBands(Shim.expression(sig), bands))
   def cosine_sim(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
+  /** Exact integer squared-L2 of two BIGINT arrays (codegen'd — the
+    * HOF zip_with form runs interpreted and allocates per row). */
+  def sq_dist(a: Column, b: Column): Column =
+    Shim.column(SqDistLong(Shim.expression(a), Shim.expression(b)))
   def sign_lsh_buckets(vec: Column, bands: Int, rowsPerBand: Int): Column =
     Shim.column(SignLshBuckets(Shim.expression(vec), bands, rowsPerBand))
   /** Hamming distance of two 64-bit hashes (built-in composition). */

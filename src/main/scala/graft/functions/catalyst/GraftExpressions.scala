@@ -277,6 +277,51 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact integer squared-L2 between two equal-length BIGINT arrays —
+  * the quantized-space distance of the fixed-point k-means/PQ family
+  * (Clustering.quantize coordinates). Exists because the
+  * zip_with+aggregate HOF form runs INTERPRETED with a materialized
+  * intermediate array per evaluation: on an n×⌈√n⌉ assignment cross
+  * join (ann_graph_trained: ~450M evaluations per pass at 100×) the
+  * HOF chain dominated the whole query. Arithmetic is identical
+  * (long subtraction/multiply/sum, wrapping on overflow — callers
+  * assert quantized bounds keep every term ≪ 2⁶³).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq_dist: dimension mismatch ($n vs ${y.numElements()})")
+    var s = 0L; var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      int gn = $a.numElements();
+      if ($b.numElements() != gn) {
+        throw new IllegalArgumentException("sq_dist: dimension mismatch ("
+          + gn + " vs " + $b.numElements() + ")");
+      }
+      long gs = 0L;
+      for (int gi = 0; gi < gn; gi++) {
+        long gd = $a.getLong(gi) - $b.getLong(gi);
+        gs += gd * gd;
+      }
+      ${ev.value} = gs;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistLong =
+    copy(left = l, right = r)
+}
+
 /** LSH band keys from a minhash signature: key[b] = 64-bit mix of band
   * index b and the r = len/bands signature values in band b. Key
   * collisions across distinct band contents merely add candidates (the

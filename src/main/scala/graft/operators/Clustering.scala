@@ -43,10 +43,14 @@ object Clustering {
   def quantize(vec: Column, offset: Double = 1.0, scale: Double = 1e6): Column =
     transform(vec, x => floor((x.cast("double") + lit(offset)) * lit(scale)))
 
-  /** Integer squared-L2 distance of two equal-length BIGINT arrays. */
+  /** Integer squared-L2 distance of two equal-length BIGINT arrays —
+    * the native codegen'd expression (round 16: the zip_with+aggregate
+    * HOF form runs interpreted with a per-row intermediate array and
+    * dominated the n×⌈√n⌉ assignment cross joins at 100×; arithmetic
+    * identical).
+    */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.sq_dist(a, b)
 
   /** Final assignment plus the centroids that produced it. */
   final case class KMeansResult(

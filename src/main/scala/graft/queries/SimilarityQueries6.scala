@@ -126,9 +126,15 @@ object SimilarityQueries6 {
       .orderBy($"ncos".desc, $"node".asc)
     var frontier = frontier0
     s.conf.set(cpKey, "false")
+    // key columns that ALSO exist on the edge frame scope the walk to
+    // that key's graph — two VARIANT graphs walk in one loop without
+    // leaking edges across variants (ann_graph_trained)
+    val edgeKeys = keys.filter(g.edges.columns.contains)
     try for (_ <- 1 to Steps) {
       val nbrs = broadcast(frontier).as("f")
-        .join(g.edges.as("e"), $"f.node" === $"e.src")
+        .join(g.edges.as("e"), edgeKeys
+          .map(k => col(s"f.$k") === col(s"e.$k"))
+          .foldLeft($"f.node" === $"e.src")(_ && _))
         .join(g.nodes.select($"vec_id".as("nid"), $"embedding".as("nv")).as("n"),
           $"e.dst" === $"n.nid")
         .join(broadcast(g.anchors).as("a"), $"f.q_id" === $"a.q_id")
@@ -267,8 +273,8 @@ object SimilarityQueries6 {
     * the chain so one oracle can run two entry variants
     * (ann_hier_search).
     */
-  private[queries] def walkCtes(prefix: String,
-      width: Int = Beam): String = (1 to Steps).map { i =>
+  private[queries] def walkCtes(prefix: String, width: Int = Beam,
+      edgesRel: String = "edges"): String = (1 to Steps).map { i =>
     s"""$prefix$i AS (SELECT q_id, node, c FROM (
        |    SELECT q_id, node, c,
        |      row_number() OVER (PARTITION BY q_id
@@ -280,7 +286,7 @@ object SimilarityQueries6 {
        |        SELECT f.q_id, e.dst AS node,
        |          ${cos("a.qv", "v.embedding")} AS c
        |        FROM $prefix${i - 1} f
-       |        JOIN edges e ON e.src = f.node
+       |        JOIN $edgesRel e ON e.src = f.node
        |        JOIN nodes v ON v.vec_id = e.dst
        |        JOIN a ON a.q_id = f.q_id)))
        |  WHERE rn <= $width)""".stripMargin

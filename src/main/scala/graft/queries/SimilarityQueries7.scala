@@ -52,10 +52,10 @@ object SimilarityQueries7 {
   private val NAnchors = 5
   private val TopK = 10
 
-  /** Integer squared-L2 between two equal-length long arrays. */
+  /** Integer squared-L2 between two equal-length long arrays (native
+    * codegen'd expression since round 16 — same arithmetic). */
   private def d2c(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.sq_dist(a, b)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_trained" -> { (s, dir) =>

@@ -89,4 +89,18 @@ class KernelPropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("sq_dist matches the HOF reference fold and the scalar loop") {
+    import spark.implicits._
+    val arr: Gen[List[Long]] = Gen.listOfN(16, Gen.chooseNum(0L, 2000000L))
+    check(Prop.forAll(arr, arr) { (xs, ys) =>
+      val df = Seq((xs, ys)).toDF("a", "b")
+      val native = df.select(sq_dist(col("a"), col("b"))).head().getLong(0)
+      val hof = df.select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)")).head().getLong(0)
+      val scalar = xs.zip(ys).map { case (x, y) => (x - y) * (x - y) }.sum
+      native == hof && native == scalar
+    })
+  }
 }
