@@ -118,6 +118,44 @@ object RelationalQueries13 {
         .filter($"n" < 5 || $"n_sensitive" < 2)
     },
 
+    // `dq_tcloseness` — T-CLOSENESS audit (round 16), the step past
+    // dq_kanon's k/l gate: per quasi-identifier group, the TOTAL
+    // VARIATION DISTANCE between the group's sensitive-value
+    // distribution and the global one — a group can pass k-anonymity
+    // and distinct-l-diversity yet still leak via a skewed sensitive
+    // mix; TVD is the categorical t-closeness metric. All arithmetic
+    // EXACT integers until one final division: TVD = Σ_v |n_gv/n_g −
+    // n_v/n| / 2 scales to tvd_num = Σ_v |n_gv·n − n_v·n_g| (absent
+    // values contribute n_v·n_g — the full group×value grid, not just
+    // observed pairs), t = tvd_num / (2·n_g·n) as one fixed double
+    // tree. Products ≤ n² stay far inside 2^63 (both engines throw on
+    // overflow — asserted bound). Scale: ONE partial-aggregated rollup
+    // over the fact table; everything downstream is groups×|values|
+    // bounded with broadcast joins — flat at any corpus size.
+    "dq_tcloseness" -> { (s, dir) =>
+      import s.implicits._
+      val ngv = Tables.load(s, dir, "customer")
+        .withColumn("bal_bucket",
+          floor($"c_acctbal" / lit(1000.0)).cast("long"))
+        .groupBy($"c_nationkey", $"bal_bucket", $"c_mktsegment")
+        .agg(count(lit(1)).as("n_gv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ng = ngv.groupBy($"c_nationkey", $"bal_bucket")
+        .agg(sum($"n_gv").as("n_g"))
+      val nv = ngv.groupBy($"c_mktsegment").agg(sum($"n_gv").as("n_v"))
+      val nn = ngv.agg(sum($"n_gv").as("n"))
+      ng.crossJoin(broadcast(nv))
+        .join(ngv, Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+        .crossJoin(broadcast(nn))
+        .groupBy($"c_nationkey", $"bal_bucket", $"n_g", $"n")
+        .agg(sum(abs(coalesce($"n_gv", lit(0L)) * $"n" - $"n_v" * $"n_g"))
+          .as("tvd_num"))
+        .select($"c_nationkey", $"bal_bucket", $"n_g", $"tvd_num",
+          ($"tvd_num".cast("double") /
+            (lit(2.0) * $"n_g".cast("double") * $"n".cast("double")))
+            .as("t"))
+    },
+
     // distribution-drift audit (the training-data monitoring staple):
     // two-sample chi-square contingency between the pre/post-1998 order
     // eras over 10 fixed-width price buckets. The heavy part is ONE
@@ -219,6 +257,34 @@ object RelationalQueries13 {
         |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
         |  FROM b GROUP BY c_nationkey, bal_bucket)
         |SELECT * FROM g WHERE n < 5 OR n_sensitive < 2""".stripMargin,
+
+    // exact-integer TVD over the full group×value grid; one double
+    // division at the end (the same fixed tree as the Spark side)
+    "dq_tcloseness" ->
+      """WITH b AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment
+        |  FROM customer),
+        |ngv AS (SELECT c_nationkey, bal_bucket, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n_gv
+        |  FROM b GROUP BY 1, 2, 3),
+        |ng AS (SELECT c_nationkey, bal_bucket,
+        |    CAST(sum(n_gv) AS BIGINT) AS n_g
+        |  FROM ngv GROUP BY 1, 2),
+        |nv AS (SELECT c_mktsegment, CAST(sum(n_gv) AS BIGINT) AS n_v
+        |  FROM ngv GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_gv) AS BIGINT) AS n FROM ngv),
+        |grid AS (SELECT g.c_nationkey, g.bal_bucket, g.n_g, nn.n,
+        |    v.n_v, coalesce(x.n_gv, 0) AS n_gv
+        |  FROM ng g CROSS JOIN nv v CROSS JOIN nn
+        |  LEFT JOIN ngv x ON x.c_nationkey = g.c_nationkey
+        |    AND x.bal_bucket = g.bal_bucket
+        |    AND x.c_mktsegment = v.c_mktsegment)
+        |SELECT c_nationkey, bal_bucket, n_g,
+        |  CAST(sum(abs(n_gv * n - n_v * n_g)) AS BIGINT) AS tvd_num,
+        |  CAST(CAST(sum(abs(n_gv * n - n_v * n_g)) AS BIGINT) AS DOUBLE)
+        |    / (2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)) AS t
+        |FROM grid GROUP BY c_nationkey, bal_bucket, n_g, n""".stripMargin,
 
     "dq_drift" ->
       """WITH c AS (
