@@ -26,7 +26,17 @@ object GraftHash {
   def word64(s: String): Long = (poly(s, 31, P1) << 30) | poly(s, 37, P2)
 }
 
-/** Polynomial rolling hash of a string: fold (h*base + char) mod `mod`. */
+/** Polynomial rolling hash of a string: fold (h*base + char) mod `mod`.
+  *
+  * Codegen discipline for every expression in this file: the generated
+  * body is wrapped in its own Java block so the fixed `g*` locals are
+  * scoped — with non-nullable children nullSafeCodeGen emits the body
+  * UNBRACED, and two such expressions in one codegen scope would
+  * redeclare the locals, fail Janino, and silently fall back to
+  * interpreted (the exact slow path these expressions exist to avoid).
+  * `ev.value` is declared by nullSafeCodeGen outside the block, so the
+  * final assignment escapes the scope.
+  */
 case class PolyHash(child: Expression, base: Int, mod: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -34,12 +44,14 @@ case class PolyHash(child: Expression, base: Int, mod: Long)
     GraftHash.poly(v.asInstanceOf[UTF8String].toString, base, mod)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
+      {
       String gs = $c.toString();
       long gh = 0L;
       for (int gi = 0; gi < gs.length(); gi++) {
         gh = (gh * ${base}L + gs.charAt(gi)) % ${mod}L;
       }
-      ${ev.value} = gh;""")
+      ${ev.value} = gh;
+      }""")
   override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
 }
 
@@ -68,6 +80,7 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
+      {
       int[] gacc = new int[60];
       for (int gt = 0; gt < $c.numElements(); gt++) {
         String gw = $c.getUTF8String(gt).toString();
@@ -83,7 +96,8 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       }
       long gout = 0L;
       for (int gb = 0; gb < 60; gb++) { if (gacc[gb] >= 0) gout |= (1L << gb); }
-      ${ev.value} = gout;""")
+      ${ev.value} = gout;
+      }""")
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
 }
 
@@ -125,6 +139,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
+      {
       long[] gsig = new long[$numHashes];
       java.util.Arrays.fill(gsig, ${GraftHash.FP}L);
       for (int gt = 0; gt < $c.numElements(); gt++) {
@@ -141,7 +156,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
           if (ghj < gsig[gj]) gsig[gj] = ghj;
         }
       }
-      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsig);""")
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsig);
+      }""")
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
@@ -227,11 +243,13 @@ case class MinHashSigText(child: Expression, mode: String, n: Int, numHashes: In
             $absorb
           }"""
       s"""
+      {
       String gs = $c.toString();
       long[] gsig = new long[$numHashes];
       java.util.Arrays.fill(gsig, ${GraftHash.FP}L);
       $body
-      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsig);"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsig);
+      }"""
     })
   override protected def withNewChildInternal(c: Expression): MinHashSigText = copy(child = c)
 }
@@ -261,6 +279,7 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      {
       int gn = $a.numElements();
       if ($b.numElements() != gn) {
         throw new IllegalArgumentException("cosine_sim: dimension mismatch ("
@@ -272,7 +291,8 @@ case class CosineSim(left: Expression, right: Expression)
         double gy = (double) $b.getFloat(gi);
         gdot += gx * gy; gna += gx * gx; gnb += gy * gy;
       }
-      ${ev.value} = gdot / (java.lang.Math.sqrt(gna) * java.lang.Math.sqrt(gnb));""")
+      ${ev.value} = gdot / (java.lang.Math.sqrt(gna) * java.lang.Math.sqrt(gnb));
+      }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }
@@ -307,6 +327,7 @@ case class SqDistLong(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      {
       int gn = $a.numElements();
       if ($b.numElements() != gn) {
         throw new IllegalArgumentException("sq_dist: dimension mismatch ("
@@ -317,7 +338,8 @@ case class SqDistLong(left: Expression, right: Expression)
         long gd = $a.getLong(gi) - $b.getLong(gi);
         gs += gd * gd;
       }
-      ${ev.value} = gs;""")
+      ${ev.value} = gs;
+      }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistLong =
     copy(left = l, right = r)
 }
@@ -349,6 +371,7 @@ case class MinHashBands(child: Expression, bands: Int)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
+      {
       int gn = $c.numElements();
       int gr = gn / $bands;
       long[] gout = new long[$bands];
@@ -359,7 +382,8 @@ case class MinHashBands(child: Expression, bands: Int)
         }
         gout[gb] = gk;
       }
-      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gout);""")
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gout);
+      }""")
   override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
 }
 
@@ -397,6 +421,7 @@ case class SignLshBuckets(child: Expression, bands: Int, rowsPerBand: Int)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
+      {
       long[] gout = new long[$bands];
       int gn = $c.numElements();
       for (int gb = 0; gb < $bands; gb++) {
@@ -412,7 +437,8 @@ case class SignLshBuckets(child: Expression, bands: Int, rowsPerBand: Int)
         }
         gout[gb] = (long) gb * (1L << $rowsPerBand) + gkey;
       }
-      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gout);""")
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gout);
+      }""")
   override protected def withNewChildInternal(c: Expression): SignLshBuckets = copy(child = c)
 }
 
@@ -476,6 +502,7 @@ case class CdcChunks(child: Expression, w: Int, mask: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
+      {
       String gs = $c.toString();
       int glen = gs.length();
       long[] gout = new long[8];
@@ -503,6 +530,7 @@ case class CdcChunks(child: Expression, w: Int, mask: Int)
         gout[gn++] = ghc * 2147483648L + gcl;
       }
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        java.util.Arrays.copyOf(gout, gn));""")
+        java.util.Arrays.copyOf(gout, gn));
+      }""")
   override protected def withNewChildInternal(c: Expression): CdcChunks = copy(child = c)
 }

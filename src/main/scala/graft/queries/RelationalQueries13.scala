@@ -128,10 +128,13 @@ object RelationalQueries13 {
     // n_v/n| / 2 scales to tvd_num = Σ_v |n_gv·n − n_v·n_g| (absent
     // values contribute n_v·n_g — the full group×value grid, not just
     // observed pairs), t = tvd_num / (2·n_g·n) as one fixed double
-    // tree. Products ≤ n² stay far inside 2^63 (both engines throw on
-    // overflow — asserted bound). Scale: ONE partial-aggregated rollup
-    // over the fact table; everything downstream is groups×|values|
-    // bounded with broadcast joins — flat at any corpus size.
+    // tree. Products ≤ n² stay far inside 2^63 for n ≤ ~3·10⁹ rows —
+    // the scale envelope of the EXACT form (both engines throw loudly
+    // on overflow, never silently wrap; past that bound cast the two
+    // count factors to double before the product — per-group sums stay
+    // exact). Scale: ONE partial-aggregated rollup over the fact
+    // table; everything downstream is groups×|values| bounded with
+    // broadcast joins — flat across the supported envelope.
     "dq_tcloseness" -> { (s, dir) =>
       import s.implicits._
       val ngv = Tables.load(s, dir, "customer")

@@ -159,10 +159,15 @@ object SimilarityQueries10 {
           array((1 to Dim).map(i => col(s"q$i")): _*).as("ucv"))
         // eager per-round checkpoint: round k's broadcast otherwise
         // nests every prior round's plan and re-runs their cross
-        // joins (1+2+3 scans for 3 rounds); the frame is kc-bounded
-        prev.join(upd, Seq("cid"), "left")
-          .select($"cid", coalesce($"ucv", $"cv").as("cv"))
-          .localCheckpoint(true)
+        // joins (1+2+3 scans for 3 rounds); the frame is kc-bounded.
+        // Fixed-stats form (the round-14 pinned rule): `prev` is
+        // joined twice per round (assignment cross join + update left
+        // join), the exact inherited-stats squaring shape
+        // freshStatsCheckpoint exists for — harmless at 3 rounds with
+        // explicit broadcast hints, but the discipline is unconditional
+        org.apache.spark.sql.graftshim.Shim.freshStatsCheckpoint(
+          prev.join(upd, Seq("cid"), "left")
+            .select($"cid", coalesce($"ucv", $"cv").as("cv")))
       }
       // identical build rule for both variants — only centroid
       // POSITIONS differ, so the ablation isolates training
