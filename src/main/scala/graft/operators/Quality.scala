@@ -73,6 +73,27 @@ object Quality {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Append a `violated_rules` array<string> column naming every
+    * row-local rule each row breaks (empty array = clean row) — the
+    * single flagging kernel behind dead-letter routing, batch
+    * ([[graft.operators.Transforms]] `onViolation: route`) and
+    * streaming ([[graft.streaming.StreamingOps.qualityRoutedMaintained]])
+    * alike, so the two surfaces can never disagree on what violates.
+    * Row-local rules only: a table-level rule (Unique) cannot blame a
+    * row.
+    */
+  def flagRows(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val nonLocal = rules.filterNot(_.rowLocal).map(_.name)
+    require(nonLocal.isEmpty,
+      s"quality rules [${nonLocal.mkString(", ")}] are not row-local — " +
+        "routing cannot blame a row for a table-level rule")
+    df.withColumn("__graft_viol0",
+        array(rules.map(r => when(r.rowViolates.get, lit(r.name))): _*))
+      .withColumn("violated_rules",
+        expr("filter(__graft_viol0, x -> x IS NOT NULL)"))
+      .drop("__graft_viol0")
+  }
+
   /** Pass/fail per rule (true = zero violations), from one audit pass. */
   def check(df: DataFrame, rules: Seq[Rule]): Map[String, Boolean] = {
     val row = audit(df, rules).head()

@@ -122,34 +122,39 @@ object Transforms {
           df
         // DEAD-LETTER ROUTING (round 16 — VERDICT r13 task 7): instead
         // of failing the whole pipeline, violating ROWS divert to
-        // `deadLetterPath` (parquet, append — re-runs accumulate) with
-        // a `violated_rules` audit column naming every rule each row
-        // broke, and only clean rows continue downstream. Row-local
-        // rules only: a table-level rule (unique) cannot blame a row.
-        // maxViolations does not apply — routing IS the policy. The
-        // dead-letter write is EAGER (a gate decides before the sink
-        // runs); the flagged frame persists for its two consumers and
-        // is released by the pipeline's run sweep.
+        // `deadLetterPath` with a `violated_rules` audit column naming
+        // every rule each row broke (shared kernel Quality.flagRows —
+        // the streaming fold uses the same one), and only clean rows
+        // continue downstream. Row-local rules only: a table-level
+        // rule (unique) cannot blame a row. maxViolations does not
+        // apply — routing IS the policy. The dead-letter write is
+        // EAGER (a gate decides before the sink runs); the flagged
+        // frame persists for its two consumers and is released by the
+        // pipeline's run sweep.
+        //
+        // Idempotent / attributable re-runs (round 17, ADVICE r16):
+        // each run writes its own `run=<id>` partition subdir. A
+        // `runId` property pins the id — re-running the SAME run
+        // OVERWRITES its own partition (exact-replay idempotent, the
+        // r13 discipline); without it the run id is the wall-clock
+        // stamp, so retries never clobber earlier evidence and every
+        // reject row stays attributable to the run that diverted it
+        // (reading `deadLetterPath` recovers `run` as a partition
+        // column). The previous bare append duplicated reject rows
+        // invisibly on every retry.
         case "route" =>
           val path = props.getOrElse("deadLetterPath",
             throw new IllegalArgumentException(
               "quality onViolation=route requires a `deadLetterPath` " +
                 "property")).toString
-          val nonLocal = rules.filterNot(_.rowLocal).map(_.name)
-          require(nonLocal.isEmpty,
-            s"quality rules [${nonLocal.mkString(", ")}] are not " +
-              "row-local — onViolation=route cannot blame a row for a " +
-              "table-level rule; use onViolation=fail for those")
-          val flagged0 = df.withColumn("__graft_viol0",
-              array(rules.map(r =>
-                when(r.rowViolates.get, lit(r.name))): _*))
-            .withColumn("__graft_viol",
-              expr("filter(__graft_viol0, x -> x IS NOT NULL)"))
-            .drop("__graft_viol0")
+          val flagged0 = Quality.flagRows(df, rules)
+            .withColumnRenamed("violated_rules", "__graft_viol")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val runDir = props.get("runId").map(r => s"$path/run=$r")
+            .getOrElse(s"$path/run=ts_${System.currentTimeMillis()}")
           flagged0.filter(size(col("__graft_viol")) > 0)
             .withColumnRenamed("__graft_viol", "violated_rules")
-            .write.mode("append").parquet(path)
+            .write.mode("overwrite").parquet(runDir)
           flagged0.filter(size(col("__graft_viol")) === 0)
             .drop("__graft_viol")
         case other => throw new IllegalArgumentException(

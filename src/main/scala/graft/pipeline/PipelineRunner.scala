@@ -113,6 +113,12 @@ object PipelineRunner {
     *    streaming mode maintains the running audit counts in the sink
     *    path instead of pass/fail gating; non-row-local rules (unique)
     *    are refused up front — distinct-key state does not fold.
+    *    `onViolation: route` (round 17) maps to
+    *    [[graft.streaming.StreamingOps.qualityRoutedMaintained]]:
+    *    clean rows to `<sink path>/data/batch=<id>`, rejects (with
+    *    `violated_rules`) to `deadLetterPath/batch=<id>`, both
+    *    idempotent per micro-batch, audit counts still folding in the
+    *    sink path.
     *  - `dedup` → refused: its keep-best-per-key survivor window needs
     *    the final winner per key, which streaming cannot know; use
     *    neardedup's id-order contract or run the pipeline in batch
@@ -161,8 +167,28 @@ object PipelineRunner {
           s"quality rules [${nonLocal.mkString(", ")}] are not row-local " +
             "and cannot fold across micro-batches (unique needs " +
             "distinct-key state); drop them or run in batch mode")
-        graft.streaming.StreamingOps.qualityAuditMaintained(
-          upstream, rules, stateDir, spec.name)
+        stage.properties.getOrElse("onViolation", "fail").toString match {
+          // round 17 (ADVICE r16 medium): `route` previously degraded
+          // SILENTLY to the audit-count fold — no routing, no error.
+          // It now maps to the streaming dead-letter fold: clean rows
+          // to `<sink path>/data/batch=<id>`, rejects to
+          // `deadLetterPath/batch=<id>`, audit state in the sink path.
+          case "route" =>
+            val dlq = stage.properties.getOrElse("deadLetterPath",
+              throw new IllegalArgumentException(
+                "quality onViolation=route requires a `deadLetterPath` " +
+                  "property")).toString
+            graft.streaming.StreamingOps.qualityRoutedMaintained(
+              upstream, rules, stateDir, dlq, spec.name)
+          // a streaming gate cannot retroactively fail batches already
+          // sunk — `fail` keeps the running-audit-counts fold (the
+          // monitoring face); the operator alerts on the counts
+          case "fail" =>
+            graft.streaming.StreamingOps.qualityAuditMaintained(
+              upstream, rules, stateDir, spec.name)
+          case other => throw new IllegalArgumentException(
+            s"quality onViolation must be `fail` or `route`, got `$other`")
+        }
       case "neardedup" =>
         val cfg = Transforms.parseNearDedup(stage.properties)
         Transforms.requireAscendingIdOrder(cfg, "streaming")

@@ -778,6 +778,113 @@ object StreamingOps {
       least(col("min_vec_below"), col("keeper.vec")).as("min_vec_kept"),
       greatest(col("max_vec_below"), col("keeper.vec")).as("max_vec_kept"))
 
+  /** Incremental k-NN-GRAPH maintenance (round 17 — VERDICT r16
+    * task 2): arriving vectors update the degree-`degree` graph
+    * [[graft.operators.Similarity.knnGraph]] builds in batch, under
+    * the SAME rule (primary-cell storage, nprobe-cell probing,
+    * top-degree by (cos desc, id asc), self excluded) — a real
+    * deployment maintains the graph as the corpus grows, it does not
+    * rebuild its 4-of-top-5-expensive-queries index per crawl.
+    *
+    * Why this folds exactly: a vector's CANDIDATE set — stored
+    * vectors in its probed cells — only ever GROWS as the corpus
+    * arrives, and its edges are the top-degree of that set under a
+    * deterministic total order. So keeping the current top-degree
+    * edges per vector is a sound monotone fold: a candidate once
+    * dropped sits below `degree` better candidates that never leave,
+    * hence can never re-enter; merging the kept edges with each
+    * batch's NEW candidates and re-taking the top-degree equals the
+    * batch build over everything (KnnGraphStreamSpec, interleaved +
+    * order-reversed splits). No arrival-order contract — the
+    * arithmetic split-invariance class.
+    *
+    * Per batch, two candidate passes — work is O(batch·k +
+    * batch·cell-occupancy + history-scan), never O(history²):
+    * (1) NEW vectors probe the stored pool (history members + this
+    * batch's, cell-keyed join, batch side broadcast); (2) OLD vectors
+    * whose probed cells received new members re-rank against just the
+    * NEW arrivals (history streams through one cell join against the
+    * broadcast batch). State is a union-schema frame (the
+    * transitionCountsMaintained pattern): kind='v' member rows
+    * (id, vec, cell, probes) — the graph needs vectors to rank, so
+    * member rows are the inherent state — and kind='e' edge rows
+    * (id, nbr_id, cos), ≤ degree per vector. The centroid frame is
+    * fixed for the query's lifetime (train offline via
+    * Similarity.ivfFit — the annManifestMaintained contract). Read
+    * the graph back with [[knnGraphCurrent]].
+    */
+  def knnGraphMaintained(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, stateDir: String, name: String,
+      degree: Int = 3, nprobe: Int = 2, retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(vecs, stateDir, name, retainVersions) { (prev, batch) =>
+      import graft.functions.GraftFunctions.cosine_sim
+      val ranked = graft.operators.Similarity.cellRanked(
+        batch.toDF(), idCol, vecCol, centroidDf)
+      val newPrim = ranked.filter(col("crk") === 1)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          col("cid").as("cell"))
+      val newProbes = ranked.filter(col("crk") <= nprobe)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          col("cid").as("cell"))
+      val oldV = prev.map(_.filter(col("kind") === "v"))
+      val oldE = prev.map(_.filter(col("kind") === "e")
+        .select(col("id"), col("nbr_id"), col("cos")))
+      // stored pool for the NEW vectors' probes: history members
+      // stream through the cell join, the batch side broadcasts
+      val pool = oldV.map(_.select(col("id"), col("vec"), col("cell"))
+        .unionByName(newPrim)).getOrElse(newPrim)
+      val candNew = broadcast(newProbes
+          .select(col("id"), col("vec").as("qv"), col("cell")))
+        .join(pool.select(col("id").as("nbr_id"), col("vec").as("nv"),
+          col("cell")), "cell")
+        .filter(col("id") =!= col("nbr_id"))
+        .select(col("id"), col("nbr_id"),
+          cosine_sim(col("qv"), col("nv")).as("cos"))
+      // OLD vectors re-rank against just the NEW arrivals stored in
+      // their probed cells (probes = distinct cells, a new member has
+      // ONE cell — at most one match per (id, nbr), no dedup needed)
+      val candOld = oldV.map(_.select(col("id"),
+          col("vec").as("qv"), explode(col("probes")).as("cell"))
+        .join(broadcast(newPrim.select(col("id").as("nbr_id"),
+          col("vec").as("nv"), col("cell"))), "cell")
+        .filter(col("id") =!= col("nbr_id"))
+        .select(col("id"), col("nbr_id"),
+          cosine_sim(col("qv"), col("nv")).as("cos")))
+      val allCand = (oldE.toSeq ++ Seq(candNew) ++ candOld.toSeq)
+        .reduce(_ unionByName _)
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("cos").desc, col("nbr_id").asc)
+      val edges = allCand.withColumn("__rk", row_number().over(wK))
+        .filter(col("__rk") <= degree).drop("__rk")
+      val newMembers = newPrim.join(
+        newProbes.groupBy(col("id"))
+          .agg(sort_array(collect_list(col("cell"))).as("probes")), "id")
+      val members = oldV.map(_.select(col("id"), col("vec"), col("cell"),
+          col("probes")).unionByName(newMembers)).getOrElse(newMembers)
+      members.withColumn("kind", lit("v"))
+        .withColumn("nbr_id", lit(null).cast("long"))
+        .withColumn("cos", lit(null).cast("double"))
+        .unionByName(edges.withColumn("kind", lit("e"))
+          .withColumn("vec", lit(null).cast(members.schema("vec").dataType))
+          .withColumn("cell", lit(null).cast("long"))
+          .withColumn("probes", lit(null).cast("array<long>")))
+        .select(col("kind"), col("id"), col("vec"), col("cell"),
+          col("probes"), col("nbr_id"), col("cos"))
+    }
+
+  /** The (id, nbr_id, cos, rk) graph from a [[knnGraphMaintained]]
+    * state frame — [[graft.operators.Similarity.knnGraph]]'s output
+    * contract (rk recomputed over the ≤degree kept edges per vector).
+    */
+  def knnGraphCurrent(state: DataFrame): DataFrame = {
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    state.filter(col("kind") === "e")
+      .select(col("id"), col("nbr_id"), col("cos"))
+      .withColumn("rk", row_number().over(wK).cast("long"))
+  }
+
   /** Streaming data-contract monitoring: folds each micro-batch's
     * [[graft.operators.Quality.audit]] into a cumulative one-row audit
     * state (total rows + per-rule violation counts over everything
@@ -808,6 +915,113 @@ object StreamingOps {
       }
     }
   }
+
+  /** Streaming dead-letter routing — the streaming face of the batch
+    * quality stage's `onViolation: route` (round 17, VERDICT r16
+    * task 4): each micro-batch's rows split on the SAME per-row
+    * predicate the batch stage uses ([[graft.operators.Quality
+    * .flagRows]] — the shared kernel, so the two surfaces can never
+    * disagree on what violates). Clean rows land under
+    * `outDir/data/batch=<id>/`, violating rows (with their
+    * `violated_rules` blame column) under `deadLetterPath/batch=<id>/`,
+    * and the cumulative audit counts keep folding into the same
+    * versioned state [[qualityAuditMaintained]] maintains — the
+    * monitoring face rides along for free.
+    *
+    * Exactly-once: both row writes are idempotent per batch id
+    * (staged `_staging_<id>` + atomic rename to `batch=<id>`, skipped
+    * when the batch dir already exists — the scd2EnrichedTo
+    * discipline) and happen INSIDE the fold, i.e. BEFORE the audit
+    * state's `v=<id>` rename. A replayed batch skips the fold (its
+    * version dir exists → its batch dirs exist); a crash between a
+    * row write and the version rename re-runs the fold, whose row
+    * writes skip their already-renamed dirs. QualityRouteStreamSpec
+    * proves streamed clean/reject partitions equal the batch stage's
+    * split and that re-delivered batches do not duplicate rows.
+    *
+    * Reading the outputs: `spark.read.parquet(s"$outDir/data")` /
+    * `(deadLetterPath)` — the `batch` partition column is the
+    * provenance audit trail. The micro-batch is scanned three times
+    * (rejects, clean, audit delta) — bounded by the trigger, and
+    * deliberately NOT persisted: a versionedStateSink fold must not
+    * persist internals (the round-12 leak lesson — the state write
+    * runs after the fold returns).
+    */
+  def qualityRoutedMaintained(stream: DataFrame,
+      rules: Seq[graft.operators.Quality.Rule], outDir: String,
+      deadLetterPath: String, name: String, retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    require(rules.forall(_.rowLocal),
+      "only row-local rules fold across micro-batches; " +
+        "Unique needs distinct-key state (use streamingDedup)")
+    versionedStateSinkById(stream, outDir, name, retainVersions) {
+      (prev, batch, id) =>
+        val spark = batch.sparkSession
+        val fs = new Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def writeOnce(df: DataFrame, parent: String): Unit = {
+          val target = new Path(s"$parent/batch=$id")
+          if (!fs.exists(target)) {
+            val staging = new Path(s"$parent/_staging_$id")
+            fs.delete(staging, true) // stale leftover from a crashed attempt
+            df.write.mode("overwrite").parquet(staging.toString)
+            if (!fs.rename(staging, target))
+              throw new java.io.IOException(
+                s"rename $staging -> $target failed")
+          }
+        }
+        val flagged = graft.operators.Quality.flagRows(batch.toDF(), rules)
+        writeOnce(flagged.filter(size(col("violated_rules")) > 0),
+          deadLetterPath)
+        writeOnce(flagged.filter(size(col("violated_rules")) === 0)
+          .drop("violated_rules"), s"$outDir/data")
+        bumpFoldCounter(name, "batches_routed", 1L)
+        val delta = graft.operators.Quality.audit(batch.toDF(), rules)
+        prev.fold(delta) { p =>
+          val cols = "n_rows" +: rules.map(_.name)
+          p.unionByName(delta)
+            .agg(sum(col(cols.head)).as(cols.head),
+              cols.tail.map(c => sum(col(c)).as(c)): _*)
+        }
+    }
+  }
+
+  /** Incremental LINE-dedup owner state (round 17 — VERDICT r16
+    * task 5, `corpus_line_dedup`'s streaming face): state is ONE row
+    * per distinct line seen, `(line, f)` with f = min(struct(doc_id,
+    * pos)) — the line's first occurrence across everything streamed.
+    * min(struct) is idempotent AND commutative, so like the bitmap
+    * fold (and unlike the id-ordered dedup folds) ANY batch split in
+    * ANY order folds to the same state — split-invariance is
+    * arithmetic, not an arrival contract. Per batch: one
+    * [[graft.operators.SpanDedup.lineOwners]] delta (map-side partial
+    * min) re-grouped with the previous owners.
+    *
+    * Reading survivors: [[graft.operators.SpanDedup.dedupFromOwners]]
+    * over any document set the state covers reproduces the batch
+    * `SpanDedup.dedupLines` output exactly (LineDedupStreamSpec). The
+    * state stores the line STRING, not a hash — it IS the distinct-
+    * line dictionary (the exact-grouping discipline; a 64-bit-hash
+    * compaction would trade 2^-64 collision wrongness for space and
+    * is deliberately not taken). State size = distinct lines, the
+    * operator's inherent exact bound; duplicate-heavy corpora — the
+    * ones worth line-deduping — keep it far below corpus size.
+    */
+  def lineOwnersMaintained(stream: DataFrame, idCol: String,
+      textCol: String, stateDir: String, name: String,
+      delim: String = "\n", retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(stream, stateDir, name, retainVersions) {
+      (prev, batch) =>
+        val delta = graft.operators.SpanDedup.lineOwners(
+          graft.operators.SpanDedup.lineOcc(batch.toDF(), idCol,
+            textCol, delim))
+        prev.fold(delta) { p =>
+          p.unionByName(delta).groupBy(col("line"))
+            .agg(min(col("f")).as("f"))
+        }
+    }
 
   /** Streaming EXACT distinct-count via bitmap segments — the
     * streaming face of q102_bitmap_distinct: state is one
@@ -1685,6 +1899,21 @@ object StreamingOps {
   private def versionedStateSink(stream: DataFrame, stateDir: String,
       name: String, retainVersions: Int)(
       fold: (Option[DataFrame], Dataset[org.apache.spark.sql.Row]) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSinkById(stream, stateDir, name, retainVersions)(
+      (prev, batch, _) => fold(prev, batch))
+
+  /** [[versionedStateSink]] variant whose fold also receives the
+    * micro-batch id — for folds that perform their own idempotent
+    * per-batch side writes (`batch=<id>` staged dirs, the
+    * scd2EnrichedTo discipline) BEFORE the state version rename:
+    * a replayed batch skips the fold entirely (its `v=<id>` exists),
+    * and a crash between the side write and the rename re-runs the
+    * fold, whose side writes skip their already-renamed batch dirs.
+    */
+  private def versionedStateSinkById(stream: DataFrame, stateDir: String,
+      name: String, retainVersions: Int)(
+      fold: (Option[DataFrame], Dataset[org.apache.spark.sql.Row], Long) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.hadoop.fs.Path
     require(retainVersions >= 1)
@@ -1758,7 +1987,7 @@ object StreamingOps {
                 "but its own version dir is absent: the streaming checkpoint was reset while " +
                 "reusing this stateDir. Use a fresh stateDir (or restore the original checkpoint) " +
                 "to avoid double-counting.")
-          val merged = fold(latestState(spark, stateDir, below = id), batch)
+          val merged = fold(latestState(spark, stateDir, below = id), batch, id)
           val staging = new Path(s"$stateDir/_staging_$id")
           fs.delete(staging, true) // stale leftover from a crashed attempt
           merged.write.mode("overwrite").parquet(staging.toString)
