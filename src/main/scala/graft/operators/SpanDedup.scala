@@ -183,13 +183,44 @@ object SpanDedup {
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
       delim: String = "\n"): DataFrame = {
+    val occ = lineOcc(docs, idCol, textCol, delim)
+    dedupFromOwners(occ, lineOwners(occ), delim)
+  }
+
+  /** (doc_id, pos, line) occurrence rows — the exploded line table
+    * [[dedupLines]], [[lineOwners]] and the streaming fold's reader
+    * all derive from (one shared definition so the batch operator and
+    * [[graft.streaming.StreamingOps.lineOwnersMaintained]] can never
+    * disagree on what a "line" is).
+    */
+  def lineOcc(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(delim)
-    val occ = Parallelism.ensure(docs)
+    Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
-    val first = occ.groupBy(col("line"))
+  }
+
+  /** First-occurrence owner per distinct line: `(line, f)` with
+    * f = min(struct(doc_id, pos)). min over the struct is IDEMPOTENT
+    * and COMMUTATIVE, so owners over any partition of the corpus merge
+    * by re-grouping — the arithmetic split-invariance class (like the
+    * bitmap fold, no arrival-order contract), which is exactly what
+    * makes the streaming owner state a sound fold.
+    */
+  def lineOwners(occ: DataFrame): DataFrame =
+    occ.groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    occ.join(first, "line")
+
+  /** Rebuild per-document survivors against an OWNER table (from
+    * [[lineOwners]] over the same corpus, or a streamed owner state
+    * covering it): an occurrence survives iff it IS its line's first
+    * occurrence. Returns (doc_id, clean_text, n_lines, n_kept,
+    * n_removed) — [[dedupLines]]'s contract.
+    */
+  def dedupFromOwners(occ: DataFrame, owners: DataFrame,
+      delim: String = "\n"): DataFrame =
+    occ.join(owners, "line")
       .select(col("doc_id"), col("pos"), col("line"),
         (col("doc_id") === col("f.doc_id") &&
           col("pos") === col("f.pos")).as("keep"))
@@ -204,5 +235,4 @@ object SpanDedup {
           x => x.getField("line")), delim).as("clean_text"))
       .select(col("doc_id"), col("clean_text"), col("n_lines"),
         col("n_kept"), (col("n_lines") - col("n_kept")).as("n_removed"))
-  }
 }
