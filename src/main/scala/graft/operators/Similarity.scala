@@ -264,4 +264,50 @@ object Similarity {
     assigned.join(broadcast(probed), "cid")
       .filter(col(idCol) =!= col("qid"))
   }
+
+  /** k-NN GRAPH construction under the committed ann_knn_graph rule
+    * (shared by the batch query and the streaming fold
+    * [[graft.streaming.StreamingOps.knnGraphMaintained]], so the two
+    * can never disagree): every vector is STORED in its primary cell
+    * only (argmax centroid cosine, ties to the lowest cid) and PROBES
+    * its `nprobe` nearest cells; its edges are the top-`degree`
+    * stored vectors across its probed cells by (cos desc, id asc),
+    * self excluded. Candidate volume nprobe·n²/k, never all-pairs;
+    * the per-vector top-k window partitions on the high-cardinality
+    * vector id (map-side WindowGroupLimit). Returns
+    * (idCol, nbr_id, cos, rk).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame, degree: Int = 3, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = cellRanked(df, idCol, vecCol, centroidDf)
+    val stored = ranked.filter(col("crk") === 1)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nv"), col("cid"))
+    val probes = ranked.filter(col("crk") <= nprobe)
+      .select(col(idCol), col(vecCol).as("qv"), col("cid"))
+    val wK = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    probes.join(stored, "cid")
+      .filter(col(idCol) =!= col("nbr_id"))
+      // no dedup needed: a neighbor has ONE primary cell, so it can
+      // match at most one of the distinct probed cells
+      .select(col(idCol), col("nbr_id"), cosine_sim(col("qv"), col("nv")).as("cos"))
+      .withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= degree)
+  }
+
+  /** Centroid-cosine cell ranking: df's (id, vec) against every
+    * centroid, `crk` = 1 for the nearest cell (ties to the lowest
+    * cid) — the storage/probe primitive behind [[knnGraph]].
+    */
+  def cellRanked(df: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cc").desc, col("cid").asc)
+    df.select(col(idCol), col(vecCol)).crossJoin(broadcast(centroidDf))
+      .select(col(idCol), col(vecCol), col("cid"),
+        cosine_sim(col(vecCol), col("cv")).as("cc"))
+      .withColumn("crk", row_number().over(w))
+  }
 }

@@ -52,6 +52,10 @@ object SimilarityQueries5 {
     // WindowGroupLimit); deterministic centroids + strict-fold cosines
     // + (cos desc, id) total order make the graph oracle-replayable
     // edge for edge.
+    // round 17: the build now lives in the shared
+    // operators.Similarity.knnGraph kernel — the streaming fold
+    // (StreamingOps.knnGraphMaintained) maintains the SAME graph
+    // incrementally, and sharing the kernel pins the two rules equal.
     "ann_knn_graph" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
@@ -59,23 +63,8 @@ object SimilarityQueries5 {
         Tables.rowCount(s, dir, "embeddings").toDouble)).toLong
       val centroids = emb.filter($"vec_id" < k)
         .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
-      val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)
-      val ranked = emb.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"embedding", $"cid",
-          cosine_sim($"embedding", $"cv").as("cc"))
-        .withColumn("crk", row_number().over(wA))
-      val stored = ranked.filter($"crk" === 1)
-        .select($"vec_id".as("nbr_id"), $"embedding".as("nv"), $"cid")
-      val probes = ranked.filter($"crk" <= 2)
-        .select($"vec_id", $"embedding".as("qv"), $"cid")
-      val wK = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id".asc)
-      probes.join(stored, "cid")
-        .filter($"vec_id" =!= $"nbr_id")
-        // no dedup needed: a neighbor has ONE primary cell, so it can
-        // match at most one of the two distinct probed cells
-        .select($"vec_id", $"nbr_id", cosine_sim($"qv", $"nv").as("cos"))
-        .withColumn("rk", row_number().over(wK).cast("long"))
-        .filter($"rk" <= 3)
+      graft.operators.Similarity.knnGraph(
+        emb, "vec_id", "embedding", centroids, degree = 3, nprobe = 2)
     },
 
     // `ann_quant_ablation` — the QUANTIZATION ablation (round 8, the

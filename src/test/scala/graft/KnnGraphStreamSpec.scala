@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.StreamingOps
+
+/** Round 17 (VERDICT r16 task 2): incremental k-NN-graph maintenance.
+  * A vector's candidate set (stored members of its probed cells) only
+  * grows, so keeping the current top-degree edges and merging each
+  * batch's new candidates is a sound monotone fold — the streamed
+  * graph must equal the batch Similarity.knnGraph build edge for edge
+  * (cosines bit-equal: row-local strict folds on identical inputs),
+  * in ANY arrival order.
+  */
+class KnnGraphStreamSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private lazy val centroids = {
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").as("cv")).persist()
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame,
+      idName: String) =
+    df.select(col(idName), col("nbr_id"), col("cos"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("streamed graph == batch knnGraph on an interleaved, order-reversed split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knng").toString
+    // interleave by parity AND stream the high half first — the fold
+    // claims arithmetic split-invariance, so make the split adversarial
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$dir/in/*")
+    val q = StreamingOps.knnGraphMaintained(
+      stream, "vec_id", "embedding", centroids, s"$dir/state",
+      "knng_spec", degree = 3, nprobe = 2)
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$dir/in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamingOps.stateVersions(spark, s"$dir/state").size >= 2,
+      "expected two folded micro-batches")
+    val state = StreamingOps.latestState(spark, s"$dir/state").get
+    val streamed = canon(StreamingOps.knnGraphCurrent(state), "id")
+    val batch = canon(Similarity.knnGraph(
+      emb, "vec_id", "embedding", centroids, degree = 3, nprobe = 2),
+      "vec_id")
+    assert(streamed.nonEmpty, "empty streamed graph")
+    assert(streamed == batch,
+      s"streamed graph diverged from batch (sizes ${streamed.size} vs " +
+        s"${batch.size})")
+    // state carries one member row per vector beside the edges
+    assert(state.filter(col("kind") === "v").count() == emb.count())
+    GraftSession.release(spark)
+  }
+}
