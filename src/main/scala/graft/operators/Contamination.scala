@@ -64,4 +64,51 @@ object Contamination {
       .agg(count(col("__bk")).as("n_hit"),
         count(col("__k")).as("n_grams"))
   }
+
+  /** SEMANTIC decontamination (round 17 — VERDICT r16 task 3): flag
+    * training vectors whose embedding-cosine similarity to any
+    * benchmark vector reaches `tau` — the screen for PARAPHRASED
+    * eval leakage that [[screen]]'s exact n-gram overlap cannot see
+    * (a reworded test question shares no 5-gram but sits next to the
+    * original in embedding space).
+    *
+    * Scale shape (the dedup_embedding_cells blocking): both sides are
+    * assigned to their nearest centroid cell (argmax cosine as a
+    * map-side partial max(struct), ties to the lowest cid — the
+    * dedup_semantic discipline) and only SAME-CELL pairs are scored —
+    * candidate volume n·|bench|/k in expectation, never n·|bench|;
+    * the benchmark side (tiny next to the corpus) broadcasts, so the
+    * training corpus never shuffles. Recall below the cell scale is
+    * the documented embeddingPairsCells trade (a paraphrase pair
+    * split across a cell boundary is missed; nprobe > 1 on the bench
+    * side buys recall with broadcast size if needed). Cosines are
+    * strict left-to-right folds — bit-replayable.
+    *
+    * Every training vector comes back: (idCol, n_hits) with
+    * n_hits = 0 for clean rows, so a caller thresholding on evidence
+    * sees the whole corpus (the [[screen]] totality contract).
+    */
+  def screenSemantic(train: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, centroidDf: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    def assign(df: DataFrame, id: String, vec: String): DataFrame =
+      df.crossJoin(broadcast(centroidDf))
+        .select(col(id), col(vec),
+          struct(cosine_sim(col(vec), col("cv")).as("c"),
+            (lit(0L) - col("cid")).as("negcid")).as("m"))
+        .groupBy(col(id), col(vec))
+        .agg(max(col("m")).as("m"))
+        .select(col(id), col(vec), (lit(0L) - col("m.negcid")).as("__cell"))
+    val benchCells = assign(
+      bench.select(col(idCol).as("__bid"), col(vecCol).as("__bv")),
+      "__bid", "__bv")
+    val trainCells = assign(
+      train.select(col(idCol).as("__tid"), col(vecCol).as("__tv")),
+      "__tid", "__tv")
+    trainCells
+      .join(broadcast(benchCells), Seq("__cell"), "left")
+      .groupBy(col("__tid").as(idCol))
+      .agg(count(when(col("__bv").isNotNull &&
+          cosine_sim(col("__tv"), col("__bv")) >= tau, 1)).as("n_hits"))
+  }
 }

@@ -57,4 +57,37 @@ class ContaminationSpec extends SparkSpec {
       .select("n_hit", "n_grams").as[(Long, Long)].head()
     assert(exact == hashed)
   }
+
+  test("semantic screen flags a planted paraphrase the n-gram screen misses") {
+    import spark.implicits._
+    // a 4-dim toy space: the eval question points along e1, its
+    // "paraphrase" is a small rotation of it (cosine ~0.995 — no
+    // shared words needed), and a clean doc points along e3.
+    // Centroids split the space so paraphrase and original share a
+    // cell while the clean doc lands elsewhere.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val cen = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 0, 1, 0))
+    ).toDF("cid", "cv")
+    val bench = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, v(0.99, 0.1, 0, 0)),  // the paraphrase — same cell, cos ~0.995
+      (2L, v(0, 0.05, 1, 0)),    // clean — different cell
+      (3L, v(0.3, 0, 1, 0))      // same-ish direction but lands in cell 1
+    ).toDF("vec_id", "embedding")
+    val got = Contamination.screenSemantic(
+        train, bench, "vec_id", "embedding", cen, tau = 0.8)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 0L), (3L, 0L)),
+      s"semantic screen split diverged: $got")
+    // the exact n-gram screen is structurally blind here: the
+    // paraphrase shares no token with the original
+    val ng = Contamination.screen(
+        Seq((1L, "totally reworded version of it")).toDF("doc_id", "text"),
+        Seq((100L, "the original benchmark question text")).toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .select("n_hit").as[Long].head()
+    assert(ng == 0L)
+  }
 }
