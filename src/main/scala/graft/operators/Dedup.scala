@@ -545,6 +545,21 @@ object Dedup {
       idCol: String, textCol: String, mode: String = "word", n: Int = 3,
       numHashes: Int = 128, bands: Int = 0,
       tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    // round 17 (VERDICT r16 task 1): integral-id corpora run the
+    // bounded-phase engine (anyRule = true) — the naive exploded
+    // band-candidate plan below is quadratic in duplicate depth
+    // (29.3 s at 100x on the replica corpus) because a new doc in a
+    // depth-m near-dup class meets all m earlier members as separate
+    // candidates. The engine's survivor-pass/dup-remnant split plus
+    // component sweeps bound that (see minhashFoldEngine). The
+    // exploded plan is kept ONLY as the non-integral-id fallback
+    // (the executor kernels read primitive long ids off Tungsten
+    // rows); decisions are identical either way.
+    val idT0 = batch.schema(idCol).dataType.typeName
+    if (Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(idT0))
+      return minhashFoldEngine(prev, batch, idCol, textCol, mode, n,
+        numHashes, bands, tauNum, tauDen, 65536L, anyRule = true)
     // bands <= 0 = "derive from tau": the recall-preserving banding
     // (Transforms.recallBandRows — the single rule the YAML stage
     // uses). A FIXED band count independent of tau silently loses
@@ -663,7 +678,40 @@ object Dedup {
       idCol: String, textCol: String, mode: String = "word", n: Int = 3,
       numHashes: Int = 128, bands: Int = 0,
       tauNum: Int = 1, tauDen: Int = 2,
-      smallBatchDocs: Long = 65536L): DataFrame = {
+      smallBatchDocs: Long = 65536L): DataFrame =
+    minhashFoldEngine(prev, batch, idCol, textCol, mode, n, numHashes,
+      bands, tauNum, tauDen, smallBatchDocs, anyRule = false)
+
+  /** The shared bounded-phase fold engine behind BOTH incremental
+    * rules (round 17 — VERDICT r16 task 1 generalized the round-16
+    * survivor plan): `anyRule = false` is the greedy keep-first rule
+    * ([[minhashDedupFoldSurvivors]]); `anyRule = true` is the
+    * any-smaller-id rule ([[minhashDedupFold]]), which differs in
+    * exactly two places —
+    *   - phase 1 probes history DUPS too (a dup partner flags under
+    *     the any rule): first the survivor pass (that pool is
+    *     dup-free BY CONSTRUCTION — a survivor has no smaller match,
+    *     so survivors are pairwise non-matching and a duplicate class
+    *     contributes at most one), then the docs it left undecided
+    *     probe the exact-sig-collapsed dup pool. On a dup-heavy crawl
+    *     the survivor pass flags nearly everything, so the deep dup
+    *     pool only ever meets a small probe side (the residual
+    *     adversarial case — a corpus of long bridge chains — degrades
+    *     gracefully to the old candidate volume on that remnant).
+    *   - the sweeps flag x when ANY smaller processed member agrees
+    *     (not only kept ones), and index every member.
+    * Everything else — exact-sig clique collapse to reps, per-bucket
+    * spanning-edge kernels, CC, per-component executor sweeps, the
+    * ≤smallBatchDocs single-task fast path — is rule-independent
+    * (the rep reduction holds for both rules: adjacency is a pure
+    * function of signatures, so x matches y iff x matches y's class
+    * minimum, which is never larger).
+    */
+  private def minhashFoldEngine(prev: Option[DataFrame], batch: DataFrame,
+      idCol: String, textCol: String, mode: String, n: Int,
+      numHashes: Int, bands: Int,
+      tauNum: Int, tauDen: Int,
+      smallBatchDocs: Long, anyRule: Boolean): DataFrame = {
     val spark = batch.sparkSession
     val bandsEff = effectiveBands(numHashes, bands, tauNum, tauDen)
     val cpKey = "spark.sql.constraintPropagation.enabled"
@@ -677,7 +725,7 @@ object Dedup {
       val idT = batch.schema(idCol).dataType
       require(Seq("byte", "short", "int", "integer", "long", "bigint")
           .contains(idT.typeName),
-        s"minhashDedupFoldSurvivors requires an integral id column; " +
+        s"the minhash fold engine requires an integral id column; " +
           s"got $idCol: ${idT.typeName}")
       val sigsB = Parallelism.ensure(batch)
         .select(col(idCol).cast("long").as("id"),
@@ -708,15 +756,30 @@ object Dedup {
           .filter(agreeExpr)
           .select(col("id_b").as("id")).distinct()
       }
-      // phase 1: the one history pass. Eager checkpoint: the flagged-id
+      // phase 1: the history pass(es). Eager checkpoint: each flagged-id
       // frame is batch-bounded and is consumed twice (the anti-join and
       // the final decision union) — without it the history scan runs
       // twice per action.
-      val dupHist = histSurv.map(p =>
+      val dupHist1 = histSurv.map(p =>
         matchedVs(sigsB, p).localCheckpoint(true))
-      val undecided = dupHist.map(d =>
+      val und1 = dupHist1.map(d =>
           sigsB.join(broadcast(d), Seq("id"), "left_anti"))
         .getOrElse(sigsB)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // any rule only: dup partners flag too. The dup pool has the
+      // deep duplicate classes (that is what makes the NAIVE
+      // any-smaller plan quadratic), but it is probed only by the
+      // docs the survivor pass left undecided — a small remnant on
+      // any dup-heavy crawl — and exact-sig classes collapse first.
+      val dupHist2 = if (!anyRule) None else prev.map { pv =>
+        val dupReps = pv.filter(col("is_dup"))
+          .groupBy(col("sig")).agg(min(col("id")).as("id"))
+          .select(col("id"), col("sig"))
+        matchedVs(und1, dupReps).localCheckpoint(true)
+      }
+      val undecided = dupHist2.map(d =>
+          und1.join(broadcast(d), Seq("id"), "left_anti"))
+        .getOrElse(und1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ---- kernel helpers shared by both decision paths ----
       val needNum = numHashes * tauNum
@@ -753,12 +816,13 @@ object Dedup {
       import spark.implicits._
       val nUndecided = undecided.count()
       val dupNew: DataFrame = if (nUndecided <= smallBatchDocs) {
-        // SMALL-BATCH FAST PATH: one single-task in-memory greedy sweep
-        // (the localUnionFind small-graph idiom — executor-side, never
-        // the driver). An ascending-id pass with a hashed-band kept-
-        // index IS the greedy keep-first rule: x is flagged iff some
-        // already-KEPT doc sharing a band bucket matches it under the
-        // exact rule. Memory: O(batch) sigs in one task (~2.5KB/doc).
+        // SMALL-BATCH FAST PATH: one single-task in-memory ascending
+        // sweep (the localUnionFind small-graph idiom — executor-side,
+        // never the driver) with a hashed-band index. Keep-first rule:
+        // x is flagged iff some already-KEPT doc sharing a band bucket
+        // matches it, and only kept docs index. Any rule: EVERY
+        // processed doc indexes and any smaller match flags.
+        // Memory: O(batch) sigs in one task (~2.5KB/doc).
         // Decisions are identical to the distributed path — candidates
         // there are component members, and any exact-rule partner
         // shares a bucket, hence a component. This path exists because
@@ -801,7 +865,7 @@ object Dedup {
                   g += 1
                 }
                 if (isDup) dup += id
-                else {
+                if (!isDup || anyRule) {
                   keptSigs(nKept) = sig
                   var g2 = 0
                   while (g2 < bnd.length) {
@@ -969,15 +1033,18 @@ object Dedup {
         .queryExecution.toRdd.mapPartitions { it =>
           it.flatMap { ir =>
             val (ids, sigs) = unpackSorted(ir)
-            val kept =
+            // keep-first rule: only KEPT members flag; any rule: any
+            // smaller processed member flags (early exit on the first)
+            val pool =
               scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
             val dup = scala.collection.mutable.ArrayBuffer.empty[Long]
             var i = 0
             while (i < ids.length) {
               val sig = sigs(i)
-              if (kept.exists(k => sharesValueBand(k, sig) && agrees(k, sig)))
-                dup += ids(i)
-              else kept += sig
+              val isDup = pool.exists(k =>
+                sharesValueBand(k, sig) && agrees(k, sig))
+              if (isDup) dup += ids(i)
+              if (!isDup || anyRule) pool += sig
               i += 1
             }
             dup.iterator
@@ -985,7 +1052,7 @@ object Dedup {
         }
       memberDups.unionByName(spark.createDataset(dupRdd).toDF("id"))
       }
-      val dupIds = (dupHist.toSeq :+ dupNew)
+      val dupIds = (dupHist1.toSeq ++ dupHist2.toSeq :+ dupNew)
         .reduce(_ unionByName _)
       val stateB = sigsB
         .join(broadcast(dupIds.withColumn("__d", lit(true))
