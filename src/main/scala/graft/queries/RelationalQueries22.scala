@@ -17,31 +17,39 @@ import graft.Tables
   * passing through v (Brandes' pair dependency without the σ_st
   * division, which would leave the integer lattice; ranking by
   * stress is the same "who brokers the anchor accounts" question).
-  * σ comes from LEVEL-SYNCHRONOUS BFS: round k relaxes ONLY the
-  * dist = k−1 frontier, so each path is counted exactly once
-  * (re-relaxing the full table every round — the q126 min-fold shape
-  * — is idempotent for min but would double-count sums); σ_s(v) =
-  * Σ σ_s(u) over dist-(k−1) neighbors is an exact integer fold,
-  * order-independent. d(s, t) itself derives as min over v of
-  * d_s(v) + d_t(v) — any midpoint of a ≤8-hop shortest path sits
-  * within the 4-hop horizon of both ends, so pairs up to distance 8
-  * resolve from the two 4-hop tables.
+  * σ comes from pure per-level WALK counts — the stage-minimal form
+  * (round 17 second cut; the first cut kept a settled table with a
+  * per-round anti-join and broadcast pair, ~4 jobs/round, and read
+  * 8 s at sf0.001 — a pure scheduling floor): R_k(s, v) = number of
+  * length-k walks s→v, folded as R_k = Σ over edges of R_{k−1} —
+  * ONE broadcast relax join + one partial-agg sum per round, the
+  * exact q126 per-round shape, no settled union, no anti-join. The
+  * walk table over-counts only at non-minimal dists: a walk of
+  * length d(s, v) cannot revisit or detour, so R_{d(s,v)}(s, v) IS
+  * σ_s(v) — keeping each (seed, node)'s min-dist row (one
+  * min(struct) groupBy at the end) recovers exact shortest-path
+  * counts. d(s, t) itself derives as min over v of d_s(v) + d_t(v)
+  * — any midpoint of a ≤8-hop shortest path sits within the 4-hop
+  * horizon of both ends, so pairs up to distance 8 resolve from the
+  * two 4-hop tables.
   *
   * Scale shape = q126's: the edge relation builds once (partial-agg
   * distinct pairs, never a row² self-join), repartition(dst) +
-  * persist; each BFS round joins the |seeds|·frontier-bounded rows
-  * (broadcast) against co-partitioned edges, one (seed, node)
-  * partial-agg sum and one broadcast anti-join; 4 rounds is the
-  * fixed-depth contract. The pair stage self-joins the ≤|seeds|·|V|
-  * settled table on node (string aliases — the round-2 self-join
-  * rule) into 15 seed pairs, then one partial-agg sum per node.
-  * Top-100 via orderBy+limit (TakeOrderedAndProject). Integer
-  * discipline: σ products stay in BIGINT (path counts within 4 hops
-  * of THIS graph; both engines throw loudly on overflow rather than
-  * wrap — the χ²/minhash bound-as-invariant rule). Replica scaling
-  * note: the co-trade graph is IDENTICAL across the 10×/100× replica
-  * corpora (replication shifts order keys only), so scale probes
-  * measure the edge-build scan, as for q126.
+  * persist; each round broadcasts the ≤|seeds|·|V| frontier against
+  * the co-partitioned edges; 4 rounds is the fixed-depth contract.
+  * The pair stage self-joins the min-dist table on node (string
+  * aliases — the round-2 self-join rule) into 15 seed pairs, then
+  * one partial-agg sum per node. Top-100 via orderBy+limit
+  * (TakeOrderedAndProject). Integer discipline: σ values and
+  * products stay in BIGINT — walk counts at NON-minimal dists can
+  * grow like degree^4 and are discarded, but they are materialized
+  * before the discard, so the committed envelope is "length-4 walk
+  * counts < 2^63" (true of this graph family at every probed scale;
+  * both engines throw loudly on overflow rather than wrap — the
+  * χ²/minhash bound-as-invariant rule). Replica scaling note: the
+  * co-trade graph is IDENTICAL across the 10×/100× replica corpora
+  * (replication shifts order keys only), so scale probes measure
+  * the edge-build scan, as for q126.
   */
 object RelationalQueries22 {
 
@@ -59,21 +67,35 @@ object RelationalQueries22 {
         .repartition($"dst")
         .persist()
       val seeds = Seq(2L, 4L, 6L, 8L, 10L, 12L).toDF("seed")
-      val s0 = seeds.select($"seed", $"seed".as("node"),
+      val r0 = seeds.select($"seed", $"seed".as("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
-      val sF = (1 to 4).foldLeft(s0) { (settled, k) =>
-        val st = settled.persist() // three consumers per round
-        val contrib = edges
-          .join(broadcast(st.filter($"dist" === (k - 1).toLong)
-            .select($"node".as("src"), $"seed", $"sigma")), "src")
+      // per-level walk counts: R_k = one broadcast relax of R_{k-1}
+      // against the co-partitioned edges + one partial-agg sum —
+      // the q126 per-round shape. Each R_k is consumed twice (next
+      // round's relax + the final union), hence the per-round persist
+      // (the q91 Bellman-Ford structural fact).
+      val parts = scala.collection.mutable.ArrayBuffer(r0)
+      var fr = r0
+      for (k <- 1 to 4) {
+        val f = fr.persist()
+        val next = edges
+          .join(broadcast(f.select($"node".as("src"), $"seed", $"sigma")),
+            "src")
           .groupBy($"seed", $"dst".as("node"))
           .agg(sum($"sigma").as("sigma"))
-        val newly = contrib
-          .join(broadcast(st.select($"seed", $"node")),
-            Seq("seed", "node"), "left_anti")
           .select($"seed", $"node", lit(k.toLong).as("dist"), $"sigma")
-        st.unionByName(newly)
-      }.persist() // the pair stage consumes it twice (a and b sides)
+        parts += next
+        fr = next
+      }
+      // min-dist row per (seed, node) = (distance, shortest-path
+      // count): dists are distinct within a group, so min(struct)
+      // picks exactly the first-reached level's pre-summed row
+      val sF = parts.reduce(_ unionByName _)
+        .groupBy($"seed", $"node")
+        .agg(min(struct($"dist", $"sigma")).as("m"))
+        .select($"seed", $"node", $"m.dist".as("dist"),
+          $"m.sigma".as("sigma"))
+        .persist() // the pair stage consumes it twice (a and b sides)
       val pj = sF.as("a").join(sF.as("b"),
           col("a.node") === col("b.node") && col("a.seed") < col("b.seed"))
         .select(col("a.seed").as("s"), col("b.seed").as("t"),
@@ -90,23 +112,12 @@ object RelationalQueries22 {
     }
   )
 
-  /** One unrolled level-synchronous BFS round: relax the dist = k−1
-    * frontier only, keep strictly new (seed, node) rows at dist k.
-    */
-  private def roundSql(k: Int): String = {
-    val prev = s"s${k - 1}"
-    s"""c$k AS (SELECT d.seed, e.dst AS node,
+  /** One unrolled walk-count round: R_k = relax of R_{k−1}. */
+  private def roundSql(k: Int): String =
+    s"""r$k AS (SELECT d.seed, e.dst AS node, CAST($k AS BIGINT) AS dist,
        |    CAST(sum(d.sigma) AS BIGINT) AS sigma
-       |  FROM $prev d JOIN e ON e.src = d.node
-       |  WHERE d.dist = ${k - 1}
-       |  GROUP BY d.seed, e.dst),
-       |n$k AS (SELECT c$k.seed, c$k.node, CAST($k AS BIGINT) AS dist,
-       |    c$k.sigma
-       |  FROM c$k LEFT JOIN $prev p
-       |    ON p.seed = c$k.seed AND p.node = c$k.node
-       |  WHERE p.node IS NULL),
-       |s$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM n$k)""".stripMargin
-  }
+       |  FROM r${k - 1} d JOIN e ON e.src = d.node
+       |  GROUP BY d.seed, e.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q135_betweenness" -> {
@@ -118,12 +129,20 @@ object RelationalQueries22 {
          |  UNION ALL SELECT dst AS src, src AS dst FROM cs),
          |sd AS (SELECT CAST(unnest([2, 4, 6, 8, 10, 12]) AS BIGINT)
          |    AS seed),
-         |s0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist,
+         |r0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist,
          |    CAST(1 AS BIGINT) AS sigma FROM sd),
          |$rounds,
+         |u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+         |  UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         |  UNION ALL SELECT * FROM r4),
+         |md AS (SELECT seed, node, min(dist) AS dist FROM u
+         |  GROUP BY seed, node),
+         |sf AS (SELECT u.seed, u.node, u.dist, u.sigma
+         |  FROM u JOIN md ON md.seed = u.seed AND md.node = u.node
+         |    AND md.dist = u.dist),
          |pj AS (SELECT a.seed AS s, b.seed AS t, a.node,
          |    a.dist + b.dist AS dsum, a.sigma * b.sigma AS prod
-         |  FROM s4 a JOIN s4 b ON a.node = b.node AND a.seed < b.seed),
+         |  FROM sf a JOIN sf b ON a.node = b.node AND a.seed < b.seed),
          |dst AS (SELECT s, t, min(dsum) AS d FROM pj GROUP BY s, t)
          |SELECT p.node, p.node % 2 AS ntype,
          |  CAST(sum(p.prod) AS BIGINT) AS stress
