@@ -91,20 +91,14 @@ object Contamination {
   def screenSemantic(train: DataFrame, bench: DataFrame, idCol: String,
       vecCol: String, centroidDf: DataFrame, tau: Double): DataFrame = {
     import graft.functions.GraftFunctions.cosine_sim
-    def assign(df: DataFrame, id: String, vec: String): DataFrame =
-      df.crossJoin(broadcast(centroidDf))
-        .select(col(id), col(vec),
-          struct(cosine_sim(col(vec), col("cv")).as("c"),
-            (lit(0L) - col("cid")).as("negcid")).as("m"))
-        .groupBy(col(id), col(vec))
-        .agg(max(col("m")).as("m"))
-        .select(col(id), col(vec), (lit(0L) - col("m.negcid")).as("__cell"))
-    val benchCells = assign(
+    // shared argmax-cell kernel (round-17 self-review: one committed
+    // assignment rule, not a fifth copy)
+    val benchCells = Similarity.assignCells(
       bench.select(col(idCol).as("__bid"), col(vecCol).as("__bv")),
-      "__bid", "__bv")
-    val trainCells = assign(
+      "__bid", "__bv", centroidDf)
+    val trainCells = Similarity.assignCells(
       train.select(col(idCol).as("__tid"), col(vecCol).as("__tv")),
-      "__tid", "__tv")
+      "__tid", "__tv", centroidDf)
     trainCells
       .join(broadcast(benchCells), Seq("__cell"), "left")
       .groupBy(col("__tid").as(idCol))

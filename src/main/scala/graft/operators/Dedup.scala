@@ -736,6 +736,12 @@ object Dedup {
       val agreeExpr = expr(
         "aggregate(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, 0)), " +
           s"0, (a, b) -> a + b) * $tauDen >= $numHashes * $tauNum")
+      // internal persisted frames released once the decision frame
+      // materializes (round-17 self-review: the engine runs inside
+      // the versionedStateSink streaming fold, where un-released
+      // internals accumulate across micro-batches — the round-12
+      // leak lesson). sigsB stays: the returned lazy state reads it.
+      val internals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val histSurv = prev.map(_.filter(!col("is_dup"))
         .select(col("id"), col("sig")))
       // verified-match ids of `probe` docs against a survivor pool —
@@ -766,6 +772,7 @@ object Dedup {
           sigsB.join(broadcast(d), Seq("id"), "left_anti"))
         .getOrElse(sigsB)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (dupHist1.nonEmpty) internals += und1 // == sigsB otherwise
       // any rule only: dup partners flag too. The dup pool has the
       // deep duplicate classes (that is what makes the NAIVE
       // any-smaller plan quadratic), but it is probed only by the
@@ -781,6 +788,19 @@ object Dedup {
           und1.join(broadcast(d), Seq("id"), "left_anti"))
         .getOrElse(und1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (dupHist2.nonEmpty) internals += undecided // == und1 otherwise
+      // The within-batch PARTNER pool. Keep-first rule: only kept
+      // docs flag, and a history-flagged doc is never kept, so the
+      // undecided set suffices. Any rule: the within-batch predicate
+      // is decision-INDEPENDENT ("exists smaller batch doc that
+      // matches", whatever that doc's own fate), so every batch doc
+      // must stay in the pool — restricting to the undecided set
+      // would let a doc whose only partner was itself history-flagged
+      // slip through (round-17 self-review finding; the bridge shape
+      // A_hist ~ B_batch ~ C_batch with A !~ C). The sweeps decide
+      // every pool member; history flags union in at the end
+      // (distinct — a doc can be flagged by both sides).
+      val sweepBase = if (anyRule) sigsB else undecided
       // ---- kernel helpers shared by both decision paths ----
       val needNum = numHashes * tauNum
       val tauDenL = tauDen
@@ -814,7 +834,7 @@ object Dedup {
         false
       }
       import spark.implicits._
-      val nUndecided = undecided.count()
+      val nUndecided = sweepBase.count()
       val dupNew: DataFrame = if (nUndecided <= smallBatchDocs) {
         // SMALL-BATCH FAST PATH: one single-task in-memory ascending
         // sweep (the localUnionFind small-graph idiom — executor-side,
@@ -830,7 +850,7 @@ object Dedup {
         // pure scheduling latency when the undecided set is small
         // (which phase 1 makes the common incremental case: history
         // flags most of a fresh crawl before any pair work).
-        val swept = undecided
+        val swept = sweepBase
           .select(col("id"), col("sig"),
             minhash_bands(col("sig"), bandsEff).as("__bnd"))
           .queryExecution.toRdd
@@ -895,12 +915,13 @@ object Dedup {
       // classes costs O(m²) verified pairs per class.
       // (null sigs — null/empty text — never band, never match, and
       // must not collapse together: they survive trivially)
-      val sigClasses = undecided.filter(col("sig").isNotNull)
+      val sigClasses = sweepBase.filter(col("sig").isNotNull)
         .groupBy(col("sig"))
         .agg(min(col("id")).as("__rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      internals += sigClasses
       val reps = sigClasses.select(col("__rep").as("id"), col("sig"))
-      val memberDups = undecided.join(sigClasses, Seq("sig"))
+      val memberDups = sweepBase.join(sigClasses, Seq("sig"))
         .filter(col("id") =!= col("__rep"))
         .select(col("id"))
       // phase 2b: verified-SPANNING edges via per-bucket executor
@@ -1000,6 +1021,7 @@ object Dedup {
       val spanEdges = spark.createDataset(edgeRdd).toDF("id_a", "id_b")
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      internals += spanEdges
       if (sys.env.contains("GRAFT_SURV_DEBUG")) {
         // scalastyle:off println
         def t[A](tag: String)(f: => A): Unit = {
@@ -1052,8 +1074,20 @@ object Dedup {
         }
       memberDups.unionByName(spark.createDataset(dupRdd).toDF("id"))
       }
+      // eager checkpoint (batch-bounded ids only): every decision is
+      // now materialized, so every internal frame and the phase-1
+      // checkpoints can be released before the lazy state returns —
+      // the fold retains exactly sigsB + this id list per batch
       val dupIds = (dupHist1.toSeq ++ dupHist2.toSeq :+ dupNew)
         .reduce(_ unionByName _)
+        // anyRule sweeps decide every batch doc, so a doc can carry
+        // both a history flag and a sweep flag — the state join
+        // multiplies rows on duplicate ids without this
+        .distinct()
+        .localCheckpoint(true)
+      internals.foreach(_.unpersist(false))
+      dupHist1.foreach(dropCheckpoint)
+      dupHist2.foreach(dropCheckpoint)
       val stateB = sigsB
         .join(broadcast(dupIds.withColumn("__d", lit(true))
           .select(col("id"), col("__d"))), Seq("id"), "left")

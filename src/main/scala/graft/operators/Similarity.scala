@@ -296,6 +296,25 @@ object Similarity {
       .filter(col("rk") <= degree)
   }
 
+  /** Argmax-cosine cell ASSIGNMENT as a map-side partial max(struct)
+    * (ties to the lowest cid — the dedup_semantic discipline): one
+    * `__cell` column appended to (idCol, vecCol). The aggregation
+    * form scales where the [[cellRanked]] window form ranks (use
+    * this when only the winning cell is needed). The same committed
+    * rule also lives in the annManifest/semanticDedup folds'
+    * in-line assignments — any change here must change those.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroidDf: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centroidDf))
+      .select(col(idCol), col(vecCol),
+        struct(cosine_sim(col(vecCol), col("cv")).as("c"),
+          (lit(0L) - col("cid")).as("negcid")).as("m"))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max(col("m")).as("m"))
+      .select(col(idCol), col(vecCol),
+        (lit(0L) - col("m.negcid")).as("__cell"))
+
   /** Centroid-cosine cell ranking: df's (id, vec) against every
     * centroid, `crk` = 1 for the nearest cell (ties to the lowest
     * cid) — the storage/probe primitive behind [[knnGraph]].

@@ -147,6 +147,25 @@ object Transforms {
             throw new IllegalArgumentException(
               "quality onViolation=route requires a `deadLetterPath` " +
                 "property")).toString
+          // refuse a deadLetterPath holding the round-16 FLAT layout
+          // (loose part files at the root): writing run=<id> subdirs
+          // beside them leaves mixed leaf depths that break partition
+          // discovery on the documented read path — the scd2EnrichedTo
+          // legacy-layout discipline (migrate old rejects into a
+          // run=legacy/ subdir first)
+          locally {
+            val fs = new org.apache.hadoop.fs.Path(path)
+              .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            val root = new org.apache.hadoop.fs.Path(path)
+            if (fs.exists(root) && fs.listStatus(root).exists(st =>
+                st.isFile && !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith(".")))
+              throw new IllegalStateException(
+                s"deadLetterPath $path holds flat (pre-run-partitioned) " +
+                  "reject files: writing run=<id> partitions beside them " +
+                  "would break partition discovery for readers. Move the " +
+                  "legacy files into a run=legacy/ subdir first.")
+          }
           val flagged0 = Quality.flagRows(df, rules)
             .withColumnRenamed("violated_rules", "__graft_viol")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -28,10 +28,14 @@ import graft.Tables
   * length d(s, v) cannot revisit or detour, so R_{d(s,v)}(s, v) IS
   * σ_s(v) — keeping each (seed, node)'s min-dist row (one
   * min(struct) groupBy at the end) recovers exact shortest-path
-  * counts. d(s, t) itself derives as min over v of d_s(v) + d_t(v)
-  * — any midpoint of a ≤8-hop shortest path sits within the 4-hop
-  * horizon of both ends, so pairs up to distance 8 resolve from the
-  * two 4-hop tables.
+  * counts. d(s, t) derives as min over v of
+  * d_s(v) + d_t(v), and the stress sum is taken over seed pairs
+  * with d(s, t) <= 4 ONLY: within that horizon every interior node
+  * of every shortest path sits within 4 hops of both ends, so the
+  * count is COMPLETE — a pair at distance 6 or 8 would silently
+  * drop on-path nodes more than 4 hops from one endpoint (partial
+  * credit, an inconsistent definition — round-17 self-review), so
+  * such pairs are excluded outright rather than miscounted.
   *
   * Scale shape = q126's: the edge relation builds once (partial-agg
   * distinct pairs, never a row² self-join), repartition(dst) +
@@ -105,7 +109,8 @@ object RelationalQueries22 {
         .persist() // consumed twice: pair-distance derivation + the sum
       val dstT = pj.groupBy($"s", $"t").agg(min($"dsum").as("d"))
       pj.join(broadcast(dstT), Seq("s", "t"))
-        .filter($"dsum" === $"d" && $"node" =!= $"s" && $"node" =!= $"t")
+        .filter($"d" <= 4L && $"dsum" === $"d" &&
+          $"node" =!= $"s" && $"node" =!= $"t")
         .groupBy($"node").agg(sum($"prod").as("stress"))
         .select($"node", ($"node" % 2).as("ntype"), $"stress")
         .orderBy($"stress".desc, $"node".asc).limit(100)
@@ -148,7 +153,7 @@ object RelationalQueries22 {
          |  CAST(sum(p.prod) AS BIGINT) AS stress
          |FROM pj p JOIN dst ON dst.s = p.s AND dst.t = p.t
          |  AND p.dsum = dst.d
-         |WHERE p.node <> p.s AND p.node <> p.t
+         |WHERE dst.d <= 4 AND p.node <> p.s AND p.node <> p.t
          |GROUP BY p.node
          |ORDER BY stress DESC, node ASC LIMIT 100""".stripMargin
     }

@@ -43,6 +43,27 @@ class SurvivorFoldSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("any rule: a history-flagged batch doc still flags later batch docs (boundary bridge)") {
+    // round-17 self-review regression: A in HISTORY, B and C in the
+    // batch. B dups against history survivor A; under the
+    // any-smaller-id rule B remains a valid PARTNER for C (the
+    // within-batch predicate is decision-independent), so C must dup
+    // too — an engine that drops history-flagged docs from the
+    // within-batch pool lets C slip through and silently breaks the
+    // fold's split-invariance against the one-shot decision.
+    val prior = Dedup.minhashDedupFold(None,
+        chain.filter(col("doc_id") <= 1), "doc_id", "text",
+        mode = "word", n = 1, tauNum = 1, tauDen = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prior.count()
+    val state = Dedup.minhashDedupFold(Some(prior),
+      chain.filter(col("doc_id") > 1), "doc_id", "text",
+      mode = "word", n = 1, tauNum = 1, tauDen = 3)
+    assert(canon(state) === Seq((1L, false), (2L, true), (3L, true)),
+      "C's only partner B was flagged via history — C must still dup")
+    GraftSession.release(spark)
+  }
+
   test("in-order split folds equal one fold, across a parquet round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_survf").toString
