@@ -544,7 +544,8 @@ object Dedup {
   def minhashDedupFold(prev: Option[DataFrame], batch: DataFrame,
       idCol: String, textCol: String, mode: String = "word", n: Int = 3,
       numHashes: Int = 128, bands: Int = 0,
-      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+      tauNum: Int = 1, tauDen: Int = 2,
+      smallBatchDocs: Long = 65536L): DataFrame = {
     // round 17 (VERDICT r16 task 1): integral-id corpora run the
     // bounded-phase engine (anyRule = true) — the naive exploded
     // band-candidate plan below is quadratic in duplicate depth
@@ -559,7 +560,7 @@ object Dedup {
     if (Seq("byte", "short", "int", "integer", "long", "bigint")
         .contains(idT0))
       return minhashFoldEngine(prev, batch, idCol, textCol, mode, n,
-        numHashes, bands, tauNum, tauDen, 65536L, anyRule = true)
+        numHashes, bands, tauNum, tauDen, smallBatchDocs, anyRule = true)
     // bands <= 0 = "derive from tau": the recall-preserving banding
     // (Transforms.recallBandRows — the single rule the YAML stage
     // uses). A FIXED band count independent of tau silently loses
@@ -607,12 +608,44 @@ object Dedup {
         sigsB.select(col("id").as("id_b"), col("sig").as("__sb"))), "id_b")
       .filter(expr("aggregate(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, 0)), " +
         s"0, (a, b) -> a + b) * $tauDen >= $numHashes * $tauNum"))
+      // the oracle's exact candidate rule: some whole band of hash
+      // VALUES agrees. Hashed-bucket candidacy is a superset (same
+      // values -> same key), so this filter only discards ~2^-64
+      // bucket collisions — but applying it makes the fallback's
+      // decisions EXACTLY the engine sweeps' rule (round 18, ADVICE
+      // r17: the predicate must not depend on which plan ran).
+      // Evaluated after the agreement estimate: survivors are few.
+      .filter(valueBandExpr(numHashes, bandsEff))
       .select(col("id_b").as("id")).distinct()
+      // eager checkpoint (batch-bounded ids): the fallback runs under
+      // the versionedStateSink streaming fold too, where a lazily
+      // re-evaluated dupIds would re-scan history per consumer and a
+      // persisted-but-never-released `reps` accumulates per
+      // micro-batch (round 18, ADVICE r17 — the engine's leak fix
+      // mirrored here)
+      .localCheckpoint(true)
+    reps.unpersist(false)
     val stateB = sigsB
       .join(broadcast(dupIds.withColumn("__d", lit(true))), Seq("id"), "left")
       .select(col("id"), col("sig"),
         coalesce(col("__d"), lit(false)).as("is_dup"))
     prev.map(_.unionByName(stateB)).getOrElse(stateB)
+  }
+
+  /** The oracle's exact band-candidacy rule as a SQL predicate over
+    * paired signature columns `__sa`/`__sb`: some whole band of hash
+    * VALUES agrees (bandsEff bands of numHashes/bandsEff rows).
+    * Shared by the fold engine's history passes and the non-integral-
+    * id fallback so every decision path applies the SAME per-pair
+    * rule the executor sweeps ([[minhashFoldEngine]]'s
+    * sharesValueBand) and the DuckDB oracles use.
+    */
+  private def valueBandExpr(numHashes: Int, bandsEff: Int)
+      : org.apache.spark.sql.Column = {
+    val r = numHashes / bandsEff
+    expr(s"exists(sequence(0, ${bandsEff - 1}), g -> " +
+      s"slice(__sa, CAST(g * $r + 1 AS INT), $r) = " +
+      s"slice(__sb, CAST(g * $r + 1 AS INT), $r))")
   }
 
   /** SURVIVOR-POOL incremental near-dup fold (round 14 — VERDICT r13
@@ -760,14 +793,167 @@ object Dedup {
           .join(broadcast(probe
             .select(col("id").as("id_b"), col("sig").as("__sb"))), "id_b")
           .filter(agreeExpr)
+          // exact value-band rule, same as the sweeps' sharesValueBand
+          // (round 18, ADVICE r17: without it a ~2^-64 hashed-bucket
+          // collision pair's decision depended on whether it straddled
+          // a batch boundary). After the estimate: survivors are few.
+          .filter(valueBandExpr(numHashes, bandsEff))
           .select(col("id_b").as("id")).distinct()
       }
-      // phase 1: the history pass(es). Eager checkpoint: each flagged-id
-      // frame is batch-bounded and is consumed twice (the anti-join and
-      // the final decision union) — without it the history scan runs
-      // twice per action.
+      // ---- kernel helpers shared by every decision path ----
+      val needNum = numHashes * tauNum
+      val tauDenL = tauDen
+      // integer agreement verify with sound early abort: false as soon
+      // as even all-remaining-matches cannot reach tau
+      def agrees(a: Array[Long], b: Array[Long]): Boolean = {
+        var m = 0; var k = 0; val n = a.length
+        while (k < n) {
+          if (a(k) == b(k)) m += 1
+          else if ((m + (n - k - 1)) * tauDenL < needNum) return false
+          k += 1
+        }
+        m * tauDenL >= needNum
+      }
+      val rowsPerBand = numHashes / bandsEff
+      val bandsEffL = bandsEff
+      // the oracle's exact candidate rule: some whole band of hash
+      // VALUES agrees (hashed-bucket candidacy is a superset of value
+      // matches — the documented decision-equivalence argument; both
+      // sweeps apply the value rule before agreement, so collision
+      // candidates only cost a lookup)
+      def sharesValueBand(a: Array[Long], b: Array[Long]): Boolean = {
+        var g = 0
+        while (g < bandsEffL) {
+          var k = g * rowsPerBand; val end = k + rowsPerBand
+          var all = true
+          while (all && k < end) { all = a(k) == b(k); k += 1 }
+          if (all) return true
+          g += 1
+        }
+        false
+      }
+      import spark.implicits._
+      // (id, sig, bands, isHist, histDup) rows for the single-task
+      // sweep kernel — history rows carry their PINNED decisions
+      // (closed-version discipline: the sweep indexes them, never
+      // re-decides them), batch rows are decided per rule
+      def sweepRows(df: DataFrame, hist: Boolean): DataFrame =
+        if (hist) df.select(col("id").cast("long").as("id"), col("sig"),
+          minhash_bands(col("sig"), bandsEff).as("__bnd"),
+          lit(true).as("__h"), col("is_dup").as("__hd"))
+        else df.select(col("id"), col("sig"),
+          minhash_bands(col("sig"), bandsEff).as("__bnd"),
+          lit(false).as("__h"), lit(false).as("__hd"))
+      // ONE single-task in-memory ascending sweep (the localUnionFind
+      // small-graph idiom — executor-side, never the driver) with a
+      // hashed-band index. Keep-first rule: x is flagged iff some
+      // already-KEPT strictly-smaller doc sharing a band bucket
+      // matches it (shared value band + agreement — the oracle's
+      // exact rule), and only kept docs index. Any rule: EVERY
+      // processed doc indexes and any smaller match flags. History
+      // rows index per rule under their pinned flags (any rule: all;
+      // keep-first: survivors only) and are never re-decided.
+      // Memory: O(rows) sigs in one task (~2.5KB/doc — the
+      // smallBatchDocs contract). Decisions are identical to the
+      // phased/distributed path — candidates there are component
+      // members, and any exact-rule partner shares a bucket, hence a
+      // component.
+      def singleTaskSweep(frame: DataFrame): DataFrame = {
+        val swept = frame.queryExecution.toRdd
+          .mapPartitions(_.map { ir =>
+            (ir.getLong(0),
+              if (ir.isNullAt(1)) null else ir.getArray(1).toLongArray,
+              if (ir.isNullAt(2)) null else ir.getArray(2).toLongArray,
+              ir.getBoolean(3), ir.getBoolean(4))
+          })
+          .coalesce(1)
+          .mapPartitions { it =>
+            val members = it.toArray.sortBy(_._1)
+            val index = scala.collection.mutable.HashMap
+              .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+            val keptSigs = new Array[Array[Long]](members.length)
+            val keptIds = new Array[Long](members.length)
+            var nKept = 0
+            def indexMember(id: Long, sig: Array[Long],
+                bnd: Array[Long]): Unit = {
+              keptSigs(nKept) = sig; keptIds(nKept) = id
+              var g = 0
+              while (g < bnd.length) {
+                index.getOrElseUpdate(bnd(g), scala.collection
+                  .mutable.ArrayBuffer.empty[Int]) += nKept
+                g += 1
+              }
+              nKept += 1
+            }
+            val dup = scala.collection.mutable.ArrayBuffer.empty[Long]
+            members.foreach { case (id, sig, bnd, isHist, histDup) =>
+              // null sig (null text): never bands, never matches —
+              // survives trivially and indexes nothing
+              if (sig != null) {
+                if (isHist) {
+                  if (anyRule || !histDup) indexMember(id, sig, bnd)
+                } else {
+                  val seen = scala.collection.mutable.HashSet.empty[Int]
+                  var isDup = false
+                  var g = 0
+                  while (!isDup && g < bnd.length) {
+                    index.get(bnd(g)).foreach(_.foreach { ki =>
+                      if (!isDup && keptIds(ki) < id && seen.add(ki)) {
+                        val k = keptSigs(ki)
+                        if (sharesValueBand(k, sig) && agrees(k, sig))
+                          isDup = true
+                      }
+                    })
+                    g += 1
+                  }
+                  if (isDup) dup += id
+                  if (!isDup || anyRule) indexMember(id, sig, bnd)
+                }
+              }
+            }
+            dup.iterator
+          }
+        spark.createDataset(swept).toDF("id")
+      }
+      // corpus sizes drive the path choice: batchN's count also
+      // materializes the signature kernel into sigsB's persist (every
+      // later consumer reads it), histN is a cached-state or parquet
+      // count — both cheap relative to one band join
+      val batchN = sigsB.count()
+      val histN = prev.map(_.count()).getOrElse(0L)
+      val dupIds: DataFrame = if (batchN == 0L) {
+        spark.emptyDataset[Long].toDF("id").localCheckpoint(true)
+      } else if (histN + batchN <= smallBatchDocs) {
+        // UNIFIED SMALL-CORPUS FAST PATH (round 18 — VERDICT r17
+        // task 2): when history + batch fit one sweep task, skip the
+        // phased history passes entirely — the two broadcast band
+        // joins, two eager checkpoints and the anti-join persists are
+        // pure fixed cost at this size (they tripled the sf0.1
+        // incremental fold: 0.9 -> 2.9 s standalone). One job scans
+        // state + batch and decides everything; decisions are the
+        // sequential greedy / any-smaller rule verbatim.
+        val histRows = prev.map(p => sweepRows(
+          p.select(col("id"), col("sig"), col("is_dup")), hist = true))
+        singleTaskSweep(histRows
+            .map(_.unionByName(sweepRows(sigsB, hist = false)))
+            .getOrElse(sweepRows(sigsB, hist = false)))
+          .localCheckpoint(true)
+      } else {
+      // ---- PHASED PATH (corpus beyond one sweep task) ----
+      // phase 1: the history pass(es). Eager checkpoint: each
+      // flagged-id frame is batch-bounded and is consumed twice (the
+      // anti-join and the final decision union) — without it the
+      // history scan runs twice per action.
       val dupHist1 = histSurv.map(p =>
         matchedVs(sigsB, p).localCheckpoint(true))
+      if (dupHist1.exists(_.count() == batchN)) {
+        // und1-empty short-circuit (round 18, VERDICT r17 task 2):
+        // the survivor pass flagged EVERY batch doc, so the dup-pool
+        // pass and all sweeps could only re-derive held flags. The
+        // checkpointed frame IS the decision set (matchedVs output is
+        // distinct ids) and stays checkpointed for the state join.
+        dupHist1.get
+      } else {
       val und1 = dupHist1.map(d =>
           sigsB.join(broadcast(d), Seq("id"), "left_anti"))
         .getOrElse(sigsB)
@@ -801,105 +987,11 @@ object Dedup {
       // every pool member; history flags union in at the end
       // (distinct — a doc can be flagged by both sides).
       val sweepBase = if (anyRule) sigsB else undecided
-      // ---- kernel helpers shared by both decision paths ----
-      val needNum = numHashes * tauNum
-      val tauDenL = tauDen
-      // integer agreement verify with sound early abort: false as soon
-      // as even all-remaining-matches cannot reach tau
-      def agrees(a: Array[Long], b: Array[Long]): Boolean = {
-        var m = 0; var k = 0; val n = a.length
-        while (k < n) {
-          if (a(k) == b(k)) m += 1
-          else if ((m + (n - k - 1)) * tauDenL < needNum) return false
-          k += 1
-        }
-        m * tauDenL >= needNum
-      }
-      val rowsPerBand = numHashes / bandsEff
-      val bandsEffL = bandsEff
-      // the oracle's exact candidate rule: some whole band of hash
-      // VALUES agrees (hashed-bucket candidacy is a superset of value
-      // matches — the documented decision-equivalence argument; both
-      // sweeps apply the value rule before agreement, so collision
-      // candidates only cost a lookup)
-      def sharesValueBand(a: Array[Long], b: Array[Long]): Boolean = {
-        var g = 0
-        while (g < bandsEffL) {
-          var k = g * rowsPerBand; val end = k + rowsPerBand
-          var all = true
-          while (all && k < end) { all = a(k) == b(k); k += 1 }
-          if (all) return true
-          g += 1
-        }
-        false
-      }
-      import spark.implicits._
-      val nUndecided = sweepBase.count()
+      // anyRule's sweep base is the whole batch — reuse batchN
+      // instead of paying another count job
+      val nUndecided = if (anyRule) batchN else sweepBase.count()
       val dupNew: DataFrame = if (nUndecided <= smallBatchDocs) {
-        // SMALL-BATCH FAST PATH: one single-task in-memory ascending
-        // sweep (the localUnionFind small-graph idiom — executor-side,
-        // never the driver) with a hashed-band index. Keep-first rule:
-        // x is flagged iff some already-KEPT doc sharing a band bucket
-        // matches it, and only kept docs index. Any rule: EVERY
-        // processed doc indexes and any smaller match flags.
-        // Memory: O(batch) sigs in one task (~2.5KB/doc).
-        // Decisions are identical to the distributed path — candidates
-        // there are component members, and any exact-rule partner
-        // shares a bucket, hence a component. This path exists because
-        // the distributed one costs ~10 fixed query stages per fold —
-        // pure scheduling latency when the undecided set is small
-        // (which phase 1 makes the common incremental case: history
-        // flags most of a fresh crawl before any pair work).
-        val swept = sweepBase
-          .select(col("id"), col("sig"),
-            minhash_bands(col("sig"), bandsEff).as("__bnd"))
-          .queryExecution.toRdd
-          .mapPartitions(_.map { ir =>
-            (ir.getLong(0),
-              if (ir.isNullAt(1)) null else ir.getArray(1).toLongArray,
-              if (ir.isNullAt(2)) null else ir.getArray(2).toLongArray)
-          })
-          .coalesce(1)
-          .mapPartitions { it =>
-            val members = it.toArray.sortBy(_._1)
-            val index = scala.collection.mutable.HashMap
-              .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
-            val keptSigs = new Array[Array[Long]](members.length)
-            var nKept = 0
-            val dup = scala.collection.mutable.ArrayBuffer.empty[Long]
-            members.foreach { case (id, sig, bnd) =>
-              // null sig (null text): never bands, never matches —
-              // survives trivially and indexes nothing
-              if (sig != null) {
-                val seen = scala.collection.mutable.HashSet.empty[Int]
-                var isDup = false
-                var g = 0
-                while (!isDup && g < bnd.length) {
-                  index.get(bnd(g)).foreach(_.foreach { ki =>
-                    if (!isDup && seen.add(ki)) {
-                      val k = keptSigs(ki)
-                      if (sharesValueBand(k, sig) && agrees(k, sig))
-                        isDup = true
-                    }
-                  })
-                  g += 1
-                }
-                if (isDup) dup += id
-                if (!isDup || anyRule) {
-                  keptSigs(nKept) = sig
-                  var g2 = 0
-                  while (g2 < bnd.length) {
-                    index.getOrElseUpdate(bnd(g2), scala.collection
-                      .mutable.ArrayBuffer.empty[Int]) += nKept
-                    g2 += 1
-                  }
-                  nKept += 1
-                }
-              }
-            }
-            dup.iterator
-          }
-        spark.createDataset(swept).toDF("id")
+        singleTaskSweep(sweepRows(sweepBase, hist = false))
       } else {
       // ---- DISTRIBUTED PATH (undecided set beyond one task) ----
       // phase 2a: exact-signature clique collapse (the r10
@@ -1078,7 +1170,7 @@ object Dedup {
       // now materialized, so every internal frame and the phase-1
       // checkpoints can be released before the lazy state returns —
       // the fold retains exactly sigsB + this id list per batch
-      val dupIds = (dupHist1.toSeq ++ dupHist2.toSeq :+ dupNew)
+      val ids = (dupHist1.toSeq ++ dupHist2.toSeq :+ dupNew)
         .reduce(_ unionByName _)
         // anyRule sweeps decide every batch doc, so a doc can carry
         // both a history flag and a sweep flag — the state join
@@ -1088,6 +1180,9 @@ object Dedup {
       internals.foreach(_.unpersist(false))
       dupHist1.foreach(dropCheckpoint)
       dupHist2.foreach(dropCheckpoint)
+      ids
+      }
+      }
       val stateB = sigsB
         .join(broadcast(dupIds.withColumn("__d", lit(true))
           .select(col("id"), col("__d"))), Seq("id"), "left")

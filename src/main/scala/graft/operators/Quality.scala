@@ -87,6 +87,15 @@ object Quality {
     require(nonLocal.isEmpty,
       s"quality rules [${nonLocal.mkString(", ")}] are not row-local — " +
         "routing cannot blame a row for a table-level rule")
+    // reserved output names must not already exist on the input
+    // (round 18, ADVICE r17): a user column named `violated_rules`
+    // would be silently REPLACED here (and dropped on the clean path
+    // by the route stage) — refuse loudly instead
+    val clash = df.columns.toSet
+      .intersect(Set("violated_rules", "__graft_viol0", "__graft_viol"))
+    require(clash.isEmpty,
+      s"quality routing reserves column name(s) [${clash.mkString(", ")}] " +
+        "for its violation audit — rename the input column(s) first")
     df.withColumn("__graft_viol0",
         array(rules.map(r => when(r.rowViolates.get, lit(r.name))): _*))
       .withColumn("violated_rules",

@@ -12,6 +12,11 @@ import graft.pipeline.TransformSpec
   */
 object Transforms {
 
+  /** Per-JVM salt for default dead-letter run ids (see the route
+    * stage): monotone, so same-millisecond stages never collide.
+    */
+  private val routeRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def apply(df: DataFrame, specs: Seq[TransformSpec]): DataFrame =
     specs.foldLeft(df)(applyOne)
 
@@ -169,8 +174,14 @@ object Transforms {
           val flagged0 = Quality.flagRows(df, rules)
             .withColumnRenamed("violated_rules", "__graft_viol")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // default run ids salt the wall-clock stamp with a per-JVM
+          // sequence (round 18, ADVICE r17): two route stages sharing
+          // a deadLetterPath and starting in the same millisecond
+          // would otherwise land in ONE run partition and
+          // mode(overwrite) would clobber the first stage's rejects
           val runDir = props.get("runId").map(r => s"$path/run=$r")
-            .getOrElse(s"$path/run=ts_${System.currentTimeMillis()}")
+            .getOrElse(s"$path/run=ts_${System.currentTimeMillis()}" +
+              s"_${routeRunSeq.incrementAndGet()}")
           flagged0.filter(size(col("__graft_viol")) > 0)
             .withColumnRenamed("__graft_viol", "violated_rules")
             .write.mode("overwrite").parquet(runDir)

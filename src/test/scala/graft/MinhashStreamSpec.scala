@@ -46,16 +46,45 @@ class MinhashStreamSpec extends SparkSpec {
     val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
       .collect().map(_.getLong(0))
     val mid = ids(ids.length / 2)
+    // smallBatchDocs = 0 forces the PHASED engine path — the plan this
+    // test pins; the small spec corpus would otherwise take the
+    // round-18 unified single-task sweep, which has no probe join
     val prev = Dedup.minhashDedupFold(None,
-      docs.filter(col("doc_id") <= mid), "doc_id", "text").persist()
+      docs.filter(col("doc_id") <= mid), "doc_id", "text",
+      smallBatchDocs = 0L).persist()
     prev.count()
     val next = Dedup.minhashDedupFold(Some(prev),
-      docs.filter(col("doc_id") > mid), "doc_id", "text")
+      docs.filter(col("doc_id") > mid), "doc_id", "text",
+      smallBatchDocs = 0L)
     val p = next.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       "the band probe must broadcast the batch side")
     assert(!p.contains("SortMergeJoin"),
       "history must stream through the probe without a sort-merge exchange")
+    GraftSession.release(spark)
+  }
+
+  test("unified small-corpus sweep == phased engine, batch and split") {
+    // the round-18 fixed-cost fast path must be decision-identical to
+    // the phased plan it elides — whole-corpus fold AND a mid-split
+    // fold (the boundary is where the history-index logic could
+    // diverge from the phased history passes)
+    val phasedFull = canon(Dedup.minhashDedupFold(None, docs,
+      "doc_id", "text", smallBatchDocs = 0L))
+    assert(phasedFull == full, "phased whole-corpus fold diverged")
+    val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .cast("long")).head().getLong(0)
+    val prevU = Dedup.minhashDedupFold(None,
+      docs.filter(col("doc_id") <= mid), "doc_id", "text").persist()
+    val nextU = Dedup.minhashDedupFold(Some(prevU),
+      docs.filter(col("doc_id") > mid), "doc_id", "text")
+    val prevP = Dedup.minhashDedupFold(None,
+      docs.filter(col("doc_id") <= mid), "doc_id", "text",
+      smallBatchDocs = 0L).persist()
+    val nextP = Dedup.minhashDedupFold(Some(prevP),
+      docs.filter(col("doc_id") > mid), "doc_id", "text",
+      smallBatchDocs = 0L)
+    assert(canon(nextU) == canon(nextP), "split fold diverged across paths")
     GraftSession.release(spark)
   }
 
