@@ -79,6 +79,35 @@ object GraftSession {
   /** Drop every cached model snapshot (data-change escape hatch). */
   def invalidateModels(): Unit = models.clear()
 
+  /** Memoized PARQUET artifact (round 18 — VERDICT r17 task 5):
+    * [[cachedModel]] for results too big for driver memory. `build`
+    * runs once per (artifactId, dir) per session, writing its frames
+    * under a fresh temp directory whose path is the memoized value;
+    * consumers re-read the parquet — which survives [[release]] (disk,
+    * not executor storage) exactly like the driver-side model cache.
+    * First shipped use: the degree-6 k-NN graph the four graph-ANN
+    * queries each rebuilt from vectors (27.9-62.1 s EACH at 100×) now
+    * builds once per session per data dir; at 100 TB the same artifact
+    * is the persisted index a deployment maintains incrementally
+    * ([[graft.streaming.StreamingOps.knnGraphMaintained]]).
+    *
+    * Determinism contract: `build` must be a pure function of the data
+    * under `dir` and write only exact-typed columns (ints/longs/
+    * strings/float arrays land bit-identical after a parquet round
+    * trip), so a cache hit is indistinguishable from a rebuild. A
+    * crashed build memoizes nothing (the FutureTask evicts) — the next
+    * caller rebuilds into a FRESH directory, so no torn artifact is
+    * ever read.
+    */
+  def cachedArtifact(artifactId: String, dir: String)
+      (build: String => Unit): String =
+    cachedModel[String](artifactId, dir) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_art_$artifactId").toString
+      build(path)
+      path
+    }
+
   /** Between-query storage sweep shared by Bench/BenchOne/Verify.
     * clearCache drops catalog-cached frames, but localCheckpoint blocks
     * (the CC loop, q70's edge relation) are RDD storage the catalog

@@ -296,6 +296,67 @@ object Similarity {
       .filter(col("rk") <= degree)
   }
 
+  /** Width-`width`, `steps`-step BEAM SEARCH over an arbitrary directed
+    * edge frame (round 18 — VERDICT r17 task 3: the walk kernel pulled
+    * out of the query layer so it can consume ANY edge source, in
+    * particular a [[graft.streaming.StreamingOps.knnGraphMaintained]]
+    * state via knnGraphCurrent/knnGraphMembers — the AMORTIZED form of
+    * the graph-ANN build class, which rebuilds nothing). Column
+    * contract: `nodes` (vec_id, embedding), `edges` (src, dst, plus any
+    * key columns named in `keys` to scope variant graphs), `queries`
+    * (q_id, qv), `frontier0` (keys..., node, ncos). Returns the final
+    * frontier (keys..., node, ncos).
+    *
+    * Plan discipline (the audited ann_graph_search loop): the frontier
+    * and query frames broadcast (bounded: |queries|·width rows), the
+    * node/edge frames stream through per-step hash joins; candidates ⊇
+    * frontier and dedup exactly (a node reached twice scores the SAME
+    * strict-fold cosine, so distinct collapses bit-equal rows); eager
+    * localCheckpoint per step with constraint propagation off — the
+    * frontier is consumed twice per step (self-union + probe) and
+    * lineage grows 3^steps otherwise. Extra `keys` columns ride the
+    * windows so several independent beams (variants, width curves) pay
+    * the fixed per-round scheduling latency ONCE; `width` may be an
+    * expression over the key columns.
+    */
+  def graphBeamSearch(nodes: DataFrame, edges: DataFrame,
+      queries: DataFrame, frontier0: DataFrame,
+      keys: Seq[String] = Seq("q_id"),
+      width: org.apache.spark.sql.Column = null,
+      steps: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = nodes.sparkSession
+    val widthCol = Option(width).getOrElse(lit(8))
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.get(cpKey)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ncos").desc, col("node").asc)
+    // key columns that ALSO exist on the edge frame scope the walk to
+    // that key's graph — variant graphs walk in one loop without
+    // leaking edges across variants
+    val edgeKeys = keys.filter(edges.columns.contains)
+    var frontier = frontier0
+    spark.conf.set(cpKey, "false")
+    try for (_ <- 1 to steps) {
+      val nbrs = broadcast(frontier).as("f")
+        .join(edges.as("e"), edgeKeys
+          .map(k => col(s"f.$k") === col(s"e.$k"))
+          .foldLeft(col("f.node") === col("e.src"))(_ && _))
+        .join(nodes.select(col("vec_id").as("nid"),
+          col("embedding").as("nv")).as("n"), col("e.dst") === col("n.nid"))
+        .join(broadcast(queries).as("a"), col("f.q_id") === col("a.q_id"))
+        .select(keys.map(k => col(s"f.$k").as(k)) ++
+          Seq(col("n.nid").as("node"),
+            cosine_sim(col("a.qv"), col("n.nv")).as("ncos")): _*)
+      frontier = frontier.unionByName(nbrs).distinct()
+        .withColumn("__rn", row_number().over(wB))
+        .filter(col("__rn") <= widthCol)
+        .select(keys.map(col) ++ Seq(col("node"), col("ncos")): _*)
+        .localCheckpoint(true)
+    } finally spark.conf.set(cpKey, cpPrev)
+    frontier
+  }
+
   /** Argmax-cosine cell ASSIGNMENT as a map-side partial max(struct)
     * (ties to the lowest cid — the dedup_semantic discipline): one
     * `__cell` column appended to (idCol, vecCol). The aggregation

@@ -132,6 +132,15 @@ object SimilarityQueries10 {
           $"qv".as("aq"))
       val seedCen = pts.filter($"vec_id" < kc)
         .select($"vec_id".cast("long").as("cid"), $"qv".as("cv"))
+      // The whole index build (Lloyd training + both variant graphs +
+      // per-cell medoids) is a deterministic pure function of the
+      // embeddings table with exact-typed outputs (longs, strings,
+      // bigint arrays — parquet round-trips bit-exactly), so it lands
+      // in a session artifact (round 18, VERDICT r17 task 5): the
+      // 62.1 s 100× build runs once per (dir) per session; re-runs
+      // pay the walk + eval only.
+      val partsPath = graft.GraftSession.cachedArtifact(
+        "graph_trained_parts", dir) { base =>
       // 3 Lloyd rounds over the node set: primary-cell assignment by
       // integer d2 (ties to lowest cid), truncating-integer-mean
       // update, empty cells keep their centroid. kc-bounded result is
@@ -185,6 +194,7 @@ object SimilarityQueries10 {
       // stored, probes and the medoid.
       val cents = seedCen.withColumn("variant", lit("seed"))
         .unionByName(trainedCen.withColumn("variant", lit("trained")))
+      cents.write.parquet(s"$base/cents")
       val wC = Window.partitionBy($"variant", $"vec_id")
         .orderBy($"d2".asc, $"cid".asc)
       val top2 = nodes.crossJoin(broadcast(cents))
@@ -202,19 +212,34 @@ object SimilarityQueries10 {
         .orderBy($"ecos".desc, $"nbr_id".asc)
       // ecos projects BEFORE the rank window, so that exchange is
       // narrow too (the candidate pair volume 2n²/k is inherent)
-      val edges = probes.join(stored, Seq("variant", "cid"))
+      probes.join(stored, Seq("variant", "cid"))
         .filter($"vec_id" =!= $"nbr_id")
         .select($"variant", $"vec_id", $"nbr_id",
           cosine_sim($"pv", $"nv").as("ecos"))
         .withColumn("rk", row_number().over(wK)).filter($"rk" <= Degree)
         .select($"variant", $"vec_id".as("src"), $"nbr_id".as("dst"))
+        .write.parquet(s"$base/edges")
+      // per-cell MEDOID (stored member nearest its own centroid, ties
+      // to the lowest id) — the walk's entry nodes, derived from top2
+      // so it rides the artifact
+      val wM = Window.partitionBy($"variant", $"cid")
+        .orderBy($"d2".asc, $"vec_id".asc)
+      top2.filter($"crk" === 1)
+        .withColumn("mrk", row_number().over(wM))
+        .filter($"mrk" === 1)
+        .select($"variant", $"cid", $"vec_id".as("node"))
+        .write.parquet(s"$base/medoid")
+      top2.unpersist(false)
+      }
+      val cents = s.read.parquet(s"$partsPath/cents")
+      val edges = s.read.parquet(s"$partsPath/edges")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val medoid = s.read.parquet(s"$partsPath/medoid")
       // entry: top-Beam cells per (variant, anchor) by integer d2; the
-      // entry node is the cell MEDOID (stored member nearest its own
-      // centroid, ties to the lowest id) — for seed cells whose
-      // centroid is itself a corpus vector this recovers the
-      // centroid-as-node entry; min-id entry measured 1-2 recall
-      // points worse for BOTH variants
+      // entry node is the cell medoid — for seed cells whose centroid
+      // is itself a corpus vector this recovers the centroid-as-node
+      // entry; min-id entry measured 1-2 recall points worse for BOTH
+      // variants
       val wE = Window.partitionBy($"variant", $"q_id")
         .orderBy($"d2".asc, $"cid".asc)
       val cells = anchors.crossJoin(broadcast(cents))
@@ -222,12 +247,6 @@ object SimilarityQueries10 {
           Clustering.sqDist($"aq", $"cv").as("d2"))
         .withColumn("rn", row_number().over(wE)).filter($"rn" <= Beam)
         .select($"variant", $"q_id", $"cid")
-      val wM = Window.partitionBy($"variant", $"cid")
-        .orderBy($"d2".asc, $"vec_id".asc)
-      val medoid = top2.filter($"crk" === 1)
-        .withColumn("mrk", row_number().over(wM))
-        .filter($"mrk" === 1)
-        .select($"variant", $"cid", $"vec_id".as("node"))
       val frontier0 = cells
         .join(medoid, Seq("variant", "cid"))
         .join(nodes.select($"vec_id".as("node"),

@@ -76,23 +76,35 @@ object SimilarityQueries6 {
     val nodes = emb.filter($"vec_id" >= NAnchors)
       .select($"vec_id", $"embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the ann_knn_graph build, restricted to the node set
-    val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)
-    val ranked = nodes.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"cid",
-        cosine_sim($"embedding", $"cv").as("cc"))
-      .withColumn("crk", row_number().over(wA))
-    val stored = ranked.filter($"crk" === 1)
-      .select($"vec_id".as("nbr_id"), $"embedding".as("nv"), $"cid")
-    val probes = ranked.filter($"crk" <= 2)
-      .select($"vec_id", $"embedding".as("pv"), $"cid")
-    val wK = Window.partitionBy($"vec_id").orderBy($"ecos".desc, $"nbr_id".asc)
-    val edges = probes.join(stored, "cid")
-      .filter($"vec_id" =!= $"nbr_id")
-      .select($"vec_id", $"nbr_id", cosine_sim($"pv", $"nv").as("ecos"))
-      .withColumn("rk", row_number().over(wK))
-      .filter($"rk" <= Degree)
-      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+    // the ann_knn_graph edge build, restricted to the node set — built
+    // ONCE per (dir) per session (round 18, VERDICT r17 task 5: the
+    // graph-search/ef_curve/hier trio each re-ran this n^1.5 cross
+    // join, 27.9-34.8 s EACH at 100×; the artifact is a deterministic
+    // pure function of the embeddings table and (src, dst) longs
+    // round-trip parquet bit-exactly). At 100 TB this IS the persisted
+    // index; its incremental maintenance is knnGraphMaintained.
+    val edgesPath = graft.GraftSession.cachedArtifact("knn_graph_d6", dir) {
+      base =>
+        val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)
+        val ranked = nodes.crossJoin(broadcast(centroids))
+          .select($"vec_id", $"embedding", $"cid",
+            cosine_sim($"embedding", $"cv").as("cc"))
+          .withColumn("crk", row_number().over(wA))
+        val stored = ranked.filter($"crk" === 1)
+          .select($"vec_id".as("nbr_id"), $"embedding".as("nv"), $"cid")
+        val probes = ranked.filter($"crk" <= 2)
+          .select($"vec_id", $"embedding".as("pv"), $"cid")
+        val wK = Window.partitionBy($"vec_id")
+          .orderBy($"ecos".desc, $"nbr_id".asc)
+        probes.join(stored, "cid")
+          .filter($"vec_id" =!= $"nbr_id")
+          .select($"vec_id", $"nbr_id", cosine_sim($"pv", $"nv").as("ecos"))
+          .withColumn("rk", row_number().over(wK))
+          .filter($"rk" <= Degree)
+          .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+          .write.parquet(s"$base/edges")
+    }
+    val edges = s.read.parquet(s"$edgesPath/edges")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchors = emb.filter($"vec_id" < NAnchors)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
@@ -110,47 +122,17 @@ object SimilarityQueries6 {
     */
   private[queries] def beamLoop(s: SparkSession, g: GraphParts,
       frontier0: DataFrame, keys: Seq[String] = Seq("q_id"),
-      width: org.apache.spark.sql.Column = null): DataFrame = {
-    import s.implicits._
-    val widthCol = Option(width).getOrElse(lit(Beam))
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = s.conf.get(cpKey)
-    // extra key columns (e.g. a variant tag) ride through the loop:
-    // windows partition per (keys...), so several independent beams
-    // share ONE set of iterative rounds instead of paying the fixed
-    // per-round scheduling latency per beam (ann_hier_search runs its
-    // two entry variants in one loop — 6.65 → ~4 s at 10×). `width`
-    // may be an expression over the key columns so variants can run
-    // DIFFERENT beam widths in the same loop (ann_ef_curve).
-    val wB = Window.partitionBy(keys.map(col): _*)
-      .orderBy($"ncos".desc, $"node".asc)
-    var frontier = frontier0
-    s.conf.set(cpKey, "false")
-    // key columns that ALSO exist on the edge frame scope the walk to
-    // that key's graph — two VARIANT graphs walk in one loop without
-    // leaking edges across variants (ann_graph_trained)
-    val edgeKeys = keys.filter(g.edges.columns.contains)
-    try for (_ <- 1 to Steps) {
-      val nbrs = broadcast(frontier).as("f")
-        .join(g.edges.as("e"), edgeKeys
-          .map(k => col(s"f.$k") === col(s"e.$k"))
-          .foldLeft($"f.node" === $"e.src")(_ && _))
-        .join(g.nodes.select($"vec_id".as("nid"), $"embedding".as("nv")).as("n"),
-          $"e.dst" === $"n.nid")
-        .join(broadcast(g.anchors).as("a"), $"f.q_id" === $"a.q_id")
-        .select(keys.map(k => col(s"f.$k").as(k)) ++
-          Seq($"n.nid".as("node"), cosine_sim($"a.qv", $"n.nv").as("ncos")): _*)
-      // candidates ⊇ frontier, deduped exactly (a node reached twice
-      // scores the SAME cosine, so distinct collapses bit-equal rows);
-      // next frontier = top-width — the top-1 can never worsen
-      frontier = frontier.unionByName(nbrs).distinct()
-        .withColumn("__rn", row_number().over(wB))
-        .filter($"__rn" <= widthCol)
-        .select(keys.map(col) ++ Seq($"node", $"ncos"): _*)
-        .localCheckpoint(true)
-    } finally s.conf.set(cpKey, cpPrev)
-    frontier
-  }
+      width: org.apache.spark.sql.Column = null): DataFrame =
+    // round 18: the loop body moved to the operator layer
+    // (Similarity.graphBeamSearch — VERDICT r17 task 3) so the SAME
+    // audited kernel walks a maintained knnGraphCurrent state; the
+    // query surface keeps its Steps/Beam constants and GraphParts
+    // plumbing. Extra key columns (a variant tag) ride through the
+    // loop so several independent beams share ONE set of iterative
+    // rounds (ann_hier_search: 6.65 → ~4 s at 10×); `width` may be an
+    // expression over the keys (ann_ef_curve).
+    graft.operators.Similarity.graphBeamSearch(g.nodes, g.edges,
+      g.anchors, frontier0, keys, Option(width).getOrElse(lit(Beam)), Steps)
 
   /** Exact per-anchor top-1 among graph nodes — the eval side shared
     * by the graph-search queries.
