@@ -281,7 +281,153 @@ object Transforms {
           .drop("__graft_nd_rn", "component")
       }
 
+    // SEMANTIC dedup stage (round 18 — VERDICT r17 task 4: the vector
+    // stack joins the YAML surface): SemDeDup as a declarative stage —
+    // broadcast-centroid cell assignment (argmax cosine, ties to the
+    // lowest cid), then a row is a duplicate iff some SMALLER-id
+    // same-cell row has exact strict-fold cosine >= tau; survivors
+    // pass through with their original columns. The survivor rule is
+    // smaller-id-wins BY DESIGN (no orderBy knob): it is the one rule
+    // that also folds incrementally, so batch and streaming mode share
+    // semantics (Dedup.semanticDedupFold is the single kernel).
+    // Centroids come from `centroidsPath` (a (cid, cv) parquet —
+    // train offline via Similarity.ivfFit), or, batch-only, derive as
+    // the first-⌈√n⌉ rows by id (the committed dedup_semantic
+    // convention). Recall below the cell scale is the documented
+    // embeddingPairsCells trade.
+    case "semdedup" =>
+      val cfg = parseSemDedup(t.properties, df.sparkSession,
+        forStreaming = false)
+      val cen = cfg.centroids.getOrElse {
+        val k = math.ceil(math.sqrt(df.count().toDouble)).toLong
+        df.select(col(cfg.idCol).cast("long").as("cid"),
+            col(cfg.vecCol).as("cv"))
+          .orderBy(col("cid")).limit(k.toInt)
+      }
+      val state = Dedup.semanticDedupFold(None, df, cfg.idCol, cfg.vecCol,
+        cen, cfg.tau)
+      df.join(state.filter(!col("is_dup")).select(col("id").as(cfg.idCol)),
+        Seq(cfg.idCol), "left_semi")
+
+    // DECONTAMINATION stage (round 18 — VERDICT r17 task 4): drop
+    // training rows that leak a held-out benchmark, declaratively.
+    // mode `ngram` (default) is the exact GPT-3/PaLM-style n-gram
+    // overlap screen (Contamination.screen — rows with more than
+    // `maxHits` distinct n-grams found anywhere in the benchmark are
+    // dropped); mode `semantic` is the paraphrase screen
+    // (Contamination.screenSemantic — cell-blocked broadcast cosine
+    // vs the benchmark at `tau`, any hit drops). The benchmark side
+    // reads from `benchPath` and broadcasts — the training corpus
+    // never shuffles. Clean rows pass through unchanged.
+    case "decontaminate" =>
+      val cfg = parseDecontaminate(t.properties)
+      val spark = df.sparkSession
+      val bench = spark.read.parquet(cfg.benchPath)
+      cfg.mode match {
+        case "ngram" =>
+          require(bench.columns.contains(cfg.benchText),
+            s"decontaminate benchPath ${cfg.benchPath} has no column " +
+              s"`${cfg.benchText}` (set `benchText` to the benchmark's " +
+              "text column)")
+          val scr = Contamination.screen(df,
+            bench.select(col(cfg.benchText).as(cfg.textCol)),
+            cfg.idCol, cfg.textCol, cfg.n)
+          df.join(scr.filter(col("n_hit") <= cfg.maxHits)
+            .select(col(cfg.idCol)), Seq(cfg.idCol), "left_semi")
+        case "semantic" =>
+          require(bench.columns.contains(cfg.benchVec),
+            s"decontaminate benchPath ${cfg.benchPath} has no column " +
+              s"`${cfg.benchVec}` (set `benchVector` to the benchmark's " +
+              "embedding column)")
+          val cenPath = cfg.centroidsPath.getOrElse(
+            throw new IllegalArgumentException(
+              "semantic decontaminate requires a `centroidsPath` property " +
+                "(a (cid, cv) parquet — the cell-blocking quantizer; train " +
+                "via Similarity.ivfFit)"))
+          val cen = spark.read.parquet(cenPath)
+          require(Set("cid", "cv").subsetOf(cen.columns.toSet),
+            s"decontaminate centroidsPath $cenPath must hold (cid, cv) " +
+              s"columns, got ${cen.columns.mkString(", ")}")
+          // the bench side needs distinct ids for its cell assignment;
+          // derive a positional one so benchmark tables need no id
+          val benchShaped = bench
+            .select(col(cfg.benchVec).as(cfg.vecCol))
+            .withColumn(cfg.idCol, monotonically_increasing_id())
+          val scr = Contamination.screenSemantic(df, benchShaped,
+            cfg.idCol, cfg.vecCol, cen, cfg.tau)
+          df.join(scr.filter(col("n_hits") === 0).select(col(cfg.idCol)),
+            Seq(cfg.idCol), "left_semi")
+      }
+
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
+  }
+
+  /** Parsed + validated semdedup stage config — shared by the batch
+    * stage and the streaming runner's fold mapping (the neardedup
+    * two-surfaces-refuse-identically rule). `centroids` is None only
+    * when batch mode may derive the first-⌈√n⌉ convention.
+    */
+  private[graft] case class SemDedupCfg(idCol: String, vecCol: String,
+      tau: Double, centroids: Option[DataFrame])
+
+  private[graft] def parseSemDedup(props: Map[String, Any],
+      spark: org.apache.spark.sql.SparkSession,
+      forStreaming: Boolean): SemDedupCfg = {
+    def req(k: String) = props.getOrElse(k, throw new IllegalArgumentException(
+      s"semdedup transform requires a `$k` property")).toString
+    val idCol = req("id")
+    val vecCol = req("vector")
+    val tau = req("tau").toDouble
+    require(tau > -1.0 && tau <= 1.0,
+      s"semdedup tau must be a cosine threshold in (-1, 1], got $tau")
+    val cen = props.get("centroidsPath").map { p =>
+      val c = spark.read.parquet(p.toString)
+      require(Set("cid", "cv").subsetOf(c.columns.toSet),
+        s"semdedup centroidsPath $p must hold (cid, cv) columns " +
+          s"(got ${c.columns.mkString(", ")}) — train via Similarity.ivfFit")
+      c.select(col("cid"), col("cv"))
+    }
+    require(cen.nonEmpty || !forStreaming,
+      "streaming semdedup requires a `centroidsPath` property: the " +
+        "centroid frame must stay FIXED for the stream's lifetime " +
+        "(re-deriving per batch would reassign history) — train " +
+        "offline via Similarity.ivfFit")
+    SemDedupCfg(idCol, vecCol, tau, cen)
+  }
+
+  /** Parsed + validated decontaminate stage config (both surfaces). */
+  private[graft] case class DecontaminateCfg(mode: String, idCol: String,
+      textCol: String, vecCol: String, benchPath: String, benchText: String,
+      benchVec: String, n: Int, maxHits: Long, tau: Double,
+      centroidsPath: Option[String])
+
+  private[graft] def parseDecontaminate(
+      props: Map[String, Any]): DecontaminateCfg = {
+    def req(k: String) = props.getOrElse(k, throw new IllegalArgumentException(
+      s"decontaminate transform requires a `$k` property")).toString
+    val mode = props.getOrElse("mode", "ngram").toString
+    require(Set("ngram", "semantic").contains(mode),
+      s"decontaminate mode must be ngram or semantic, got $mode")
+    val idCol = req("id")
+    val benchPath = req("benchPath")
+    if (mode == "ngram") {
+      val textCol = req("text")
+      val n = props.getOrElse("ngram", "5").toString.toInt
+      require(n >= 1, s"decontaminate ngram must be >= 1, got $n")
+      val maxHits = props.getOrElse("maxHits", "0").toString.toLong
+      require(maxHits >= 0, s"decontaminate maxHits must be >= 0")
+      DecontaminateCfg(mode, idCol, textCol, null, benchPath,
+        props.getOrElse("benchText", textCol).toString, null, n, maxHits,
+        0.0, None)
+    } else {
+      val vecCol = req("vector")
+      val tau = req("tau").toDouble
+      require(tau > -1.0 && tau <= 1.0,
+        s"decontaminate tau must be a cosine threshold in (-1, 1], got $tau")
+      DecontaminateCfg(mode, idCol, null, vecCol, benchPath, null,
+        props.getOrElse("benchVector", vecCol).toString, 0, 0L, tau,
+        props.get("centroidsPath").map(_.toString))
+    }
   }
 
   /** Parsed + validated neardedup stage config — shared by the batch

@@ -926,6 +926,51 @@ object StreamingOps {
     state.filter(col("kind") === "v")
       .select(col("id").as("vec_id"), col("vec").as("embedding"))
 
+  /** Streaming DECONTAMINATION screen (round 18 — VERDICT r17 task 6):
+    * benchmark sets update rarely but corpora STREAM — each arriving
+    * micro-batch of documents is screened against the FIXED broadcast
+    * benchmark ([[graft.operators.Contamination.screen]]: distinct
+    * n-gram overlap counts) and its per-doc evidence rows
+    * (id, n_hit, n_grams) append to the state. The screen is row-LOCAL
+    * against a fixed bench side, so per-batch screen + union is
+    * exactly the whole-history screen — like qualityAuditMaintained,
+    * split-invariance is arithmetic, no arrival-order contract.
+    * A doc id seen twice (re-delivery or intra-batch duplicate)
+    * refuses loudly: duplicate evidence rows would double-count a doc
+    * in any downstream contamination-rate rollup. The bench frame is
+    * fixed for the query's lifetime (a benchmark refresh is a new
+    * state dir — the centroid-frame contract). Read back with
+    * [[latestState]]; ContaminationStreamSpec proves streamed state ==
+    * one-pass batch screen.
+    */
+  def contaminationMaintained(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, n: Int, stateDir: String,
+      name: String, retainVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(docs, stateDir, name, retainVersions) { (prev, batch) =>
+      val b = batch.toDF()
+      locally {
+        val ids = b.select(col(idCol).as("id"))
+        val nIntra = ids.groupBy(col("id")).count()
+          .filter(col("count") > 1).count()
+        if (nIntra > 0) throw new IllegalStateException(
+          s"contaminationMaintained($stateDir): $nIntra doc id(s) appear " +
+            "more than once in this micro-batch — evidence is one row " +
+            "per doc. Nothing was folded.")
+        prev.foreach { pv =>
+          val nRe = pv.select(col(idCol).as("id"))
+            .join(broadcast(ids), Seq("id"), "left_semi").count()
+          if (nRe > 0) throw new IllegalStateException(
+            s"contaminationMaintained($stateDir): $nRe doc id(s) in this " +
+              "micro-batch were already screened — re-delivery would " +
+              "double-count evidence. Nothing was folded.")
+        }
+      }
+      val scr = graft.operators.Contamination.screen(
+        b, bench, idCol, textCol, n)
+      prev.map(_.unionByName(scr)).getOrElse(scr)
+    }
+
   /** Streaming data-contract monitoring: folds each micro-batch's
     * [[graft.operators.Quality.audit]] into a cumulative one-row audit
     * state (total rows + per-rule violation counts over everything

@@ -15,7 +15,8 @@ class ExamplesSpec extends SparkSpec {
   test("every shipped example parses against the real YAML schema") {
     for (f <- Seq("csv_to_parquet.yaml", "quality_gated_dedup.yaml",
       "streaming_directory_watch.yaml", "near_dedup_curation.yaml",
-      "incremental_crawl_dedup.yaml")) {
+      "incremental_crawl_dedup.yaml", "semantic_dedup.yaml",
+      "decontaminate.yaml")) {
       val cfg = ConfigParser.parseFile(s"$dir/$f")
       assert(cfg.pipelines.nonEmpty, s"$f parsed to no pipelines")
       assert(cfg.pipelines.forall(p =>
@@ -108,6 +109,75 @@ class ExamplesSpec extends SparkSpec {
     assert(run(in2, out2) === Seq("005"))
     assert(graft.streaming.StreamingOps
       .stateVersions(spark, state) === Seq(0L, 1L))
+    GraftSession.release(spark)
+  }
+
+  test("the semantic-dedup example runs end to end and equals the fold kernel") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_sdin").toString + "/emb"
+    val cenDir = Files.createTempDirectory("graft_sdcen").toString + "/cen"
+    val out = Files.createTempDirectory("graft_sdout").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb.write.parquet(in)
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    val cen = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+    cen.write.parquet(cenDir)
+    val base = ConfigParser.parseFile(s"$dir/semantic_dedup.yaml")
+      .pipelines.head
+    val spec = base.copy(
+      source = base.source.copy(properties =
+        base.source.properties + ("path" -> in)),
+      transformations = Seq(base.transformations.head.copy(
+        properties = base.transformations.head.properties +
+          ("centroidsPath" -> cenDir))),
+      sink = base.sink.copy(properties =
+        base.sink.properties + ("path" -> out)))
+    val mgr = new PipelineManager(spark)
+    assert(mgr.submit(spec) == mgr.Completed)
+    val got = spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq
+    val want = graft.operators.Dedup.semanticDedupFold(
+        None, emb, "vec_id", "embedding", cen, 0.4)
+      .filter(!col("is_dup")).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(got.nonEmpty && got.size < emb.count(),
+      "semdedup dropped nothing — corpus has planted near-dups")
+    assert(got == want, "YAML stage diverged from the fold kernel")
+    GraftSession.release(spark)
+  }
+
+  test("the decontaminate example runs end to end and drops leaked rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_dcin").toString + "/docs"
+    val bdir = Files.createTempDirectory("graft_dcb").toString + "/bench"
+    val out = Files.createTempDirectory("graft_dcout").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different training text with no benchmark overlap"),
+      (3L, "short doc"))
+      .toDF("doc_id", "text").write.parquet(in)
+    // the benchmark holds doc 1's opening 5-grams
+    Seq("alpha beta gamma delta epsilon zeta")
+      .toDF("text").write.parquet(bdir)
+    val base = ConfigParser.parseFile(s"$dir/decontaminate.yaml")
+      .pipelines.head
+    val spec = base.copy(
+      source = base.source.copy(properties =
+        base.source.properties + ("path" -> in)),
+      transformations = Seq(base.transformations.head.copy(
+        properties = base.transformations.head.properties +
+          ("benchPath" -> bdir))),
+      sink = base.sink.copy(properties =
+        base.sink.properties + ("path" -> out)))
+    val mgr = new PipelineManager(spark)
+    assert(mgr.submit(spec) == mgr.Completed)
+    val got = spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // doc 1 leaks the benchmark (shared 5-grams) and drops; doc 3 is
+    // shorter than the window (0 n-grams, 0 hits) and must PASS
+    assert(got == Seq(2L, 3L), s"expected docs 2,3 to survive, got $got")
     GraftSession.release(spark)
   }
 

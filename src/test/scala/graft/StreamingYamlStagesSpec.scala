@@ -209,6 +209,19 @@ class StreamingYamlStagesSpec extends SparkSpec {
         Seq(Map("kind" -> "unique", "column" -> "doc_id")))))
     }
     assert(e3.getMessage.contains("row-local"))
+    // streaming semdedup without a pinned centroid frame
+    val e5 = intercept[IllegalArgumentException] {
+      run(TransformSpec("semdedup", Map("id" -> "doc_id",
+        "vector" -> "emb", "tau" -> "0.4")))
+    }
+    assert(e5.getMessage.contains("centroidsPath"))
+    // streaming decontaminate in semantic mode
+    val e6 = intercept[IllegalArgumentException] {
+      run(TransformSpec("decontaminate", Map("mode" -> "semantic",
+        "id" -> "doc_id", "vector" -> "emb", "tau" -> "0.4",
+        "benchPath" -> out)))
+    }
+    assert(e6.getMessage.contains("mode=ngram only"))
     // stateful stage not last
     val e4 = intercept[IllegalArgumentException] {
       PipelineRunner.runStream(spark, docsSpec("yr", in, out,
@@ -218,6 +231,42 @@ class StreamingYamlStagesSpec extends SparkSpec {
         TransformSpec("identity", Map.empty))))
     }
     assert(e4.getMessage.contains("final transform"))
+  }
+
+  test("streaming semdedup == batch semdedup stage survivors") {
+    val in = tmp("graft_ysd_in"); val out = tmp("graft_ysd_out")
+    val cenDir = tmp("graft_ysd_cen") + "/cen"
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).persist()
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").as("cv"))
+      .write.parquet(cenDir)
+    val mid = emb.agg(((min(col("vec_id")) + max(col("vec_id"))) / 2)
+      .cast("long")).head().getLong(0)
+    val stage = TransformSpec("semdedup", Map("id" -> "vec_id",
+      "vector" -> "embedding", "tau" -> "0.4", "centroidsPath" -> cenDir))
+    // batches arrive in id order (the fold's smaller-id contract)
+    emb.filter(col("vec_id") <= mid).coalesce(1).write.parquet(s"$in/b0")
+    val q = PipelineRunner.runStream(spark, PipelineSpec(
+      name = "ysd", source = SourceSpec("file",
+        Map("path" -> s"$in/*", "format" -> "parquet",
+          "maxFilesPerTrigger" -> "1")),
+      transformations = Seq(stage),
+      sink = SinkSpec("parquet", Map("path" -> out)), streaming = true))
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") > mid).coalesce(1).write.parquet(s"$in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.StreamingOps.latestState(spark, out).get
+      .filter(!col("is_dup")).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    val batch = graft.operators.Transforms.applyOne(emb, stage)
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed semdedup diverged (${streamed.size} vs ${batch.size})")
+    GraftSession.release(spark)
   }
 
   test("reconcile refuses params that diverge from the state's _minhash_params") {
