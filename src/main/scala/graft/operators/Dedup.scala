@@ -643,9 +643,14 @@ object Dedup {
   private def valueBandExpr(numHashes: Int, bandsEff: Int)
       : org.apache.spark.sql.Column = {
     val r = numHashes / bandsEff
-    expr(s"exists(sequence(0, ${bandsEff - 1}), g -> " +
-      s"slice(__sa, CAST(g * $r + 1 AS INT), $r) = " +
-      s"slice(__sb, CAST(g * $r + 1 AS INT), $r))")
+    // UNROLLED OR-of-ANDs (numHashes comparisons, short-circuiting,
+    // whole-stage codegen) — an exists/slice HOF form allocates two
+    // arrays per band per candidate row interpreted (the sq_dist
+    // lesson: interpreted HOF allocation dominates 100× verify joins)
+    expr((0 until bandsEff).map { g =>
+      (1 to r).map(j => s"element_at(__sa, ${g * r + j}) = " +
+        s"element_at(__sb, ${g * r + j})").mkString("(", " AND ", ")")
+    }.mkString(" OR "))
   }
 
   /** SURVIVOR-POOL incremental near-dup fold (round 14 — VERDICT r13
@@ -915,12 +920,25 @@ object Dedup {
           }
         spark.createDataset(swept).toDF("id")
       }
+      // stage timing behind the survivor-debug flag (driver-side
+      // stderr only — diagnosing which engine stage moves at scale)
+      val survDebug = sys.env.contains("GRAFT_SURV_DEBUG")
+      def timed[A](tag: String)(f: => A): A =
+        if (!survDebug) f
+        else {
+          val t0 = System.nanoTime; val v = f
+          // scalastyle:off println
+          System.err.println(
+            f"[foldengine] $tag ${(System.nanoTime - t0) / 1e9}%.2f s")
+          // scalastyle:on println
+          v
+        }
       // corpus sizes drive the path choice: batchN's count also
       // materializes the signature kernel into sigsB's persist (every
       // later consumer reads it), histN is a cached-state or parquet
       // count — both cheap relative to one band join
-      val batchN = sigsB.count()
-      val histN = prev.map(_.count()).getOrElse(0L)
+      val batchN = timed("batchN")(sigsB.count())
+      val histN = timed("histN")(prev.map(_.count()).getOrElse(0L))
       val dupIds: DataFrame = if (batchN == 0L) {
         spark.emptyDataset[Long].toDF("id").localCheckpoint(true)
       } else if (histN + batchN <= smallBatchDocs) {
@@ -944,9 +962,10 @@ object Dedup {
       // flagged-id frame is batch-bounded and is consumed twice (the
       // anti-join and the final decision union) — without it the
       // history scan runs twice per action.
-      val dupHist1 = histSurv.map(p =>
-        matchedVs(sigsB, p).localCheckpoint(true))
-      if (dupHist1.exists(_.count() == batchN)) {
+      val dupHist1 = timed("dupHist1")(histSurv.map(p =>
+        matchedVs(sigsB, p).localCheckpoint(true)))
+      if (timed("short-circuit check")(
+          dupHist1.exists(_.count() == batchN))) {
         // und1-empty short-circuit (round 18, VERDICT r17 task 2):
         // the survivor pass flagged EVERY batch doc, so the dup-pool
         // pass and all sweeps could only re-derive held flags. The
@@ -989,9 +1008,10 @@ object Dedup {
       val sweepBase = if (anyRule) sigsB else undecided
       // anyRule's sweep base is the whole batch — reuse batchN
       // instead of paying another count job
-      val nUndecided = if (anyRule) batchN else sweepBase.count()
+      val nUndecided = timed("nUndecided")(
+        if (anyRule) batchN else sweepBase.count())
       val dupNew: DataFrame = if (nUndecided <= smallBatchDocs) {
-        singleTaskSweep(sweepRows(sweepBase, hist = false))
+        timed("fastSweep")(singleTaskSweep(sweepRows(sweepBase, hist = false)))
       } else {
       // ---- DISTRIBUTED PATH (undecided set beyond one task) ----
       // phase 2a: exact-signature clique collapse (the r10
@@ -1170,13 +1190,14 @@ object Dedup {
       // now materialized, so every internal frame and the phase-1
       // checkpoints can be released before the lazy state returns —
       // the fold retains exactly sigsB + this id list per batch
-      val ids = (dupHist1.toSeq ++ dupHist2.toSeq :+ dupNew)
+      val ids = timed("dupIds checkpoint")(
+        (dupHist1.toSeq ++ dupHist2.toSeq :+ dupNew)
         .reduce(_ unionByName _)
         // anyRule sweeps decide every batch doc, so a doc can carry
         // both a history flag and a sweep flag — the state join
         // multiplies rows on duplicate ids without this
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       internals.foreach(_.unpersist(false))
       dupHist1.foreach(dropCheckpoint)
       dupHist2.foreach(dropCheckpoint)
@@ -1260,6 +1281,14 @@ object Dedup {
         col("x.cell") === col("y.cell") && col("y.id") < col("x.id") &&
           cosine_sim(col("x.emb"), col("y.emb")) >= tau)
       .select(col("x.id").as("id")).distinct()
+      // eager checkpoint + release (round 18 — the ADVICE r17 leak
+      // class, same fix as the minhash fallback): this fold runs under
+      // versionedStateSink, where a persisted internal accumulates per
+      // micro-batch. The decision ids are batch-bounded; the returned
+      // state recomputes `assigned` lazily (one batch-bounded
+      // broadcast fan-out per state action — the r12 recompute rule).
+      .localCheckpoint(true)
+    assigned.unpersist(false)
     val stateB = assigned
       .join(broadcast(dupIds.withColumn("__d", lit(true))), Seq("id"), "left")
       .select(col("id"), col("cell"), col("emb"),

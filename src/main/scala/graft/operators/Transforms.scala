@@ -299,6 +299,12 @@ object Transforms {
       val cfg = parseSemDedup(t.properties, df.sparkSession,
         forStreaming = false)
       val cen = cfg.centroids.getOrElse {
+        require(Seq("byte", "short", "integer", "long")
+            .contains(df.schema(cfg.idCol).dataType.typeName),
+          s"semdedup without centroidsPath derives the first-⌈√n⌉-by-id " +
+            s"centroid convention, which needs an integral id column; " +
+            s"got ${cfg.idCol}: ${df.schema(cfg.idCol).dataType.typeName}" +
+            " — supply a centroidsPath instead")
         val k = math.ceil(math.sqrt(df.count().toDouble)).toLong
         df.select(col(cfg.idCol).cast("long").as("cid"),
             col(cfg.vecCol).as("cv"))
@@ -348,8 +354,10 @@ object Transforms {
           require(Set("cid", "cv").subsetOf(cen.columns.toSet),
             s"decontaminate centroidsPath $cenPath must hold (cid, cv) " +
               s"columns, got ${cen.columns.mkString(", ")}")
-          // the bench side needs distinct ids for its cell assignment;
-          // derive a positional one so benchmark tables need no id
+          // the bench side needs row-distinct ids for its cell
+          // assignment groupBy; a synthetic one suffices — the screen
+          // output never reads bench ids, so their (partitioning-
+          // dependent) values cannot affect results
           val benchShaped = bench
             .select(col(cfg.benchVec).as(cfg.vecCol))
             .withColumn(cfg.idCol, monotonically_increasing_id())

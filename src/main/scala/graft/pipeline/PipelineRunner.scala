@@ -71,7 +71,11 @@ object PipelineRunner {
     try Sinks.write(buildBatch(spark, spec), spec.sink)
     finally sweepLock.synchronized {
       val alone = inFlightBatch.decrementAndGet() == 0
-      if (spec.transformations.exists(_.kind == "neardedup") && alone &&
+      // stages whose kernels persist internally (neardedup's signature
+      // and CC frames; semdedup's assigned-cell frame) — round 18
+      // widened from neardedup-only when the semdedup stage landed
+      if (spec.transformations.exists(t =>
+            Set("neardedup", "semdedup").contains(t.kind)) && alone &&
           spark.streams.active.isEmpty) {
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!before.contains(id)) rdd.unpersist(blocking = true)

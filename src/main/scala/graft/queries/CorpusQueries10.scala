@@ -57,6 +57,41 @@ object CorpusQueries10 {
         train, bench, "vec_id", "embedding", cen, tau = 0.25)
     },
 
+    // `corpus_contamination_report` (round 18) — the REVERSE direction
+    // of corpus_contamination: per BENCHMARK doc, how burned is it?
+    // (n_train_docs sharing >= 1 distinct 5-gram with it, and how many
+    // of its own distinct 5-grams appear anywhere in training). The
+    // eval owner reads this to decide which benchmark items are dead —
+    // the forward screen tells you which TRAIN docs to drop, this
+    // tells you which EVAL items to distrust. Output is TOTAL (every
+    // bench doc, zeros when clean — the screen totality contract;
+    // sub-window docs come back n_grams = 0). Scale: the bench gram
+    // side (tiny) BROADCASTS with its doc ids; training explodes to
+    // grams and streams through the one equi-join — the corpus never
+    // shuffles; the two distinct counts aggregate only the HIT rows
+    // (overlap-bounded, a vanishing fraction of the corpus).
+    "corpus_contamination_report" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Contamination
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val train = docs.filter($"doc_id" % 97 =!= 0)
+      val bGrams = bench.select($"doc_id".as("bench_id"),
+        explode(Contamination.ngrams($"text", 5)).as("g"))
+      val tGrams = train.select($"doc_id".as("train_id"),
+        explode(Contamination.ngrams($"text", 5)).as("g"))
+      val hits = tGrams.join(broadcast(bGrams), "g")
+        .groupBy($"bench_id")
+        .agg(countDistinct($"train_id").as("nt"),
+          countDistinct($"g").as("ng"))
+      bench.select($"doc_id".as("bench_id"),
+          size(Contamination.ngrams($"text", 5)).cast("long").as("n_grams"))
+        .join(hits, Seq("bench_id"), "left")
+        .select($"bench_id", $"n_grams",
+          coalesce($"nt", lit(0L)).as("n_train_docs"),
+          coalesce($"ng", lit(0L)).as("n_grams_hit"))
+    },
+
     "corpus_diversity" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").persist()
@@ -78,6 +113,34 @@ object CorpusQueries10 {
   )
 
   val oracles: Map[String, String] = Map(
+    // same gram derivation as corpus_contamination's oracle; per-bench
+    // rollup over the hit join, LEFT-joined so clean bench docs keep
+    // their zero row
+    "corpus_contamination_report" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 4, 0)),
+        |      i -> array_to_string(
+        |        list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))
+        |      AS gs
+        |  FROM documents),
+        |bg AS (SELECT doc_id AS bench_id, unnest(gs) AS g
+        |  FROM grams WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id AS train_id, unnest(gs) AS g
+        |  FROM grams WHERE doc_id % 97 <> 0),
+        |h AS (SELECT b.bench_id,
+        |    CAST(count(DISTINCT t.train_id) AS BIGINT) AS nt,
+        |    CAST(count(DISTINCT b.g) AS BIGINT) AS ng
+        |  FROM bg b JOIN tg t ON t.g = b.g
+        |  GROUP BY b.bench_id)
+        |SELECT g2.doc_id AS bench_id,
+        |  CAST(len(g2.gs) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.nt, 0) AS BIGINT) AS n_train_docs,
+        |  CAST(coalesce(h.ng, 0) AS BIGINT) AS n_grams_hit
+        |FROM grams g2 LEFT JOIN h ON h.bench_id = g2.doc_id
+        |WHERE g2.doc_id % 97 = 0""".stripMargin,
+
     // the fold rule replayed: argmax-cell assignment (cos DESC, cid
     // ASC — the dedup_incremental_sem oracle pattern), same-cell LEFT
     // join (a train vector with no eval cell-mate stays a row with

@@ -36,6 +36,51 @@ object SimilarityQueries5 {
   private val Probes = Seq(1, 2, 3, 4)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `ann_centroid_balance` (round 18) — IVF CELL-OCCUPANCY audit,
+    // the health number every IVF deployment watches: a skewed
+    // quantizer makes nprobe recall and latency lopsided (hot cells
+    // scan big, empty cells waste the codebook). Every vector assigns
+    // to its argmax-cosine cell (the shared Similarity.assignCells
+    // map-side partial max(struct), ties to the lowest cid) over the
+    // deterministic first-⌈√n⌉ centroids; the report is one row —
+    // cell count, vector count, empty cells, min/max occupancy, exact
+    // p50/p90 occupancy (the quantile_disc ceil(q·k) 1-based rank
+    // rule over (occupancy, cid)-ordered cells — the q68 discipline),
+    // and imbalance = max/mean as exact integers into ONE double
+    // division. Scale: one broadcast fan-out + a k-row rollup — the
+    // occupancy frame is ⌈√n⌉ rows (10⁶ at n = 10¹²), so the global
+    // rank window is k-bounded, never corpus-bounded.
+    "ann_centroid_balance" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = Tables.rowCount(s, dir, "embeddings")
+      val k = math.ceil(math.sqrt(n.toDouble)).toLong
+      val cen = emb.filter($"vec_id" < k)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cv"))
+      val occ = cen.select($"cid")
+        .join(graft.operators.Similarity.assignCells(
+            emb.select($"vec_id", $"embedding"), "vec_id", "embedding", cen)
+          .groupBy($"__cell".as("cid")).agg(count(lit(1)).as("ni")),
+          Seq("cid"), "left")
+        .select($"cid", coalesce($"ni", lit(0L)).as("ni"))
+      val wR = Window.orderBy($"ni".asc, $"cid".asc)
+      val p50r = (k * 5 + 9) / 10 // ceil(0.5·k), 1-based
+      val p90r = (k * 9 + 9) / 10 // ceil(0.9·k)
+      val ranked = occ.withColumn("r", row_number().over(wR))
+      val quants = ranked.filter($"r" === p50r)
+        .select($"ni".as("occ_p50"))
+        .crossJoin(ranked.filter($"r" === p90r).select($"ni".as("occ_p90")))
+      occ.agg(count(lit(1)).as("n_cells"), sum($"ni").as("n_vectors"),
+          count(when($"ni" === 0, 1)).as("n_empty"),
+          min($"ni").as("occ_min"), max($"ni").as("occ_max"))
+        .crossJoin(quants)
+        .select($"n_cells", $"n_vectors", $"n_empty", $"occ_min",
+          $"occ_max", $"occ_p50", $"occ_p90",
+          ($"occ_max".cast("double") * $"n_cells".cast("double") /
+            $"n_vectors".cast("double")).as("imbalance"))
+    },
+
     // `ann_knn_graph` — k-NN GRAPH CONSTRUCTION (round 8), the build
     // primitive under graph-ANN indexes (HNSW/NSG layers, SemDeDup's
     // neighborhood graphs, label-propagation over embeddings): each
@@ -178,6 +223,35 @@ object SimilarityQueries5 {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    // the argmax-cell rank window replays assignCells (same total
+    // order); quantile_disc == the committed ceil(q·k) 1-based rank
+    // rule; imbalance is the identical double tree on both engines
+    "ann_centroid_balance" ->
+      s"""WITH cen AS MATERIALIZED (
+         |  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+         |                  FROM embeddings)),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid ASC)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN cen c)
+         |  WHERE rn = 1),
+         |occ AS (SELECT c.cid, CAST(count(a.vec_id) AS BIGINT) AS ni
+         |  FROM cen c LEFT JOIN asg a ON a.cell = c.cid
+         |  GROUP BY c.cid)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(ni) AS BIGINT) AS n_vectors,
+         |  CAST(count(*) FILTER (WHERE ni = 0) AS BIGINT) AS n_empty,
+         |  min(ni) AS occ_min, max(ni) AS occ_max,
+         |  quantile_disc(ni, 0.5) AS occ_p50,
+         |  quantile_disc(ni, 0.9) AS occ_p90,
+         |  CAST(max(ni) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         |    / CAST(sum(ni) AS DOUBLE) AS imbalance
+         |FROM occ""".stripMargin,
+
     // int8 dot = the ann_recall fold; packed-sign hamming replays as
     // per-dim sign-disagreement counts (no packing needed — distinct
     // bits sum without carries, so the counts are identical)
