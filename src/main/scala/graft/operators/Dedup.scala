@@ -1281,14 +1281,15 @@ object Dedup {
         col("x.cell") === col("y.cell") && col("y.id") < col("x.id") &&
           cosine_sim(col("x.emb"), col("y.emb")) >= tau)
       .select(col("x.id").as("id")).distinct()
-      // eager checkpoint + release (round 18 — the ADVICE r17 leak
-      // class, same fix as the minhash fallback): this fold runs under
-      // versionedStateSink, where a persisted internal accumulates per
-      // micro-batch. The decision ids are batch-bounded; the returned
-      // state recomputes `assigned` lazily (one batch-bounded
-      // broadcast fan-out per state action — the r12 recompute rule).
-      .localCheckpoint(true)
-    assigned.unpersist(false)
+    // `assigned` stays persisted: it is the STATE-FEEDING frame (the
+    // engine's sigsB-class exemption, not an internal) — the returned
+    // lazy state reads it, and an eager release here forces a
+    // recompute per state consumer (probed round 18: 1.93 -> 3.12 s
+    // on dedup_incremental_sem). Under the streaming fold its storage
+    // is dropped when the superseding state parquet takes over and
+    // the frame unreferences (the ContextCleaner path every
+    // state-feeding persist shares); Bench/Verify release() sweeps it
+    // between queries; the pipeline stage sweep covers the YAML face.
     val stateB = assigned
       .join(broadcast(dupIds.withColumn("__d", lit(true))), Seq("id"), "left")
       .select(col("id"), col("cell"), col("emb"),
