@@ -13,9 +13,30 @@ import graft.pipeline.TransformSpec
 object Transforms {
 
   /** Per-JVM salt for default dead-letter run ids (see the route
-    * stage): monotone, so same-millisecond stages never collide.
+    * stage): pid + a monotone sequence, so same-millisecond stages
+    * never collide — within one JVM (the sequence) OR across
+    * concurrently-launched runner processes sharing a deadLetterPath
+    * (the pid; round-18 self-review: two JVMs both start their
+    * sequence at 1).
     */
   private val routeRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private lazy val jvmPid = ProcessHandle.current().pid()
+
+  /** Eager duplicate-id gate shared by the id-keyed batch stages
+    * (semdedup/decontaminate — round-18 self-review): their streaming
+    * twins refuse re-delivered/duplicate ids loudly, and the two
+    * surfaces must refuse identically (the round-10 rule). Costs one
+    * aggregation scan — the quality-gate eagerness contract.
+    */
+  private def requireUniqueIds(df: DataFrame, idCol: String,
+      stage: String): Unit = {
+    val nDup = df.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).count()
+    require(nDup == 0,
+      s"$stage: $nDup duplicate `$idCol` value(s) in the input frame — " +
+        "the stage decides one row per id (its streaming twin refuses " +
+        "the same breach); dedup the key first")
+  }
 
   def apply(df: DataFrame, specs: Seq[TransformSpec]): DataFrame =
     specs.foldLeft(df)(applyOne)
@@ -181,7 +202,7 @@ object Transforms {
           // mode(overwrite) would clobber the first stage's rejects
           val runDir = props.get("runId").map(r => s"$path/run=$r")
             .getOrElse(s"$path/run=ts_${System.currentTimeMillis()}" +
-              s"_${routeRunSeq.incrementAndGet()}")
+              s"_p${jvmPid}_${routeRunSeq.incrementAndGet()}")
           flagged0.filter(size(col("__graft_viol")) > 0)
             .withColumnRenamed("__graft_viol", "violated_rules")
             .write.mode("overwrite").parquet(runDir)
@@ -298,6 +319,11 @@ object Transforms {
     case "semdedup" =>
       val cfg = parseSemDedup(t.properties, df.sparkSession,
         forStreaming = false)
+      // the streaming twin refuses duplicate ids loudly — the two
+      // surfaces must refuse identically (round-10 rule; round-18
+      // self-review: the fold would otherwise collapse duplicate-id
+      // rows to a nondeterministic embedding and pass BOTH through)
+      requireUniqueIds(df, cfg.idCol, "semdedup")
       val cen = cfg.centroids.getOrElse {
         require(Seq("byte", "short", "integer", "long")
             .contains(df.schema(cfg.idCol).dataType.typeName),
@@ -327,6 +353,10 @@ object Transforms {
     // never shuffles. Clean rows pass through unchanged.
     case "decontaminate" =>
       val cfg = parseDecontaminate(t.properties)
+      // as semdedup: the screens aggregate per id — duplicate-id rows
+      // would merge their evidence and one row's fate would ride
+      // another row's text/vector; the streaming twin already refuses
+      requireUniqueIds(df, cfg.idCol, "decontaminate")
       val spark = df.sparkSession
       val bench = spark.read.parquet(cfg.benchPath)
       cfg.mode match {

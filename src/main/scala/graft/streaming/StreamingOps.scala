@@ -683,6 +683,17 @@ object StreamingOps {
       stateDir: String, name: String,
       retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     versionedStateSink(vecs, stateDir, name, retainVersions) { (prev, batch) =>
+      // round-18 self-review: this fold is id-keyed state like its
+      // siblings — a re-delivered or intra-batch duplicate id would
+      // silently union duplicate (id, cell, emb, is_dup) rows into
+      // state (and the assignment groupBy would pick a
+      // nondeterministic first(emb) for intra-batch dups); refuse
+      // loudly like knnGraphMaintained/contaminationMaintained
+      refuseRedelivery(prev.map(_.select(col("id"))),
+        batch.toDF().select(col(idCol).as("id")), stateDir,
+        "semanticDedupMaintained", "folded",
+        "re-delivery would duplicate state rows (decisions are pinned " +
+          "on arrival)")
       graft.operators.Dedup.semanticDedupFold(
         prev, batch.toDF(), idCol, vecCol, centroidDf, tau)
     }
@@ -825,25 +836,12 @@ object StreamingOps {
       // accumulate duplicate member and edge rows, and the monotone
       // candidate-set argument behind the fold no longer holds (an
       // updated embedding would need history edges REMOVED).
-      locally {
-        val batchIds = batch.toDF().select(col(idCol).as("id"))
-        val nIntra = batchIds.groupBy(col("id")).count()
-          .filter(col("count") > 1).count()
-        if (nIntra > 0) throw new IllegalStateException(
-          s"knnGraphMaintained($stateDir): $nIntra vec id(s) appear " +
-            "more than once in this micro-batch — the fold keeps ONE " +
-            "member row per id. Nothing was folded.")
-        prev.foreach { pv =>
-          val nRe = pv.filter(col("kind") === "v").select(col("id"))
-            .join(broadcast(batchIds), Seq("id"), "left_semi").count()
-          if (nRe > 0) throw new IllegalStateException(
-            s"knnGraphMaintained($stateDir): $nRe vec id(s) in this " +
-              "micro-batch were already folded — re-delivery (or an " +
-              "embedding update) cannot fold: history edges ranked " +
-              "against the OLD vector would need removal. Nothing " +
-              "was folded.")
-        }
-      }
+      refuseRedelivery(
+        prev.map(_.filter(col("kind") === "v").select(col("id"))),
+        batch.toDF().select(col(idCol).as("id")),
+        stateDir, "knnGraphMaintained", "folded",
+        "re-delivery (or an embedding update) cannot fold: history " +
+          "edges ranked against the OLD vector would need removal")
       val ranked = graft.operators.Similarity.cellRanked(
         batch.toDF(), idCol, vecCol, centroidDf)
       val newPrim = ranked.filter(col("crk") === 1)
@@ -949,27 +947,42 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     versionedStateSink(docs, stateDir, name, retainVersions) { (prev, batch) =>
       val b = batch.toDF()
-      locally {
-        val ids = b.select(col(idCol).as("id"))
-        val nIntra = ids.groupBy(col("id")).count()
-          .filter(col("count") > 1).count()
-        if (nIntra > 0) throw new IllegalStateException(
-          s"contaminationMaintained($stateDir): $nIntra doc id(s) appear " +
-            "more than once in this micro-batch — evidence is one row " +
-            "per doc. Nothing was folded.")
-        prev.foreach { pv =>
-          val nRe = pv.select(col(idCol).as("id"))
-            .join(broadcast(ids), Seq("id"), "left_semi").count()
-          if (nRe > 0) throw new IllegalStateException(
-            s"contaminationMaintained($stateDir): $nRe doc id(s) in this " +
-              "micro-batch were already screened — re-delivery would " +
-              "double-count evidence. Nothing was folded.")
-        }
-      }
+      refuseRedelivery(prev.map(_.select(col(idCol).as("id"))),
+        b.select(col(idCol).as("id")), stateDir,
+        "contaminationMaintained", "screened",
+        "re-delivery would double-count evidence")
       val scr = graft.operators.Contamination.screen(
         b, bench, idCol, textCol, n)
       prev.map(_.unionByName(scr)).getOrElse(scr)
     }
+
+  /** Shared LOUD-refusal guard for id-keyed state folds whose
+    * contract is one row per id, decided on arrival (round 18
+    * self-review: three folds grew copy-pasted variants — one
+    * definition so the next id-keyed fold cannot fork the wording or
+    * forget a check). `prevIds` is the already-folded id frame
+    * (projected to a single `id` column); `batchIds` likewise for the
+    * incoming micro-batch. An intra-batch duplicate or a re-delivered
+    * id throws IllegalStateException ("Nothing was folded") instead
+    * of silently corrupting the fold.
+    */
+  private def refuseRedelivery(prevIds: Option[DataFrame],
+      batchIds: DataFrame, stateDir: String, fold: String,
+      alreadyVerb: String, why: String): Unit = {
+    val nIntra = batchIds.groupBy(col("id")).count()
+      .filter(col("count") > 1).count()
+    if (nIntra > 0) throw new IllegalStateException(
+      s"$fold($stateDir): $nIntra id(s) appear more than once in " +
+        "this micro-batch — the fold keeps one row per id. " +
+        "Nothing was folded.")
+    prevIds.foreach { pv =>
+      val nRe = pv
+        .join(broadcast(batchIds), Seq("id"), "left_semi").count()
+      if (nRe > 0) throw new IllegalStateException(
+        s"$fold($stateDir): $nRe id(s) in this micro-batch were " +
+          s"already $alreadyVerb — $why. Nothing was folded.")
+    }
+  }
 
   /** Streaming data-contract monitoring: folds each micro-batch's
     * [[graft.operators.Quality.audit]] into a cumulative one-row audit
