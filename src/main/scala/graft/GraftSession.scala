@@ -76,8 +76,14 @@ object GraftSession {
     }
   }
 
-  /** Drop every cached model snapshot (data-change escape hatch). */
-  def invalidateModels(): Unit = models.clear()
+  /** Drop every cached model snapshot (data-change escape hatch).
+    * Also deletes the temp parquet dirs cachedArtifact wrote (ADVICE
+    * r18: clearing only the memo orphaned them on disk).
+    */
+  def invalidateModels(): Unit = {
+    models.clear()
+    sweepArtifacts()
+  }
 
   /** Memoized PARQUET artifact (round 18 — VERDICT r17 task 5):
     * [[cachedModel]] for results too big for driver memory. `build`
@@ -97,7 +103,16 @@ object GraftSession {
     * trip), so a cache hit is indistinguishable from a rebuild. A
     * crashed build memoizes nothing (the FutureTask evicts) — the next
     * caller rebuilds into a FRESH directory, so no torn artifact is
-    * ever read.
+    * ever read. Corollary of the purity contract (ADVICE r18): if the
+    * data under `dir` MUTATES mid-session the memoized artifact is
+    * silently stale, exactly like a cachedModel snapshot — call
+    * [[invalidateModels]] after any in-place data change (immutable
+    * test/bench dirs make the default safe).
+    *
+    * Disk lifecycle (ADVICE r18): the temp directories are tracked and
+    * deleted by [[invalidateModels]] and by a JVM shutdown hook — a
+    * session that touches many (artifactId, dir) pairs no longer
+    * orphans index copies in the temp filesystem.
     */
   def cachedArtifact(artifactId: String, dir: String)
       (build: String => Unit): String =
@@ -105,8 +120,37 @@ object GraftSession {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft_art_$artifactId").toString
       build(path)
+      artifactDirs.add(path)
       path
     }
+
+  /** Temp artifact dirs owned by this session — swept on
+    * [[invalidateModels]] and JVM exit. Only paths cachedArtifact
+    * CREATED are ever deleted (never a pinned/user path).
+    */
+  private val artifactDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => sweepArtifacts()))
+  }
+
+  private def sweepArtifacts(): Unit = {
+    val it = artifactDirs.iterator()
+    while (it.hasNext) {
+      val p = it.next(); it.remove()
+      try deleteRecursively(java.nio.file.Paths.get(p))
+      catch { case _: java.io.IOException => () } // exit-time best effort
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
 
   /** Between-query storage sweep shared by Bench/BenchOne/Verify.
     * clearCache drops catalog-cached frames, but localCheckpoint blocks

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Durable, params-pinned index artifacts (round 19 — VERDICT r18
+  * task 1). [[graft.GraftSession.cachedArtifact]] amortizes an
+  * expensive deterministic build (the n^1.5 k-NN-graph edge build,
+  * trained quantizer parts, shared graph edge scans) WITHIN a session;
+  * this store makes the same artifact survive the session: a cold new
+  * process re-reads the parquet instead of re-running the build — the
+  * deployment shape, where the index is built (or stream-maintained)
+  * once and every consumer walks it.
+  *
+  * Layout: `<root>/<artifactId>/src=<fingerprint>/` containing the
+  * build's parquet output plus `_artifact_params` (key=value lines).
+  * The SOURCE FINGERPRINT — sorted (file name, byte length) pairs of
+  * the data files under the source dir, hashed — is part of the
+  * ADDRESS: a different corpus (or a mutated one) is a different
+  * artifact, so data refreshes re-build rather than silently serving a
+  * stale index. PARAMS are part of the PIN: an artifact built under
+  * one parameterization (degree, nprobe, centroid convention, …) must
+  * never be re-read under another — divergence REFUSES loudly (the
+  * `_minhash_params` discipline, proven on the neardedup state).
+  *
+  * Crash discipline (the versionedStateSink staged-rename family): a
+  * build writes into `_staging_<salt>` beside the final dir — params
+  * file included — and a single atomic directory rename commits it.
+  * A crash mid-build leaves only a staging dir (swept on the next
+  * build); a crash after the rename left a complete artifact. If two
+  * processes race, the rename loser validates the winner's params and
+  * reuses its artifact.
+  */
+object ArtifactStore {
+
+  private def fsFor(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fingerprint of the source data under `dir`: the sorted relative
+    * (path, byte length) list of its data files, hashed to 16 hex
+    * chars. Cheap (one recursive listing, no data read), deterministic
+    * across hosts (no mtimes — a byte-identical copy fingerprints
+    * equal), and sensitive to the mutations that matter (a file added,
+    * removed, renamed or rewritten changes it; an in-place same-length
+    * byte flip is the documented blind spot — corpora are appended or
+    * replaced, not patched).
+    */
+  def sourceFingerprint(spark: SparkSession, dir: String): String = {
+    val fs = fsFor(spark, dir)
+    val base = new Path(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stack = scala.collection.mutable.Stack(base)
+    while (stack.nonEmpty) {
+      val d = stack.pop()
+      fs.listStatus(d).foreach { st =>
+        val name = st.getPath.toString.stripPrefix(base.toString)
+        if (st.isDirectory) stack.push(st.getPath)
+        else if (!name.contains("_SUCCESS") && !name.endsWith(".crc"))
+          buf += s"$name:${st.getLen}"
+      }
+    }
+    val canonical = buf.sorted.mkString("\n")
+    // FNV-1a 64-bit over the canonical listing — stable, dependency-free
+    var h = 0xcbf29ce484222325L
+    canonical.getBytes("UTF-8").foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    f"$h%016x"
+  }
+
+  /** Return the pinned artifact path for (artifactId, fingerprint)
+    * under `root`, building it if absent. `params` must include
+    * everything the build's output depends on besides the source data;
+    * `build` writes its parquet under the path it is given.
+    *
+    * Hit: validates the stored `_artifact_params` — ANY key/value
+    * divergence (either direction) refuses with the diff named.
+    * Miss: sweeps stale staging dirs, builds into `_staging_<salt>`,
+    * writes params INSIDE the staged dir, atomically renames to
+    * `src=<fp>` (the commit point).
+    */
+  def pinned(spark: SparkSession, root: String, artifactId: String,
+      fingerprint: String, params: Seq[(String, String)])
+      (build: String => Unit): String = {
+    require(root.nonEmpty, "artifact root must be non-empty")
+    val fs = fsFor(spark, root)
+    val artDir = new Path(s"$root/$artifactId")
+    val finalDir = new Path(artDir, s"src=$fingerprint")
+    val pm = params.toMap
+    require(pm.size == params.size,
+      s"duplicate param keys: ${params.map(_._1).mkString(", ")}")
+    if (fs.exists(finalDir)) {
+      validateParams(fs, finalDir, pm, artifactId)
+      return finalDir.toString
+    }
+    // sweep staging dirs abandoned by a crashed build of THIS artifact
+    // id (never another id's — ownership is per artifact dir)
+    Option(fs.globStatus(new Path(artDir, "_staging_*")))
+      .foreach(_.foreach(st => fs.delete(st.getPath, true)))
+    val salt = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(artDir, s"_staging_$salt")
+    fs.mkdirs(staging)
+    build(staging.toString)
+    val body = params.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val out = fs.create(new Path(staging, "_artifact_params"), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(staging, finalDir)) {
+      // rename refused: either a concurrent builder committed first
+      // (validate + reuse its artifact) or the filesystem failed
+      if (fs.exists(finalDir)) {
+        fs.delete(staging, true)
+        validateParams(fs, finalDir, pm, artifactId)
+      } else throw new java.io.IOException(
+        s"artifact commit rename $staging -> $finalDir failed")
+    }
+    finalDir.toString
+  }
+
+  /** The stored params of a committed artifact dir. */
+  def storedParams(spark: SparkSession, artifactPath: String)
+      : Map[String, String] =
+    readParams(fsFor(spark, artifactPath), new Path(artifactPath))
+
+  private def readParams(fs: FileSystem, dir: Path): Map[String, String] = {
+    val pfile = new Path(dir, "_artifact_params")
+    if (!fs.exists(pfile)) throw new IllegalStateException(
+      s"$dir exists but has no _artifact_params — not an ArtifactStore " +
+        "artifact (or a pre-pinning layout); delete it or use a fresh root")
+    val in = fs.open(pfile)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split('\n').map(_.trim).filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+  }
+
+  private def validateParams(fs: FileSystem, dir: Path,
+      requested: Map[String, String], artifactId: String): Unit = {
+    val stored = readParams(fs, dir)
+    if (stored != requested) {
+      val diff = (stored.keySet ++ requested.keySet).toSeq.sorted.flatMap {
+        k =>
+          (stored.get(k), requested.get(k)) match {
+            case (a, b) if a == b => None
+            case (a, b) => Some(
+              s"$k: stored=${a.getOrElse("<absent>")} " +
+                s"requested=${b.getOrElse("<absent>")}")
+          }
+      }
+      throw new IllegalStateException(
+        s"pinned artifact $artifactId at $dir was built under different " +
+          s"params — ${diff.mkString("; ")}. An artifact must never be " +
+          "re-read under a different parameterization; rebuild into a " +
+          "fresh root (or delete the artifact) if the change is intended.")
+    }
+  }
+}

@@ -318,6 +318,11 @@ object Similarity {
     * windows so several independent beams (variants, width curves) pay
     * the fixed per-round scheduling latency ONCE; `width` may be an
     * expression over the key columns.
+    *
+    * `keys` MUST contain "q_id" (enforced): the per-step query join
+    * anchors on the frontier's q_id column — extra key columns (a
+    * variant tag) ride beside it, they do not replace it (ADVICE r18:
+    * the silent requirement surfaced as an unresolved-column error).
     */
   def graphBeamSearch(nodes: DataFrame, edges: DataFrame,
       queries: DataFrame, frontier0: DataFrame,
@@ -325,6 +330,9 @@ object Similarity {
       width: org.apache.spark.sql.Column = null,
       steps: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(keys.contains("q_id"),
+      s"graphBeamSearch keys must include q_id (the per-step query " +
+        s"join anchors on it); got ${keys.mkString(", ")}")
     val spark = nodes.sparkSession
     val widthCol = Option(width).getOrElse(lit(8))
     val cpKey = "spark.sql.constraintPropagation.enabled"
@@ -337,7 +345,7 @@ object Similarity {
     val edgeKeys = keys.filter(edges.columns.contains)
     var frontier = frontier0
     spark.conf.set(cpKey, "false")
-    try for (_ <- 1 to steps) {
+    try for (step <- 1 to steps) {
       val nbrs = broadcast(frontier).as("f")
         .join(edges.as("e"), edgeKeys
           .map(k => col(s"f.$k") === col(s"e.$k"))
@@ -348,11 +356,21 @@ object Similarity {
         .select(keys.map(k => col(s"f.$k").as(k)) ++
           Seq(col("n.nid").as("node"),
             cosine_sim(col("a.qv"), col("n.nv")).as("ncos")): _*)
+      val prev = frontier
       frontier = frontier.unionByName(nbrs).distinct()
         .withColumn("__rn", row_number().over(wB))
         .filter(col("__rn") <= widthCol)
         .select(keys.map(col) ++ Seq(col("node"), col("ncos")): _*)
         .localCheckpoint(true)
+      // drop the superseded step's checkpoint RDD now that the next
+      // one has materialized (the eager checkpoint above) — ADVICE
+      // r18: per-step RDD storage otherwise lingers until release().
+      // Never step 1's input: frontier0 is caller-owned.
+      if (step > 1) prev.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     } finally spark.conf.set(cpKey, cpPrev)
     frontier
   }

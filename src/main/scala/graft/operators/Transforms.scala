@@ -30,6 +30,14 @@ object Transforms {
     */
   private def requireUniqueIds(df: DataFrame, idCol: String,
       stage: String): Unit = {
+    // nulls refused explicitly (ADVICE r18, with the streaming guard):
+    // the groupBy below does catch SEVERAL nulls (null is one group),
+    // but a single null id would slip into an id-keyed decision where
+    // joins can never match it back
+    val nNull = df.filter(col(idCol).isNull).count()
+    require(nNull == 0,
+      s"$stage: $nNull row(s) with a null `$idCol` — an id-keyed stage " +
+        "cannot key them (its streaming twin refuses the same breach)")
     val nDup = df.groupBy(col(idCol)).count()
       .filter(col("count") > 1).count()
     require(nDup == 0,
@@ -313,9 +321,13 @@ object Transforms {
     // semantics (Dedup.semanticDedupFold is the single kernel).
     // Centroids come from `centroidsPath` (a (cid, cv) parquet —
     // train offline via Similarity.ivfFit), or, batch-only, derive as
-    // the first-⌈√n⌉ rows by id (the committed dedup_semantic
-    // convention). Recall below the cell scale is the documented
-    // embeddingPairsCells trade.
+    // the SMALLEST-⌈√n⌉ ids via orderBy/limit. NOTE (ADVICE r18): this
+    // intentionally differs from the query layer's `vec_id < k` filter
+    // convention — the two are equal only on dense 0-based ids, and a
+    // YAML stage must serve sparse/arbitrary integral ids too; do NOT
+    // "simplify" this to the filter form (it would silently change
+    // stage survivors on sparse-id corpora). Recall below the cell
+    // scale is the documented embeddingPairsCells trade.
     case "semdedup" =>
       val cfg = parseSemDedup(t.properties, df.sparkSession,
         forStreaming = false)

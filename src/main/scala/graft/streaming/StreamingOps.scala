@@ -969,6 +969,16 @@ object StreamingOps {
   private def refuseRedelivery(prevIds: Option[DataFrame],
       batchIds: DataFrame, stateDir: String, fold: String,
       alreadyVerb: String, why: String): Unit = {
+    // null ids first (ADVICE r18): the left_semi re-delivery check
+    // below can never match a null key, so a null-id row arriving in
+    // successive micro-batches would silently accumulate duplicate
+    // state rows in exactly the folds this guard protects
+    val nNull = batchIds.filter(col("id").isNull).count()
+    if (nNull > 0) throw new IllegalStateException(
+      s"$fold($stateDir): $nNull row(s) in this micro-batch have a " +
+        "null id — id-keyed state cannot key them, and re-delivery " +
+        "of a null id is undetectable (joins never match null). " +
+        "Nothing was folded.")
     val nIntra = batchIds.groupBy(col("id")).count()
       .filter(col("count") > 1).count()
     if (nIntra > 0) throw new IllegalStateException(

@@ -125,4 +125,39 @@ class KnnGraphStreamSpec extends SparkSpec {
     } finally q.stop()
     GraftSession.release(spark)
   }
+
+  test("a null id refuses loudly (ADVICE r18: the re-delivery semi-join can never match null)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knngnull").toString
+    emb.filter(col("vec_id") < 50)
+      .withColumn("vec_id",
+        when(col("vec_id") === 7, lit(null)).otherwise(col("vec_id")))
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(s"$dir/in/*")
+    val q = StreamingOps.knnGraphMaintained(
+      stream, "vec_id", "embedding", centroids, s"$dir/state",
+      "knng_null_spec", degree = 3, nprobe = 2)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("null id") ||
+        Option(e.getCause).exists(_.getMessage.contains("null id")),
+        s"wrong failure: ${e.getMessage}")
+    } finally q.stop()
+    GraftSession.release(spark)
+  }
+
+  test("graphBeamSearch refuses a keys list without q_id (ADVICE r18)") {
+    import spark.implicits._
+    val nodes = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val edges = Seq((1L, 1L)).toDF("src", "dst")
+    val queries = Seq((0L, Array(1.0f, 0.0f))).toDF("q_id", "qv")
+    val f0 = Seq(("v", 1L, 1.0)).toDF("variant", "node", "ncos")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.graphBeamSearch(
+        nodes, edges, queries, f0, keys = Seq("variant"))
+    }
+    assert(e.getMessage.contains("q_id"))
+  }
 }

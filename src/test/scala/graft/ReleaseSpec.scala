@@ -91,4 +91,25 @@ class ReleaseSpec extends SparkSpec {
     assert(viaTrain == viaTrain2)
     GraftSession.invalidateModels()
   }
+
+  test("cachedArtifact temp dirs survive release() but are DELETED by invalidateModels (ADVICE r18)") {
+    GraftSession.invalidateModels()
+    var builds = 0
+    def get() = GraftSession.cachedArtifact("rs-artifact", "/tmp/a") { p =>
+      builds += 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "part.txt"), "x")
+    }
+    val path = get()
+    assert(get() == path && builds == 1)
+    GraftSession.release(spark)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "release() must not touch artifact dirs (disk, not executor storage)")
+    GraftSession.invalidateModels()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "invalidateModels must delete the orphaned artifact dir, not just the memo")
+    val path2 = get()
+    assert(builds == 2 && path2 != path)
+    GraftSession.invalidateModels()
+  }
 }
