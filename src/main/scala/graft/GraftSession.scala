@@ -124,6 +124,38 @@ object GraftSession {
       path
     }
 
+  /** DURABLE form of [[cachedArtifact]] (round 19 — VERDICT r18
+    * task 1): when an index root is configured (`spark.graft.indexDir`
+    * conf, else the `GRAFT_INDEX_DIR` env var) the artifact is
+    * path-addressed and params-pinned under it via
+    * [[graft.operators.ArtifactStore.pinned]] — a cold NEW session
+    * resolves the same `<root>/<artifactId>/src=<fingerprint>` path
+    * and re-reads the parquet instead of re-running the n^1.5 build;
+    * params divergence refuses loudly; a mutated/different source dir
+    * fingerprints to a different address (fresh build, never a stale
+    * read). With no root configured this falls back to the
+    * session-temp [[cachedArtifact]] — the measured-bench shape, where
+    * each session pays one warmup build.
+    *
+    * The session memo still fronts the store (one fingerprint listing
+    * + params validation per (artifactId, dir) per session).
+    */
+  def pinnedArtifact(spark: SparkSession, artifactId: String, dir: String,
+      params: Seq[(String, String)])(build: String => Unit): String =
+    indexRoot(spark) match {
+      case None => cachedArtifact(artifactId, dir)(build)
+      case Some(root) => cachedModel[String](s"pinned:$artifactId", dir) {
+        val fp = graft.operators.ArtifactStore.sourceFingerprint(spark, dir)
+        graft.operators.ArtifactStore.pinned(spark, root, artifactId, fp,
+          params :+ ("source" -> fp))(build)
+      }
+    }
+
+  /** The configured durable-index root, if any (conf wins over env). */
+  def indexRoot(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.indexDir")
+      .orElse(sys.env.get("GRAFT_INDEX_DIR")).filter(_.nonEmpty)
+
   /** Temp artifact dirs owned by this session — swept on
     * [[invalidateModels]] and JVM exit. Only paths cachedArtifact
     * CREATED are ever deleted (never a pinned/user path).

@@ -116,6 +116,26 @@ object ArtifactStore {
     finalDir.toString
   }
 
+  /** The canonical parameterization of the degree-bounded k-NN-graph
+    * edge artifact — ONE definition shared by the batch build
+    * (SimilarityQueries6.buildGraph) and the maintained-state export
+    * ([[graft.streaming.StreamingOps.exportKnnGraphArtifact]]), so the
+    * two representations of the SAME index can meet at one pinned
+    * address and a drifted parameterization refuses instead of
+    * silently serving the wrong graph. `minNodeId` is the node-set
+    * floor (anchors excluded below it); `centroids` names the coarse
+    * quantizer — the query layer's convention is `id_below_<k>`
+    * (emb.filter(vec_id < k), k = ⌈√n⌉); a trained quantizer pins its
+    * path instead.
+    */
+  def knnGraphParams(degree: Int, nprobe: Int, minNodeId: Long,
+      centroids: String): Seq[(String, String)] = Seq(
+    "kind" -> "knn_graph",
+    "degree" -> degree.toString,
+    "nprobe" -> nprobe.toString,
+    "minNodeId" -> minNodeId.toString,
+    "centroids" -> centroids)
+
   /** The stored params of a committed artifact dir. */
   def storedParams(spark: SparkSession, artifactPath: String)
       : Map[String, String] =

@@ -88,7 +88,8 @@ object PipelineRunner {
     * need a streaming twin (or an explicit refusal).
     */
   private val StatefulKinds =
-    Set("neardedup", "quality", "dedup", "semdedup", "decontaminate")
+    Set("neardedup", "quality", "dedup", "semdedup", "decontaminate",
+      "knnindex")
 
   /** Streaming submit. Plain row-local stages (filter / map / expr /
     * select / sql / aggregate) compose onto the stream as-is. The
@@ -212,29 +213,80 @@ object PipelineRunner {
         graft.streaming.StreamingOps.semanticDedupMaintained(
           upstream, cfg.idCol, cfg.vecCol, cfg.centroids.get, cfg.tau,
           stateDir, spec.name)
-      // `decontaminate` (ngram) → the per-doc evidence fold
-      // (contaminationMaintained): a stream cannot retroactively drop
-      // rows already sunk, so streaming mode maintains the screen
-      // EVIDENCE in the state dir (id, n_hit, n_grams — threshold it
+      // `decontaminate` → the per-doc evidence folds: a stream cannot
+      // retroactively drop rows already sunk, so streaming mode
+      // maintains the screen EVIDENCE in the state dir (threshold it
       // downstream), the qualityAuditMaintained monitoring shape.
-      // Semantic mode is refused: its cell-blocked cosine screen
-      // would need the whole benchmark × centroid machinery per batch
-      // with no evidence-fold form shipped — run it in batch mode.
+      // mode=ngram → contaminationMaintained (id, n_hit, n_grams);
+      // mode=semantic → semContaminationMaintained (id, n_hits) —
+      // round 19, VERDICT r18 task 3: the same cell-blocked
+      // screenSemantic kernel as the batch stage, with the
+      // centroidsPath REQUIRED (the quantizer must stay fixed for the
+      // stream's lifetime — the semdedup streaming contract).
       case "decontaminate" =>
         val cfg = Transforms.parseDecontaminate(stage.properties)
-        require(cfg.mode == "ngram",
-          "streaming decontaminate supports mode=ngram only (the " +
-            "semantic screen has no streaming twin — run that " +
-            "pipeline in batch mode)")
         val bench = spark.read.parquet(cfg.benchPath)
-        require(bench.columns.contains(cfg.benchText),
-          s"decontaminate benchPath ${cfg.benchPath} has no column " +
-            s"`${cfg.benchText}`")
-        graft.streaming.StreamingOps.contaminationMaintained(
-          upstream, cfg.idCol, cfg.textCol,
-          bench.select(org.apache.spark.sql.functions
-            .col(cfg.benchText).as(cfg.textCol)),
-          cfg.n, stateDir, spec.name)
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+        cfg.mode match {
+          case "ngram" =>
+            require(bench.columns.contains(cfg.benchText),
+              s"decontaminate benchPath ${cfg.benchPath} has no column " +
+                s"`${cfg.benchText}`")
+            graft.streaming.StreamingOps.contaminationMaintained(
+              upstream, cfg.idCol, cfg.textCol,
+              bench.select(col(cfg.benchText).as(cfg.textCol)),
+              cfg.n, stateDir, spec.name)
+          case "semantic" =>
+            // the streaming-specific contract first: without a pinned
+            // quantizer the mode cannot stream at all
+            val cenPath = cfg.centroidsPath.getOrElse(
+              throw new IllegalArgumentException(
+                "streaming semantic decontaminate requires a " +
+                  "`centroidsPath` property (a (cid, cv) parquet — the " +
+                  "cell-blocking quantizer must stay FIXED for the " +
+                  "stream's lifetime; train via Similarity.ivfFit)"))
+            require(bench.columns.contains(cfg.benchVec),
+              s"decontaminate benchPath ${cfg.benchPath} has no column " +
+                s"`${cfg.benchVec}` (set `benchVector` to the " +
+                "benchmark's embedding column)")
+            val cen = spark.read.parquet(cenPath)
+            require(Set("cid", "cv").subsetOf(cen.columns.toSet),
+              s"decontaminate centroidsPath $cenPath must hold " +
+                s"(cid, cv) columns, got ${cen.columns.mkString(", ")}")
+            // synthetic bench ids, as the batch stage: the screen's
+            // output never reads them
+            val benchShaped = bench
+              .select(col(cfg.benchVec).as(cfg.vecCol))
+              .withColumn(cfg.idCol, monotonically_increasing_id())
+            graft.streaming.StreamingOps.semContaminationMaintained(
+              upstream, cfg.idCol, cfg.vecCol, benchShaped,
+              cen.select(col("cid"), col("cv")), cfg.tau,
+              stateDir, spec.name)
+        }
+      // `knnindex` → knnGraphMaintained (round 19 — VERDICT r18
+      // task 7): the streaming twin of the batch index-prep stage.
+      // The state dir holds the maintained graph; hand it to the
+      // batch consumers' pinned address with
+      // StreamingOps.exportKnnGraphArtifact at a quiet point. The
+      // quantizer must be PINNED (centroidsPath) — deriving id_below_k
+      // per batch would reassign history's cells.
+      case "knnindex" =>
+        val cfg = Transforms.parseKnnIndex(stage.properties)
+        val cenPath = cfg.centroidsPath.getOrElse(
+          throw new IllegalArgumentException(
+            "streaming knnindex requires a `centroidsPath` property: " +
+              "the coarse quantizer must stay FIXED for the stream's " +
+              "lifetime (train via Similarity.ivfFit); the batch stage " +
+              "may derive id_below_k instead"))
+        val cen = spark.read.parquet(cenPath)
+        require(Set("cid", "cv").subsetOf(cen.columns.toSet),
+          s"knnindex centroidsPath $cenPath must hold (cid, cv) " +
+            s"columns, got ${cen.columns.mkString(", ")}")
+        graft.streaming.StreamingOps.knnGraphMaintained(
+          upstream, cfg.idCol, cfg.vecCol,
+          cen.select(org.apache.spark.sql.functions.col("cid"),
+            org.apache.spark.sql.functions.col("cv")),
+          stateDir, spec.name, degree = cfg.degree, nprobe = cfg.nprobe)
     }
     }
 }

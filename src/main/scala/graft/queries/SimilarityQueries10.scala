@@ -139,8 +139,13 @@ object SimilarityQueries10 {
       // in a session artifact (round 18, VERDICT r17 task 5): the
       // 62.1 s 100× build runs once per (dir) per session; re-runs
       // pay the walk + eval only.
-      val partsPath = graft.GraftSession.cachedArtifact(
-        "graph_trained_parts", dir) { base =>
+      val partsPath = graft.GraftSession.pinnedArtifact(
+        s, "graph_trained_parts", dir, Seq(
+          "kind" -> "graph_trained_parts",
+          "degree" -> Degree.toString, "nprobe" -> "2",
+          "minNodeId" -> NAnchors.toString,
+          "lloydIters" -> Iters.toString, "quantDim" -> Dim.toString,
+          "centroidsSeed" -> s"first_${kc}_by_id")) { base =>
       // 3 Lloyd rounds over the node set: primary-cell assignment by
       // integer d2 (ties to lowest cid), truncating-integer-mean
       // update, empty cells keep their centroid. kc-bounded result is

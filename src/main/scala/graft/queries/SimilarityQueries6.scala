@@ -82,8 +82,16 @@ object SimilarityQueries6 {
     // join, 27.9-34.8 s EACH at 100×; the artifact is a deterministic
     // pure function of the embeddings table and (src, dst) longs
     // round-trip parquet bit-exactly). At 100 TB this IS the persisted
-    // index; its incremental maintenance is knnGraphMaintained.
-    val edgesPath = graft.GraftSession.cachedArtifact("knn_graph_d6", dir) {
+    // index; its incremental maintenance is knnGraphMaintained. Round
+    // 19 (VERDICT r18 task 1): with an index root configured
+    // (spark.graft.indexDir / GRAFT_INDEX_DIR) the artifact is DURABLE
+    // and params-pinned — a cold new session re-reads it (no rebuild),
+    // and a knnGraphMaintained state exports to the SAME address
+    // (StreamingOps.exportKnnGraphArtifact), so the stream-maintained
+    // index is these consumers' index across sessions.
+    val edgesPath = graft.GraftSession.pinnedArtifact(s, "knn_graph_d6",
+      dir, graft.operators.ArtifactStore.knnGraphParams(
+        Degree, 2, NAnchors.toLong, s"id_below_$k")) {
       base =>
         val wA = Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid".asc)
         val ranked = nodes.crossJoin(broadcast(centroids))

@@ -924,6 +924,55 @@ object StreamingOps {
     state.filter(col("kind") === "v")
       .select(col("id").as("vec_id"), col("vec").as("embedding"))
 
+  /** Export a [[knnGraphMaintained]] state's edges as the DURABLE
+    * pinned k-NN-graph artifact (round 19 — VERDICT r18 task 1: the
+    * two representations of the same index meet). The maintained fold
+    * and the batch build share one rule (KnnGraphStreamSpec: edge sets
+    * bit-equal), so the exported edges ARE what
+    * SimilarityQueries6.buildGraph would build from `sourceDir` —
+    * batch graph consumers in any LATER session hit this artifact at
+    * the shared address instead of re-running the n^1.5 build.
+    *
+    * Contract (validated where cheap, documented where not): the
+    * state must have been fed exactly the vectors of `sourceDir`'s
+    * embeddings table with vec_id >= minNodeId, under the centroid
+    * convention named by `centroids` (the query layer's is
+    * `id_below_<k>`) and the SAME (degree, nprobe) — the member
+    * count is checked against the source (a partial crawl exporting as
+    * the full corpus' index refuses); the params pin carries the rest
+    * ([[graft.operators.ArtifactStore.knnGraphParams]], one definition
+    * with the batch build). If the artifact already exists (a batch
+    * session built it first), the params validate and the existing
+    * artifact stands — same data + same rule = same graph.
+    */
+  def exportKnnGraphArtifact(spark: SparkSession, stateDir: String,
+      sourceDir: String, degree: Int, nprobe: Int, minNodeId: Long,
+      centroids: String, artifactId: String = "knn_graph_d6"): String = {
+    val root = graft.GraftSession.indexRoot(spark).getOrElse(
+      throw new IllegalStateException(
+        "exportKnnGraphArtifact needs a durable index root — set " +
+          "spark.graft.indexDir (or GRAFT_INDEX_DIR)"))
+    val state = latestState(spark, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed state versions under $stateDir — nothing to export"))
+    val nMembers = state.filter(col("kind") === "v").count()
+    val nSource = graft.Tables.load(spark, sourceDir, "embeddings")
+      .filter(col("vec_id") >= minNodeId).count()
+    if (nMembers != nSource) throw new IllegalStateException(
+      s"state at $stateDir holds $nMembers members but $sourceDir has " +
+        s"$nSource node vectors (vec_id >= $minNodeId) — an export must " +
+        "cover exactly the source corpus or batch consumers would walk " +
+        "a partial index")
+    val fp = graft.operators.ArtifactStore.sourceFingerprint(spark, sourceDir)
+    graft.operators.ArtifactStore.pinned(spark, root, artifactId, fp,
+      graft.operators.ArtifactStore.knnGraphParams(
+        degree, nprobe, minNodeId, centroids) :+ ("source" -> fp)) { base =>
+      knnGraphCurrent(state)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+        .write.parquet(s"$base/edges")
+    }
+  }
+
   /** Streaming DECONTAMINATION screen (round 18 — VERDICT r17 task 6):
     * benchmark sets update rarely but corpora STREAM — each arriving
     * micro-batch of documents is screened against the FIXED broadcast
@@ -953,6 +1002,41 @@ object StreamingOps {
         "re-delivery would double-count evidence")
       val scr = graft.operators.Contamination.screen(
         b, bench, idCol, textCol, n)
+      prev.map(_.unionByName(scr)).getOrElse(scr)
+    }
+
+  /** Streaming SEMANTIC decontamination screen (round 19 — VERDICT
+    * r18 task 3, closing the ngram/semantic asymmetry): each arriving
+    * micro-batch of vectors is screened against the FIXED benchmark
+    * embeddings through
+    * [[graft.operators.Contamination.screenSemantic]] — cell-blocked
+    * broadcast cosine at `tau`, the same kernel as the batch
+    * `decontaminate mode=semantic` stage — and its per-doc evidence
+    * rows (id, n_hits) append to state. Like the ngram fold
+    * ([[contaminationMaintained]]): the screen is row-LOCAL against
+    * the fixed bench + centroid sides, so per-batch screen + union IS
+    * the whole-history screen — arithmetic split-invariance, no
+    * arrival-order contract; a stream cannot retroactively drop sunk
+    * rows, so the state maintains EVIDENCE (threshold downstream).
+    * Both the bench frame and the centroid frame are fixed for the
+    * query's lifetime (a benchmark or quantizer refresh is a new
+    * state dir — the centroid-frame contract); re-delivered /
+    * duplicate / null ids refuse loudly (the shared guard).
+    * SemContaminationStreamSpec proves streamed state == the one-pass
+    * batch screenSemantic.
+    */
+  def semContaminationMaintained(vecs: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, centroidDf: DataFrame,
+      tau: Double, stateDir: String, name: String,
+      retainVersions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    versionedStateSink(vecs, stateDir, name, retainVersions) { (prev, batch) =>
+      val b = batch.toDF()
+      refuseRedelivery(prev.map(_.select(col(idCol).as("id"))),
+        b.select(col(idCol).as("id")), stateDir,
+        "semContaminationMaintained", "screened",
+        "re-delivery would double-count evidence")
+      val scr = graft.operators.Contamination.screenSemantic(
+        b, bench, idCol, vecCol, centroidDf, tau)
       prev.map(_.unionByName(scr)).getOrElse(scr)
     }
 

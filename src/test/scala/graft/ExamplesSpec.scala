@@ -16,7 +16,7 @@ class ExamplesSpec extends SparkSpec {
     for (f <- Seq("csv_to_parquet.yaml", "quality_gated_dedup.yaml",
       "streaming_directory_watch.yaml", "near_dedup_curation.yaml",
       "incremental_crawl_dedup.yaml", "semantic_dedup.yaml",
-      "decontaminate.yaml")) {
+      "decontaminate.yaml", "knn_index.yaml")) {
       val cfg = ConfigParser.parseFile(s"$dir/$f")
       assert(cfg.pipelines.nonEmpty, s"$f parsed to no pipelines")
       assert(cfg.pipelines.forall(p =>
@@ -144,6 +144,45 @@ class ExamplesSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < emb.count(),
       "semdedup dropped nothing — corpus has planted near-dups")
     assert(got == want, "YAML stage diverged from the fold kernel")
+    GraftSession.release(spark)
+  }
+
+  test("the knn-index example runs end to end: pinned artifact committed, frame passes through") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_kiin").toString + "/emb"
+    val root = Files.createTempDirectory("graft_kiroot").toString
+    val out = Files.createTempDirectory("graft_kiout").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb.write.parquet(in)
+    val base = ConfigParser.parseFile(s"$dir/knn_index.yaml")
+      .pipelines.head
+    assert(base.transformations.head.kind == "knnindex")
+    val spec = base.copy(
+      source = base.source.copy(properties =
+        base.source.properties + ("path" -> in)),
+      transformations = Seq(base.transformations.head.copy(
+        properties = base.transformations.head.properties ++
+          Map("sourcePath" -> in, "indexRoot" -> root))),
+      sink = base.sink.copy(properties =
+        base.sink.properties + ("path" -> out)))
+    val mgr = new PipelineManager(spark)
+    assert(mgr.submit(spec) == mgr.Completed)
+    // pass-through: the sink holds the corpus unchanged
+    assert(spark.read.parquet(out).count() == emb.count())
+    // the artifact committed at the pinned address with its params
+    val fp = graft.operators.ArtifactStore.sourceFingerprint(spark, in)
+    val art = s"$root/knn_graph_d6/src=$fp"
+    val edges = spark.read.parquet(s"$art/edges")
+    assert(edges.count() > 0 &&
+      edges.columns.sorted.toSeq == Seq("dst", "src"))
+    val stored = graft.operators.ArtifactStore.storedParams(spark, art)
+    assert(stored("degree") == "6" && stored("kind") == "knn_graph" &&
+      stored("source") == fp)
+    // a re-run is a no-op refresh (same fingerprint, same params)
+    GraftSession.invalidateModels()
+    assert(mgr.submit(spec.copy(name = "knn-index-prep-2")) == mgr.Completed)
+    assert(spark.read.parquet(s"$art/edges").count() == edges.count())
     GraftSession.release(spark)
   }
 

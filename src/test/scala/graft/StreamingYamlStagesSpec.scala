@@ -215,13 +215,15 @@ class StreamingYamlStagesSpec extends SparkSpec {
         "vector" -> "emb", "tau" -> "0.4")))
     }
     assert(e5.getMessage.contains("centroidsPath"))
-    // streaming decontaminate in semantic mode
+    // streaming decontaminate in semantic mode WITHOUT a pinned
+    // quantizer (round 19: the mode itself now streams — the
+    // evidence fold — but the centroid frame must be fixed)
     val e6 = intercept[IllegalArgumentException] {
       run(TransformSpec("decontaminate", Map("mode" -> "semantic",
         "id" -> "doc_id", "vector" -> "emb", "tau" -> "0.4",
-        "benchPath" -> out)))
+        "benchPath" -> s"$in/b0")))
     }
-    assert(e6.getMessage.contains("mode=ngram only"))
+    assert(e6.getMessage.contains("centroidsPath"))
     // stateful stage not last
     val e4 = intercept[IllegalArgumentException] {
       PipelineRunner.runStream(spark, docsSpec("yr", in, out,
@@ -266,6 +268,61 @@ class StreamingYamlStagesSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch,
       s"streamed semdedup diverged (${streamed.size} vs ${batch.size})")
+    GraftSession.release(spark)
+  }
+
+  test("streaming semantic decontaminate evidence == batch screenSemantic (round 19)") {
+    val in = tmp("graft_ysc_in"); val out = tmp("graft_ysc_out")
+    val cenDir = tmp("graft_ysc_cen") + "/cen"
+    val benchDir = tmp("graft_ysc_bench") + "/bench"
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).persist()
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").as("cv"))
+      .write.parquet(cenDir)
+    // planted leakage: every ~40th vector IS the benchmark
+    emb.filter(col("vec_id") % 40 === 0)
+      .select(col("embedding").as("bvec")).write.parquet(benchDir)
+    val stage = TransformSpec("decontaminate", Map(
+      "mode" -> "semantic", "id" -> "vec_id", "vector" -> "embedding",
+      "tau" -> "0.95", "benchPath" -> benchDir,
+      "benchVector" -> "bvec", "centroidsPath" -> cenDir))
+    val mid = emb.agg(((min(col("vec_id")) + max(col("vec_id"))) / 2)
+      .cast("long")).head().getLong(0)
+    emb.filter(col("vec_id") <= mid).coalesce(1).write.parquet(s"$in/b0")
+    val q = PipelineRunner.runStream(spark, PipelineSpec(
+      name = "ysc", source = SourceSpec("file",
+        Map("path" -> s"$in/*", "format" -> "parquet",
+          "maxFilesPerTrigger" -> "1")),
+      transformations = Seq(stage),
+      sink = SinkSpec("parquet", Map("path" -> out)), streaming = true))
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") > mid).coalesce(1).write.parquet(s"$in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.StreamingOps.latestState(spark, out).get
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_hits")))
+      .sortBy(_._1).toSeq
+    val bench = spark.read.parquet(benchDir)
+      .select(col("bvec").as("embedding"))
+      .withColumn("vec_id", monotonically_increasing_id())
+    val cen = spark.read.parquet(cenDir)
+    val batch = graft.operators.Contamination.screenSemantic(
+        emb, bench, "vec_id", "embedding", cen, 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_hits")))
+      .sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed semantic evidence diverged (${streamed.size} vs " +
+        s"${batch.size})")
+    // the batch stage's survivors are exactly the zero-evidence ids —
+    // the two surfaces threshold one kernel
+    val stageSurvivors = graft.operators.Transforms.applyOne(emb, stage)
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(stageSurvivors ==
+      streamed.filter(_._2 == 0L).map(_._1).sorted.toSeq)
     GraftSession.release(spark)
   }
 
