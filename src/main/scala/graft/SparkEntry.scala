@@ -29,7 +29,7 @@ object SparkEntry {
       SimilarityQueries3.defs ++ SimilarityQueries4.defs ++
       SimilarityQueries5.defs ++ SimilarityQueries6.defs ++
       SimilarityQueries7.defs ++ SimilarityQueries8.defs ++
-      SimilarityQueries9.defs ++ SimilarityQueries10.defs ++
+      SimilarityQueries9.defs ++ SimilarityQueries10.defs ++ SimilarityQueries11.defs ++
       ClusterQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++
       MultimodalQueries2.defs ++ MultimodalQueries3.defs ++
@@ -63,7 +63,7 @@ object SparkEntry {
       SimilarityQueries3.oracles ++ SimilarityQueries4.oracles ++
       SimilarityQueries5.oracles ++ SimilarityQueries6.oracles ++
       SimilarityQueries7.oracles ++ SimilarityQueries8.oracles ++
-      SimilarityQueries9.oracles ++ SimilarityQueries10.oracles ++
+      SimilarityQueries9.oracles ++ SimilarityQueries10.oracles ++ SimilarityQueries11.oracles ++
       ClusterQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++
       MultimodalQueries2.oracles ++ MultimodalQueries3.oracles ++

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Shared graph EDGE SCANS for the iterative graph family (round 19 —
+  * VERDICT r18 task 5). The seven graph queries each rebuilt a
+  * near-identical co-occurrence edge relation from the fact tables per
+  * query; the graphs themselves are scale-invariant (replication
+  * shifts order ids only — SURVEY §5), so at 10×/100× the edge-build
+  * SCAN is the entire growth term, paid up to 5× over. Both scans now
+  * land in the session artifact store (GraftSession.pinnedArtifact —
+  * durable + params-pinned when an index root is configured, session
+  * temp otherwise): built once per (dir) per session, every consumer
+  * re-reads the parquet and applies its own partitioning/weighting.
+  *
+  * Determinism: both artifacts are exact-integer (BIGINT keys and
+  * counts) pure functions of their fact tables — the cachedArtifact
+  * purity contract. Consumers' downstream plans are UNCHANGED (same
+  * relations, same repartition/persist disciplines); only the
+  * scan-side derivation is shared, so oracle parity is unaffected.
+  */
+object GraphEdges {
+
+  /** The customer–supplier CO-TRADE pair scan (orders ⋈ lineitem,
+    * grouped to distinct pairs with their trade count): customers on
+    * even node ids (custkey·2), suppliers on odd (suppkey·2+1) — the
+    * q90/q91/q107/q126/q135 graph. Returns (src, dst, cnt); the
+    * distinct unweighted pair set is `select(src, dst)`, q91's edge
+    * weight derives from cnt.
+    */
+  def cotradePairs(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.GraftSession.pinnedArtifact(s, "cotrade_pairs", dir,
+      Seq("kind" -> "cotrade_pairs",
+        "nodes" -> "custkey_x2_suppkey_x2p1")) { base =>
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.parquet(s"$base/pairs")
+    }
+    s.read.parquet(s"$path/pairs")
+  }
+
+  /** The part CO-ORDER pair scan (lineitem ⋈ lineitem on the order
+    * key — the round-7 SHUFFLE_HASH self-join shape, sort-free), then
+    * the (src, dst) dedup: parts sharing an order connect, both
+    * orientations present (the self-join emits each unordered pair
+    * twice) — the q92/q93 graph. Returns distinct (src, dst).
+    */
+  def coorderPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.GraftSession.pinnedArtifact(s, "coorder_pairs", dir,
+      Seq("kind" -> "coorder_pairs", "nodes" -> "l_partkey",
+        "key" -> "l_orderkey")) { base =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"),
+          Seq("l_orderkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(lit(1))
+        .select(col("src"), col("dst"))
+        .write.parquet(s"$base/pairs")
+    }
+    s.read.parquet(s"$path/pairs")
+  }
+}

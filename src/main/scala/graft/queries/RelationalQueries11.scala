@@ -88,13 +88,10 @@ object RelationalQueries11 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_pagerank" -> { (s, dir) =>
       import s.implicits._
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
       // node ids: customers on even, suppliers on odd — one BIGINT
-      // namespace, no string tags to shuffle
-      val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
-        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-        .distinct()
+      // namespace, no string tags to shuffle; the distinct-pair scan
+      // is the shared GraphEdges.cotradePairs artifact (round 19)
+      val cs = GraphEdges.cotradePairs(s, dir).select($"src", $"dst")
       // partition the persisted edge list on DST (the q93 shape):
       // the per-round join consumes the |V|-bounded rank frame as a
       // BROADCAST (preserving the dst partitioning), so the round's
@@ -146,11 +143,9 @@ object RelationalQueries11 {
     // the round frames after the action.
     "q91_shortest_path" -> { (s, dir) =>
       import s.implicits._
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
-        .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-        .agg(count(lit(1)).as("cnt"))
+      // shared co-trade scan (round 19); the weight derives from the
+      // artifact's exact trade count
+      val cs = GraphEdges.cotradePairs(s, dir)
         .select($"src", $"dst", expr("1000000 div (cnt + 1)").as("w"))
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst"), $"w"))
         .repartition($"src")
@@ -212,22 +207,13 @@ object RelationalQueries11 {
       val cpPrev = s.conf.get(cpKey)
       s.conf.set(cpKey, "false")
       try {
-        // edge build: SHUFFLE_HASH self-join on the order key (round 7
-        // — no sort, unlike the SMJ form the round-6 scaladoc rightly
-        // rejected; measured 0.76s vs 1.35s for the per-order
-        // collect_set + pair-explode form at sf0.1, same edge set),
-        // then the exchange-free (src,dst) dedup on the src layout
-        val li = Tables.load(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_partkey")
-        val a = li.select($"l_orderkey", $"l_partkey".as("src"))
-        val b = li.select($"l_orderkey", $"l_partkey".as("dst"))
-        val e0 = a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"),
-            Seq("l_orderkey"))
-          .filter($"src" =!= $"dst")
-          .select($"src", $"dst")
+        // edge build: the shared co-order scan artifact (round 19 —
+        // GraphEdges.coorderPairs, which keeps the round-7
+        // SHUFFLE_HASH self-join + exchange-free dedup inside the
+        // build); the peel loop starts from the parquet leaf laid out
+        // on src
+        val e0 = GraphEdges.coorderPairs(s, dir)
           .repartition($"src")
-          .groupBy($"src", $"dst").agg(lit(1))
-          .select($"src", $"dst")
           .localCheckpoint(eager = false)
         val eFinal = (1 to 4).foldLeft(e0) { (e, r) =>
           val next = kcorePeelRound(e, K, broadcastSurvivors = true)

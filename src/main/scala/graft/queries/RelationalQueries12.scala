@@ -61,28 +61,17 @@ object RelationalQueries12 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_label_prop" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey")
-      // q92's edge build: SHUFFLE_HASH self-join on the order key
-      // (sort-free; 1.8x the collect_set+explode form, see q92), then
-      // an exchange-free (src,dst) dedup on the dst partitioning
-      // partition by DST, not src: hash(dst) satisfies clustering for
-      // the (src,dst) dedup here AND for both per-round rollups below
-      // ((dst,lbl) grouping and the dst argmax are both dst-subsumed),
-      // so after this ONE exchange no round ever re-shuffles the edge
-      // frame — the label side broadcasts and broadcast joins preserve
-      // the partitioning (the q92 peel lesson; naive src-partitioned
-      // form with per-round (dst,lbl)+dst shuffles measured 5.1s at
-      // sf0.1 vs 2.0s for this shape)
-      val ea = li.select($"l_orderkey", $"l_partkey".as("src"))
-      val eb = li.select($"l_orderkey", $"l_partkey".as("dst"))
-      val edges = ea.hint("SHUFFLE_HASH").join(eb.hint("SHUFFLE_HASH"),
-          Seq("l_orderkey"))
-        .filter($"src" =!= $"dst")
-        .select($"src", $"dst")
+      // q92's edge build via the shared co-order scan artifact (round
+      // 19 — GraphEdges.coorderPairs). Partition by DST, not src:
+      // hash(dst) satisfies clustering for both per-round rollups
+      // below ((dst,lbl) grouping and the dst argmax are both
+      // dst-subsumed), so after this ONE exchange no round ever
+      // re-shuffles the edge frame — the label side broadcasts and
+      // broadcast joins preserve the partitioning (the q92 peel
+      // lesson; naive src-partitioned form with per-round (dst,lbl)+
+      // dst shuffles measured 5.1s at sf0.1 vs 2.0s for this shape)
+      val edges = GraphEdges.coorderPairs(s, dir)
         .repartition($"dst")
-        .groupBy($"src", $"dst").agg(lit(1))
-        .select($"src", $"dst")
         .persist()
       val l0 = edges.select($"dst".as("node")).distinct()
         .select($"node", $"node".as("lbl"))

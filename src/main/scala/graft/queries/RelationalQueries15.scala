@@ -157,11 +157,8 @@ object RelationalQueries15 {
     // walker-bounded work per round, graph touched only by lookup.
     "q107_random_walks" -> { (s, dir) =>
       import s.implicits._
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
-        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-        .distinct()
+      // shared co-trade scan (round 19 — GraphEdges.cotradePairs)
+      val cs = GraphEdges.cotradePairs(s, dir).select($"src", $"dst")
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
       val wS = Window.partitionBy($"src").orderBy($"dst".asc)
       val wD = Window.partitionBy($"src")

@@ -50,12 +50,9 @@ object RelationalQueries19 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_harmonic" -> { (s, dir) =>
       import s.implicits._
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
-        .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-        .agg(count(lit(1)).as("cnt"))
-        .select($"src", $"dst")
+      // edge scan shared across the graph family (round 19 — VERDICT
+      // r18 task 5): GraphEdges.cotradePairs builds once per session
+      val cs = GraphEdges.cotradePairs(s, dir).select($"src", $"dst")
       // dst-partitioned edges + BROADCAST frontier (the q90/q93 rule:
       // partition the persisted big side by the AGGREGATION key —
       // hash(dst) satisfies clustering on (seed, node=dst), so each

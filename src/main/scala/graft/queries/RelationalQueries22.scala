@@ -60,13 +60,9 @@ object RelationalQueries22 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_betweenness" -> { (s, dir) =>
       import s.implicits._
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      val cs = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
-        .groupBy(($"o_custkey" * 2).as("src"),
-          ($"l_suppkey" * 2 + 1).as("dst"))
-        .agg(count(lit(1)).as("cnt"))
-        .select($"src", $"dst")
+      // edge scan shared across the graph family (round 19 — VERDICT
+      // r18 task 5): GraphEdges.cotradePairs builds once per session
+      val cs = GraphEdges.cotradePairs(s, dir).select($"src", $"dst")
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
         .repartition($"dst")
         .persist()

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-19 similarity additions.
+  *
+  * `ann_index_stats` — k-NN-GRAPH INDEX HEALTH audit (the
+  * ann_centroid_balance of the graph stack, over the round-19 durable
+  * artifact): beam search can only reach a node through its IN-edges,
+  * so the numbers a graph-ANN deployment watches are the in-degree
+  * distribution (skew = hub nodes absorb the beam), the count of
+  * UNREACHABLE nodes (in-degree 0 — invisible to every walk no matter
+  * the ef), and reciprocity (mutual edges — HNSW-family graphs rely on
+  * bidirectional links for recall; a low rate means many one-way
+  * shortcuts). One summary row, all exact integers into two final IEEE
+  * divisions (identical trees both engines).
+  *
+  * Scale shape: the edge frame is the SHARED pinned artifact
+  * (buildGraph — built once per session/deployment, degree-bounded so
+  * |edges| ≤ 6n); in-degrees are one partial-agg groupBy on dst; the
+  * distribution rolls up to a ≤|distinct in-degree|-row HISTOGRAM
+  * (degree-bounded, never corpus-sorted) and the p50/p90 read off its
+  * running sum with the exact ceil(q·n) rank rule (the
+  * corpus_ppl_buckets histogram-cut discipline — no global window);
+  * reciprocity is a self-join on the degree-bounded edge frame keyed
+  * (dst, src). Nothing here scales past O(|edges|).
+  */
+object SimilarityQueries11 {
+
+  import SimilarityQueries6.{NAnchors, buildGraph}
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_stats" -> { (s, dir) =>
+      import s.implicits._
+      val g = buildGraph(s, dir)
+      val nodes = g.nodes.select($"vec_id")
+      // in-degree per node, zero-in-degree nodes included (they are
+      // the finding)
+      val indeg = nodes
+        .join(g.edges.groupBy($"dst".as("vec_id"))
+          .agg(count(lit(1)).as("ind")), Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"ind", lit(0L)).as("ind"))
+      // degree-bounded histogram + running sum: the quantile cut reads
+      // off cumulative counts, never a corpus-wide sort
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"ind".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val hist = indeg.groupBy($"ind").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(w))
+      val totals = indeg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when($"ind" === 0L, 1L).otherwise(0L)).as("n_unreachable"))
+      // exact ceil(q·n) 1-based rank rule (quantile_disc): the p-th
+      // in-degree is the smallest histogram bin whose cum reaches the
+      // rank. q50 rank = ceil(n/2), q90 rank = ceil(9n/10) — integer
+      // arithmetic only ((x + d - 1) DIV d)
+      val cuts = hist.crossJoin(broadcast(totals))
+        .agg(
+          min(when($"cum" >= expr("(n_nodes + 1) DIV 2"), $"ind"))
+            .as("p50_in"),
+          min(when($"cum" >= expr("(n_nodes * 9 + 9) DIV 10"), $"ind"))
+            .as("p90_in"),
+          max($"ind").as("max_in"))
+      val edgeStats = g.edges.agg(count(lit(1)).as("n_edges"))
+      // reciprocity: edges whose reverse edge exists (degree-bounded
+      // self-join on the (src, dst) key)
+      val recip = g.edges
+        .join(g.edges.select($"dst".as("src"), $"src".as("dst")),
+          Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_recip"))
+      totals.crossJoin(cuts).crossJoin(edgeStats).crossJoin(recip)
+        .select($"n_nodes", $"n_edges", $"n_unreachable",
+          $"p50_in", $"p90_in", $"max_in", $"n_recip",
+          ($"n_unreachable".cast("double") / $"n_nodes".cast("double"))
+            .as("unreachable_rate"),
+          ($"n_recip".cast("double") / $"n_edges".cast("double"))
+            .as("reciprocity"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_index_stats" ->
+      s"""WITH ${SimilarityQueries6.graphCtes(materialized = true)},
+         |ind AS (SELECT n.vec_id,
+         |    CAST(coalesce(d.ind, 0) AS BIGINT) AS ind
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT dst AS vec_id, CAST(count(*) AS BIGINT) AS ind
+         |    FROM edges GROUP BY dst) d ON n.vec_id = d.vec_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(CASE WHEN ind = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unreachable
+         |  FROM ind),
+         |hist AS (SELECT ind, CAST(count(*) AS BIGINT) AS cnt FROM ind
+         |  GROUP BY ind),
+         |cum AS (SELECT ind,
+         |    CAST(sum(cnt) OVER (ORDER BY ind ASC) AS BIGINT) AS cum
+         |  FROM hist),
+         |cuts AS (SELECT
+         |    min(CASE WHEN cum >= (n_nodes + 1) // 2 THEN ind END)
+         |      AS p50_in,
+         |    min(CASE WHEN cum >= (n_nodes * 9 + 9) // 10 THEN ind END)
+         |      AS p90_in,
+         |    max(ind) AS max_in
+         |  FROM cum CROSS JOIN tot),
+         |es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+         |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_recip
+         |  FROM edges e WHERE EXISTS (SELECT 1 FROM edges r
+         |    WHERE r.src = e.dst AND r.dst = e.src))
+         |SELECT n_nodes, n_edges, n_unreachable, p50_in, p90_in, max_in,
+         |  n_recip,
+         |  CAST(n_unreachable AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+         |    AS unreachable_rate,
+         |  CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity
+         |FROM tot CROSS JOIN cuts CROSS JOIN es CROSS JOIN rc""".stripMargin
+  )
+}

@@ -75,6 +75,25 @@ object TextQueries5 {
     // self-multiplication, never pow — the dq_drift discipline). One
     // shingle-df rollup + a semi join + one row-local rule pass; the
     // contingency assembles on a ≤4-row frame.
+    //
+    // Round 19 (VERDICT r18 task 2 — the 10× heavy-tail spill): two
+    // changes, measured separately. (1) The postings carry
+    // xxhash64(shingle) LONGS, not ~50-byte shingle STRINGS — the df>1
+    // "is shared" predicate on hashes equals the string predicate up
+    // to an xxhash64 collision among distinct shingles (~2⁻⁶⁴ per pair
+    // — the value-band-rule adjudication class, accepted in VERDICT
+    // r18); the oracle keeps exact string shingles, so parity itself
+    // verifies no collision binds at gate scale. (2) The
+    // persist + df-rollup + semi-join shape is gone: the shared flag
+    // comes from ONE count window over the shingle-hash partition —
+    // one shuffle of the postings, nothing persisted, nothing consumed
+    // twice. tools/QdProbe alternated the three candidate stage shapes
+    // at 10× under control-stamped rounds (steal waves hit all arms
+    // equally): window 5.5/5.0/8.5 s vs hashed-persist-semi
+    // 5.9/5.6/12.6 vs recompute-semi 9.0/98/11.4 — the window form is
+    // both the min AND the tightest tail (text_bigram_rarity measured
+    // window == join on cost; here the join forms also pay a second
+    // consumption of the postings, which is what spilled).
     "dq_quality_dup" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -83,15 +102,11 @@ object TextQueries5 {
       // the shingle kernel is per-row compute over a single-file scan
       // — spread it first (the Parallelism.ensure cliff rule)
       val sh = graft.operators.Parallelism.ensure(docs)
-        .select($"doc_id", explode(word_shingles($"text", 8)).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val shared = sh.groupBy($"sh").agg(count(lit(1)).as("d"))
-        .filter($"d" > 1L).select($"sh")
-      // left_semi: the inner-join form materializes one row per
-      // (posting, shared-shingle) match before the distinct — on a
-      // corpus where every shingle is shared (the 10x replicas) that
-      // output is the whole postings table again
-      val dupDocs = sh.join(shared, Seq("sh"), "left_semi")
+        .select($"doc_id", explode(word_shingles($"text", 8)).as("__shs"))
+        .select($"doc_id", xxhash64($"__shs").as("sh"))
+      val wSh = Window.partitionBy($"sh")
+      val dupDocs = sh.withColumn("d", count(lit(1)).over(wSh))
+        .filter($"d" > 1L)
         .select($"doc_id").distinct()
       val flagged = docs
         .join(dupDocs.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
