@@ -18,7 +18,7 @@ object SparkEntry {
       RelationalQueries7.defs ++ RelationalQueries8.defs ++
       RelationalQueries9.defs ++ RelationalQueries10.defs ++ RelationalQueries11.defs ++
       RelationalQueries12.defs ++ RelationalQueries13.defs ++
-      RelationalQueries14.defs ++ RelationalQueries15.defs ++ RelationalQueries16.defs ++ RelationalQueries17.defs ++ RelationalQueries18.defs ++ RelationalQueries19.defs ++ RelationalQueries20.defs ++ RelationalQueries21.defs ++ RelationalQueries22.defs ++ EventQueries.defs ++ EventQueries2.defs ++ EventQueries3.defs ++
+      RelationalQueries14.defs ++ RelationalQueries15.defs ++ RelationalQueries16.defs ++ RelationalQueries17.defs ++ RelationalQueries18.defs ++ RelationalQueries19.defs ++ RelationalQueries20.defs ++ RelationalQueries21.defs ++ RelationalQueries22.defs ++ RelationalQueries23.defs ++ EventQueries.defs ++ EventQueries2.defs ++ EventQueries3.defs ++
       TextQueries.defs ++ TextQueries2.defs ++ TextQueries3.defs ++
       TextQueries4.defs ++ TextQueries5.defs ++ TextQueries6.defs ++
       TextQueries7.defs ++ TextQueries8.defs ++
@@ -51,7 +51,7 @@ object SparkEntry {
       RelationalQueries7.oracles ++ RelationalQueries8.oracles ++
       RelationalQueries9.oracles ++ RelationalQueries10.oracles ++ RelationalQueries11.oracles ++
       RelationalQueries12.oracles ++ RelationalQueries13.oracles ++
-      RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ RelationalQueries16.oracles ++ RelationalQueries17.oracles ++ RelationalQueries18.oracles ++ RelationalQueries19.oracles ++ RelationalQueries20.oracles ++ RelationalQueries21.oracles ++ RelationalQueries22.oracles ++ EventQueries.oracles ++
+      RelationalQueries14.oracles ++ RelationalQueries15.oracles ++ RelationalQueries16.oracles ++ RelationalQueries17.oracles ++ RelationalQueries18.oracles ++ RelationalQueries19.oracles ++ RelationalQueries20.oracles ++ RelationalQueries21.oracles ++ RelationalQueries22.oracles ++ RelationalQueries23.oracles ++ EventQueries.oracles ++
       EventQueries2.oracles ++ EventQueries3.oracles ++
       TextQueries.oracles ++ TextQueries2.oracles ++ TextQueries3.oracles ++
       TextQueries4.oracles ++ TextQueries5.oracles ++ TextQueries6.oracles ++

@@ -26,12 +26,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Crash discipline (the versionedStateSink staged-rename family): a
   * build writes into `_staging_<salt>` beside the final dir — params
   * file included — and a single atomic directory rename commits it.
-  * A crash mid-build leaves only a staging dir (swept on the next
-  * build); a crash after the rename left a complete artifact. If two
-  * processes race, the rename loser validates the winner's params and
-  * reuses its artifact.
+  * A FAILED build deletes its own staging eagerly; a hard crash
+  * leaves only a staging dir, swept by a later build once it is old
+  * enough to be provably dead (age-gated — an unconditional sweep
+  * would delete a live concurrent builder's dir and let its rename
+  * commit a torn artifact); a crash after the rename left a complete
+  * artifact. If two processes race, the rename loser validates the
+  * winner's params and reuses its artifact.
   */
 object ArtifactStore {
+
+  /** Staging dirs younger than this are presumed LIVE concurrent
+    * builds and never swept (a failed build deletes its own staging
+    * eagerly — the gate only covers hard crashes).
+    */
+  private val StagingSweepAgeMs = 24L * 3600 * 1000
 
   private def fsFor(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,7 +56,13 @@ object ArtifactStore {
     */
   def sourceFingerprint(spark: SparkSession, dir: String): String = {
     val fs = fsFor(spark, dir)
-    val base = new Path(dir)
+    // qualify BEFORE stripping: listStatus returns scheme-qualified
+    // paths (file:/root/...) where the caller's string is usually
+    // bare — an unqualified prefix never strips, and fingerprinting
+    // absolute URIs would make a byte-identical copy at another path
+    // (or a trailing-slash spelling) address a different artifact
+    // (round-19 self-review)
+    val base = fs.makeQualified(new Path(dir))
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     val stack = scala.collection.mutable.Stack(base)
     while (stack.nonEmpty) {
@@ -93,14 +108,23 @@ object ArtifactStore {
       validateParams(fs, finalDir, pm, artifactId)
       return finalDir.toString
     }
-    // sweep staging dirs abandoned by a crashed build of THIS artifact
-    // id (never another id's — ownership is per artifact dir)
+    // sweep staging dirs abandoned by a CRASHED build of this artifact
+    // id — age-gated (round-19 self-review): an unconditional sweep
+    // would delete a LIVE concurrent builder's staging dir mid-build,
+    // and its later rename would commit a torn artifact; a dir old
+    // enough that no build is plausibly still writing it is dead
+    val deadline = System.currentTimeMillis() - StagingSweepAgeMs
     Option(fs.globStatus(new Path(artDir, "_staging_*")))
-      .foreach(_.foreach(st => fs.delete(st.getPath, true)))
+      .foreach(_.foreach { st =>
+        if (st.getModificationTime < deadline) fs.delete(st.getPath, true)
+      })
     val salt = java.util.UUID.randomUUID.toString.take(8)
     val staging = new Path(artDir, s"_staging_$salt")
     fs.mkdirs(staging)
-    build(staging.toString)
+    // a FAILED build deletes its own staging immediately (no orphan,
+    // no wait on the age gate) and rethrows
+    try build(staging.toString)
+    catch { case e: Throwable => fs.delete(staging, true); throw e }
     val body = params.map { case (k, v) => s"$k=$v" }.mkString("\n")
     val out = fs.create(new Path(staging, "_artifact_params"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()

@@ -431,17 +431,25 @@ object Transforms {
             "spark.graft.indexDir / GRAFT_INDEX_DIR): an index-prep " +
             "stage exists to produce a DURABLE artifact"))
       requireUniqueIds(df, cfg.idCol, "knnindex")
-      // the artifact is ADDRESSED by sourcePath's fingerprint, so the
-      // frame must cover it exactly — an upstream filter would
-      // silently publish a partial index under the full corpus' name
-      // (the exportKnnGraphArtifact coverage rule)
-      val nSrc = spark.read.parquet(cfg.sourcePath).count()
+      // the artifact is ADDRESSED by sourcePath's fingerprint — and
+      // sourcePath must be the DATASET ROOT (the dir holding
+      // `<table>.parquet`), because that is what the batch graph
+      // consumers fingerprint (GraftSession.pinnedArtifact passes the
+      // data dir): a stage addressing by the bare table dir would land
+      // at a different src=<fp> and never be hit by the queries it
+      // exists to feed (round-19 self-review). The frame must cover
+      // the table exactly — an upstream filter would silently publish
+      // a partial index under the full corpus' name (the
+      // exportKnnGraphArtifact coverage rule).
+      val nSrc = graft.Tables.load(spark, cfg.sourcePath, cfg.sourceTable)
+        .count()
       val nDf = df.count()
       require(nDf == nSrc,
-        s"knnindex: the frame holds $nDf rows but sourcePath " +
-          s"${cfg.sourcePath} holds $nSrc — the artifact is addressed " +
-          "by the source fingerprint and must cover it exactly (point " +
-          "sourcePath at what the pipeline actually reads)")
+        s"knnindex: the frame holds $nDf rows but " +
+          s"${cfg.sourcePath}/${cfg.sourceTable}.parquet holds $nSrc — " +
+          "the artifact is addressed by the source-dir fingerprint and " +
+          "must cover the table exactly (sourcePath is the DATASET " +
+          "ROOT; sourceTable names the vector table the pipeline reads)")
       val (cen, cenDesc) = cfg.centroidsPath match {
         case Some(p) =>
           val c = spark.read.parquet(p)
@@ -488,7 +496,7 @@ object Transforms {
     */
   private[graft] case class KnnIndexCfg(idCol: String, vecCol: String,
       degree: Int, nprobe: Int, minNodeId: Long, sourcePath: String,
-      artifactId: String, indexRoot: Option[String],
+      sourceTable: String, artifactId: String, indexRoot: Option[String],
       centroidsPath: Option[String])
 
   private[graft] def parseKnnIndex(props: Map[String, Any]): KnnIndexCfg = {
@@ -503,6 +511,7 @@ object Transforms {
       degree = degree, nprobe = nprobe,
       minNodeId = props.getOrElse("minNodeId", "0").toString.toLong,
       sourcePath = req("sourcePath"),
+      sourceTable = props.getOrElse("sourceTable", "embeddings").toString,
       artifactId = props.getOrElse("artifactId", "knn_graph_d6").toString,
       indexRoot = props.get("indexRoot").map(_.toString),
       centroidsPath = props.get("centroidsPath").map(_.toString))

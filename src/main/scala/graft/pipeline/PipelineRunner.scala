@@ -282,8 +282,14 @@ object PipelineRunner {
         require(Set("cid", "cv").subsetOf(cen.columns.toSet),
           s"knnindex centroidsPath $cenPath must hold (cid, cv) " +
             s"columns, got ${cen.columns.mkString(", ")}")
+        // the batch stage excludes anchors below minNodeId from the
+        // node set — the streaming twin must build the SAME graph
+        // under the same YAML (round-19 self-review: feeding the raw
+        // upstream indexed the anchors as members)
+        val nodesOnly = upstream.filter(
+          org.apache.spark.sql.functions.col(cfg.idCol) >= cfg.minNodeId)
         graft.streaming.StreamingOps.knnGraphMaintained(
-          upstream, cfg.idCol, cfg.vecCol,
+          nodesOnly, cfg.idCol, cfg.vecCol,
           cen.select(org.apache.spark.sql.functions.col("cid"),
             org.apache.spark.sql.functions.col("cv")),
           stateDir, spec.name, degree = cfg.degree, nprobe = cfg.nprobe)

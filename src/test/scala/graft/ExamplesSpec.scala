@@ -147,23 +147,25 @@ class ExamplesSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
-  test("the knn-index example runs end to end: pinned artifact committed, frame passes through") {
+  test("the knn-index example runs end to end: pinned artifact committed at the CONSUMERS' address, frame passes through") {
     import org.apache.spark.sql.functions._
-    val in = Files.createTempDirectory("graft_kiin").toString + "/emb"
+    // dataset-root layout (the Tables convention): the stage's
+    // fingerprint address must be the one batch graph consumers pin
+    val dataRoot = Files.createTempDirectory("graft_kids").toString
     val root = Files.createTempDirectory("graft_kiroot").toString
     val out = Files.createTempDirectory("graft_kiout").toString
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    emb.write.parquet(in)
+    emb.write.parquet(s"$dataRoot/embeddings.parquet")
     val base = ConfigParser.parseFile(s"$dir/knn_index.yaml")
       .pipelines.head
     assert(base.transformations.head.kind == "knnindex")
     val spec = base.copy(
       source = base.source.copy(properties =
-        base.source.properties + ("path" -> in)),
+        base.source.properties + ("path" -> s"$dataRoot/embeddings.parquet")),
       transformations = Seq(base.transformations.head.copy(
         properties = base.transformations.head.properties ++
-          Map("sourcePath" -> in, "indexRoot" -> root))),
+          Map("sourcePath" -> dataRoot, "indexRoot" -> root))),
       sink = base.sink.copy(properties =
         base.sink.properties + ("path" -> out)))
     val mgr = new PipelineManager(spark)
@@ -171,7 +173,7 @@ class ExamplesSpec extends SparkSpec {
     // pass-through: the sink holds the corpus unchanged
     assert(spark.read.parquet(out).count() == emb.count())
     // the artifact committed at the pinned address with its params
-    val fp = graft.operators.ArtifactStore.sourceFingerprint(spark, in)
+    val fp = graft.operators.ArtifactStore.sourceFingerprint(spark, dataRoot)
     val art = s"$root/knn_graph_d6/src=$fp"
     val edges = spark.read.parquet(s"$art/edges")
     assert(edges.count() > 0 &&
@@ -179,8 +181,24 @@ class ExamplesSpec extends SparkSpec {
     val stored = graft.operators.ArtifactStore.storedParams(spark, art)
     assert(stored("degree") == "6" && stored("kind") == "knn_graph" &&
       stored("source") == fp)
+    // the round-19 self-review regression pin: a BATCH graph consumer
+    // resolving the same dataset root must HIT the stage's artifact
+    // (the two surfaces must share one fingerprint convention)
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    spark.conf.set("spark.graft.indexDir", root)
+    try {
+      GraftSession.invalidateModels()
+      val hit = GraftSession.pinnedArtifact(spark, "knn_graph_d6", dataRoot,
+        graft.operators.ArtifactStore.knnGraphParams(
+          6, 2, 5L, s"id_below_$k")) { _ =>
+        fail("the batch consumer must hit the stage's artifact")
+      }
+      assert(hit == art)
+    } finally {
+      spark.conf.unset("spark.graft.indexDir")
+      GraftSession.invalidateModels()
+    }
     // a re-run is a no-op refresh (same fingerprint, same params)
-    GraftSession.invalidateModels()
     assert(mgr.submit(spec.copy(name = "knn-index-prep-2")) == mgr.Completed)
     assert(spark.read.parquet(s"$art/edges").count() == edges.count())
     GraftSession.release(spark)

@@ -271,6 +271,54 @@ class StreamingYamlStagesSpec extends SparkSpec {
     GraftSession.release(spark)
   }
 
+  test("streaming knnindex maintains the batch knnGraph (minNodeId applied — anchors never enter)") {
+    val in = tmp("graft_yki_in"); val out = tmp("graft_yki_out")
+    val cenDir = tmp("graft_yki_cen") + "/cen"
+    val dataRoot = tmp("graft_yki_root")
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).persist()
+    emb.write.parquet(s"$dataRoot/embeddings.parquet")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    val cen = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").as("cv"))
+    cen.write.parquet(cenDir)
+    val stage = TransformSpec("knnindex", Map(
+      "id" -> "vec_id", "vector" -> "embedding", "degree" -> "3",
+      "nprobe" -> "2", "minNodeId" -> "5", "sourcePath" -> dataRoot,
+      "centroidsPath" -> cenDir))
+    val mid = emb.agg(((min(col("vec_id")) + max(col("vec_id"))) / 2)
+      .cast("long")).head().getLong(0)
+    // the full corpus INCLUDING anchors streams through — the stage
+    // must exclude them from the maintained graph like the batch one
+    emb.filter(col("vec_id") <= mid).coalesce(1).write.parquet(s"$in/b0")
+    val q = PipelineRunner.runStream(spark, PipelineSpec(
+      name = "yki", source = SourceSpec("file",
+        Map("path" -> s"$in/*", "format" -> "parquet",
+          "maxFilesPerTrigger" -> "1")),
+      transformations = Seq(stage),
+      sink = SinkSpec("parquet", Map("path" -> out)), streaming = true))
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") > mid).coalesce(1).write.parquet(s"$in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = graft.streaming.StreamingOps.latestState(spark, out).get
+    assert(state.filter(col("kind") === "v")
+      .filter(col("id") < 5).count() == 0,
+      "anchors below minNodeId leaked into the maintained graph")
+    val streamed = graft.streaming.StreamingOps.knnGraphCurrent(state)
+      .select(col("id"), col("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.operators.Similarity.knnGraph(
+        emb.filter(col("vec_id") >= 5), "vec_id", "embedding", cen, 3, 2)
+      .select(col("vec_id"), col("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed knnindex graph diverged (${streamed.size} vs ${batch.size})")
+    GraftSession.release(spark)
+  }
+
   test("streaming semantic decontaminate evidence == batch screenSemantic (round 19)") {
     val in = tmp("graft_ysc_in"); val out = tmp("graft_ysc_out")
     val cenDir = tmp("graft_ysc_cen") + "/cen"
