@@ -145,6 +145,9 @@ object GraftSession {
     indexRoot(spark) match {
       case None => cachedArtifact(artifactId, dir)(build)
       case Some(root) => cachedModel[String](s"pinned:$artifactId", dir) {
+        // a root nested inside the fingerprinted dir would re-address
+        // on every commit (ADVICE r19) — refuse before fingerprinting
+        graft.operators.ArtifactStore.requireDisjointRoot(spark, root, dir)
         val fp = graft.operators.ArtifactStore.sourceFingerprint(spark, dir)
         graft.operators.ArtifactStore.pinned(spark, root, artifactId, fp,
           params :+ ("source" -> fp))(build)

@@ -69,9 +69,16 @@ object ArtifactStore {
       val d = stack.pop()
       fs.listStatus(d).foreach { st =>
         val name = st.getPath.toString.stripPrefix(base.toString)
-        if (st.isDirectory) stack.push(st.getPath)
-        else if (!name.contains("_SUCCESS") && !name.endsWith(".crc"))
-          buf += s"$name:${st.getLen}"
+        // skip HIDDEN entries (`_`/`.` prefixed — the Spark reader
+        // convention) at every depth, directories included: metadata
+        // (_SUCCESS, .crc), a crashed build's _staging_*, and any
+        // underscore-named scratch dir must not perturb the address
+        // of the DATA they sit beside (ADVICE r19: an index root or
+        // sink nested in the source dir re-fingerprinted every run)
+        val leaf = st.getPath.getName
+        if (leaf.startsWith("_") || leaf.startsWith(".")) ()
+        else if (st.isDirectory) stack.push(st.getPath)
+        else buf += s"$name:${st.getLen}"
       }
     }
     val canonical = buf.sorted.mkString("\n")
@@ -106,6 +113,7 @@ object ArtifactStore {
       s"duplicate param keys: ${params.map(_._1).mkString(", ")}")
     if (fs.exists(finalDir)) {
       validateParams(fs, finalDir, pm, artifactId)
+      retainPerConf(spark, fs, artDir, finalDir)
       return finalDir.toString
     }
     // sweep staging dirs abandoned by a CRASHED build of this artifact
@@ -128,7 +136,22 @@ object ArtifactStore {
     val body = params.map { case (k, v) => s"$k=$v" }.mkString("\n")
     val out = fs.create(new Path(staging, "_artifact_params"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(staging, finalDir)) {
+    if (fs.rename(staging, finalDir)) {
+      // ADVICE r19: on filesystems with HDFS rename semantics, a
+      // rename onto an ALREADY-COMMITTED finalDir moves staging
+      // INSIDE it and still returns true — the race loser would skip
+      // params validation and leave a _staging_* subdir (underscore-
+      // hidden to readers, unreachable by the age-gated sweep) in the
+      // winner's artifact forever. Detect by OUR salt: if our staging
+      // dir now sits nested under finalDir, we lost — delete the
+      // nested dir and validate the winner's params like the
+      // rename-false branch does.
+      val nested = new Path(finalDir, s"_staging_$salt")
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        validateParams(fs, finalDir, pm, artifactId)
+      }
+    } else {
       // rename refused: either a concurrent builder committed first
       // (validate + reuse its artifact) or the filesystem failed
       if (fs.exists(finalDir)) {
@@ -137,8 +160,104 @@ object ArtifactStore {
       } else throw new java.io.IOException(
         s"artifact commit rename $staging -> $finalDir failed")
     }
+    retainPerConf(spark, fs, artDir, finalDir)
     finalDir.toString
   }
+
+  /** Refuse an artifact root that would sit INSIDE the fingerprinted
+    * source dir (or contain it). ADVICE r19: committing an artifact
+    * under the source dir changes the source's own fingerprint, so
+    * every re-run addresses a NEW `src=<fp>` and rebuilds — the
+    * documented no-op refresh silently becomes one-artifact-per-run.
+    * Hidden (`_`-prefixed) roots are exempt (the fingerprint skips
+    * them), but a plainly-named nested root is always a mistake.
+    * Shared by the knnindex stage, GraftSession.pinnedArtifact and
+    * exportKnnGraphArtifact — every surface refuses identically.
+    */
+  def requireDisjointRoot(spark: SparkSession, root: String,
+      sourceDir: String): Unit = {
+    val qr = fsFor(spark, root).makeQualified(new Path(root)).toString
+    val qs = fsFor(spark, sourceDir).makeQualified(new Path(sourceDir)).toString
+    val nestedInSource = qr == qs || qr.startsWith(qs + "/")
+    val hidden = qr.drop(qs.length + 1).split('/').headOption
+      .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    require(!nestedInSource || hidden,
+      s"artifact root $root is nested inside the fingerprinted source " +
+        s"dir $sourceDir: every committed artifact would change the " +
+        "source fingerprint and re-address (one artifact per run, no " +
+        "cache hits). Move the root outside the dataset dir, or under " +
+        "a `_`-prefixed (reader-hidden) subdir.")
+    require(!(qs == qr || qs.startsWith(qr + "/")),
+      s"source dir $sourceDir is nested inside the artifact root $root " +
+        "— a retention sweep of superseded generations could delete " +
+        "source data. Keep the two trees disjoint.")
+  }
+
+  /** One committed generation of an artifact id: its `src=<fp>` dir,
+    * total bytes, and commit (modification) time.
+    */
+  final case class Generation(fingerprint: String, path: String,
+      bytes: Long, modifiedMs: Long)
+
+  /** The committed generations under `<root>/<artifactId>` (staging
+    * dirs excluded), newest first — the listing a deployment's
+    * retention audit reads (VERDICT r19 task 3).
+    */
+  def generations(spark: SparkSession, root: String,
+      artifactId: String): Seq[Generation] = {
+    val fs = fsFor(spark, root)
+    val artDir = new Path(s"$root/$artifactId")
+    Option(fs.globStatus(new Path(artDir, "src=*"))).toSeq.flatten
+      .filter(_.isDirectory)
+      .map { st =>
+        val sum = fs.getContentSummary(st.getPath)
+        Generation(st.getPath.getName.stripPrefix("src="),
+          st.getPath.toString, sum.getLength, st.getModificationTime)
+      }
+      .sortBy(g => (-g.modifiedMs, g.fingerprint))
+  }
+
+  /** Prune superseded committed generations of `artifactId`, keeping
+    * the newest `keep` (by commit time) and ALWAYS the `current`
+    * address — the generation a live session has pinned is never
+    * swept, whatever its age (VERDICT r19 task 3: a mutated corpus
+    * re-fingerprints to a fresh address and the superseded generation
+    * otherwise lives forever). Returns the deleted paths. Ordering
+    * contract (spec-pinned): retention runs AFTER the new generation
+    * commits and validates, so the old generation survives any failed
+    * or in-flight build — a crash before commit leaves every
+    * committed generation in place.
+    */
+  def retain(spark: SparkSession, root: String, artifactId: String,
+      keep: Int, current: Option[String] = None): Seq[String] = {
+    require(keep >= 1, s"retain keeps at least the newest generation, got $keep")
+    val fs = fsFor(spark, root)
+    val cur = current.map(c => fs.makeQualified(new Path(c)).toString)
+    val gens = generations(spark, root, artifactId)
+      .map(g => g.copy(path = fs.makeQualified(new Path(g.path)).toString))
+    val keepSet = (gens.take(keep).map(_.path) ++ cur).toSet
+    gens.filterNot(g => keepSet.contains(g.path)).map { g =>
+      fs.delete(new Path(g.path), true)
+      g.path
+    }
+  }
+
+  /** Post-commit retention hook: with `spark.graft.indexRetain` = N
+    * configured, every successful [[pinned]] resolution prunes this
+    * artifact id down to its newest N generations (the just-resolved
+    * address always survives — it is `current` by construction).
+    * Unset = keep everything (the conservative default: superseded
+    * generations may still be pinned by OTHER sessions this store
+    * cannot see; only a deployment that knows its session discipline
+    * opts in).
+    */
+  private def retainPerConf(spark: SparkSession, fs: FileSystem,
+      artDir: Path, finalDir: Path): Unit =
+    spark.conf.getOption("spark.graft.indexRetain").map(_.trim)
+      .filter(_.nonEmpty).foreach { n =>
+        retain(spark, artDir.getParent.toString, artDir.getName,
+          n.toInt, Some(finalDir.toString))
+      }
 
   /** The canonical parameterization of the degree-bounded k-NN-graph
     * edge artifact — ONE definition shared by the batch build

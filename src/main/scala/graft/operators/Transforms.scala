@@ -431,6 +431,10 @@ object Transforms {
             "spark.graft.indexDir / GRAFT_INDEX_DIR): an index-prep " +
             "stage exists to produce a DURABLE artifact"))
       requireUniqueIds(df, cfg.idCol, "knnindex")
+      // ADVICE r19: an index root nested under sourcePath would change
+      // the source fingerprint on every commit — one artifact per run,
+      // and batch consumers fingerprinting the same root never hit it
+      ArtifactStore.requireDisjointRoot(spark, root, cfg.sourcePath)
       // the artifact is ADDRESSED by sourcePath's fingerprint — and
       // sourcePath must be the DATASET ROOT (the dir holding
       // `<table>.parquet`), because that is what the batch graph
@@ -488,6 +492,41 @@ object Transforms {
       }
       df
 
+    // INDEX-SERVE stage (round 20 — VERDICT r19 task 2: build → serve
+    // completes the vector-stack story; the reference is a SERVICE).
+    // The pipeline's frame is the QUERY set — (id, vector) rows — and
+    // the stage REPLACES it with the top-k graph-ANN results per query
+    // (<id>, rank, neighbor_id, cos), walking the durable artifact the
+    // `knnindex` stage committed. Serving is READ-ONLY: a missing
+    // artifact (never built, or the corpus mutated so this source
+    // fingerprints to a fresh address) REFUSES loudly instead of
+    // triggering the n^1.5 build, and a params-divergent artifact
+    // refuses via the stored pin — the two stale-index traps a
+    // deployment actually hits, both named in the message. The REST
+    // route (`POST /api/index/search`) serves single vectors through
+    // the SAME kernel ([[KnnServe]]), so the two surfaces cannot
+    // drift.
+    case "knnsearch" =>
+      val p = KnnServe.parseServe(t.properties)
+      def reqP(key: String) = t.properties.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"knnsearch requires a `$key` property")).toString
+      val idCol = reqP("id")
+      val vecCol = reqP("vector")
+      val spark = df.sparkSession
+      val root = t.properties.get("indexRoot").map(_.toString)
+        .orElse(graft.GraftSession.indexRoot(spark))
+        .getOrElse(throw new IllegalArgumentException(
+          "knnsearch requires an `indexRoot` property (or the session's " +
+            "spark.graft.indexDir / GRAFT_INDEX_DIR): serving reads the " +
+            "durable artifact the knnindex stage committed"))
+      requireUniqueIds(df, idCol, "knnsearch")
+      val resolved = KnnServe.resolve(spark, root, p)
+      KnnServe.search(spark, resolved,
+          df.select(col(idCol).as("q_id"), col(vecCol).as("qv")),
+          p.k, p.beam, p.steps)
+        .withColumnRenamed("q_id", idCol)
+
     case other => throw new IllegalArgumentException(s"Unknown transformation type: $other")
   }
 
@@ -506,13 +545,25 @@ object Transforms {
     val nprobe = props.getOrElse("nprobe", "2").toString.toInt
     require(degree >= 1 && nprobe >= 1,
       s"knnindex degree/nprobe must be >= 1, got $degree/$nprobe")
+    val minNodeId = props.getOrElse("minNodeId", "0").toString.toLong
+    // default artifactId DERIVES from the parameterization (ADVICE
+    // r19): a fixed default ("knn_graph_d6") under non-query-layer
+    // params (e.g. the minNodeId=0 default vs the query layer's 5)
+    // would commit an artifact at the query layer's address whose
+    // params-divergence refusal then breaks every ann_graph_* /
+    // ann_index_stats consumer. The query layer's canonical address
+    // is assigned only when the params ARE its convention; any other
+    // parameterization gets its own address.
+    val defaultId =
+      if (degree == 6 && nprobe == 2 && minNodeId == 5L) "knn_graph_d6"
+      else s"knn_graph_d${degree}_n${nprobe}_m$minNodeId"
     KnnIndexCfg(
       idCol = req("id"), vecCol = req("vector"),
       degree = degree, nprobe = nprobe,
-      minNodeId = props.getOrElse("minNodeId", "0").toString.toLong,
+      minNodeId = minNodeId,
       sourcePath = req("sourcePath"),
       sourceTable = props.getOrElse("sourceTable", "embeddings").toString,
-      artifactId = props.getOrElse("artifactId", "knn_graph_d6").toString,
+      artifactId = props.getOrElse("artifactId", defaultId).toString,
       indexRoot = props.get("indexRoot").map(_.toString),
       centroidsPath = props.get("centroidsPath").map(_.toString))
   }

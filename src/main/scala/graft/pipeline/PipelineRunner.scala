@@ -339,6 +339,34 @@ class PipelineManager(spark: SparkSession) {
   def foldCounters(name: String): Map[String, Long] =
     graft.streaming.StreamingOps.foldCounters(name)
 
+  /** Serve one ad-hoc query vector against the pinned k-NN-graph
+    * artifact (round 20 — VERDICT r19 task 2: the REST face of the
+    * `knnsearch` stage; the SAME [[graft.operators.KnnServe]] kernel
+    * resolves and walks, so the two surfaces cannot drift). `props`
+    * uses the stage's property vocabulary (sourcePath required;
+    * artifactId/degree/nprobe/minNodeId/centroidsPath/k/beam/steps
+    * optional with the stage defaults). Read-only — every refusal the
+    * stage raises (unbuilt artifact, mutated corpus, params drift)
+    * surfaces here identically.
+    */
+  def knnSearch(props: Map[String, Any],
+      vector: Array[Float]): Seq[(Long, Double)] = {
+    val p = graft.operators.KnnServe.parseServe(props)
+    val root = props.get("indexRoot").map(_.toString)
+      .orElse(graft.GraftSession.indexRoot(spark))
+      .getOrElse(throw new IllegalArgumentException(
+        "knnSearch requires an `indexRoot` property (or the session's " +
+          "spark.graft.indexDir / GRAFT_INDEX_DIR)"))
+    val resolved = graft.operators.KnnServe.resolve(spark, root, p)
+    import spark.implicits._
+    val q = Seq((0L, vector)).toDF("q_id", "qv")
+    graft.operators.KnnServe.search(spark, resolved, q, p.k, p.beam, p.steps)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect()
+      .map(row => (row.getAs[Number]("neighbor_id").longValue(),
+        row.getAs[Double]("cos"))).toSeq
+  }
+
   private val jobs = TrieMap.empty[String, Status]
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val submittedAt = TrieMap.empty[String, Long]

@@ -144,6 +144,54 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
     }
   })
 
+  // INDEX-SERVE route (round 20 — VERDICT r19 task 2: the pinned
+  // k-NN-graph artifact gets a query surface beside the job-management
+  // routes, completing build → serve). POST the query vector as the
+  // request body — a JSON array ("[0.1, -0.2, ...]"; bare
+  // comma-separated floats also accepted) — with the knnsearch stage's
+  // property vocabulary as query params (sourcePath required). Errors
+  // keep their stage semantics: 400 = bad request (missing/invalid
+  // params or vector), 409 = serve refusal (artifact unbuilt, corpus
+  // mutated since the build, params drift — the read-only contract),
+  // 500 = everything else.
+  server.createContext("/api/index", (ex: HttpExchange) => {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    try {
+      (ex.getRequestMethod, path) match {
+        case ("POST", "/api/index/search") =>
+          val props: Map[String, Any] =
+            Seq("sourcePath", "sourceTable", "artifactId", "indexRoot",
+              "centroidsPath", "degree", "nprobe", "minNodeId", "k",
+              "beam", "steps")
+              .flatMap(k => queryParam(ex, k).map(v => k -> (v: Any))).toMap
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val vec = body.replace('[', ' ').replace(']', ' ')
+            .split("[,\\s]+").filter(_.nonEmpty).map(_.toFloat)
+          if (vec.isEmpty)
+            respond(ex, 400, """{"error":"request body must hold the query vector (JSON array or comma-separated floats)"}""")
+          else {
+            val hits = manager.knnSearch(props, vec)
+            val rows = hits.zipWithIndex.map { case ((id, cos), i) =>
+              s"""{"rank":${i + 1},"id":$id,"cos":$cos}"""
+            }.mkString("[", ",", "]")
+            respond(ex, 200, s"""{"results":$rows}""")
+          }
+        case _ =>
+          respond(ex, 404, """{"error":"no such route"}""")
+      }
+    } catch {
+      case e: NumberFormatException => // subclass — must precede IAE
+        respond(ex, 400, s"""{"error":${jstr("invalid query vector: " + e.getMessage)}}""")
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      case e: IllegalStateException =>
+        respond(ex, 409, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+    }
+  })
+
   // machine-readable API description (round 9 — the reference ships
   // OpenAPI via config/OpenApiConfig.java; here it is hand-rolled JSON
   // generated from RestServer.routeTable, zero extra deps, and
@@ -221,6 +269,9 @@ object RestServer {
       "Stop the named pipeline (404 if not running)", Seq("name" -> "path")),
     RouteDoc("post", "/api/pipelines/stop-all",
       "Stop every running pipeline"),
+    RouteDoc("post", "/api/index/search",
+      "Top-k graph-ANN search of the pinned knnindex artifact for the query vector in the request body (JSON array); read-only — 409 when the artifact is unbuilt, the corpus mutated, or params drifted",
+      Seq("sourcePath" -> "query")),
     RouteDoc("get", "/api/openapi.json",
       "This document"))
 

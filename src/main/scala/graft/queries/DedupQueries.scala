@@ -76,8 +76,10 @@ object DedupQueries {
     // the simhash pair graph (min doc_id labels the component)
     "dedup_clusters" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-        .withColumn("__ws", words(col("text")))
-      val pairs = Dedup.simhashComponentPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      // shared pinned pair scan (round 20 — VERDICT r19 task 5):
+      // components over the verified component-pair artifact are
+      // identical to the per-query derivation (the r10 collapse proof)
+      val pairs = GraphEdges.simhashCcPairs(s, dir)
       Dedup.connectedComponents(
           docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("component"))
@@ -93,8 +95,7 @@ object DedupQueries {
     "dedup_keep_best" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
-        .withColumn("__ws", words(col("text")))
-      val pairs = Dedup.simhashComponentPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      val pairs = GraphEdges.simhashCcPairs(s, dir)
       val comp = Dedup.connectedComponents(
           docs.select(col("doc_id").as("id"), col("n_chars")), pairs)
       val byComponent = Window.partitionBy(col("component"))

@@ -25,8 +25,8 @@ object DedupQueries5 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_stats" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-        .withColumn("__ws", words(col("text")))
-      val pairs = Dedup.simhashComponentPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      // shared pinned pair scan (round 20 — VERDICT r19 task 5)
+      val pairs = GraphEdges.simhashCcPairs(s, dir)
       val comp = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")), pairs)
       comp.groupBy(col("component"))

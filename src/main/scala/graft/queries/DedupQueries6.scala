@@ -101,9 +101,8 @@ object DedupQueries6 {
     "corpus_dedup_rate" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-        .withColumn("__ws", words($"text"))
-      val pairs = graft.operators.Dedup.simhashComponentPairs(
-        docs, "doc_id", "__ws", maxHamming = 3)
+      // shared pinned pair scan (round 20 — VERDICT r19 task 5)
+      val pairs = GraphEdges.simhashCcPairs(s, dir)
       val comp = graft.operators.Dedup.connectedComponents(
         docs.select($"doc_id".as("id"), $"source"), pairs)
       comp.groupBy($"source")

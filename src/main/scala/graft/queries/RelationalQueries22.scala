@@ -37,6 +37,21 @@ import graft.Tables
   * credit, an inconsistent definition — round-17 self-review), so
   * such pairs are excluded outright rather than miscounted.
   *
+  * USER-FACING CONTRACT (round 20 — VERDICT r19 task 7): this query
+  * computes stress over seed pairs with d(s, t) <= 4 and REPORTS
+  * `n_pairs_in_horizon` beside `n_seed_pairs` so an excluded pair is
+  * visible, never silent. On a graph whose seed pairs sit wider than
+  * the horizon the right moves are (a) raise the walk depth — the
+  * loop bound and the horizon predicate are the SAME constant, and
+  * the overflow envelope widens to "length-k walk counts < 2^63"
+  * (both engines throw loudly rather than wrap if it breaks), paying
+  * one extra broadcast-relax round per added hop; or (b) Brandes-
+  * style sampled betweenness (sample sources, full BFS each) — a
+  * different estimator, deliberately NOT silently substituted here.
+  * Partial credit (counting only near-endpoint interior nodes of a
+  * wider pair) is never an option; that inconsistent definition is
+  * what the horizon exclusion exists to prevent.
+  *
   * Scale shape = q126's: the edge relation builds once (partial-agg
   * distinct pairs, never a row² self-join), repartition(dst) +
   * persist; each round broadcasts the ≤|seeds|·|V| frontier against
@@ -57,6 +72,13 @@ import graft.Tables
   */
 object RelationalQueries22 {
 
+  /** The walk depth AND the pair-distance horizon — one constant, so
+    * raising the depth widens the horizon consistently (the contract
+    * paragraph above; overflow envelope: length-Horizon walk counts
+    * must stay < 2^63, loudly enforced by both engines).
+    */
+  private val Horizon = 4
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_betweenness" -> { (s, dir) =>
       import s.implicits._
@@ -76,7 +98,7 @@ object RelationalQueries22 {
       // (the q91 Bellman-Ford structural fact).
       val parts = scala.collection.mutable.ArrayBuffer(r0)
       var fr = r0
-      for (k <- 1 to 4) {
+      for (k <- 1 to Horizon) {
         val f = fr.persist()
         val next = edges
           .join(broadcast(f.select($"node".as("src"), $"seed", $"sigma")),
@@ -104,11 +126,21 @@ object RelationalQueries22 {
           (col("a.sigma") * col("b.sigma")).as("prod"))
         .persist() // consumed twice: pair-distance derivation + the sum
       val dstT = pj.groupBy($"s", $"t").agg(min($"dsum").as("d"))
+        .persist() // consumed twice: the horizon audit + the pair join
+      // the horizon CONTRACT columns (round 20 — VERDICT r19 task 7):
+      // pairs beyond d<=4 are EXCLUDED, never miscounted — the output
+      // carries how many seed pairs exist vs how many the horizon
+      // covers, so an excluded pair is visible in the report itself
+      val hz = dstT.agg(count(lit(1)).as("n_seed_pairs"),
+        sum(when($"d" <= Horizon.toLong, 1L).otherwise(0L))
+          .as("n_pairs_in_horizon"))
       pj.join(broadcast(dstT), Seq("s", "t"))
-        .filter($"d" <= 4L && $"dsum" === $"d" &&
+        .filter($"d" <= Horizon.toLong && $"dsum" === $"d" &&
           $"node" =!= $"s" && $"node" =!= $"t")
         .groupBy($"node").agg(sum($"prod").as("stress"))
-        .select($"node", ($"node" % 2).as("ntype"), $"stress")
+        .crossJoin(broadcast(hz))
+        .select($"node", ($"node" % 2).as("ntype"), $"stress",
+          $"n_seed_pairs", $"n_pairs_in_horizon")
         .orderBy($"stress".desc, $"node".asc).limit(100)
     }
   )
@@ -122,7 +154,7 @@ object RelationalQueries22 {
 
   val oracles: Map[String, String] = Map(
     "q135_betweenness" -> {
-      val rounds = (1 to 4).map(roundSql).mkString(",\n")
+      val rounds = (1 to Horizon).map(roundSql).mkString(",\n")
       s"""WITH cs AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
          |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -144,12 +176,18 @@ object RelationalQueries22 {
          |pj AS (SELECT a.seed AS s, b.seed AS t, a.node,
          |    a.dist + b.dist AS dsum, a.sigma * b.sigma AS prod
          |  FROM sf a JOIN sf b ON a.node = b.node AND a.seed < b.seed),
-         |dst AS (SELECT s, t, min(dsum) AS d FROM pj GROUP BY s, t)
+         |dst AS (SELECT s, t, min(dsum) AS d FROM pj GROUP BY s, t),
+         |hz AS (SELECT CAST(count(*) AS BIGINT) AS n_seed_pairs,
+         |  CAST(sum(CASE WHEN d <= $Horizon THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pairs_in_horizon FROM dst)
          |SELECT p.node, p.node % 2 AS ntype,
-         |  CAST(sum(p.prod) AS BIGINT) AS stress
+         |  CAST(sum(p.prod) AS BIGINT) AS stress,
+         |  any_value(hz.n_seed_pairs) AS n_seed_pairs,
+         |  any_value(hz.n_pairs_in_horizon) AS n_pairs_in_horizon
          |FROM pj p JOIN dst ON dst.s = p.s AND dst.t = p.t
          |  AND p.dsum = dst.d
-         |WHERE dst.d <= 4 AND p.node <> p.s AND p.node <> p.t
+         |CROSS JOIN hz
+         |WHERE dst.d <= $Horizon AND p.node <> p.s AND p.node <> p.t
          |GROUP BY p.node
          |ORDER BY stress DESC, node ASC LIMIT 100""".stripMargin
     }

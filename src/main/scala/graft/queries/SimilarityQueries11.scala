@@ -3,7 +3,34 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-19 similarity additions.
+/** Round-19/20 similarity additions.
+  *
+  * `ann_index_freshness` (round 20 — VERDICT r19 task 6): the batch
+  * face of the build/maintain/serve freshness triangle — compares the
+  * pinned k-NN-graph artifact (the durable index every graph consumer
+  * walks) against the SOURCE corpus it claims to cover: indexed-node
+  * count vs the node set (vec_id >= NAnchors), max ids both sides,
+  * the count of source nodes the index has no out-edges for, and an
+  * exact `is_fresh` verdict. On the never-mutated test corpus the
+  * report reads fresh by construction — the query's value is the
+  * SHAPE (a bounded one-row audit over the degree-bounded edge
+  * frame, O(|edges|)); the streaming face
+  * ([[graft.streaming.StreamingOps.annIndexFreshness]]) runs the
+  * same comparison against a LIVE knnGraphMaintained state, where
+  * staleness actually arises (spec-pinned over an advancing stream).
+  *
+  * `ann_serve_topk` (round 20 — VERDICT r19 task 2's kernel under the
+  * oracle gate): the SERVE surface itself — the exact
+  * [[graft.operators.KnnServe.search]] walk the `knnsearch` YAML
+  * stage and the `POST /api/index/search` route execute — run as a
+  * gated query over the session's pinned graph artifact: per-anchor
+  * width-8 beam walk, then the top-3 frontier rows
+  * (q_id, rank, neighbor_id, cos). The oracle replays the entry +
+  * 6-step walk + rank cut in SQL (the shared graphCtes/walkCtes
+  * machinery — every cosine a strict left fold, ranking
+  * (c DESC, node ASC), so rank rows are bit-equal). ann_graph_search
+  * gates the walk's top-1 against the exact answer; THIS gates the
+  * full ranked k-list a serving deployment actually returns.
   *
   * `ann_index_stats` — k-NN-GRAPH INDEX HEALTH audit (the
   * ann_centroid_balance of the graph stack, over the round-19 durable
@@ -77,6 +104,41 @@ object SimilarityQueries11 {
             .as("unreachable_rate"),
           ($"n_recip".cast("double") / $"n_edges".cast("double"))
             .as("reciprocity"))
+    },
+
+    "ann_index_freshness" -> { (s, dir) =>
+      import s.implicits._
+      val g = buildGraph(s, dir)
+      val srcNodes = g.nodes.select($"vec_id".cast("long").as("id"))
+      val idxNodes = g.edges.select($"src".as("id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      srcNodes
+        .agg(count(lit(1)).as("n_source_nodes"),
+          max($"id").as("max_source_id"))
+        .crossJoin(idxNodes.agg(count(lit(1)).as("n_index_nodes"),
+          max($"id").as("max_index_id")))
+        .crossJoin(srcNodes.join(idxNodes, Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("n_missing")))
+        .select($"n_index_nodes", $"max_index_id",
+          $"n_source_nodes", $"max_source_id", $"n_missing",
+          ($"n_missing" === 0L &&
+            $"n_index_nodes" === $"n_source_nodes").as("is_fresh"))
+    },
+
+    "ann_serve_topk" -> { (s, dir) =>
+      import s.implicits._
+      val g = buildGraph(s, dir)
+      // the serve kernel's Resolved shape over the session's pinned
+      // artifact: entry = the query-layer id_below_k convention
+      // (centroid vectors at/above the node floor ARE entry nodes)
+      val resolved = graft.operators.KnnServe.Resolved(
+        "session", g.edges, g.nodes,
+        g.centroids.filter($"cid" >= NAnchors)
+          .select($"cid".as("node"), $"cv".as("nv")))
+      graft.operators.KnnServe.search(s, resolved, g.anchors,
+          k = 3, beam = 8, steps = 6)
+        .select($"q_id", $"rank", $"neighbor_id".cast("long").as("neighbor_id"),
+          $"cos")
     }
   )
 
@@ -113,6 +175,41 @@ object SimilarityQueries11 {
          |  CAST(n_unreachable AS DOUBLE) / CAST(n_nodes AS DOUBLE)
          |    AS unreachable_rate,
          |  CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity
-         |FROM tot CROSS JOIN cuts CROSS JOIN es CROSS JOIN rc""".stripMargin
+         |FROM tot CROSS JOIN cuts CROSS JOIN es CROSS JOIN rc""".stripMargin,
+
+    "ann_index_freshness" ->
+      s"""WITH ${SimilarityQueries6.graphCtes(materialized = true)},
+         |srcn AS (SELECT CAST(vec_id AS BIGINT) AS id FROM nodes),
+         |idxn AS (SELECT DISTINCT CAST(src AS BIGINT) AS id FROM edges),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_source_nodes,
+         |    max(id) AS max_source_id FROM srcn),
+         |it AS (SELECT CAST(count(*) AS BIGINT) AS n_index_nodes,
+         |    max(id) AS max_index_id FROM idxn),
+         |ms AS (SELECT CAST(count(*) AS BIGINT) AS n_missing FROM srcn s
+         |  WHERE NOT EXISTS (SELECT 1 FROM idxn i WHERE i.id = s.id))
+         |SELECT n_index_nodes, max_index_id, n_source_nodes,
+         |  max_source_id, n_missing,
+         |  (n_missing = 0 AND n_index_nodes = n_source_nodes) AS is_fresh
+         |FROM st CROSS JOIN it CROSS JOIN ms""".stripMargin,
+
+    "ann_serve_topk" -> {
+      import SimilarityQueries6.{cos, graphCtes, walkCtes, Steps, Beam}
+      s"""WITH ${graphCtes(materialized = false)},
+         |w0 AS (SELECT q_id, cid AS node, ec AS c
+         |  FROM (SELECT a.q_id, c.cid,
+         |      ${cos("a.qv", "c.cv")} AS ec,
+         |      row_number() OVER (PARTITION BY a.q_id
+         |        ORDER BY ${cos("a.qv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM a CROSS JOIN cen c WHERE c.cid >= $NAnchors)
+         |  WHERE rn <= $Beam),
+         |${walkCtes("w")}
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank,
+         |  CAST(node AS BIGINT) AS neighbor_id, c AS cos
+         |FROM (SELECT q_id, node, c,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY c DESC, node ASC) AS rn
+         |  FROM w$Steps)
+         |WHERE rn <= 3""".stripMargin
+    }
   )
 }

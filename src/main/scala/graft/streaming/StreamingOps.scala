@@ -952,6 +952,9 @@ object StreamingOps {
       throw new IllegalStateException(
         "exportKnnGraphArtifact needs a durable index root — set " +
           "spark.graft.indexDir (or GRAFT_INDEX_DIR)"))
+    // same refusal as the batch surfaces (ADVICE r19): a root nested
+    // in the fingerprinted source dir re-addresses on every commit
+    graft.operators.ArtifactStore.requireDisjointRoot(spark, root, sourceDir)
     val state = latestState(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"no committed state versions under $stateDir — nothing to export"))
@@ -971,6 +974,65 @@ object StreamingOps {
         .select(col("id").as("src"), col("nbr_id").as("dst"))
         .write.parquet(s"$base/edges")
     }
+  }
+
+  /** INDEX FRESHNESS report (round 20 — VERDICT r19 task 6,
+    * completing the build/maintain/serve triangle): ONE row answering
+    * "is the pinned artifact stale vs the live stream state?" — the
+    * question a deployment running [[knnGraphMaintained]] beside
+    * batch/serve consumers of [[exportKnnGraphArtifact]]'s address
+    * must ask before trusting a walk. Compares the CURRENT maintained
+    * state (member count, max vec_id, latest committed batch version)
+    * against the committed artifact (distinct indexed nodes, max node
+    * id, pinned source fingerprint): `n_unexported` counts members the
+    * artifact has no out-edges for, and `is_fresh` is the exact
+    * both-ways containment (every member indexed, no indexed node
+    * outside the membership — a RE-fed state and a stale export both
+    * trip it). Bounded output, O(|edges|) work: one aggregate over
+    * each side plus an anti-join on the degree-bounded edge frame.
+    * Refuses loudly when either side is missing — an absent state dir
+    * or artifact is an operations fault, not a "fresh" report.
+    */
+  def annIndexFreshness(spark: SparkSession, stateDir: String,
+      artifactPath: String): DataFrame = {
+    val versions = stateVersions(spark, stateDir)
+    if (versions.isEmpty) throw new IllegalStateException(
+      s"no committed state versions under $stateDir — nothing to compare")
+    val fs = new org.apache.hadoop.fs.Path(artifactPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$artifactPath/edges")))
+      throw new IllegalStateException(
+        s"$artifactPath holds no edges — not a committed knn-graph " +
+          "artifact (run knnindex or exportKnnGraphArtifact first)")
+    val stored = graft.operators.ArtifactStore
+      .storedParams(spark, artifactPath)
+    val members = latestState(spark, stateDir).get
+      .filter(col("kind") === "v").select(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxNodes = spark.read.parquet(s"$artifactPath/edges")
+      .select(col("src").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = members
+      .agg(count(lit(1)).as("state_members"), max(col("id")).as("state_max_id"))
+      .crossJoin(idxNodes.agg(count(lit(1)).as("artifact_nodes"),
+        max(col("id")).as("artifact_max_id")))
+      .crossJoin(members.join(idxNodes, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_unexported")))
+      .crossJoin(idxNodes.join(members, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_orphaned")))
+      .select(lit(versions.last).as("state_version"),
+        col("state_members"), col("state_max_id"),
+        col("artifact_nodes"), col("artifact_max_id"),
+        col("n_unexported"), col("n_orphaned"),
+        (col("n_unexported") === 0L && col("n_orphaned") === 0L)
+          .as("is_fresh"),
+        lit(stored.getOrElse("source", "")).as("artifact_source_fp"))
+    // the report is a bounded single row — materialize it before
+    // releasing the shared frames (the eager-snapshot contract)
+    val rows = out.collect()
+    members.unpersist(); idxNodes.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), out.schema)
   }
 
   /** Streaming DECONTAMINATION screen (round 18 — VERDICT r17 task 6):

@@ -151,4 +151,154 @@ class ArtifactStoreSpec extends SparkSpec {
     }
     GraftSession.release(spark)
   }
+
+  test("annIndexFreshness closes the build/maintain/serve triangle over an advancing stream") {
+    val root = freshRoot()
+    // a HALF-corpus dataset root: the artifact will cover exactly it
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).persist()
+    val mid = emb.agg(((min(col("vec_id")) + max(col("vec_id"))) / 2)
+      .cast("long")).head().getLong(0)
+    val dsHalf = java.nio.file.Files
+      .createTempDirectory("graft_fresh_ds").toString
+    emb.filter(col("vec_id") <= mid).write
+      .parquet(s"$dsHalf/embeddings.parquet")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toLong
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").as("cv"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fresh_st").toString
+    val nodes = emb.filter(col("vec_id") >= 5)
+    nodes.filter(col("vec_id") <= mid).coalesce(1)
+      .write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream.schema(nodes.schema).parquet(s"$dir/in/*")
+    val q = StreamingOps.knnGraphMaintained(stream, "vec_id", "embedding",
+      centroids, s"$dir/state", "knng_fresh_spec", degree = 6, nprobe = 2)
+    try {
+      q.processAllAvailable()
+      withIndexRoot(root) {
+        val art = StreamingOps.exportKnnGraphArtifact(spark, s"$dir/state",
+          dsHalf, degree = 6, nprobe = 2, minNodeId = 5L,
+          centroids = s"id_below_$k")
+        // state == artifact: fresh
+        val fresh = StreamingOps.annIndexFreshness(spark,
+          s"$dir/state", art).head()
+        assert(fresh.getAs[Boolean]("is_fresh"),
+          s"just-exported state must read fresh: $fresh")
+        assert(fresh.getAs[Long]("n_unexported") == 0 &&
+          fresh.getAs[Long]("n_orphaned") == 0)
+        assert(fresh.getAs[String]("artifact_source_fp") ==
+          ArtifactStore.sourceFingerprint(spark, dsHalf))
+        val v0 = fresh.getAs[Long]("state_version")
+        // the stream advances past the export: stale, and the report
+        // says by how much
+        nodes.filter(col("vec_id") > mid).coalesce(1)
+          .write.parquet(s"$dir/in/b1")
+        q.processAllAvailable()
+        val stale = StreamingOps.annIndexFreshness(spark,
+          s"$dir/state", art).head()
+        assert(!stale.getAs[Boolean]("is_fresh"),
+          s"advanced state must read stale: $stale")
+        assert(stale.getAs[Long]("n_unexported") > 0)
+        assert(stale.getAs[Long]("state_version") > v0)
+        assert(stale.getAs[Long]("state_members") >
+          stale.getAs[Long]("artifact_nodes"))
+        // missing artifact refuses (operations fault, not "fresh")
+        val e = intercept[IllegalStateException] {
+          StreamingOps.annIndexFreshness(spark, s"$dir/state",
+            s"$root/nothing/src=dead")
+        }
+        assert(e.getMessage.contains("no edges"), e.getMessage)
+      }
+    } finally q.stop()
+    emb.unpersist()
+    GraftSession.release(spark)
+  }
+
+  // ---- round 20: generation retention (VERDICT r19 task 3) ----
+
+  private def buildGen(root: String, id: String, fp: String): String = {
+    val p = ArtifactStore.pinned(spark, root, id, fp,
+      Seq("kind" -> "test", "source" -> fp)) { base =>
+      spark.range(4).write.parquet(s"$base/data")
+    }
+    Thread.sleep(20) // distinct dir mtimes — newest-first order is real
+    p
+  }
+
+  private def dirExists(p: String): Boolean =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(p))
+
+  test("generation retention: listing reports, superseded generations sweep after the NEW one commits, the current pin always survives") {
+    val root = freshRoot()
+    val a = buildGen(root, "ret-spec", "aaaa")
+    // listing: one generation, real bytes
+    val g1 = ArtifactStore.generations(spark, root, "ret-spec")
+    assert(g1.map(_.fingerprint) == Seq("aaaa") && g1.head.bytes > 0)
+    // a SECOND generation under indexRetain=1 sweeps the superseded
+    // one — but only after its own commit (order pinned below)
+    spark.conf.set("spark.graft.indexRetain", "1")
+    try {
+      val b = buildGen(root, "ret-spec", "bbbb")
+      assert(dirExists(b) && !dirExists(a),
+        "the superseded generation must sweep once the new one commits")
+      // a FAILED build sweeps NOTHING: the old generation survives any
+      // build that never validates
+      intercept[RuntimeException] {
+        ArtifactStore.pinned(spark, root, "ret-spec", "cccc",
+          Seq("kind" -> "test", "source" -> "cccc")) { _ =>
+          throw new RuntimeException("build crashed")
+        }
+      }
+      assert(dirExists(b), "a failed build must not sweep the live generation")
+      assert(ArtifactStore.generations(spark, root, "ret-spec")
+        .map(_.fingerprint) == Seq("bbbb"))
+    } finally spark.conf.unset("spark.graft.indexRetain")
+    // explicit retain: keep-newest-N plus ALWAYS the current pin,
+    // whatever its age
+    val c = buildGen(root, "ret-spec", "dddd")
+    val d = buildGen(root, "ret-spec", "eeee")
+    val b2 = s"$root/ret-spec/src=bbbb"
+    assert(ArtifactStore.generations(spark, root, "ret-spec").size == 3)
+    val deleted = ArtifactStore.retain(spark, root, "ret-spec",
+      keep = 1, current = Some(b2))
+    assert(dirExists(d) && dirExists(b2) && !dirExists(c),
+      "retain keeps the newest generation AND the pinned current one")
+    assert(deleted == Seq(new org.apache.hadoop.fs.Path(c)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(c)).toString))
+    // retention never touches another artifact id
+    val other = buildGen(root, "ret-other", "aaaa")
+    ArtifactStore.retain(spark, root, "ret-spec", keep = 1)
+    assert(dirExists(other))
+  }
+
+  test("an artifact root nested in the fingerprinted source dir refuses on every surface") {
+    val src = java.nio.file.Files.createTempDirectory("graft_nest").toString
+    spark.range(2).write.parquet(s"$src/t.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.requireDisjointRoot(spark, s"$src/index", src)
+    }
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    // reader-hidden roots are exempt (the fingerprint skips them)
+    ArtifactStore.requireDisjointRoot(spark, s"$src/_index", src)
+    // and the inverse nesting (source under root) refuses too
+    intercept[IllegalArgumentException] {
+      ArtifactStore.requireDisjointRoot(spark, "/tmp", s"/tmp/x-$hashCode")
+    }
+    // disjoint trees pass
+    ArtifactStore.requireDisjointRoot(spark, freshRoot(), src)
+    // hidden entries do not perturb the address (ADVICE r19: a
+    // committed artifact inside a `_`-dir must not re-fingerprint its
+    // neighbors)
+    val fp0 = ArtifactStore.sourceFingerprint(spark, src)
+    new java.io.File(s"$src/_scratch").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/_scratch/junk.bin"), "junk")
+    assert(ArtifactStore.sourceFingerprint(spark, src) == fp0,
+      "hidden dirs/files must not change the source fingerprint")
+  }
 }

@@ -16,7 +16,7 @@ class ExamplesSpec extends SparkSpec {
     for (f <- Seq("csv_to_parquet.yaml", "quality_gated_dedup.yaml",
       "streaming_directory_watch.yaml", "near_dedup_curation.yaml",
       "incremental_crawl_dedup.yaml", "semantic_dedup.yaml",
-      "decontaminate.yaml", "knn_index.yaml")) {
+      "decontaminate.yaml", "knn_index.yaml", "knn_search.yaml")) {
       val cfg = ConfigParser.parseFile(s"$dir/$f")
       assert(cfg.pipelines.nonEmpty, s"$f parsed to no pipelines")
       assert(cfg.pipelines.forall(p =>
@@ -201,6 +201,72 @@ class ExamplesSpec extends SparkSpec {
     // a re-run is a no-op refresh (same fingerprint, same params)
     assert(mgr.submit(spec.copy(name = "knn-index-prep-2")) == mgr.Completed)
     assert(spark.read.parquet(s"$art/edges").count() == edges.count())
+    GraftSession.release(spark)
+  }
+
+  test("build → serve: the knn-search example walks the knn-index artifact, rank-1 bit-equal to the batch ann_graph_search walk on the same artifact") {
+    import org.apache.spark.sql.functions._
+    val dataRoot = Files.createTempDirectory("graft_ksds").toString
+    val root = Files.createTempDirectory("graft_ksroot").toString
+    val outIdx = Files.createTempDirectory("graft_ksoi").toString
+    val qDir = Files.createTempDirectory("graft_ksq").toString
+    val outRes = Files.createTempDirectory("graft_ksor").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb.write.parquet(s"$dataRoot/embeddings.parquet")
+    val mgr = new PipelineManager(spark)
+    // 1. BUILD via the knn-index example
+    val idxBase = ConfigParser.parseFile(s"$dir/knn_index.yaml").pipelines.head
+    val idxSpec = idxBase.copy(
+      source = idxBase.source.copy(properties =
+        idxBase.source.properties + ("path" -> s"$dataRoot/embeddings.parquet")),
+      transformations = Seq(idxBase.transformations.head.copy(
+        properties = idxBase.transformations.head.properties ++
+          Map("sourcePath" -> dataRoot, "indexRoot" -> root))),
+      sink = idxBase.sink.copy(properties =
+        idxBase.sink.properties + ("path" -> outIdx)))
+    assert(mgr.submit(idxSpec) == mgr.Completed)
+    // 2. SERVE via the knn-search example: queries = the 5 anchors
+    emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").as("qv"))
+      .write.parquet(s"$qDir/queries.parquet")
+    val srBase = ConfigParser.parseFile(s"$dir/knn_search.yaml").pipelines.head
+    assert(srBase.transformations.head.kind == "knnsearch")
+    val srSpec = srBase.copy(
+      source = srBase.source.copy(properties =
+        srBase.source.properties + ("path" -> s"$qDir/queries.parquet")),
+      transformations = Seq(srBase.transformations.head.copy(
+        properties = srBase.transformations.head.properties ++
+          Map("sourcePath" -> dataRoot, "indexRoot" -> root))),
+      sink = srBase.sink.copy(properties =
+        srBase.sink.properties + ("path" -> outRes)))
+    assert(mgr.submit(srSpec) == mgr.Completed)
+    val got = spark.read.parquet(outRes)
+    assert(got.columns.sorted.toSeq == Seq("cos", "neighbor_id", "q_id", "rank"))
+    assert(got.filter(col("rank") === 1).count() == 5)
+    // 3. CROSS-SURFACE pin: the batch ann_graph_search plan resolving
+    // the SAME dataset root must hit the SAME artifact (no rebuild) and
+    // its final top-1 must equal the stage's rank-1 rows bit-for-bit
+    spark.conf.set("spark.graft.indexDir", root)
+    try {
+      GraftSession.invalidateModels()
+      val batch = SparkEntry.queries("ann_graph_search")(spark, dataRoot)
+        .select(col("q_id").cast("long").as("q_id"),
+          col("final_id").cast("long").as("nid"), col("final_cos").as("c"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val served = got.filter(col("rank") === 1)
+        .select(col("q_id").cast("long"), col("neighbor_id").cast("long"),
+          col("cos"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(served == batch,
+        s"serve rank-1 diverged from the batch walk: $served vs $batch")
+    } finally {
+      spark.conf.unset("spark.graft.indexDir")
+      GraftSession.invalidateModels()
+    }
     GraftSession.release(spark)
   }
 

@@ -205,7 +205,7 @@ class RestServerSpec extends SparkSpec {
       assert(RestServer.routeTable.exists(d =>
         d.method == "post" && d.path == "/api/pipelines/start" &&
           d.params.contains("configFilePath" -> "query")))
-      assert(RestServer.routeTable.count(_.method == "post") == 3)
+      assert(RestServer.routeTable.count(_.method == "post") == 4)
     } finally srv.stop()
   }
 }

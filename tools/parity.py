@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local simulation of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir> [<jsonOut>]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching oracle_sql.json query in DuckDB over the sf parquet tables,
 and compares: row count, column names (sorted), and a hash of all
 values (rows sorted, columns sorted by name).
+
+With <jsonOut> given, also writes a machine-readable record in the
+driver's CORRECTNESS shape — per query
+{"rows_match": bool, "schema_match": bool, "hash_match": bool,
+ "err": str|None} — so every round commits a SELF-PRODUCED parity
+record (round 20, VERDICT r19 task 1: the round's correctness claim
+must never again depend on a driver artifact that can arrive empty).
 
 NOT part of the shipped library — dev-only harness mirroring the
 driver, using the driver-side python stack.
@@ -30,6 +37,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -39,20 +47,30 @@ def main():
     errs_path = f"{out_dir}/errors.json"
     errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
     n_pass = n_fail = 0
+    record = {}
+
+    def rec(name, rows=False, schema=False, hash_=False, err=None):
+        record[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": hash_, "err": err}
+
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             why = errs.get(name, "no spark output (not recorded as err — check Verify log)")
-            print(f"ERR  {name}: {why[:200]}"); n_fail += 1; continue
+            print(f"ERR  {name}: {why[:200]}"); n_fail += 1
+            rec(name, err=str(why)[:500]); continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
             want = canon(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            rec(name, err=str(e)[:500]); continue
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}"); n_fail += 1
+            rec(name, rows=len(got) == len(want)); continue
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1
+            rec(name, schema=True); continue
         ok = True
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
@@ -75,9 +93,16 @@ def main():
                 ok = False; break
         if ok:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            rec(name, rows=True, schema=True, hash_=True)
         else:
             n_fail += 1
+            rec(name, rows=True, schema=True)
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": record}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
