@@ -204,18 +204,27 @@ object ArtifactStore {
     * retention audit reads (VERDICT r19 task 3).
     */
   def generations(spark: SparkSession, root: String,
-      artifactId: String): Seq[Generation] = {
-    val fs = fsFor(spark, root)
-    val artDir = new Path(s"$root/$artifactId")
+      artifactId: String): Seq[Generation] =
+    listGenerations(fsFor(spark, root), new Path(s"$root/$artifactId"))
+      .map { g =>
+        // byte totals only for the audit listing — getContentSummary
+        // walks each generation recursively, which retain() callers
+        // must not pay on every pinned resolution
+        val fs = fsFor(spark, g.path)
+        g.copy(bytes = fs.getContentSummary(new Path(g.path)).getLength)
+      }
+
+  /** Cheap (one directory listing, no recursion) generation list —
+    * what [[retain]] runs on; bytes are left 0.
+    */
+  private def listGenerations(fs: FileSystem, artDir: Path): Seq[Generation] =
     Option(fs.globStatus(new Path(artDir, "src=*"))).toSeq.flatten
       .filter(_.isDirectory)
       .map { st =>
-        val sum = fs.getContentSummary(st.getPath)
         Generation(st.getPath.getName.stripPrefix("src="),
-          st.getPath.toString, sum.getLength, st.getModificationTime)
+          st.getPath.toString, 0L, st.getModificationTime)
       }
       .sortBy(g => (-g.modifiedMs, g.fingerprint))
-  }
 
   /** Prune superseded committed generations of `artifactId`, keeping
     * the newest `keep` (by commit time) and ALWAYS the `current`
@@ -233,7 +242,7 @@ object ArtifactStore {
     require(keep >= 1, s"retain keeps at least the newest generation, got $keep")
     val fs = fsFor(spark, root)
     val cur = current.map(c => fs.makeQualified(new Path(c)).toString)
-    val gens = generations(spark, root, artifactId)
+    val gens = listGenerations(fs, new Path(s"$root/$artifactId"))
       .map(g => g.copy(path = fs.makeQualified(new Path(g.path)).toString))
     val keepSet = (gens.take(keep).map(_.path) ++ cur).toSet
     gens.filterNot(g => keepSet.contains(g.path)).map { g =>
@@ -255,8 +264,17 @@ object ArtifactStore {
       artDir: Path, finalDir: Path): Unit =
     spark.conf.getOption("spark.graft.indexRetain").map(_.trim)
       .filter(_.nonEmpty).foreach { n =>
+        // a malformed value must fail with the CONF KEY named — the
+        // bare toInt would throw after the expensive build succeeded
+        // with no hint which setting is the culprit
+        val keep = n.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"spark.graft.indexRetain must be a positive integer " +
+            s"(generations to keep per artifact), got `$n`"))
+        require(keep >= 1,
+          s"spark.graft.indexRetain must be >= 1 (the just-committed " +
+            s"generation always survives), got $keep")
         retain(spark, artDir.getParent.toString, artDir.getName,
-          n.toInt, Some(finalDir.toString))
+          keep, Some(finalDir.toString))
       }
 
   /** The canonical parameterization of the degree-bounded k-NN-graph
@@ -278,6 +296,32 @@ object ArtifactStore {
     "nprobe" -> nprobe.toString,
     "minNodeId" -> minNodeId.toString,
     "centroids" -> centroids)
+
+  /** The DEFAULT artifact id a (degree, nprobe, minNodeId)
+    * parameterization addresses — ONE definition shared by the
+    * `knnindex` build stage and the `knnsearch`/REST serve surfaces
+    * (the round-19 two-spellings-never-meet lesson: a build and a
+    * serve deriving the id independently would drift and every serve
+    * call would refuse with a misleading absent-artifact message).
+    * The query layer's canonical address (`knn_graph_d6`) is assigned
+    * exactly when the params ARE its convention; any other
+    * parameterization derives its own address, so colliding defaults
+    * cannot commit params the canonical consumers then refuse
+    * (ADVICE r19).
+    */
+  def defaultKnnArtifactId(degree: Int, nprobe: Int, minNodeId: Long): String =
+    if (degree == 6 && nprobe == 2 && minNodeId == 5L) "knn_graph_d6"
+    else s"knn_graph_d${degree}_n${nprobe}_m$minNodeId"
+
+  /** Validate a committed artifact dir against a requested
+    * parameterization — the [[pinned]] hit-path check exposed for
+    * READ-ONLY consumers (the serve surfaces), so the diff/refusal
+    * semantics cannot drift between build and serve.
+    */
+  def validateStored(spark: SparkSession, artifactPath: String,
+      requested: Map[String, String], artifactId: String): Unit =
+    validateParams(fsFor(spark, artifactPath), new Path(artifactPath),
+      requested, artifactId)
 
   /** The stored params of a committed artifact dir. */
   def storedParams(spark: SparkSession, artifactPath: String)

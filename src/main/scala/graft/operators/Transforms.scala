@@ -482,13 +482,18 @@ object Transforms {
       ArtifactStore.pinned(spark, root, cfg.artifactId, fp,
         ArtifactStore.knnGraphParams(cfg.degree, cfg.nprobe,
           cfg.minNodeId, cenDesc) :+ ("source" -> fp)) { base =>
-        Similarity.knnGraph(
-            df.filter(col(cfg.idCol) >= cfg.minNodeId)
-              .select(col(cfg.idCol), col(cfg.vecCol)),
+        val nodeFrame = df.filter(col(cfg.idCol) >= cfg.minNodeId)
+          .select(col(cfg.idCol), col(cfg.vecCol))
+        Similarity.knnGraph(nodeFrame,
             cfg.idCol, cfg.vecCol, cen, cfg.degree, cfg.nprobe)
           .select(col(cfg.idCol).cast("long").as("src"),
             col("nbr_id").cast("long").as("dst"))
           .write.parquet(s"$base/edges")
+        // explicit member list beside the edges (round 20): freshness
+        // audits must not infer membership from edge srcs — a member
+        // with zero out-edges would read permanently stale
+        nodeFrame.select(col(cfg.idCol).cast("long").as("vec_id"))
+          .write.parquet(s"$base/members")
       }
       df
 
@@ -521,6 +526,18 @@ object Transforms {
             "spark.graft.indexDir / GRAFT_INDEX_DIR): serving reads the " +
             "durable artifact the knnindex stage committed"))
       requireUniqueIds(df, idCol, "knnsearch")
+      // the walk broadcasts the query frame (and per-step frontiers of
+      // |queries|·beam rows) — sound for a query SET, not for a corpus:
+      // a million-query frame would die in a broadcast OOM instead of
+      // a clear refusal. Corpus-scale all-pairs retrieval is knn_join /
+      // the batch graph queries; this stage serves bounded query sets.
+      val maxQ = t.properties.getOrElse("maxQueries", "10000").toString.toLong
+      val nQ = df.count()
+      require(nQ <= maxQ,
+        s"knnsearch: $nQ query rows exceed maxQueries=$maxQ — the beam " +
+          "walk broadcasts the query frame, so a corpus-scale query set " +
+          "belongs on the batch knn_join/graph paths (raise `maxQueries` " +
+          "only with driver memory to match)")
       val resolved = KnnServe.resolve(spark, root, p)
       KnnServe.search(spark, resolved,
           df.select(col(idCol).as("q_id"), col(vecCol).as("qv")),
@@ -551,12 +568,11 @@ object Transforms {
     // params (e.g. the minNodeId=0 default vs the query layer's 5)
     // would commit an artifact at the query layer's address whose
     // params-divergence refusal then breaks every ann_graph_* /
-    // ann_index_stats consumer. The query layer's canonical address
-    // is assigned only when the params ARE its convention; any other
-    // parameterization gets its own address.
+    // ann_index_stats consumer. ONE addressing function shared with
+    // the knnsearch/REST serve surfaces (ArtifactStore) — the
+    // round-19 two-spellings-never-meet lesson.
     val defaultId =
-      if (degree == 6 && nprobe == 2 && minNodeId == 5L) "knn_graph_d6"
-      else s"knn_graph_d${degree}_n${nprobe}_m$minNodeId"
+      ArtifactStore.defaultKnnArtifactId(degree, nprobe, minNodeId)
     KnnIndexCfg(
       idCol = req("id"), vecCol = req("vector"),
       degree = degree, nprobe = nprobe,

@@ -357,7 +357,11 @@ class PipelineManager(spark: SparkSession) {
       .getOrElse(throw new IllegalArgumentException(
         "knnSearch requires an `indexRoot` property (or the session's " +
           "spark.graft.indexDir / GRAFT_INDEX_DIR)"))
-    val resolved = graft.operators.KnnServe.resolve(spark, root, p)
+    // memoized per (root, artifact generation, params): a long-running
+    // server answering repeated searches reuses the resolved+persisted
+    // frames; the fingerprint inside the memo key keeps staleness
+    // detection exact (a mutated corpus misses and refuses cold)
+    val resolved = graft.operators.KnnServe.resolveCached(spark, root, p)
     import spark.implicits._
     val q = Seq((0L, vector)).toDF("q_id", "qv")
     graft.operators.KnnServe.search(spark, resolved, q, p.k, p.beam, p.steps)

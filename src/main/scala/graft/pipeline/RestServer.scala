@@ -172,8 +172,10 @@ class RestServer(manager: PipelineManager, port: Int = 0) {
             respond(ex, 400, """{"error":"request body must hold the query vector (JSON array or comma-separated floats)"}""")
           else {
             val hits = manager.knnSearch(props, vec)
+            // NaN cosines (an all-zero query vector) render as JSON
+            // null, never a bare NaN token — the jobs/progress rule
             val rows = hits.zipWithIndex.map { case ((id, cos), i) =>
-              s"""{"rank":${i + 1},"id":$id,"cos":$cos}"""
+              s"""{"rank":${i + 1},"id":$id,"cos":${jnum(cos)}}"""
             }.mkString("[", ",", "]")
             respond(ex, 200, s"""{"results":$rows}""")
           }

@@ -130,8 +130,15 @@ object RelationalQueries22 {
       // the horizon CONTRACT columns (round 20 — VERDICT r19 task 7):
       // pairs beyond d<=4 are EXCLUDED, never miscounted — the output
       // carries how many seed pairs exist vs how many the horizon
-      // covers, so an excluded pair is visible in the report itself
-      val hz = dstT.agg(count(lit(1)).as("n_seed_pairs"),
+      // covers, so an excluded pair is visible in the report itself.
+      // n_seed_pairs counts from the SEED SET (C(|seeds|,2)), never
+      // from dstT: a pair whose Horizon-hop balls do not even
+      // intersect has no dstT row at all, and deriving the total from
+      // dstT would hide exactly the pairs the contract exists to
+      // surface (round-20 self-review)
+      val nSeedPairs = seeds.as("sa").join(seeds.as("sb"),
+        col("sa.seed") < col("sb.seed")).count()
+      val hz = dstT.agg(lit(nSeedPairs).as("n_seed_pairs"),
         sum(when($"d" <= Horizon.toLong, 1L).otherwise(0L))
           .as("n_pairs_in_horizon"))
       pj.join(broadcast(dstT), Seq("s", "t"))
@@ -177,7 +184,9 @@ object RelationalQueries22 {
          |    a.dist + b.dist AS dsum, a.sigma * b.sigma AS prod
          |  FROM sf a JOIN sf b ON a.node = b.node AND a.seed < b.seed),
          |dst AS (SELECT s, t, min(dsum) AS d FROM pj GROUP BY s, t),
-         |hz AS (SELECT CAST(count(*) AS BIGINT) AS n_seed_pairs,
+         |hz AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sd a JOIN sd b
+         |    ON a.seed < b.seed) AS n_seed_pairs,
          |  CAST(sum(CASE WHEN d <= $Horizon THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_pairs_in_horizon FROM dst)
          |SELECT p.node, p.node % 2 AS ntype,

@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * walks) against the SOURCE corpus it claims to cover: indexed-node
   * count vs the node set (vec_id >= NAnchors), max ids both sides,
   * the count of source nodes the index has no out-edges for, and an
-  * exact `is_fresh` verdict. On the never-mutated test corpus the
+  * exact `is_fresh` verdict. Deliberately EDGE-based (n_missing is an
+  * out-degree-0 audit — the complement of ann_index_stats' in-degree
+  * axis; 0 on this corpus): the artifact also carries an explicit
+  * `members` list, which the STREAMING reader consults for the exact
+  * membership check (an edge-less member is legitimate and must not
+  * read stale). On the never-mutated test corpus the
   * report reads fresh by construction — the query's value is the
   * SHAPE (a bounded one-row audit over the degree-bounded edge
   * frame, O(|edges|)); the streaming face

@@ -111,6 +111,13 @@ object SimilarityQueries6 {
           .filter($"rk" <= Degree)
           .select($"vec_id".as("src"), $"nbr_id".as("dst"))
           .write.parquet(s"$base/edges")
+        // the explicit MEMBER list (round 20): an edge frame cannot
+        // represent a member with zero out-edges, so freshness audits
+        // inferring membership from edge srcs would false-stale
+        // forever on one — every producer of this address writes
+        // members beside edges
+        nodes.select($"vec_id".cast("long").as("vec_id"))
+          .write.parquet(s"$base/members")
     }
     val edges = s.read.parquet(s"$edgesPath/edges")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -973,6 +973,12 @@ object StreamingOps {
       knnGraphCurrent(state)
         .select(col("id").as("src"), col("nbr_id").as("dst"))
         .write.parquet(s"$base/edges")
+      // explicit member list beside the edges (round 20): the
+      // freshness reader consults it instead of inferring membership
+      // from edge srcs (an edge-less member would read stale forever)
+      state.filter(col("kind") === "v")
+        .select(col("id").cast("long").as("vec_id"))
+        .write.parquet(s"$base/members")
     }
   }
 
@@ -1009,8 +1015,17 @@ object StreamingOps {
     val members = latestState(spark, stateDir).get
       .filter(col("kind") === "v").select(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idxNodes = spark.read.parquet(s"$artifactPath/edges")
-      .select(col("src").as("id")).distinct()
+    // the artifact's explicit member list when present (round 20 —
+    // every producer now writes it): inferring membership from edge
+    // srcs would report a legitimately edge-less member as unexported
+    // FOREVER (a false-stale verdict no re-export can clear). The
+    // distinct-src fallback only serves pre-members-layout artifacts.
+    val idxNodes = (if (fs.exists(
+        new org.apache.hadoop.fs.Path(s"$artifactPath/members")))
+      spark.read.parquet(s"$artifactPath/members")
+        .select(col("vec_id").as("id"))
+    else spark.read.parquet(s"$artifactPath/edges")
+      .select(col("src").as("id")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = members
       .agg(count(lit(1)).as("state_members"), max(col("id")).as("state_max_id"))
