@@ -50,52 +50,36 @@ object DedupQueries6 {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_banding_curve" -> { (s, dir) =>
       import s.implicits._
-      val m = math.ceil(Tables.rowCount(s, dir, "documents") / 2000.0).toLong
-      val docs = graft.operators.Parallelism.ensure(
-        Tables.load(s, dir, "documents").filter($"doc_id" % m === 0))
-      val sigs = docs.select($"doc_id",
-          minhash_sig_text($"text", "word", 3, 128).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // exact truth once, shared by every r (the dedup_eval truth side)
-      val sets = docs.select($"doc_id", word_shingles($"text", 3).as("set"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val postings = sets.select($"doc_id", explode($"set").as("sh"))
-      val tcand = postings.as("a").join(postings.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-        .distinct()
-      val truth = tcand
-        .join(sets.select($"doc_id".as("id_a"), $"set".as("sa")), "id_a")
-        .join(sets.select($"doc_id".as("id_b"), $"set".as("sb")), "id_b")
-        .withColumn("i", size(array_intersect($"sa", $"sb")))
-        .withColumn("u", size($"sa") + size($"sb") - $"i")
-        .filter($"i" * 2 >= $"u" && $"u" > 0)
-        .select($"id_a", $"id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val perR = RValues.map { r =>
-        val bands = 128 / r
-        val banded = sigs.select($"doc_id", explode(expr(
-          s"transform(sequence(0, ${bands - 1}), g -> concat(g, ':', " +
-            s"concat_ws(',', slice(sig, g * $r + 1, $r))))")).as("bkey"))
-        val cand = banded.as("x").join(banded.as("y"),
-            $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(lit(r.toLong).as("r"), lit(bands.toLong).as("bands"),
-            $"n_true", $"n_cand", $"n_hit",
-            // a stratum with zero true pairs must yield null, not an
-            // ANSI DIVIDE_BY_ZERO (the q105 degenerate-denominator
-            // class — DuckDB would quietly emit NaN instead)
-            when($"n_true" > 0,
-              $"n_hit".cast("double") / $"n_true".cast("double"))
-              .otherwise(lit(null).cast("double")).as("recall"))
+      // ONE aggregate over the shared eval-pair evidence artifact
+      // (round 20 — see DedupQueries3.evalPairs): the four banded
+      // self-joins + twelve count jobs the query previously ran per
+      // bench pass collapse to per-r flag sums in a single pass (flag
+      // membership == the value-banded join, the slice-equality
+      // argument the oracle already encodes), then the four curve rows
+      // inline from the 1-row aggregate.
+      val aggCols =
+        coalesce(sum(when($"is_true", 1L).otherwise(0L)), lit(0L))
+          .as("n_true") +:
+          RValues.flatMap { r => Seq(
+            coalesce(sum(when(col(s"c$r"), 1L).otherwise(0L)), lit(0L))
+              .as(s"n_cand_$r"),
+            coalesce(sum(when($"is_true" && col(s"c$r"), 1L).otherwise(0L)),
+              lit(0L)).as(s"n_hit_$r"))
+          }
+      val agg = DedupQueries3.evalPairs(s, dir)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val rows = RValues.map { r =>
+        struct(lit(r.toLong).as("r"), lit((128 / r).toLong).as("bands"),
+          $"n_true", col(s"n_cand_$r").as("n_cand"),
+          col(s"n_hit_$r").as("n_hit"),
+          // a stratum with zero true pairs must yield null, not an
+          // ANSI DIVIDE_BY_ZERO (the q105 degenerate-denominator
+          // class — DuckDB would quietly emit NaN instead)
+          when($"n_true" > 0,
+            col(s"n_hit_$r").cast("double") / $"n_true".cast("double"))
+            .otherwise(lit(null).cast("double")).as("recall"))
       }
-      perR.reduce(_ unionByName _)
+      agg.select(explode(array(rows: _*)).as("row")).select($"row.*")
     },
 
     "corpus_dedup_rate" -> { (s, dir) =>

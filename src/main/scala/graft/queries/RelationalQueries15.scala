@@ -83,10 +83,14 @@ object RelationalQueries15 {
     // one grid per column; the only double is the final top-1 share.
     "dq_skew_report" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-column PRUNED parquet scans (round 20, the dq_profile
+      // lesson / guide §6): the old full-width lineitem persist
+      // materialized all 16 columns to feed three single-column
+      // rollups — three pruned columnar scans read the same one
+      // column each directly and skip the cache build entirely
       val frames = Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
-        val grid = li.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        val grid = Tables.load(s, dir, "lineitem").select(col(c))
+          .groupBy(col(c)).agg(count(lit(1)).as("n"))
           .groupBy($"n").agg(count(lit(1)).as("k"))
         val w = Window.orderBy($"n")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

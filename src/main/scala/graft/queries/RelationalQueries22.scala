@@ -88,7 +88,8 @@ object RelationalQueries22 {
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
         .repartition($"dst")
         .persist()
-      val seeds = Seq(2L, 4L, 6L, 8L, 10L, 12L).toDF("seed")
+      val seedIds = Seq(2L, 4L, 6L, 8L, 10L, 12L)
+      val seeds = seedIds.toDF("seed")
       val r0 = seeds.select($"seed", $"seed".as("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
       // per-level walk counts: R_k = one broadcast relax of R_{k-1}
@@ -136,8 +137,13 @@ object RelationalQueries22 {
       // intersect has no dstT row at all, and deriving the total from
       // dstT would hide exactly the pairs the contract exists to
       // surface (round-20 self-review)
-      val nSeedPairs = seeds.as("sa").join(seeds.as("sb"),
-        col("sa.seed") < col("sb.seed")).count()
+      // C(|seeds|, 2) over the LITERAL seed set — a driver-side
+      // constant (round 20): the old form ran a full Spark job
+      // (toDF self-join + count) to compute 15
+      val nSeedPairs = {
+        val n = seedIds.distinct.size.toLong
+        n * (n - 1) / 2
+      }
       val hz = dstT.agg(lit(nSeedPairs).as("n_seed_pairs"),
         sum(when($"d" <= Horizon.toLong, 1L).otherwise(0L))
           .as("n_pairs_in_horizon"))
