@@ -139,9 +139,13 @@ object CorpusQueries8 {
       val gated = base.filter($"quality_ok")
         .select($"doc_id", $"lang", $"text", $"n_chars", $"n_toks",
           words($"text").as("__ws"))
-      // ppl tier: LM over the FULL corpus, scored on the gated docs;
+      // ppl tier: LM over the FULL corpus, scored on the gated docs —
+      // the full-corpus per-doc surprisal artifact filtered to the
+      // survivors (the rollup is per-doc independent, so the semi join
+      // yields exactly the old train-on-full/score-the-subset rows);
       // bits is consumed twice (RankSelect counts pass + assignment)
-      val bits = CorpusQueries9.docBits(base0, gated)
+      val bits = CorpusQueries9.pplDocBits(s, dir)
+        .join(gated.select($"doc_id"), Seq("doc_id"), "left_semi")
         .withColumn("mean_bits", $"s_e".cast("double") / $"m".cast("double"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pplKeep = CorpusQueries9.withTercile(bits)

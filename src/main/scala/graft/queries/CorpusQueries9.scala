@@ -50,34 +50,62 @@ import graft.Tables
   */
 object CorpusQueries9 {
 
-  /** Per-doc (doc_id, lang, m, s_e): bigram count and total integer
-    * surprisal bits under the corpus-trained bigram LM. `docs` may be
-    * a subset to SCORE, but the LM counts always come from `lmDocs`
-    * (train-on-full-corpus, score-a-subset — the ccnet stage needs
-    * exactly that split; pass the same frame for the standalone query).
-    * Both frames need (doc_id, lang, text).
+  /** One bigram row per adjacent token pair (space split, docs with
+    * >= 2 tokens), with doc/lang context.
     */
-  private[queries] def docBits(lmDocs: DataFrame, docs: DataFrame): DataFrame = {
-    def bigrams(d: DataFrame) = d
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
-          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bgLm = bigrams(lmDocs)
-    val cnt = bgLm.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
-    val pre = bgLm.groupBy(col("w1")).agg(count(lit(1)).as("npre"))
-    // vocab²-bounded surprisal table: e = floor(log2(npre/c)) as pure
-    // integer/string ops (bin() has no leading zeros)
-    val lm = cnt.join(pre, "w1")
-      .select(col("w1"), col("w2"),
-        (length(bin(expr("npre DIV c"))) - 1).cast("long").as("e"))
-    bigrams(docs).join(lm, Seq("w1", "w2"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("m"), sum(col("e")).as("s_e"))
+  private def bigramsOf(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    .filter(size(col("tk")) >= 2)
+    .select(col("doc_id"), col("lang"), explode(expr(
+      "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
+        " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+    .select(col("doc_id"), col("lang"),
+      col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Full-corpus bigram OCCURRENCE counts (w1, w2, c) as a pinned
+    * artifact (round 20 — VERDICT r19 task 5): the (w1,w2) count
+    * shuffle over every token of the corpus is a pure function of
+    * `documents` consumed by the bigram LM build (below) and
+    * corpus_bigram_lm — each previously re-counted the corpus per
+    * bench pass.
+    */
+  private[queries] def bigramCounts(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.GraftSession.pinnedArtifact(s, "bigram_counts", dir,
+      Seq("kind" -> "bigram_counts", "tokens" -> "space_split_min2")) { base =>
+      bigramsOf(Tables.load(s, dir, "documents"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .write.parquet(s"$base/counts")
+    }
+    s.read.parquet(s"$path/counts")
+  }
+
+  /** Per-doc (doc_id, lang, m, s_e) over the FULL corpus — bigram
+    * count and total integer surprisal bits under the corpus-trained
+    * bigram LM — as a pinned artifact (round 20). The per-doc rollup
+    * is independent per doc, so a consumer scoring any SUBSET of the
+    * corpus (corpus_ccnet's quality survivors) filters this frame by
+    * doc id and gets exactly the old train-on-full/score-a-subset
+    * docBits rows; corpus_ppl_buckets reads it whole. Both previously
+    * re-ran the full LM-train + score chain per bench pass.
+    */
+  private[queries] def pplDocBits(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.GraftSession.pinnedArtifact(s, "ppl_doc_bits", dir,
+      Seq("kind" -> "ppl_doc_bits", "lm" -> "bigram_full_corpus",
+        "e" -> "floor_log2_npre_div_c")) { base =>
+      val cnt = bigramCounts(s, dir)
+      // npre = bigram occurrences with prefix w1 = Σ_w2 c
+      val pre = cnt.groupBy(col("w1")).agg(sum(col("c")).as("npre"))
+      // vocab²-bounded surprisal table: e = floor(log2(npre/c)) as pure
+      // integer/string ops (bin() has no leading zeros)
+      val lm = cnt.join(pre, "w1")
+        .select(col("w1"), col("w2"),
+          (length(bin(expr("npre DIV c"))) - 1).cast("long").as("e"))
+      bigramsOf(Tables.load(s, dir, "documents")).join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("m"), sum(col("e")).as("s_e"))
+        .write.parquet(s"$base/bits")
+    }
+    s.read.parquet(s"$path/bits")
   }
 
   /** Attach `tercile` (1/2/3 over (mean_bits, doc_id) per lang, the
@@ -108,12 +136,13 @@ object CorpusQueries9 {
     "corpus_ppl_buckets" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      // consumed twice (RankSelect's eager counts pass + the final
-      // assignment join) — persist or the LM chain runs twice
-      val bits = docBits(docs, docs)
+      // parquet-backed artifact (round 20): both consumers
+      // (RankSelect's eager counts pass + the final assignment join)
+      // re-scan the tiny per-doc frame instead of re-running the LM
+      // chain — no persist needed
+      val bits = pplDocBits(s, dir)
         .withColumn("mean_bits",
           $"s_e".cast("double") / $"m".cast("double"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bucketed = withTercile(bits)
         .withColumn("bucket",
           when($"tercile" === 1L, "head")

@@ -317,10 +317,17 @@ class PlanAuditSpec extends SparkSpec {
       "the 1-row query side must broadcast — quantized scoring is row-local")
   }
 
-  test("bigram LM counts partial-aggregate; prefix top-20 broadcasts back") {
+  test("bigram LM reads the count artifact; prefix top-20 broadcasts back") {
     val p = plan("corpus_bigram_lm")
-    assert(p.contains("partial_count"),
-      "(w1,w2) counts must combine map-side below the exchange")
+    // round 20: the (w1,w2) count shuffle moved into the shared
+    // bigram_counts artifact build (one partial_count per session);
+    // the query itself must now scan parquet and partial-SUM the
+    // prefix rollup map-side
+    assert(!p.contains("partial_count"),
+      "the per-pass (w1,w2) re-count should be gone — the artifact " +
+        "scan replaces it")
+    assert(p.contains("partial_sum"),
+      "the prefix rollup must combine map-side below the exchange")
     assert(p.contains("BroadcastHashJoin"),
       "the 20-row prefix list must broadcast, not shuffle the count frame")
     assert(p.contains("WindowGroupLimit"),
