@@ -1417,6 +1417,32 @@ object Dedup {
   def prefixFilterJaccardPairs(rawDf: DataFrame, idCol: String,
       tokensCol: String, tauNum: Int, tauDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // SMALL-INPUT FAST PATH (round 20 — the minhashFoldEngine ≤64k /
+    // localUnionFind idiom): the committed caller (dedup_ppjoin) feeds
+    // a FIXED-SIZE audit stratum (~2000 docs at any scale), and the
+    // distributed ladder's ~10 fixed stages (ensure shuffle, df agg,
+    // rarity window, checkpoint job, candidate distinct, two verify
+    // joins) cost ~3 s of pure scheduling on it. One single-task
+    // kernel runs the identical algorithm — global (df, token) rarity
+    // order, integer prefix cut, postings candidates under the
+    // length + positional filters, exact integer verify — in one job.
+    // EXACTNESS does not depend on the kernel's tie order matching
+    // Spark's UTF8 binary order: the prefix principle (and PPJoin's
+    // positional bound) hold for ANY consistent total order, and the
+    // output is re-verified per pair, so candidate-set differences
+    // cannot change the result. Long ids only (the committed caller);
+    // other id types take the distributed path.
+    if (rawDf.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType) {
+      val in = rawDf.select(col(idCol).as("__id"), col(tokensCol).as("__toks"))
+      if (in.count() <= 16384L) {
+        val sq = rawDf.sparkSession
+        import sq.implicits._
+        return in.as[(Long, Seq[String])].coalesce(1)
+          .mapPartitions(rows => prefixKernel(rows, tauNum, tauDen))
+          .toDF("id_a", "id_b", "inter", "uni")
+      }
+    }
     val df = Parallelism.ensure(rawDf)
     val sets = df.select(col(idCol).as("__id"),
         array_sort(array_distinct(col(tokensCol))).as("__toks"))
@@ -1425,6 +1451,14 @@ object Dedup {
     val toks = sets.select(col("__id"), col("__m"),
       explode(col("__toks")).as("__tok"))
     val tdf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // pref feeds BOTH sides of the candidate self-join: an eager
+    // localCheckpoint materializes the explode → df-count → window
+    // chain ONCE (the round-4 twice-consumed rule, without a persist's
+    // GC-tail risk — r19 lesson), and the frame is TINY by
+    // construction: |stratum docs| × (m/tauDen·tauNum-ish) prefix rows
+    // (~2·docs at τ = 19/20), so the self-join BROADCASTS one side —
+    // no exchange at all on the candidate join. Checkpoint storage is
+    // released by the between-query sweep.
     val pref = toks.join(tdf, "__tok")
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok")))
@@ -1432,8 +1466,9 @@ object Dedup {
       .filter(col("__pos") <=
         col("__m") - expr(s"(__m * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
       .select(col("__id"), col("__tok"), col("__pos"), col("__m"))
+      .localCheckpoint()
     val nd = tauNum + tauDen
-    val cands = pref.as("a").join(pref.as("b"),
+    val cands = pref.as("a").join(broadcast(pref.as("b")),
         col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
         least(col("a.__m"), col("b.__m")) * tauDen >=
           greatest(col("a.__m"), col("b.__m")) * tauNum &&
@@ -1452,5 +1487,85 @@ object Dedup {
       .withColumn("uni", col("__ma") + col("__mb") - col("inter"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  /** Single-task prefix-filter kernel — the exact in-memory mirror of
+    * the distributed ladder above (same integer thresholds, same
+    * exists-a-qualifying-shared-prefix-token candidate rule, same
+    * `I·den >= U·num` verify). Duplicate ids in the input pair with
+    * each other exactly as the distributed `__id < __id` join would —
+    * never (the strict compare).
+    */
+  private def prefixKernel(rows: Iterator[(Long, Seq[String])],
+      tauNum: Int, tauDen: Int): Iterator[(Long, Long, Long, Long)] = {
+    import scala.collection.mutable
+    val docs = rows.map { case (id, tks) =>
+      (id, tks.distinct.sorted.toArray)
+    }.toArray
+    val n = docs.length
+    val ids = docs.map(_._1)
+    val setsArr = docs.map(_._2)
+    val ms = setsArr.map(_.length.toLong)
+    val dfm = new mutable.HashMap[String, Long]
+    setsArr.foreach(_.foreach(t => dfm.update(t, dfm.getOrElse(t, 0L) + 1L)))
+    // postings over each doc's prefix (rarest-first under (df, tok))
+    val postings =
+      new mutable.HashMap[String, mutable.ArrayBuffer[(Int, Long)]]
+    var i = 0
+    while (i < n) {
+      val m = ms(i)
+      if (m > 0) {
+        val ord = setsArr(i).sortBy(t => (dfm(t), t))
+        val prefLen =
+          (m - ((m * tauNum + tauDen - 1) / tauDen) + 1).toInt
+        var p = 0
+        while (p < prefLen && p < ord.length) {
+          postings.getOrElseUpdate(ord(p),
+            new mutable.ArrayBuffer[(Int, Long)]) += ((i, (p + 1).toLong))
+          p += 1
+        }
+      }
+      i += 1
+    }
+    def interSize(a: Array[String], b: Array[String]): Long = {
+      val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+      val hs = new mutable.HashSet[String]; s.foreach(hs.add)
+      var c = 0L; var k = 0
+      while (k < l.length) { if (hs.contains(l(k))) c += 1; k += 1 }
+      c
+    }
+    val nd = (tauNum + tauDen).toLong
+    val seen = new mutable.HashSet[Long]
+    val out = new mutable.ArrayBuffer[(Long, Long, Long, Long)]
+    postings.valuesIterator.foreach { lst =>
+      var x = 0
+      while (x < lst.length) {
+        var y = x + 1
+        while (y < lst.length) {
+          val (ix, px) = lst(x); val (iy, py) = lst(y)
+          val (ia, pa, ib, pb) =
+            if (ids(ix) < ids(iy)) (ix, px, iy, py) else (iy, py, ix, px)
+          if (ids(ia) < ids(ib)) {
+            val ma = ms(ia); val mb = ms(ib)
+            val lenOk =
+              math.min(ma, mb) * tauDen >= math.max(ma, mb) * tauNum
+            val posOk = 1L + math.min(ma - pa, mb - pb) >=
+              (tauNum * (ma + mb) + nd - 1) / nd
+            if (lenOk && posOk) {
+              val key = ia.toLong * n + ib
+              if (seen.add(key)) {
+                val inter = interSize(setsArr(ia), setsArr(ib))
+                val uni = ma + mb - inter
+                if (inter * tauDen >= uni * tauNum)
+                  out += ((ids(ia), ids(ib), inter, uni))
+              }
+            }
+          }
+          y += 1
+        }
+        x += 1
+      }
+    }
+    out.iterator
   }
 }

