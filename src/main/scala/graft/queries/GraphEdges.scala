@@ -90,14 +90,36 @@ object GraphEdges {
     val path = graft.GraftSession.pinnedArtifact(s, "simhash_cc_pairs",
       dir, Seq("kind" -> "simhash_cc_pairs", "table" -> "documents",
         "shingle" -> "words", "maxHamming" -> "3")) { base =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("__ws", graft.functions.GraftFunctions.words(col("text")))
       graft.operators.Dedup
-        .simhashComponentPairs(docs, "doc_id", "__ws", maxHamming = 3)
+        .simhashComponentPairsFromSigs(simhashSigs(s, dir), "doc_id", "sh",
+          maxHamming = 3)
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .write.parquet(s"$base/pairs")
     }
     s.read.parquet(s"$path/pairs")
+  }
+
+  /** The per-doc simhash60 SIGNATURE over full `documents` (round 20
+    * batch 4): a pure per-doc function of text (words → simhash60),
+    * re-evaluated per pass by every simhash consumer — the full-corpus
+    * pair/CC chain (via [[simhashCcPairs]]' builder), dedup_simhash's
+    * pair list, and the GATED chains (corpus_prepare_fuzzy,
+    * corpus_ccnet) whose vertex sets are query-specific but whose
+    * per-doc signatures are not: per-doc independence means filtering
+    * this frame by the gated ids yields exactly the rows re-computing
+    * over the gated frame would.
+    */
+  def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.GraftSession.pinnedArtifact(s, "simhash_sigs", dir,
+      Seq("kind" -> "simhash_sigs", "table" -> "documents",
+        "tokens" -> "words", "bits" -> "60")) { base =>
+      graft.operators.Parallelism.ensure(Tables.load(s, dir, "documents"))
+        .select(col("doc_id").cast("long"),
+          graft.functions.GraftFunctions.simhash60(
+            graft.functions.GraftFunctions.words(col("text"))).as("sh"))
+        .write.parquet(s"$base/sigs")
+    }
+    s.read.parquet(s"$path/sigs")
   }
 
   /** The FULL-CORPUS simhash connected-component LABELING over
