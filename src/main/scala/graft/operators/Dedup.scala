@@ -1462,7 +1462,10 @@ object Dedup {
       if (in.count() <= 16384L) {
         val sq = rawDf.sparkSession
         import sq.implicits._
-        return in.as[(Long, Seq[String])].coalesce(1)
+        // eager localCheckpoint FIRST — tokenization at scan
+        // parallelism, materialized arrays into the one kernel task
+        // (the pairIntersectCounts lesson)
+        return in.localCheckpoint().as[(Long, Seq[String])].coalesce(1)
           .mapPartitions(rows => prefixKernel(rows, tauNum, tauDen))
           .toDF("id_a", "id_b", "inter", "uni")
       }
