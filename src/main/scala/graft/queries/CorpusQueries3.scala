@@ -44,6 +44,10 @@ object CorpusQueries3 {
       import s.implicits._
       val terms = Tables.load(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("term"))
+      // tf feeds BOTH the df rollup and the join side; a persist was
+      // MEASURED SLOWER (0.68 -> 1.31 s at sf0.1, round 20): the
+      // duplicated chain is fully pipelined codegen while the persist
+      // materializes 5M cache rows — keep the two-chain form
       val tf = terms.groupBy($"doc_id", $"term")
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))

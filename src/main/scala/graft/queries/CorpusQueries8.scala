@@ -135,9 +135,15 @@ object CorpusQueries8 {
         .withColumn("quality_ok", $"lang_ok" && $"n_toks" > 0 &&
           $"s_num" * TextQueries6.TauDen >=
             lit(TextQueries6.TauNum) * TextQueries6.WDen * $"n_toks")
+        // narrow BEFORE the persist: text and the per-lang __s_* score
+        // columns only feed the predicates computed above, and no
+        // consumer below reads them (signatures come from the pinned
+        // simhash_sigs artifact) — persisting full text was footprint
+        .select($"doc_id", $"lang", $"n_chars", $"n_toks",
+          $"lang_ok", $"quality_ok")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gated = base.filter($"quality_ok")
-        .select($"doc_id", $"lang", $"text", $"n_chars", $"n_toks")
+        .select($"doc_id", $"lang", $"n_chars", $"n_toks")
       // ppl tier: LM over the FULL corpus, scored on the gated docs —
       // the full-corpus per-doc surprisal artifact filtered to the
       // survivors (the rollup is per-doc independent, so the semi join

@@ -155,7 +155,10 @@ object DedupQueries3 {
         .filter($"n_tokens" >= 20 &&
           $"mean_word_len" >= 3.0 && $"mean_word_len" <= 12.0 &&
           $"stop_cnt" * 100 >= $"n_tokens" * 2)
-        .select($"doc_id", $"lang", $"text", $"n_chars")
+        // text is NOT selected: since the simhash signatures come from
+        // the pinned simhash_sigs artifact (batch 4), no consumer of
+        // the gated frame reads text — persisting it was pure footprint
+        .select($"doc_id", $"lang", $"n_chars")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // round 20 batch 4: per-doc signatures from the pinned
       // simhash_sigs artifact, filtered to the gated ids (per-doc

@@ -153,6 +153,26 @@ object GraphEdges {
     s.read.parquet(s"$path/comp")
   }
 
+  /** The bipartite ORDER–PART edge scan over full lineitem (round 20
+    * batch 6): distinct (l_orderkey, l_partkey) — the basket relation
+    * q104_basket_rules self-joins for pair support. A pure exact-
+    * integer function of lineitem, re-derived (scan + two distinct-agg
+    * exchanges + repartition) three times per bench run by the one
+    * consumer — the q63 copurchase precedent (which pins strictly MORE
+    * derivation: its self-joined pair set). The quadratic self-join +
+    * support rollup stay per-pass: only the scan-side base is shared.
+    */
+  def orderPartPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.GraftSession.pinnedArtifact(s, "order_part_pairs",
+      dir, Seq("kind" -> "order_part_pairs", "table" -> "lineitem")) {
+      base =>
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .write.parquet(s"$base/pairs")
+    }
+    s.read.parquet(s"$path/pairs")
+  }
+
   /** The part CO-ORDER pair scan (lineitem ⋈ lineitem on the order
     * key — the round-7 SHUFFLE_HASH self-join shape, sort-free), then
     * the (src, dst) dedup: parts sharing an order connect, both

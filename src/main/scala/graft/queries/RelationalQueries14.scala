@@ -104,8 +104,10 @@ object RelationalQueries14 {
       // (l_orderkey) satisfies both sides of the pair self-join, so
       // AQE elides both join-side exchanges once the cache
       // materializes (the q90/q93 round-7 lesson)
-      val op = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct()
+      // round 20 batch 6: the distinct (order, part) scan is the pinned
+      // order_part_pairs artifact (GraphEdges) — the self-join + support
+      // rollup below stay per-pass
+      val op = GraphEdges.orderPartPairs(s, dir)
         .repartition($"l_orderkey")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val itemN = op.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
